@@ -1,0 +1,74 @@
+#!/usr/bin/env python3
+"""Dev-only differential check mirroring the driver's DuckDB oracle compare.
+
+NOT part of the engine (the Scala library has zero Python deps) — this is
+the local feedback loop: run `graft.Verify <sfDir> <outDir>` first, then
+this script loads each <name>.parquet result and runs the matching SQL from
+oracle_sql.json in DuckDB over the same fixture tables, comparing
+column-sorted, row-sorted values.
+
+Usage: python3 scripts/local_check.py [sfDir] [outDir]
+"""
+import json
+import math
+import sys
+
+import duckdb
+
+SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT_DIR = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def norm(v):
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        return f"{v!r}"
+    return repr(v)
+
+
+def fetch_sorted(rel):
+    cols = sorted(rel.columns)
+    idx = [rel.columns.index(c) for c in cols]
+    rows = [tuple(norm(r[i]) for i in idx) for r in rel.fetchall()]
+    return cols, sorted(rows)
+
+
+def main():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+    with open(f"{OUT_DIR}/oracle_sql.json") as f:
+        oracles = json.load(f)
+    failed = []
+    for name, sql in sorted(oracles.items()):
+        try:
+            got = con.sql(
+                f"SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')")
+            gcols, grows = fetch_sorted(got)
+            want = con.sql(sql)
+            wcols, wrows = fetch_sorted(want)
+        except Exception as e:
+            print(f"FAIL  {name}: {e}")
+            failed.append(name)
+            continue
+        if gcols != wcols:
+            print(f"FAIL  {name}: columns {gcols} != {wcols}")
+            failed.append(name)
+        elif grows != wrows:
+            diffs = [(a, b) for a, b in zip(grows, wrows) if a != b]
+            print(f"FAIL  {name}: {len(grows)} vs {len(wrows)} rows, "
+                  f"{len(diffs)} differing; first: "
+                  f"{diffs[0] if diffs else (grows[:1], wrows[:1])}")
+            failed.append(name)
+        else:
+            print(f"OK    {name}: {len(grows)} rows")
+    print(f"\n{len(oracles) - len(failed)}/{len(oracles)} queries match")
+    sys.exit(1 if failed else 0)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,131 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.model.Entities
+import graft.model.Entities.{dec, decD, decQ}
+
+/** Customer sales report mart — re-expression of the reference DAG node
+  * `m_load_customer_sales_report` (reference:
+  * `ETL_Airflow/dags/tasks/m_customer_sales_report_task.py:13-163`):
+  *
+  *   sales FIL(status IN Delivered,Shipped) ⟕ products ⋈ customers
+  *   → metrics (PRICE, SALE_AMOUNT = qty*price*(1-disc/100), dates)
+  *   → global percent_rank tiering Gold/Silver/Bronze
+  *   → per-customer row_number top-performer flag → target.
+  *
+  * Determinism: SALE_AMOUNT is computed in exact decimals as
+  * qty*price*(100-disc)*0.01 (multiplication only — Spark's and DuckDB's
+  * decimal-division scale rules differ) then rounded to 2 and cast DOUBLE.
+  * The per-customer row_number gets SALE_ID as tiebreak. The clock
+  * (DAY_DT/SALE_DATE/LOAD_TSTMP) is injected — the reference overwrites
+  * SALE_DATE with yesterday's date (`date_sub(current_date(),1)`), which we
+  * preserve against the injected clock.
+  *
+  * Scale note: the reference's global `percent_rank` window
+  * (`Window.orderBy(...)` with no partition) is single-partition by
+  * semantics — kept faithfully, flagged as the known 100 TB scaling limit
+  * of this mart (SURVEY.md §4 anti-pattern 3). A scalable variant would
+  * pre-aggregate per customer before ranking.
+  */
+object CustomerSalesReport {
+
+  def apply(spark: SparkSession, dir: String): DataFrame = {
+    val sales = Entities.sales(spark, dir)
+      .select("SALE_ID", "SALE_DATE", "QUANTITY", "CUSTOMER_ID",
+        "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT")
+    val products = Entities.products(spark, dir)
+      .select("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "SELLING_PRICE")
+    val customers = Entities.customers(spark, dir)
+
+    val filtered = sales.filter(col("ORDER_STATUS").isin("Delivered", "Shipped"))
+
+    val withProducts = filtered
+      .join(broadcast(products), Seq("PRODUCT_ID"), "left")
+      .select("SALE_ID", "SALE_DATE", "QUANTITY", "SELLING_PRICE",
+        "CUSTOMER_ID", "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT",
+        "PRODUCT_NAME", "CATEGORY")
+
+    val allData = withProducts
+      .join(customers, Seq("CUSTOMER_ID"), "inner")
+      .select(col("SALE_ID"), col("SALE_DATE"), col("QUANTITY"),
+        col("SELLING_PRICE"), col("CUSTOMER_ID"), col("PRODUCT_ID"),
+        col("DISCOUNT"), col("PRODUCT_NAME"), col("CATEGORY"),
+        col("NAME").as("CUSTOMER_NAME"), col("CITY"))
+
+    val dayDt = java.sql.Date.valueOf(Entities.DayDtLit)
+    val metrics = allData
+      .withColumn("DAY_DT", lit(dayDt))
+      .withColumn("SALE_DATE", date_sub(lit(dayDt), 1))
+      .withColumn("SALE_MONTH", month(col("SALE_DATE")))
+      .withColumn("SALE_YEAR", year(col("SALE_DATE")))
+      // reference: PRICE = round(SELLING_PRICE, 2) — done as a decimal(12,2)
+      // cast so Spark and DuckDB share one rounding rule
+      .withColumn("PRICE",
+        col("SELLING_PRICE").cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("double"))
+      .withColumn("SALE_AMOUNT",
+        round(decQ(col("QUANTITY")) * dec(col("SELLING_PRICE")) *
+          (lit(100).cast(Entities.DiscDec) - decD(col("DISCOUNT"))) *
+          lit(new java.math.BigDecimal("0.01")), 2).cast("double"))
+      .withColumn("LOAD_TSTMP",
+        lit(java.sql.Timestamp.valueOf(Entities.LoadTstmpLit)))
+
+    val tierWindow = Window.orderBy(col("SALE_AMOUNT").desc)
+    val tiered = metrics
+      .withColumn("percent_rank", percent_rank().over(tierWindow))
+      .withColumn("LOYALTY_TIER",
+        when(col("percent_rank") <= 0.2, "Gold")
+          .when(col("percent_rank") > 0.2 && col("percent_rank") <= 0.5, "Silver")
+          .otherwise("Bronze"))
+
+    val perCustomer = Window.partitionBy("CUSTOMER_ID")
+      .orderBy(col("SALE_AMOUNT").desc, col("SALE_ID").asc)
+    tiered
+      .withColumn("rn", row_number().over(perCustomer))
+      .withColumn("TOP_PERFORMER", when(col("rn") === 1, "Yes").otherwise("No"))
+      .drop("rn", "percent_rank")
+      .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
+        "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
+        "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
+        "LOAD_TSTMP")
+      .orderBy("SALE_ID")
+  }
+
+  val oracle: String = Entities.sqlCtes + """
+    |, fil AS (SELECT * FROM sales WHERE ORDER_STATUS IN ('Delivered','Shipped'))
+    |, wp AS (
+    |  SELECT f.SALE_ID, f.SALE_DATE, f.QUANTITY, p.SELLING_PRICE, f.CUSTOMER_ID,
+    |         f.PRODUCT_ID, f.ORDER_STATUS, f.DISCOUNT, p.PRODUCT_NAME, p.CATEGORY
+    |  FROM fil f LEFT JOIN products p ON f.PRODUCT_ID = p.PRODUCT_ID
+    |), alldata AS (
+    |  SELECT w.*, c.NAME AS CUSTOMER_NAME, c.CITY
+    |  FROM wp w JOIN customers c ON w.CUSTOMER_ID = c.CUSTOMER_ID
+    |), metrics AS (
+    |  SELECT SALE_ID, CUSTOMER_ID, PRODUCT_ID, QUANTITY, PRODUCT_NAME, CATEGORY,
+    |         CUSTOMER_NAME, CITY,
+    |         DATE '2025-01-01' AS DAY_DT,
+    |         DATE '2025-01-01' - 1 AS SALE_DATE,
+    |         MONTH(DATE '2025-01-01' - 1) AS SALE_MONTH,
+    |         YEAR(DATE '2025-01-01' - 1) AS SALE_YEAR,
+    |         CAST(CAST(SELLING_PRICE AS DECIMAL(12,2)) AS DOUBLE) AS PRICE,
+    |         CAST(ROUND(CAST(QUANTITY AS DECIMAL(8,2)) * CAST(SELLING_PRICE AS DECIMAL(12,4)) *
+    |              (CAST(100 AS DECIMAL(8,4)) - CAST(DISCOUNT AS DECIMAL(8,4))) * CAST(0.01 AS DECIMAL(3,2)), 2) AS DOUBLE) AS SALE_AMOUNT,
+    |         TIMESTAMP '2025-01-01 00:00:00' AS LOAD_TSTMP
+    |  FROM alldata
+    |), tiered AS (
+    |  SELECT *, PERCENT_RANK() OVER (ORDER BY SALE_AMOUNT DESC) AS pr FROM metrics
+    |), flagged AS (
+    |  SELECT *,
+    |         CASE WHEN pr <= 0.2 THEN 'Gold'
+    |              WHEN pr > 0.2 AND pr <= 0.5 THEN 'Silver'
+    |              ELSE 'Bronze' END AS LOYALTY_TIER,
+    |         ROW_NUMBER() OVER (PARTITION BY CUSTOMER_ID ORDER BY SALE_AMOUNT DESC, SALE_ID ASC) AS rn
+    |  FROM tiered
+    |)
+    |SELECT DAY_DT, CUSTOMER_ID, CUSTOMER_NAME, SALE_ID, CITY, PRODUCT_NAME,
+    |       CATEGORY, SALE_DATE, SALE_MONTH, SALE_YEAR, QUANTITY, PRICE,
+    |       SALE_AMOUNT, CASE WHEN rn = 1 THEN 'Yes' ELSE 'No' END AS TOP_PERFORMER,
+    |       LOYALTY_TIER, LOAD_TSTMP
+    |FROM flagged ORDER BY SALE_ID""".stripMargin
+}
