@@ -1,7 +1,9 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.pipelines.{CustomerSalesReport, ProductPerformance, SupplierPerformance}
+import org.apache.spark.sql.functions._
+import graft.ops.Quality
+import graft.pipelines.{CustomerSalesReport, ProductPerformance, ReconcileQueries, SupplierPerformance}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -20,6 +22,17 @@ object SparkEntry {
     "supplier_performance" -> ((s, dir) => SupplierPerformance(s, dir)),
     "product_performance" -> ((s, dir) => ProductPerformance(s, dir)),
     "customer_sales_report" -> ((s, dir) => CustomerSalesReport(s, dir)),
+    // Q1 duplicate gate — offending groups on a deliberately non-unique key
+    "dup_check" -> ((s, dir) => Quality.duplicates(
+      graft.model.Entities.read(s, dir, "lineitem"), Seq("l_orderkey"))
+      .orderBy("l_orderkey")),
+    // Q2-Q7 Raptor reconciliation surface
+    "reconcile_row_diff" -> ((s, dir) => ReconcileQueries.rowDiff(s, dir)),
+    "reconcile_col_mismatch" -> ((s, dir) => ReconcileQueries.colMismatch(s, dir)),
+    "reconcile_src_extra" -> ((s, dir) => ReconcileQueries.srcExtra(s, dir)),
+    "reconcile_tgt_extra" -> ((s, dir) => ReconcileQueries.tgtExtra(s, dir)),
+    "reconcile_summary" -> ((s, dir) => ReconcileQueries.summary(s, dir)),
+    "reconcile_col_summary" -> ((s, dir) => ReconcileQueries.colSummary(s, dir)),
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -28,5 +41,13 @@ object SparkEntry {
     "supplier_performance" -> SupplierPerformance.oracle,
     "product_performance" -> ProductPerformance.oracle,
     "customer_sales_report" -> CustomerSalesReport.oracle,
+    "dup_check" ->
+      "SELECT l_orderkey, COUNT(*) AS cnt FROM lineitem GROUP BY 1 HAVING COUNT(*) > 1 ORDER BY 1",
+    "reconcile_row_diff" -> ReconcileQueries.rowDiffOracle,
+    "reconcile_col_mismatch" -> ReconcileQueries.colMismatchOracle,
+    "reconcile_src_extra" -> ReconcileQueries.srcExtraOracle,
+    "reconcile_tgt_extra" -> ReconcileQueries.tgtExtraOracle,
+    "reconcile_summary" -> ReconcileQueries.summaryOracle,
+    "reconcile_col_summary" -> ReconcileQueries.colSummaryOracle,
   )
 }

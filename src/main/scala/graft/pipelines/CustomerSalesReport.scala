@@ -79,8 +79,12 @@ object CustomerSalesReport {
           .when(col("percent_rank") > 0.2 && col("percent_rank") <= 0.5, "Silver")
           .otherwise("Bronze"))
 
+    // SALE_ID alone is not unique in the fixture (lineitem's composite key
+    // has collisions), so the tiebreak chain extends to PRODUCT_ID/QUANTITY
+    // to keep row_number deterministic.
     val perCustomer = Window.partitionBy("CUSTOMER_ID")
-      .orderBy(col("SALE_AMOUNT").desc, col("SALE_ID").asc)
+      .orderBy(col("SALE_AMOUNT").desc, col("SALE_ID").asc,
+        col("PRODUCT_ID").asc, col("QUANTITY").asc)
     tiered
       .withColumn("rn", row_number().over(perCustomer))
       .withColumn("TOP_PERFORMER", when(col("rn") === 1, "Yes").otherwise("No"))
@@ -120,7 +124,7 @@ object CustomerSalesReport {
     |         CASE WHEN pr <= 0.2 THEN 'Gold'
     |              WHEN pr > 0.2 AND pr <= 0.5 THEN 'Silver'
     |              ELSE 'Bronze' END AS LOYALTY_TIER,
-    |         ROW_NUMBER() OVER (PARTITION BY CUSTOMER_ID ORDER BY SALE_AMOUNT DESC, SALE_ID ASC) AS rn
+    |         ROW_NUMBER() OVER (PARTITION BY CUSTOMER_ID ORDER BY SALE_AMOUNT DESC, SALE_ID ASC, PRODUCT_ID ASC, QUANTITY ASC) AS rn
     |  FROM tiered
     |)
     |SELECT DAY_DT, CUSTOMER_ID, CUSTOMER_NAME, SALE_ID, CITY, PRODUCT_NAME,

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Reconcile
+
+class ReconcileSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def src = Seq(
+    (1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0), (4, "d", 40.0)
+  ).toDF("id", "name", "amt")
+
+  // id=2 value-mismatch on name; id=4 missing; id=5 extra
+  private def tgt = Seq(
+    (1, "a", 10.0), (2, "B", 20.0), (3, "c", 30.0), (5, "e", 50.0)
+  ).toDF("id", "name", "amt")
+
+  test("diff of a frame with itself is empty everywhere") {
+    val keys = Seq("id")
+    assert(Reconcile.rowDiff(src, src, keys).isEmpty)
+    assert(Reconcile.colMismatch(src, src, keys).isEmpty)
+    assert(Reconcile.srcExtra(src, src, keys).isEmpty)
+    assert(Reconcile.tgtExtra(src, src, keys).isEmpty)
+  }
+
+  test("rowDiff finds exactly the rows whose records differ") {
+    val rows = Reconcile.rowDiff(src, tgt, Seq("id")).collect()
+    assert(rows.map(_.getString(0)).toSet == Set("2"))
+  }
+
+  test("colMismatch names the differing column and both values") {
+    val rows = Reconcile.colMismatch(src, tgt, Seq("id")).collect()
+    assert(rows.length == 1)
+    val r = rows.head
+    assert(r.getAs[String]("mismatch_column_name") == "name")
+    assert(r.getAs[String]("source_value") == "b")
+    assert(r.getAs[String]("target_value") == "B")
+  }
+
+  test("extra-row detection both directions") {
+    assert(Reconcile.srcExtra(src, tgt, Seq("id")).collect()
+      .map(_.getString(0)).toSet == Set("4"))
+    assert(Reconcile.tgtExtra(src, tgt, Seq("id")).collect()
+      .map(_.getString(0)).toSet == Set("5"))
+  }
+
+  test("null and empty string are indistinguishable by design (Raptor erasure)") {
+    val a = Seq((1, Option("x")), (2, None: Option[String])).toDF("id", "v")
+    val b = Seq((1, "x"), (2, "")).toDF("id", "v")
+    assert(Reconcile.rowDiff(a, b, Seq("id")).isEmpty)
+  }
+
+  test("summary carries the six reconciliation counts") {
+    val m = Reconcile.summary(src, tgt, Seq("id")).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(m("Number of rows in Source") == "4")
+    assert(m("Number of rows in Target") == "4")
+    assert(m("Number of rows in common") == "3")
+    assert(m("Number of rows mismatch") == "1")
+    assert(m("Number of rows in Source but not in Target") == "1")
+    assert(m("Number of rows in Target but not in Source") == "1")
+    assert(m("Row Mismatch Percentage") == "33.33%")
+  }
+
+  test("colSummary computes per-column mismatch percentage of compared rows") {
+    val rows = Reconcile.colSummary(src, tgt, Seq("id")).collect()
+    assert(rows.length == 1)
+    assert(rows.head.getAs[String]("mismatch_column_name") == "name")
+    assert(rows.head.getAs[Long]("Mismatch_Record_Count_Column_Level") == 1L)
+    assert(rows.head.getAs[String]("Percentage_Of_Mismatch") == "33.33%")
+  }
+
+  test("multi-column composite keys reconcile") {
+    val a = Seq((1, "x", "p"), (1, "y", "q")).toDF("k1", "k2", "v")
+    val b = Seq((1, "x", "p"), (1, "y", "Z")).toDF("k1", "k2", "v")
+    val diff = Reconcile.colMismatch(a, b, Seq("k1", "k2")).collect()
+    assert(diff.length == 1)
+    assert(diff.head.getAs[String]("mismatch_column_name") == "v")
+  }
+}
