@@ -18,7 +18,8 @@ object SparkEntry {
     SupplierPerformance(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    Map[String, (SparkSession, String) => DataFrame](
     "supplier_performance" -> ((s, dir) => SupplierPerformance(s, dir)),
     "product_performance" -> ((s, dir) => ProductPerformance(s, dir)),
     "customer_sales_report" -> ((s, dir) => CustomerSalesReport(s, dir)),
@@ -33,7 +34,7 @@ object SparkEntry {
     "reconcile_tgt_extra" -> ((s, dir) => ReconcileQueries.tgtExtra(s, dir)),
     "reconcile_summary" -> ((s, dir) => ReconcileQueries.summary(s, dir)),
     "reconcile_col_summary" -> ((s, dir) => ReconcileQueries.colSummary(s, dir)),
-  )
+  ) ++ graft.pipelines.OperatorQueries.all.map { case (k, (q, _)) => k -> q }
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -49,5 +50,5 @@ object SparkEntry {
     "reconcile_tgt_extra" -> ReconcileQueries.tgtExtraOracle,
     "reconcile_summary" -> ReconcileQueries.summaryOracle,
     "reconcile_col_summary" -> ReconcileQueries.colSummaryOracle,
-  )
+  ) ++ graft.pipelines.OperatorQueries.all.map { case (k, (_, o)) => k -> o }
 }

@@ -1,0 +1,46 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode}
+
+/** Sink connectors — reference §2.1 S7, S8, S10.
+  *
+  * Scale posture: parquet writes inherit the frame's partitioning — callers
+  * control file count via the upstream plan (repartition by the write key),
+  * never via driver-side collects. `snapshot` applies the reference's
+  * raw-overwrite + legacy-append convention in one call.
+  */
+object Sinks {
+
+  /** S8 — parquet sink, overwrite mode, optional dated path layout
+    * (reference `Raptor.py:104-109` writes `{bucket}/{yyyymmdd}/{name}`). */
+  def parquet(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).parquet(path)
+
+  /** S7 — JDBC sink with save mode (reference `dags/utils.py:90-105`). */
+  def jdbc(df: DataFrame, url: String, table: String, mode: SaveMode,
+           props: Map[String, String]): Unit = {
+    val w = df.write.format("jdbc").option("url", url).option("dbtable", table)
+    props.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.mode(mode).save()
+  }
+
+  /** S10 — DDL side-channel executed before a JDBC load (the reference
+    * creates the `work` schema via psycopg2, `Raptor.py:41-57`). Runs an
+    * arbitrary pre-statement on a plain java.sql connection. */
+  def jdbcWithPreDdl(df: DataFrame, url: String, table: String, mode: SaveMode,
+                     props: Map[String, String], preDdl: String): Unit = {
+    val info = new java.util.Properties()
+    props.foreach { case (k, v) => info.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, info)
+    try { val st = conn.createStatement(); try st.execute(preDdl) finally st.close() }
+    finally conn.close()
+    jdbc(df, url, table, mode, props)
+  }
+
+  /** The reference's snapshot-ledger convention (`ingestion_task.py:66-69`
+    * and parallels): the current frame overwrites `raw`, and the same frame
+    * appends to the `legacy` history — a hand-rolled SCD-0 daily ledger. */
+  def snapshot(df: DataFrame, rawPath: String, legacyPath: String): Unit = {
+    parquet(df, rawPath, SaveMode.Overwrite)
+    parquet(df, legacyPath, SaveMode.Append)
+  }
+}

@@ -1,0 +1,70 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** Source connectors — re-expression of the reference's extract surface
+  * (SURVEY.md §2.1 S1-S6, S9).
+  *
+  * Scale posture: every reader returns a lazy DataFrame; none of them
+  * trigger the reference's eager `df.count()`-per-read anti-pattern
+  * (reference `dags/utils.py:128`, SURVEY.md §4.1). Schemas are declared,
+  * not inferred, on the hot paths (inference reads the data twice).
+  */
+object Sources {
+
+  /** S1 — JSON-records source. The reference fetches REST JSON on the
+    * driver and parallelizes `Row(**r)` dicts (reference
+    * `dags/utils.py:56-69`, `ingestion_task.py:22-29`). The transport
+    * (HTTP fetch) is connector plumbing outside Spark; this entry point
+    * takes the fetched payload (one JSON object per element) and lets the
+    * JSON datasource do typed parsing on executors. */
+  def fromJsonRecords(spark: SparkSession, records: Seq[String]): DataFrame = {
+    import spark.implicits._
+    spark.read.json(spark.createDataset(records))
+  }
+
+  /** S1 variant with a declared schema (skips inference). */
+  def fromJsonRecords(spark: SparkSession, records: Seq[String], schema: StructType): DataFrame = {
+    import spark.implicits._
+    spark.read.schema(schema).json(spark.createDataset(records))
+  }
+
+  /** S3 — CSV source with header; schema declared when known (the
+    * reference infers — `ingestion_task.py:238-242` — which double-reads). */
+  def csv(spark: SparkSession, path: String, schema: Option[StructType] = None): DataFrame = {
+    val r = spark.read.option("header", "true")
+    schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
+  }
+
+  /** S4 — whole-table JDBC source (reference `dags/utils.py:115-129`). */
+  def jdbcTable(spark: SparkSession, url: String, table: String,
+                props: Map[String, String]): DataFrame = {
+    val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    props.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
+  /** S5 — JDBC subquery pushdown: wraps arbitrary SQL as a dbtable
+    * subquery so predicates/projections run in the RDBMS (reference
+    * `Raptor.py:20-38`). */
+  def jdbcQuery(spark: SparkSession, url: String, sql: String,
+                props: Map[String, String]): DataFrame =
+    jdbcTable(spark, url, s"($sql) as subquery", props)
+
+  /** S6 — parquet source registered as a temp view + SQL over it
+    * (reference `Raptor.py:89-100`, including the `reporting.<table>`
+    * prefix rewrite). */
+  def parquetSql(spark: SparkSession, path: String, view: String, sql: String): DataFrame = {
+    spark.read.parquet(path).createOrReplaceTempView(view)
+    spark.sql(sql.replace(s"reporting.$view", view))
+  }
+
+  /** S9 — dated-path resolution, the reference's
+    * `{bucket}/{YYYYMMDD}/{entity}_{YYYYMMDD}.csv` convention
+    * (reference `ingestion_task.py:234-238`). */
+  def datedPath(bucket: String, entity: String, date: java.time.LocalDate,
+                ext: String = "csv"): String = {
+    val d = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
+    s"$bucket/$d/${entity}_$d.$ext"
+  }
+}

@@ -1,0 +1,55 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.io.Sinks
+import graft.model.Entities
+import graft.ops.Quality
+
+/** Ingestion/snapshot pipeline — re-expression of the reference's four
+  * ingestion tasks (reference `ETL_Airflow/dags/tasks/ingestion_task.py`):
+  *
+  *   extract → positional rename to canonical UPPER_SNAKE → project →
+  *   DAY_DT audit column → duplicate gate → raw overwrite + legacy append.
+  *
+  * The fragile positional rename (`withColumnRenamed(df.columns[i], ...)`,
+  * `ingestion_task.py:32-36`) becomes an explicit `toDF(names)` contract:
+  * same observable result, declared instead of accidental.
+  */
+object Ingestion {
+
+  /** Positional rename + projection + audit column (P1, P2, P8). */
+  def canonicalize(df: DataFrame, names: Seq[String],
+                   dayDt: java.sql.Date = java.sql.Date.valueOf(Entities.DayDtLit)): DataFrame = {
+    require(df.columns.length == names.length,
+      s"positional rename arity mismatch: ${df.columns.length} cols vs ${names.length} names")
+    df.toDF(names: _*).withColumn("DAY_DT", lit(dayDt))
+  }
+
+  /** Full snapshot ingest: gate-then-write ordering preserved from the
+    * reference (failure ⇒ no partial load; SURVEY.md §7.5 item 5). The
+    * frame is written twice (raw overwrite + legacy append) — unlike the
+    * reference, which recomputes the lineage per action, callers at scale
+    * should persist upstream of this call if the extract is expensive. */
+  def snapshotIngest(df: DataFrame, names: Seq[String], primaryKey: Seq[String],
+                     rawPath: String, legacyPath: String): DataFrame = {
+    val canonical = canonicalize(df, names)
+    Quality.gate(canonical, primaryKey)
+    Sinks.snapshot(canonical, rawPath, legacyPath)
+    canonical
+  }
+
+  /** Driver-facing query: the suppliers entity canonicalized with its
+    * audit column, as the ingestion tasks produce it. */
+  def suppliersSnapshot(spark: SparkSession, dir: String): DataFrame =
+    canonicalize(
+      Entities.read(spark, dir, "supplier"),
+      Seq("SUPPLIER_ID", "SUPPLIER_NAME", "S_NATIONKEY", "S_ACCTBAL"))
+      .select("DAY_DT", "SUPPLIER_ID", "SUPPLIER_NAME", "S_NATIONKEY")
+      .orderBy("SUPPLIER_ID")
+
+  val suppliersSnapshotOracle: String =
+    """SELECT DATE '2025-01-01' AS DAY_DT, s_suppkey AS SUPPLIER_ID,
+      |       s_name AS SUPPLIER_NAME, s_nationkey AS S_NATIONKEY
+      |FROM supplier ORDER BY s_suppkey""".stripMargin
+}

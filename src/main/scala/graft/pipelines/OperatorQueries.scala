@@ -1,0 +1,385 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.DecimalType
+import graft.io.Sources
+import graft.model.Entities
+
+/** Per-operator micro-queries: one oracle-checked query per SURVEY.md §2
+  * inventory row not already exercised by the mart pipelines, plus the
+  * general relational surface (set ops, window family, expression families)
+  * a user of the reference exercises through PySpark itself.
+  *
+  * Determinism rules shared with the pipelines: exact decimal for money
+  * arithmetic, integer-valued doubles only under SUM/AVG, tie-aware window
+  * functions (rank/dense_rank/cume_dist) under non-total orders and
+  * total orders for row_number/ntile, explicit ORDER BY everywhere.
+  */
+object OperatorQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def li(s: SparkSession, dir: String) = Entities.read(s, dir, "lineitem")
+  private def orders(s: SparkSession, dir: String) = Entities.read(s, dir, "orders")
+  private def part(s: SparkSession, dir: String) = Entities.read(s, dir, "part")
+  private def customer(s: SparkSession, dir: String) = Entities.read(s, dir, "customer")
+  private def docs(s: SparkSession, dir: String) = Entities.read(s, dir, "documents")
+
+  /** name -> (query, oracleSql) */
+  val all: Map[String, (Q, String)] = Map(
+
+    // F5 — range/band predicates with Column boolean algebra
+    "q_filter_range" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir)
+          .filter(col("l_discount") > 0.02 && col("l_discount") <= 0.05 &&
+            !(col("l_returnflag") === "A"))
+          .select("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
+          .orderBy("l_orderkey", "l_linenumber", "l_discount")),
+      """SELECT l_orderkey, l_linenumber, l_discount, l_returnflag
+        |FROM lineitem
+        |WHERE l_discount > 0.02 AND l_discount <= 0.05 AND NOT (l_returnflag = 'A')
+        |ORDER BY l_orderkey, l_linenumber, l_discount""".stripMargin),
+
+    // P3 — selectExpr expression rename (reference usa_population_ingestion.py:30-37)
+    "q_project_selectexpr" -> (
+      ((s: SparkSession, dir: String) =>
+        orders(s, dir)
+          .selectExpr("o_orderkey as ID_ORDER", "upper(o_orderpriority) as PRIORITY",
+            "o_orderstatus as STATUS")
+          .orderBy("ID_ORDER")),
+      """SELECT o_orderkey AS ID_ORDER, upper(o_orderpriority) AS PRIORITY,
+        |       o_orderstatus AS STATUS
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // P9 — row construction from driver-side records (reference ingestion_task.py:26-29)
+    "q_row_construction" -> (
+      ((s: SparkSession, dir: String) => {
+        import s.implicits._
+        Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5))
+          .toDF("id", "name", "score").orderBy("id")
+      }),
+      """SELECT id, name, CAST(score AS DOUBLE) AS score
+        |FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5))
+        |AS t(id, name, score) ORDER BY id""".stripMargin),
+
+    // J4 — inner join on a composite key list
+    "q_join_composite" -> (
+      ((s: SparkSession, dir: String) => {
+        val l = li(s, dir)
+        val agg = l.groupBy("l_orderkey", "l_linenumber")
+          .agg(count(lit(1)).as("line_cnt"))
+        l.join(agg, Seq("l_orderkey", "l_linenumber"), "inner")
+          .select("l_orderkey", "l_linenumber", "l_partkey", "line_cnt")
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+      }),
+      """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, a.line_cnt
+        |FROM lineitem l
+        |JOIN (SELECT l_orderkey, l_linenumber, COUNT(*) AS line_cnt
+        |      FROM lineitem GROUP BY 1, 2) a
+        |  ON l.l_orderkey = a.l_orderkey AND l.l_linenumber = a.l_linenumber
+        |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey""".stripMargin),
+
+    // J5 — left-anti (the reference's outer-join + null-filter pattern)
+    "q_join_anti" -> (
+      ((s: SparkSession, dir: String) => {
+        val p = part(s, dir)
+        val l = li(s, dir)
+        p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
+          .select("p_partkey", "p_name").orderBy("p_partkey")
+      }),
+      """SELECT p_partkey, p_name FROM part
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin),
+
+    // left-semi companion (EXISTS)
+    "q_join_semi" -> (
+      ((s: SparkSession, dir: String) => {
+        val c = customer(s, dir)
+        val o = orders(s, dir)
+        c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+          .select("c_custkey", "c_name").orderBy("c_custkey")
+      }),
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin),
+
+    // A6 + S6 — temp view + SQL with ordinal group-by (reference Raptor.py:450-454,96-100)
+    "q_sql_ordinal_group" -> (
+      ((s: SparkSession, dir: String) =>
+        Sources.parquetSql(s, s"$dir/lineitem.parquet", "lineitem_v",
+          """select l_returnflag, l_linestatus, count(*) as cnt
+            |from reporting.lineitem_v group by 1, 2 order by 1, 2""".stripMargin)),
+      """SELECT l_returnflag, l_linestatus, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
+    // A5/A7 — avg/min/max/count family (exact: integer-valued doubles)
+    "q_agg_stats" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).groupBy("l_returnflag")
+          .agg(
+            avg("l_quantity").as("avg_qty"),
+            min("l_quantity").as("min_qty"),
+            max("l_quantity").as("max_qty"),
+            count(lit(1)).as("cnt"),
+            countDistinct("l_partkey").as("n_parts"))
+          .orderBy("l_returnflag")),
+      """SELECT l_returnflag, AVG(l_quantity) AS avg_qty, MIN(l_quantity) AS min_qty,
+        |       MAX(l_quantity) AS max_qty, COUNT(*) AS cnt,
+        |       COUNT(DISTINCT l_partkey) AS n_parts
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
+    // W-family — lag/lead (deterministic: o_orderkey is unique per customer order)
+    "q_window_lag_lead" -> (
+      ((s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+        orders(s, dir)
+          .withColumn("prev_price", lag("o_totalprice", 1).over(w))
+          .withColumn("next_price", lead("o_totalprice", 1).over(w))
+          .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       LAG(o_totalprice, 1) OVER w AS prev_price,
+        |       LEAD(o_totalprice, 1) OVER w AS next_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // W-family — rank/dense_rank/cume_dist (tie-aware ⇒ deterministic) + ntile (total order)
+    "q_window_rank_family" -> (
+      ((s: SparkSession, dir: String) => {
+        val tieAware = Window.partitionBy("c_nationkey").orderBy(col("c_acctbal").desc)
+        val total = Window.partitionBy("c_nationkey")
+          .orderBy(col("c_acctbal").desc, col("c_custkey"))
+        customer(s, dir)
+          .withColumn("rnk", rank().over(tieAware))
+          .withColumn("drnk", dense_rank().over(tieAware))
+          .withColumn("cd", cume_dist().over(tieAware))
+          .withColumn("quartile", ntile(4).over(total))
+          .select("c_nationkey", "c_custkey", "c_acctbal", "rnk", "drnk", "cd", "quartile")
+          .orderBy("c_nationkey", "c_custkey")
+      }),
+      """SELECT c_nationkey, c_custkey, c_acctbal,
+        |       RANK() OVER wa AS rnk, DENSE_RANK() OVER wa AS drnk,
+        |       CUME_DIST() OVER wa AS cd, NTILE(4) OVER wt AS quartile
+        |FROM customer
+        |WINDOW wa AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC),
+        |       wt AS (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey)
+        |ORDER BY c_nationkey, c_custkey""".stripMargin),
+
+    // W-family — explicit rows-frame running sum (exact integer-valued sums)
+    "q_window_running_sum" -> (
+      ((s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("l_suppkey")
+          .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+            col("l_partkey"), col("l_extendedprice"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        li(s, dir)
+          .withColumn("running_qty", sum("l_quantity").over(w))
+          .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "running_qty")
+          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+      }),
+      """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
+        |         ORDER BY l_shipdate, l_orderkey, l_linenumber, l_partkey, l_extendedprice
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_qty
+        |FROM lineitem
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, l_quantity""".stripMargin),
+
+    // O1/O2 — deterministic top-k (global sort + limit)
+    "q_sort_limit_topk" -> (
+      ((s: SparkSession, dir: String) =>
+        orders(s, dir).orderBy(col("o_totalprice").desc, col("o_orderkey"))
+          .select("o_orderkey", "o_totalprice").limit(10)),
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
+
+    // Set operations (engine capability beyond the reference's surface)
+    "q_set_union" -> (
+      ((s: SparkSession, dir: String) => {
+        val c = customer(s, dir)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .distinct().orderBy("c_custkey")
+      }),
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q_set_intersect" -> (
+      ((s: SparkSession, dir: String) => {
+        val c = customer(s, dir)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      }),
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin),
+
+    "q_set_except" -> (
+      ((s: SparkSession, dir: String) => {
+        val c = customer(s, dir)
+        c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+          .except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
+          .orderBy("c_custkey")
+      }),
+      """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+        |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
+        |ORDER BY c_custkey""".stripMargin),
+
+    // E5 — string function family
+    "q_expr_string" -> (
+      ((s: SparkSession, dir: String) =>
+        part(s, dir).select(
+          col("p_partkey"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          upper(col("p_name")).as("name_upper"),
+          lower(col("p_brand")).as("brand_lower"),
+          substring(col("p_name"), 1, 5).as("name_head"),
+          length(col("p_name")).as("name_len"),
+          trim(col("p_name")).as("name_trim"),
+          regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
+          .orderBy("p_partkey")),
+      """SELECT p_partkey, concat_ws('-', p_brand, p_type) AS brand_type,
+        |       upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
+        |       substring(p_name, 1, 5) AS name_head, length(p_name) AS name_len,
+        |       trim(p_name) AS name_trim,
+        |       regexp_replace(p_name, '[aeiou]', '', 'g') AS name_novowel
+        |FROM part ORDER BY p_partkey""".stripMargin),
+
+    // E3 — date/time function family
+    "q_expr_datetime" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          year(col("l_shipdate")).as("ship_year"),
+          month(col("l_shipdate")).as("ship_month"),
+          dayofmonth(col("l_shipdate")).as("ship_day"),
+          date_add(col("l_shipdate").cast("date"), 30).as("due_date"),
+          date_sub(col("l_shipdate").cast("date"), 7).as("early_date"),
+          datediff(lit("1998-01-01").cast("date"), col("l_shipdate").cast("date")).as("days_to_98"),
+          date_trunc("month", col("l_shipdate")).as("ship_month_start"),
+          last_day(col("l_shipdate").cast("date")).as("ship_month_end"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       CAST(l_shipdate AS DATE) AS ship_date,
+        |       YEAR(l_shipdate) AS ship_year, MONTH(l_shipdate) AS ship_month,
+        |       DAY(l_shipdate) AS ship_day,
+        |       CAST(l_shipdate AS DATE) + 30 AS due_date,
+        |       CAST(l_shipdate AS DATE) - 7 AS early_date,
+        |       DATEDIFF('day', CAST(l_shipdate AS DATE), DATE '1998-01-01') AS days_to_98,
+        |       CAST(DATE_TRUNC('month', l_shipdate) AS TIMESTAMP) AS ship_month_start,
+        |       LAST_DAY(CAST(l_shipdate AS DATE)) AS ship_month_end
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin),
+
+    // E4 — math family (IEEE-exact ops only: same bits both engines)
+    "q_expr_math" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          abs(col("l_discount") - 0.05).as("disc_dev"),
+          round(col("l_extendedprice").cast(DecimalType(12, 2)), 1).as("price_r1"),
+          ceil(col("l_extendedprice")).as("price_ceil"),
+          floor(col("l_extendedprice")).as("price_floor"),
+          sqrt(col("l_quantity")).as("qty_sqrt"),
+          (col("l_quantity") % 7).as("qty_mod7"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       ABS(l_discount - 0.05) AS disc_dev,
+        |       ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS price_r1,
+        |       CAST(CEIL(l_extendedprice) AS BIGINT) AS price_ceil,
+        |       CAST(FLOOR(l_extendedprice) AS BIGINT) AS price_floor,
+        |       SQRT(l_quantity) AS qty_sqrt, l_quantity % 7 AS qty_mod7
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin),
+
+    // E1 — conditional when/otherwise chains
+    "q_expr_conditional" -> (
+      ((s: SparkSession, dir: String) =>
+        orders(s, dir).select(
+          col("o_orderkey"),
+          when(col("o_totalprice") > 300000, "large")
+            .when(col("o_totalprice") > 150000, "medium")
+            .otherwise("small").as("size_band"),
+          when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0)).as("is_final"))
+          .orderBy("o_orderkey")),
+      """SELECT o_orderkey,
+        |       CASE WHEN o_totalprice > 300000 THEN 'large'
+        |            WHEN o_totalprice > 150000 THEN 'medium'
+        |            ELSE 'small' END AS size_band,
+        |       CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_final
+        |FROM orders ORDER BY o_orderkey""".stripMargin),
+
+    // E2 — null repair: coalesce + na.fill after an outer join
+    "q_expr_null_repair" -> (
+      ((s: SparkSession, dir: String) => {
+        val p = part(s, dir)
+        val sold = li(s, dir).groupBy("l_partkey")
+          .agg(sum("l_quantity").as("qty_sold"), max(lit("seen")).as("tag"))
+        p.join(sold, p("p_partkey") === sold("l_partkey"), "left")
+          .select(col("p_partkey"),
+            coalesce(col("qty_sold"), lit(0.0)).as("qty_or_zero"),
+            col("tag"))
+          .na.fill(Map("tag" -> "never_sold"))
+          .orderBy("p_partkey")
+      }),
+      """SELECT p_partkey, COALESCE(a.qty_sold, 0.0) AS qty_or_zero,
+        |       COALESCE(a.tag, 'never_sold') AS tag
+        |FROM part LEFT JOIN (
+        |  SELECT l_partkey, SUM(l_quantity) AS qty_sold, MAX('seen') AS tag
+        |  FROM lineitem GROUP BY 1) a ON p_partkey = a.l_partkey
+        |ORDER BY p_partkey""".stripMargin),
+
+    // E6 — cast family
+    "q_expr_cast" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).select(
+          col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_quantity").cast("string").as("qty_str"),
+          col("l_shipdate").cast("date").cast("string").as("ship_str"),
+          col("l_extendedprice").cast(DecimalType(12, 2)).cast("string").as("price_str"),
+          col("l_linenumber").cast("double").as("line_dbl"))
+          .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+      """SELECT l_orderkey, l_linenumber, l_partkey,
+        |       CAST(l_quantity AS INT) AS qty_int,
+        |       CAST(l_quantity AS VARCHAR) AS qty_str,
+        |       CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_str,
+        |       CAST(CAST(l_extendedprice AS DECIMAL(12,2)) AS VARCHAR) AS price_str,
+        |       CAST(l_linenumber AS DOUBLE) AS line_dbl
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin),
+
+    // E7/E8 — array + higher-order function family over documents
+    "q_expr_array_hof" -> (
+      ((s: SparkSession, dir: String) => {
+        val toks = split(col("text"), " ")
+        docs(s, dir).select(
+          col("doc_id"),
+          size(toks).as("n_tokens"),
+          element_at(toks, 1).as("first_token"),
+          array_contains(toks, "spark").as("has_spark"),
+          element_at(transform(toks, x => upper(x)), 2).as("second_upper"),
+          slice(toks, 1, 3).as("head3"),
+          aggregate(transform(toks, x => length(x)), lit(0), (acc, x) => acc + x)
+            .as("total_chars"))
+          .orderBy("doc_id")
+      }),
+      """SELECT doc_id,
+        |       len(string_split(text, ' ')) AS n_tokens,
+        |       string_split(text, ' ')[1] AS first_token,
+        |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        |       list_transform(string_split(text, ' '), x -> upper(x))[2] AS second_upper,
+        |       list_slice(string_split(text, ' '), 1, 3) AS head3,
+        |       list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS total_chars
+        |FROM documents ORDER BY doc_id""".stripMargin),
+
+    // S1/P1/P8 — ingestion snapshot canonicalization
+    "q_ingest_suppliers_snapshot" -> (
+      ((s: SparkSession, dir: String) => Ingestion.suppliersSnapshot(s, dir)),
+      Ingestion.suppliersSnapshotOracle),
+  )
+}

@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.io.{Sinks, Sources}
+import graft.ops.DuplicateException
+import graft.pipelines.Ingestion
+
+class IoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("S1: JSON records source parses driver-fetched payloads") {
+    val df = Sources.fromJsonRecords(spark,
+      Seq("""{"supplier_id":"S1","region":"East"}""",
+        """{"supplier_id":"S2","region":"West"}"""))
+    assert(df.count() == 2)
+    assert(df.columns.sorted.toSeq == Seq("region", "supplier_id"))
+  }
+
+  test("S3: CSV source with header round-trips") {
+    val d = Files.createTempDirectory("graft_csv").toString
+    Files.writeString(java.nio.file.Paths.get(s"$d/x.csv"), "id,name\n1,a\n2,b\n")
+    val df = Sources.csv(spark, s"$d/x.csv")
+    assert(df.count() == 2)
+    assert(df.columns.toSeq == Seq("id", "name"))
+  }
+
+  test("S6: parquet + temp view + reporting-prefix SQL rewrite") {
+    val out = Sources.parquetSql(spark, s"$sf/region.parquet", "region_v",
+      "select r_name from reporting.region_v order by r_name")
+    assert(out.count() == 5)
+  }
+
+  test("S9: dated-path convention matches the reference layout") {
+    val p = Sources.datedPath("gs://meta-morph-flow", "sales",
+      java.time.LocalDate.of(2025, 3, 10))
+    assert(p == "gs://meta-morph-flow/20250310/sales_20250310.csv")
+  }
+
+  test("S8 + snapshot: raw overwrite + legacy append ledger") {
+    val d = Files.createTempDirectory("graft_snap").toString
+    val day1 = Seq((1, "a")).toDF("id", "v")
+    val day2 = Seq((2, "b")).toDF("id", "v")
+    Sinks.snapshot(day1, s"$d/raw", s"$d/legacy")
+    Sinks.snapshot(day2, s"$d/raw", s"$d/legacy")
+    assert(spark.read.parquet(s"$d/raw").count() == 1)      // overwritten
+    assert(spark.read.parquet(s"$d/legacy").count() == 2)   // accumulated
+  }
+
+  test("ingestion canonicalize renames positionally and stamps DAY_DT") {
+    val raw = Seq(("S1", "Acme", "555", "East")).toDF("a", "b", "c", "d")
+    val out = Ingestion.canonicalize(raw,
+      Seq("SUPPLIER_ID", "SUPPLIER_NAME", "CONTACT_DETAILS", "REGION"))
+    assert(out.columns.toSeq == Seq("SUPPLIER_ID", "SUPPLIER_NAME",
+      "CONTACT_DETAILS", "REGION", "DAY_DT"))
+    assert(out.select("DAY_DT").first().getDate(0).toString == "2025-01-01")
+  }
+
+  test("snapshotIngest gates duplicates before any write") {
+    val d = Files.createTempDirectory("graft_gate").toString
+    val dup = Seq(("S1", "x"), ("S1", "y")).toDF("a", "b")
+    assertThrows[DuplicateException] {
+      Ingestion.snapshotIngest(dup, Seq("SUPPLIER_ID", "V"),
+        Seq("SUPPLIER_ID"), s"$d/raw", s"$d/legacy")
+    }
+    assert(!Files.exists(java.nio.file.Paths.get(s"$d/raw"))) // no partial load
+  }
+}
