@@ -1,0 +1,194 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for large-scale training-data pipelines: exact,
+  * n-gram Jaccard (inverted index), MinHash+LSH, and embedding-cosine
+  * near-dup. SimHash lives in [[graft.functions.SimHash64]].
+  *
+  * Scale posture (the whole point of these):
+  *   - Exact dedup is a hash shuffle on the dedup key — embarrassingly
+  *     scalable; at 100 TB shuffle by md5(text) rather than raw text to
+  *     bound key width.
+  *   - Jaccard pairs use the *inverted shingle index* join (explode →
+  *     join on shingle → count per pair), never a cross join. Cost is
+  *     Σ df(shingle)² — at 100 TB add document-frequency pruning (drop
+  *     shingles with df above a cap: they generate quadratic pair noise
+  *     and contribute nothing to high-Jaccard pairs).
+  *   - MinHash+LSH replaces the full index join with banded signature
+  *     buckets: candidate generation touches only same-bucket pairs,
+  *     then candidates are verified with exact Jaccard. Parameters
+  *     (128 hashes, 32 bands × 4 rows) put the S-curve threshold at
+  *     ~(1/32)^(1/4) ≈ 0.42 — recall at s ≥ 0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8.
+  *   - Cosine near-dup here is the exact small-side variant (self-join);
+  *     the LSH-bucketed scale path is in [[Similarity]].
+  */
+object Dedup {
+
+  /** Distinct word n-gram shingles of a whitespace-tokenized text column.
+    * Empty array when the text has fewer than `n` tokens. */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val toks = split(text, " ")
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      k => concat_ws(" ", (0 until n).map(o => element_at(toks, k + o)): _*))
+    array_distinct(when(size(toks) >= n, grams).otherwise(array()))
+  }
+
+  /** Exact full-row dedup — plain `distinct()` (hash aggregate on all
+    * columns; Catalyst plans it as a shuffle by row hash). */
+  def exactRows(df: DataFrame): DataFrame = df.distinct()
+
+  /** Exact dedup by key with a deterministic survivor (min of `idCol`) and
+    * the duplicate count per group — the hash-groupBy dedup gate. */
+  def exactByKey(df: DataFrame, key: Seq[String], idCol: String): DataFrame =
+    df.groupBy(key.map(col): _*)
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exploded (id, shingle) inverted index with per-doc shingle counts. */
+  private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int): (DataFrame, DataFrame) = {
+    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
+    val index = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    (index, sizes)
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted-index join:
+    * (doc_i, doc_j, jaccard) for all pairs with similarity ≥ threshold.
+    * Never materializes the full pair matrix — only pairs sharing ≥1
+    * shingle are generated. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
+    val common = index.as("a")
+      .join(index.as("b"),
+        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+      .agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("n_i") + col("n_j") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_i", "doc_j", "jaccard")
+  }
+
+  /** Number of minhash functions / LSH bands (rows per band = hashes/bands). */
+  val NumHashes = 128
+  val NumBands = 32
+  private val RowsPerBand = NumHashes / NumBands
+  private val Prime = 2038074743L // < 2^31, keeps a*h+b within long exactly
+
+  /** Deterministic affine hash coefficients (seeded — reproducible runs). */
+  private val coeffs: IndexedSeq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    IndexedSeq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
+      rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** MinHash signatures: one row per doc, `sig_0..sig_{NumHashes-1}`.
+    * Shingles are hashed with codegen'd xxhash64; each minhash is a MIN
+    * aggregate of an affine rehash — 128 partial-aggregating MINs in one
+    * shuffle pass, no signature matrix materialized on the driver. */
+  def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3): DataFrame = {
+    val (index, _) = shingleIndex(docs, idCol, textCol, n)
+    val h = pmod(xxhash64(col("shingle")), lit(Prime))
+    val sigCols = (0 until NumHashes).map { i =>
+      val (a, b) = coeffs(i)
+      min(pmod(h * lit(a) + lit(b), lit(Prime))).as(s"sig_$i")
+    }
+    index.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
+  }
+
+  /** LSH candidate pairs: band the signature, bucket-join within bands.
+    * Returns distinct (doc_i, doc_j) candidates. */
+  def lshCandidates(signatures: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      val rows = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
+      struct(lit(b).as("band"), hash(rows: _*).as("bucket"))
+    }
+    val banded = signatures
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+      .distinct()
+  }
+
+  /** MinHash+LSH near-dup pairs, exact-verified: candidates from banded
+    * signatures, then true Jaccard computed *only for candidates* and
+    * thresholded. Output is exact on any corpus where LSH recall holds
+    * (by parameter choice, misses need P < 1e-7 at s ≥ 0.8). */
+  def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val cands = lshCandidates(minhashSignatures(docs, idCol, textCol, n))
+    val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
+    val common = cands
+      .join(index.as("ia"), col("doc_i") === col("ia.id"))
+      .join(index.as("ib"),
+        col("doc_j") === col("ib.id") && col("ia.shingle") === col("ib.shingle"))
+      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("common"))
+    common
+      .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .withColumn("jaccard",
+        col("common") * lit(1.0) / (col("n_i") + col("n_j") - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_i", "doc_j", "jaccard")
+  }
+
+  /** Sequential-fold dot product of two vector columns (zip_with +
+    * aggregate): the fold order is the list order in both Spark and
+    * DuckDB's list_sum, so results are bit-deterministic. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def l2norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2norm(a) * l2norm(b))
+
+  /** SimHash near-dup pairs within a hamming-distance budget. Banding by
+    * pigeonhole: any pair with hamming ≤ 3 agrees exactly on at least one
+    * of the 4 16-bit chunks, so candidates come from a bucket join on
+    * (chunk_index, chunk_value) — no cross join — then verify with
+    * bit_count(xor). */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    val sigs = docs.select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("sig"))
+    val chunks = (0 until 4).map { c =>
+      struct(lit(c).as("c"),
+        shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("v"))
+    }
+    val banded = sigs.select(col("id"), col("sig"), explode(array(chunks: _*)).as("ck"))
+      .select(col("id"), col("sig"), col("ck.c").as("c"), col("ck.v").as("v"))
+    banded.as("a")
+      .join(banded.as("b"),
+        col("a.c") === col("b.c") && col("a.v") === col("b.v") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"),
+        bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding-cosine near-dup pairs (exact, self-join). At 100 TB this
+    * becomes candidates-from-[[Similarity.lshBuckets]] + this verify. */
+  def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
+                  threshold: Double = 0.95): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"),
+        cosine(col("a.v"), col("b.v")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

@@ -1,0 +1,101 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *
+  *   - [[bruteForceTopK]] — exact cosine top-k per query via a
+  *     broadcast-query join. The baseline: correct at any recall, cost is
+  *     |queries| × |corpus| dot products. Fine when the query set is small
+  *     (broadcast) even if the corpus is 100 TB — the corpus is scanned
+  *     once, partition-parallel, with a per-partition top-k
+  *     (window row_number ≤ k after a repartition-free aggregation).
+  *
+  *   - [[lshTopK]] — random-hyperplane LSH: deterministic signed
+  *     projections bucket the corpus; candidates share a bucket in ≥ 1
+  *     table; exact cosine reranks candidates. The scale path — corpus
+  *     touched per-bucket rather than per-query-pair.
+  *
+  * Dot products fold sequentially (zip_with + aggregate), so scores are
+  * bit-deterministic ([[Dedup.dot]]).
+  */
+object Similarity {
+
+  /** Deterministic ±1 hyperplane weights: table t, plane p, dim d. */
+  private def planeSign(table: Int, plane: Int, dim: Int): Int = {
+    // splitmix64-style mix of the (table, plane, dim) triple — stable
+    var z = table.toLong * 0x9e3779b97f4a7c15L + plane.toLong * 0xbf58476d1ce4e5b9L +
+      dim.toLong * 0x94d049bb133111ebL + 0x2545f4914f6cdd1dL
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z = z ^ (z >>> 31)
+    if ((z & 1L) == 1L) 1 else -1
+  }
+
+  /** Signed projection of a vector column onto plane (t, p): the fold
+    * Σ v[d] * sign(t,p,d) expressed with zip_with over a literal weight
+    * array (codegen-friendly, no UDF). */
+  private def projection(vec: Column, table: Int, plane: Int, dims: Int): Column = {
+    val weights = array((0 until dims).map(d => lit(planeSign(table, plane, d).toDouble)): _*)
+    aggregate(zip_with(vec, weights, (x, w) => x.cast("double") * w),
+      lit(0.0), (acc, x) => acc + x)
+  }
+
+  /** LSH bucket id per (table, vector): the sign bits of `planes`
+    * projections packed into an int. */
+  def lshBuckets(df: DataFrame, vecCol: String, tables: Int = 8,
+                 planes: Int = 8, dims: Int = 64): DataFrame = {
+    val tableStructs = (0 until tables).map { t =>
+      val bits = (0 until planes).map { p =>
+        when(projection(col(vecCol), t, p, dims) >= 0, lit(1 << p)).otherwise(lit(0))
+      }
+      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
+    }
+    df.select(col("*"), explode(array(tableStructs: _*)).as("tb"))
+      .withColumn("table", col("tb.table"))
+      .withColumn("bucket", col("tb.bucket"))
+      .drop("tb")
+  }
+
+  /** Exact cosine top-k neighbors for each query vector (self excluded).
+    * Queries are expected to be a small frame → broadcast. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                     vecCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val scored = c.crossJoin(broadcast(q))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        Dedup.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id", "cos", "rk")
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any
+    * (table, bucket) with the query, exact-cosine reranked. Recall is
+    * probabilistic — measured against [[bruteForceTopK]] in the spec. */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, tables: Int = 8, planes: Int = 8,
+              dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = lshBuckets(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
+      "nn_vec", tables, planes, dims)
+    val qb = lshBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
+      "q_vec", tables, planes, dims)
+    val cands = cb.join(qb, Seq("table", "bucket"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .select("query_id", "q_vec", "nn_id", "nn_vec")
+      .distinct()
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    cands.select(col("query_id"), col("nn_id"),
+      Dedup.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id", "cos", "rk")
+  }
+}

@@ -1,0 +1,117 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: language ID
+  * (stopword-ratio heuristic), quality scoring, token counting
+  * (whitespace + BPE-ish regex), and document fingerprinting (polynomial
+  * rolling hash + windowed min-gram, winnowing-style).
+  *
+  * Everything is pure `functions._` composition (codegen'd, no UDFs) so a
+  * scan over 100 TB of documents stays inside whole-stage codegen: one
+  * pass, no shuffle — these are per-row map operators.
+  *
+  * Determinism contract (for the DuckDB oracle): only IEEE-exact double
+  * ops (single divisions/multiplications of exactly-representable
+  * operands), sequential integer folds with an explicit modulus — bit
+  * identical across engines.
+  */
+object TextAnalysis {
+
+  /** Polynomial-hash modulus / base (same constants in the oracle SQL). */
+  val P = 1000000007L
+  val B = 31L
+
+  /** Tiny per-language stopword lists — a deterministic n-gram-free
+    * language-ID heuristic (reference-class engines ship lexicon-based
+    * heuristics; anything ML is out of scope and nondeterministic). */
+  val StopEn = Seq("the", "and", "of", "to", "in", "is", "it", "for", "on", "with")
+  val StopDe = Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "ich", "zu")
+  val StopEs = Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por")
+  val StopFr = Seq("le", "la", "de", "et", "un", "que", "pour", "dans", "ce", "est")
+
+  /** Non-empty whitespace tokens. */
+  def tokens(text: Column): Column =
+    filter(split(text, " "), t => t =!= "")
+
+  /** Fraction of tokens that are members of `stop` (0.0 on empty docs). */
+  def stopRatio(toks: Column, stop: Seq[String]): Column =
+    when(size(toks) > 0,
+      size(filter(toks, t => t.isin(stop: _*))) * lit(1.0) / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Per-language stopword scores over lowercased tokens. */
+  def langScores(text: Column): Seq[(String, Column)] = {
+    val toks = tokens(lower(text))
+    Seq("en" -> StopEn, "de" -> StopDe, "es" -> StopEs, "fr" -> StopFr)
+      .map { case (l, sw) => l -> stopRatio(toks, sw) }
+  }
+
+  /** Predicted language: first language (en,de,es,fr order) whose score is
+    * maximal — the tie order is part of the contract. */
+  def langId(scores: Seq[(String, Column)]): Column = {
+    val m = scores.toMap
+    when(m("en") >= m("de") && m("en") >= m("es") && m("en") >= m("fr"), "en")
+      .when(m("de") >= m("es") && m("de") >= m("fr"), "de")
+      .when(m("es") >= m("fr"), "es")
+      .otherwise("fr")
+  }
+
+  /** BPE-ish token count: letter runs, digit runs, and single
+    * non-alphanumeric glyphs each count as one token. */
+  val BpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"
+  def bpeishTokens(text: Column): Column =
+    regexp_extract_all(text, lit(BpeishPattern), lit(0))
+
+  /** Punctuation characters counted by the quality score. */
+  val PunctPattern = "[.,;:!?'\"]"
+
+  /** Punctuation-character fraction of the text (0.0 on empty). */
+  def punctRatio(text: Column): Column =
+    when(length(text) > 0,
+      (length(text) - length(regexp_replace(text, PunctPattern, ""))) * lit(1.0)
+        / length(text))
+      .otherwise(lit(0.0))
+
+  /** Mean token length in characters (0.0 on empty docs). */
+  def avgTokenLen(toks: Column): Column =
+    when(size(toks) > 0,
+      aggregate(transform(toks, t => length(t).cast("long")), lit(0L),
+        (acc, x) => acc + x) * lit(1.0) / size(toks))
+      .otherwise(lit(0.0))
+
+  /** Composite quality score: stopword density is good signal, punctuation
+    * noise is bad, a length floor rewards real documents. The exact linear
+    * form is mirrored in the oracle SQL — arithmetic order matters for bit
+    * equality. */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    stopRatio(toks, StopEn) * lit(2.0) - punctRatio(text) +
+      when(size(toks) >= 20, lit(0.1)).otherwise(lit(0.0))
+  }
+
+  /** Per-character code points as longs (ASCII corpus contract). */
+  def charCodes(text: Column): Column =
+    transform(split(text, ""), c => ascii(c).cast("long"))
+
+  private def polyFold(codes: Column): Column =
+    aggregate(codes, lit(0L), (acc, c) => (acc * B + c) % P)
+
+  /** Whole-document polynomial rolling hash: fold (acc*31 + code) % P over
+    * every character — the classic Rabin-Karp document fingerprint. */
+  def fingerprint(text: Column): Column = polyFold(charCodes(text))
+
+  /** Winnowing-style min-gram fingerprint: minimum polynomial hash over
+    * every k-char window. Near-identical documents share the minimizing
+    * window with high probability, so equal min-grams flag near-dups with
+    * one scan and a groupBy — no pair join. Falls back to the whole-text
+    * hash when the text is shorter than k. */
+  def minGramFingerprint(text: Column, k: Int = 8): Column = {
+    val codes = charCodes(text)
+    val gramHashes = transform(
+      sequence(lit(1), size(codes) - (k - 1)),
+      i => polyFold(slice(codes, i, lit(k))))
+    when(size(codes) >= k, array_min(gramHashes)).otherwise(polyFold(codes))
+  }
+}

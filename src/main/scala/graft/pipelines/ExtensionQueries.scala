@@ -1,0 +1,266 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Entities
+import graft.ops.{Dedup, Similarity, TextAnalysis}
+
+/** Training-data-pipeline extension queries (BASELINE.json north star,
+  * beyond the reference's own surface): deduplication (exact, n-gram
+  * Jaccard, MinHash+LSH, SimHash, embedding-cosine), similarity search
+  * (brute-force + LSH ANN), and text analysis (language-ID, quality,
+  * token counts, fingerprints) over the `documents` / `embeddings`
+  * fixtures.
+  *
+  * Oracle notes: every numeric output is either integer or a
+  * bit-deterministic double (sequential folds, single IEEE ops — see
+  * [[Dedup.dot]] / [[TextAnalysis]]), so DuckDB hash-compare is exact.
+  * `q_sim_lsh_topk` has no SQL equivalent (random-hyperplane buckets);
+  * the driver records its weaker rows-only check and the spec measures
+  * recall against brute force instead.
+  */
+object ExtensionQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Entities.read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Entities.read(s, dir, "embeddings")
+  private def li(s: SparkSession, dir: String) = Entities.read(s, dir, "lineitem")
+
+  /** DuckDB sequential-fold dot product of two list columns (mirrors
+    * [[Dedup.dot]] bit-for-bit: float→double widening, in-order sum). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  [CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip($a, $b)]),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** DuckDB mirror of [[Dedup.shingles]] + inverted-index Jaccard pairs. */
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 3
+       |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+       |                           FOR i IN generate_series(1, len(t)-2)])
+       |       ELSE [] END AS s FROM toks),
+       |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+       |idx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+       |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
+       |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+       |           GROUP BY 1, 2)
+       |SELECT doc_i, doc_j, jaccard FROM (
+       |  SELECT doc_i, doc_j, common * 1.0 / (ni.n_sh + nj.n_sh - common) AS jaccard
+       |  FROM common JOIN sz ni ON ni.doc_id = doc_i JOIN sz nj ON nj.doc_id = doc_j)
+       |WHERE jaccard >= $threshold ORDER BY doc_i, doc_j""".stripMargin
+
+  private val stopLists = Map(
+    "en" -> TextAnalysis.StopEn, "de" -> TextAnalysis.StopDe,
+    "es" -> TextAnalysis.StopEs, "fr" -> TextAnalysis.StopFr)
+
+  private def sqlStopList(lang: String): String =
+    stopLists(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+
+  private def sqlStopScore(lang: String): String =
+    s"""CASE WHEN len(tk) > 0
+       |  THEN len([x FOR x IN tk IF list_contains(${sqlStopList(lang)}, x)]) * 1.0 / len(tk)
+       |  ELSE 0.0 END""".stripMargin
+
+  private def sqlPolyFold(codes: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), $codes), (a, b) -> (a * 31 + b) % 1000000007)"
+
+  val JaccardThreshold = 0.8
+  val CosineThreshold = 0.4
+  val SimQueryIds = 8
+  val SimK = 5
+
+  val queries: Map[String, Q] = Map(
+    // ── deduplication ────────────────────────────────────────────────
+    "q_dedup_exact_rows" -> ((s, dir) =>
+      Dedup.exactRows(li(s, dir).select("l_returnflag", "l_linestatus"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    "q_dedup_exact_key" -> ((s, dir) =>
+      Dedup.exactByKey(docs(s, dir), Seq("text"), "doc_id").orderBy("keep_id")),
+
+    "q_dedup_jaccard" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
+        .orderBy("doc_i", "doc_j")),
+
+    "q_dedup_minhash_lsh" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
+        .orderBy("doc_i", "doc_j")),
+
+    "q_dedup_simhash" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_i", "doc_j")),
+
+    "q_dedup_cosine" -> ((s, dir) =>
+      Dedup.cosinePairs(emb(s, dir), "vec_id", "embedding", CosineThreshold)
+        .orderBy("vec_i", "vec_j")),
+
+    // ── similarity search ────────────────────────────────────────────
+    "q_sim_bruteforce_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.bruteForceTopK(e, e.filter(col("vec_id") < SimQueryIds),
+        "vec_id", "embedding", SimK).orderBy("query_id", "rk")
+    }),
+
+    "q_sim_lsh_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.lshTopK(e, e.filter(col("vec_id") < SimQueryIds),
+        "vec_id", "embedding", SimK).orderBy("query_id", "rk")
+    }),
+
+    // ── text analysis ────────────────────────────────────────────────
+    "q_text_tokens" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        length(col("text")).as("n_chars"),
+        size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
+        size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    "q_text_langid" -> ((s, dir) => {
+      val scores = TextAnalysis.langScores(col("text"))
+      docs(s, dir).select(
+        col("doc_id") +:
+          scores.map { case (l, c) => c.as(s"score_$l") } :+
+          TextAnalysis.langId(scores).as("lang_pred"): _*)
+        .orderBy("doc_id")
+    }),
+
+    "q_text_quality" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.avgTokenLen(toks).as("avg_token_len"),
+        TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
+        TextAnalysis.stopRatio(toks, TextAnalysis.StopEn).as("stop_ratio"),
+        TextAnalysis.qualityScore(col("text")).as("quality"))
+        .orderBy("doc_id")
+    }),
+
+    "q_text_fingerprint" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.fingerprint(col("text")).as("fp"),
+        TextAnalysis.minGramFingerprint(col("text"), 8).as("min_gram8"))
+        .orderBy("doc_id")),
+  )
+
+  val oracles: Map[String, String] = Map(
+    "q_dedup_exact_rows" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_exact_key" ->
+      """SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_dedup_jaccard" -> jaccardOracle(JaccardThreshold),
+
+    // LSH candidates + exact verification ⇒ output equals the exact pair
+    // set whenever LSH recall holds (P[miss] < 1e-7 at s ≥ 0.8 with
+    // 32 bands × 4 rows — Dedup.scala header).
+    "q_dedup_minhash_lsh" -> jaccardOracle(JaccardThreshold),
+
+    // SimHash: 4-chunk banding is recall-exact for hamming ≤ 3 (pigeonhole),
+    // so the oracle recomputes signatures from scratch: per-token MD5-top-8-
+    // byte hashes vote per bit; two docs differ in bit b iff their vote
+    // signs differ; hamming = count of differing bits.
+    "q_dedup_simhash" ->
+      """WITH toks AS (SELECT doc_id, [t FOR t IN string_split(text, ' ') IF t <> ''] AS tk
+        |              FROM documents),
+        |th AS (SELECT doc_id, unnest(tk) AS tok FROM toks),
+        |hh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h FROM th),
+        |votes AS (SELECT doc_id, bits.bp AS bp,
+        |                 SUM(CASE WHEN ((h >> bits.bp) & 1) = 1 THEN 1 ELSE -1 END) AS v
+        |          FROM hh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bp) bits
+        |          GROUP BY 1, 2),
+        |ham AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |               SUM(CASE WHEN (a.v > 0) <> (b.v > 0) THEN 1 ELSE 0 END) AS hamming
+        |        FROM votes a JOIN votes b ON a.bp = b.bp AND a.doc_id < b.doc_id
+        |        GROUP BY 1, 2)
+        |SELECT doc_i, doc_j, CAST(hamming AS INT) AS hamming FROM ham
+        |WHERE hamming <= 3 ORDER BY doc_i, doc_j""".stripMargin,
+
+    "q_dedup_cosine" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT vec_i, vec_j, cos FROM (
+         |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
+         |WHERE cos >= $CosineThreshold ORDER BY vec_i, vec_j""".stripMargin,
+
+    "q_sim_bruteforce_topk" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM norms q CROSS JOIN norms c
+         |  WHERE q.vec_id < $SimQueryIds AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, nn_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, nn_id, cos, rk FROM ranked WHERE rk <= $SimK
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q_text_tokens" ->
+      s"""SELECT doc_id, length(text) AS n_chars,
+         |  CAST(len([t FOR t IN string_split(text, ' ') IF t <> '']) AS INT) AS n_ws_tokens,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS INT) AS n_bpe_tokens
+         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_langid" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  [t FOR t IN string_split(lower(text), ' ') IF t <> ''] AS tk FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${sqlStopScore("en")} AS score_en,
+         |  ${sqlStopScore("de")} AS score_de,
+         |  ${sqlStopScore("es")} AS score_es,
+         |  ${sqlStopScore("fr")} AS score_fr
+         |FROM toks)
+         |SELECT doc_id, score_en, score_de, score_es, score_fr,
+         |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+         |       WHEN score_es >= score_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" ->
+      """WITH t AS (SELECT doc_id, text,
+        |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
+        |m AS (SELECT doc_id, text, tk,
+        |  CASE WHEN len(tk) > 0
+        |    THEN list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           [CAST(length(x) AS BIGINT) FOR x IN tk]), (a, b) -> a + b) * 1.0 / len(tk)
+        |    ELSE 0.0 END AS avg_token_len,
+        |  CASE WHEN length(text) > 0
+        |    THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))) * 1.0
+        |         / length(text)
+        |    ELSE 0.0 END AS punct_ratio,
+        |  CASE WHEN len(tk) > 0
+        |    THEN len([x FOR x IN tk IF list_contains(['the','and','of','to','in','is','it','for','on','with'], x)]) * 1.0 / len(tk)
+        |    ELSE 0.0 END AS stop_ratio
+        |FROM t)
+        |SELECT doc_id, avg_token_len, punct_ratio, stop_ratio,
+        |  stop_ratio * 2.0 - punct_ratio +
+        |    CASE WHEN len(tk) >= 20 THEN 0.1 ELSE 0.0 END AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+
+    "q_text_fingerprint" ->
+      s"""WITH c AS (SELECT doc_id,
+         |  [CAST(ord(ch) AS BIGINT) FOR ch IN string_split(text, '')] AS codes FROM documents)
+         |SELECT doc_id,
+         |  ${sqlPolyFold("codes")} AS fp,
+         |  CASE WHEN len(codes) >= 8 THEN
+         |    list_min([${sqlPolyFold("codes[i:i+7]")}
+         |              FOR i IN generate_series(1, len(codes)-7)])
+         |  ELSE ${sqlPolyFold("codes")} END AS min_gram8
+         |FROM c ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("shingles: distinct word 3-grams; empty below n tokens") {
+    val df = Seq((1L, "a b c d"), (2L, "a b"), (3L, "x x x x x"))
+      .toDF("doc_id", "text")
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(m(1L).toSet == Set("a b c", "b c d"))
+    assert(m(2L).isEmpty)
+    assert(m(3L) == Seq("x x x")) // distinct collapses repeats
+  }
+
+  test("exactByKey keeps min id and counts copies") {
+    val df = Seq((1L, "dup"), (2L, "dup"), (3L, "solo")).toDF("id", "t")
+    val out = Dedup.exactByKey(df, Seq("t"), "id").orderBy("keep_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(out.toSeq == Seq(("dup", 1L, 2L), ("solo", 3L, 1L)))
+  }
+
+  test("jaccardPairs finds planted near-dups, never self-pairs") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8).collect()
+    assert(pairs.nonEmpty, "fixture plants near-duplicate documents")
+    assert(pairs.forall(r => r.getLong(0) < r.getLong(1)))
+    assert(pairs.forall(r => r.getDouble(2) >= 0.8 && r.getDouble(2) <= 1.0))
+  }
+
+  test("jaccardPairs on a hand-checked micro corpus") {
+    // doc1/doc2 share 3 of 4 distinct shingles (J=3/5=0.6); doc3 disjoint
+    val df = Seq(
+      (1L, "a b c d e"), // shingles: abc bcd cde
+      (2L, "a b c d x"), // shingles: abc bcd cdx
+      (3L, "p q r s t")
+    ).toDF("doc_id", "text")
+    val out = Dedup.jaccardPairs(df, "doc_id", "text", 3, 0.4).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 1L && out.head.getLong(1) == 2L)
+    assert(math.abs(out.head.getDouble(2) - 0.5) < 1e-15) // 2 common / 4 union
+  }
+
+  test("minhashLshPairs equals exact jaccardPairs on the fixture corpus") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact, s"LSH-verified pairs must equal exact pairs; " +
+      s"missing=${exact -- lsh}, extra=${lsh -- exact}")
+  }
+
+  test("simhashPairs: identical docs at hamming 0; bounded by maxHamming") {
+    val pairs = Dedup.simhashPairs(docs, "doc_id", "text", 3).collect()
+    assert(pairs.nonEmpty)
+    assert(pairs.forall(_.getInt(2) <= 3))
+    // exact text duplicates must appear with hamming 0
+    val dupPair = docs.as("a").join(docs.as("b"),
+        $"a.text" === $"b.text" && $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id", $"b.doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = pairs.map(r => (r.getLong(0), r.getLong(1))).toSet
+    dupPair.foreach(p => assert(got.contains(p), s"exact dup $p missed"))
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs, "doc_id", "text", 9)
+    }
+  }
+
+  test("cosine is 1.0 on identical vectors, bit-deterministic") {
+    val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
+      (3L, Array(-3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val out = Dedup.cosinePairs(df, "vec_id", "embedding", 0.99).collect()
+    assert(out.length == 1)
+    assert(out.head.getDouble(2) == 1.0)
+  }
+}

@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Similarity
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+  private lazy val queries = emb.filter(col("vec_id") < 8)
+
+  test("bruteForceTopK: k rows per query, descending cosine, no self") {
+    val out = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.length == 5)
+      val sorted = rows.sortBy(_.getInt(3))
+      assert(sorted.map(_.getDouble(2)).sliding(2).forall(p => p(0) >= p(1)),
+        s"query $q not sorted by cosine desc")
+      assert(rows.forall(_.getLong(1) != q), "self must be excluded")
+      assert(rows.forall(r => math.abs(r.getDouble(2)) <= 1.0 + 1e-12))
+    }
+  }
+
+  test("lshTopK neighbors carry exact cosines and reasonable recall") {
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Similarity.lshTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // any (query, neighbor) present in both must score identically (exact rerank)
+    lsh.foreach { case (k, cos) =>
+      bf.get(k).foreach(exact => assert(exact == cos, s"cosine mismatch at $k"))
+    }
+    val recall = lsh.keySet.count(bf.contains).toDouble / bf.size
+    info(f"LSH recall@5 vs brute force: $recall%.3f")
+    assert(recall > 0.1, s"LSH recall degenerate: $recall")
+  }
+
+  test("lshBuckets emits one row per (row, table)") {
+    val b = Similarity.lshBuckets(emb.limit(10), "embedding", tables = 4)
+    assert(b.count() == 40)
+    assert(b.select("bucket").collect().forall { r =>
+      val v = r.getInt(0); v >= 0 && v < 256
+    })
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.TextAnalysis
+
+class TextAnalysisSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("fingerprint matches a hand-computed polynomial hash") {
+    // "ab" -> ((0*31+97)%P)*31+98 % P = 97*31+98 = 3105
+    val out = Seq("ab").toDF("text")
+      .select(TextAnalysis.fingerprint($"text")).first().getLong(0)
+    assert(out == 3105L)
+  }
+
+  test("minGramFingerprint: min over 8-char windows; short-text fallback") {
+    val df = Seq(("long enough text here", "short")).toDF("a", "b")
+    val long = df.select(TextAnalysis.minGramFingerprint($"a", 8)).first().getLong(0)
+    val short = df.select(TextAnalysis.minGramFingerprint($"b", 8)).first().getLong(0)
+    val shortFull = df.select(TextAnalysis.fingerprint($"b")).first().getLong(0)
+    assert(short == shortFull, "below k chars falls back to whole-text hash")
+    assert(long >= 0 && long < TextAnalysis.P)
+    // identical prefixes share the minimizing window often; at minimum, a
+    // document is its own near-dup:
+    val same = Seq(("long enough text here", "long enough text here")).toDF("a", "b")
+    val fa = same.select(TextAnalysis.minGramFingerprint($"a", 8)).first().getLong(0)
+    val fb = same.select(TextAnalysis.minGramFingerprint($"b", 8)).first().getLong(0)
+    assert(fa == fb)
+  }
+
+  test("langId picks the stopword-richest language, en-first ties") {
+    val df = Seq(
+      "the cat and the dog is in the house",
+      "der hund und die katze ist nicht zu",
+      "el perro y la casa es un lugar no",
+      "zzz qqq www" // no stopwords anywhere -> all scores 0 -> 'en' by tie order
+    ).toDF("text")
+    val scores = TextAnalysis.langScores($"text")
+    val out = df.select(TextAnalysis.langId(scores)).collect().map(_.getString(0))
+    assert(out.toSeq == Seq("en", "de", "es", "en"))
+  }
+
+  test("token counts: whitespace vs BPE-ish regex") {
+    val df = Seq("Hello, world! 42 tokens").toDF("text")
+    val r = df.select(
+      size(TextAnalysis.tokens($"text")).as("ws"),
+      size(TextAnalysis.bpeishTokens($"text")).as("bpe")).first()
+    assert(r.getInt(0) == 4)
+    // Hello , world ! 42 tokens -> 6
+    assert(r.getInt(1) == 6)
+  }
+
+  test("quality ratios bounded and punctuation-sensitive") {
+    val clean = "the quick brown fox jumps over the lazy dog and it runs on"
+    val noisy = "!!! ??? ... ,,, ;;;"
+    val df = Seq(clean, noisy).toDF("text")
+    val rows = df.select(
+      $"text",
+      TextAnalysis.punctRatio($"text").as("p"),
+      TextAnalysis.qualityScore($"text").as("q")).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(rows(clean)._1 == 0.0)
+    assert(rows(noisy)._1 > 0.5)
+    assert(rows(clean)._2 > rows(noisy)._2)
+  }
+}
