@@ -46,12 +46,18 @@ object Dedup {
     df.groupBy(key.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
-  /** Exploded (id, shingle) inverted index with per-doc shingle counts. */
+  /** Exploded (id, shingle-hash) inverted index with per-doc shingle
+    * counts. Shingles are xxhash64'd to longs before the index leaves this
+    * function: every downstream self-join shuffles 8-byte keys instead of
+    * ~20-byte strings, and distinctness per doc is preserved (collision
+    * odds across a corpus's ~10⁵ distinct shingles are ~10⁻⁹ — and a
+    * collision must co-occur in one pair to perturb a count). */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): (DataFrame, DataFrame) = {
-    val withSh = docs.select(col(idCol).as("id"), shingles(col(textCol), n).as("sh"))
+    val withSh = docs.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("sh"))
     val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
-    val index = withSh.select(col("id"), explode(col("sh")).as("shingle"))
+    val index = withSh.select(col("id"), explode(col("sh")).as("shash"))
     (index, sizes)
   }
 
@@ -64,7 +70,7 @@ object Dedup {
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
     val common = index.as("a")
       .join(index.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.id") < col("b.id"))
+        col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
       .agg(count(lit(1)).as("common"))
     common
@@ -96,7 +102,7 @@ object Dedup {
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame = {
     val (index, _) = shingleIndex(docs, idCol, textCol, n)
-    val h = pmod(xxhash64(col("shingle")), lit(Prime))
+    val h = pmod(col("shash"), lit(Prime))
     val sigCols = (0 until NumHashes).map { i =>
       val (a, b) = coeffs(i)
       min(pmod(h * lit(a) + lit(b), lit(Prime))).as(s"sig_$i")
@@ -133,7 +139,7 @@ object Dedup {
     val common = cands
       .join(index.as("ia"), col("doc_i") === col("ia.id"))
       .join(index.as("ib"),
-        col("doc_j") === col("ib.id") && col("ia.shingle") === col("ib.shingle"))
+        col("doc_j") === col("ib.id") && col("ia.shash") === col("ib.shash"))
       .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
@@ -144,12 +150,10 @@ object Dedup {
       .select("doc_i", "doc_j", "jaccard")
   }
 
-  /** Sequential-fold dot product of two vector columns (zip_with +
-    * aggregate): the fold order is the list order in both Spark and
-    * DuckDB's list_sum, so results are bit-deterministic. */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0), (acc, x) => acc + x)
+  /** Sequential-fold dot product — a native codegen'd Catalyst expression
+    * ([[graft.functions.DotProduct]]); left-to-right IEEE fold, the same
+    * order as DuckDB's `list_reduce`, so results are bit-deterministic. */
+  def dot(a: Column, b: Column): Column = graft.functions.VectorOps.dot(a, b)
 
   def l2norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -181,14 +185,18 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Embedding-cosine near-dup pairs (exact, self-join). At 100 TB this
-    * becomes candidates-from-[[Similarity.lshBuckets]] + this verify. */
+  /** Embedding-cosine near-dup pairs (exact, self-join). Norms are
+    * computed once per vector BEFORE the pair join (N folds instead of
+    * 2·N² — the division `dot/(nrm_a·nrm_b)` is bit-identical to folding
+    * per pair). At 100 TB this becomes candidates-from-
+    * [[Similarity.lshBuckets]] + this verify. */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                   threshold: Double = 0.95): DataFrame = {
-    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"))
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"),
-        cosine(col("a.v"), col("b.v")).as("cos"))
+        (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -35,12 +35,11 @@ object Similarity {
   }
 
   /** Signed projection of a vector column onto plane (t, p): the fold
-    * Σ v[d] * sign(t,p,d) expressed with zip_with over a literal weight
-    * array (codegen-friendly, no UDF). */
+    * Σ v[d] * sign(t,p,d) as a codegen'd dot product against a literal
+    * weight array ([[graft.functions.DotProduct]], no UDF). */
   private def projection(vec: Column, table: Int, plane: Int, dims: Int): Column = {
     val weights = array((0 until dims).map(d => lit(planeSign(table, plane, d).toDouble)): _*)
-    aggregate(zip_with(vec, weights, (x, w) => x.cast("double") * w),
-      lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorOps.dot(vec, weights)
   }
 
   /** LSH bucket id per (table, vector): the sign bits of `planes`
@@ -64,12 +63,15 @@ object Similarity {
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                      vecCol: String, k: Int = 5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      Dedup.l2norm(col(vecCol)).as("nn_nrm"))
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Dedup.l2norm(col(vecCol)).as("q_nrm"))
     val scored = c.crossJoin(broadcast(q))
       .filter(col("nn_id") =!= col("query_id"))
       .select(col("query_id"), col("nn_id"),
-        Dedup.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+        (Dedup.dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+          .as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nn_id").asc)
     scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -94,7 +96,8 @@ object Similarity {
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nn_id").asc)
     cands.select(col("query_id"), col("nn_id"),
-      Dedup.cosine(col("q_vec"), col("nn_vec")).as("cos"))
+      (Dedup.dot(col("q_vec"), col("nn_vec")) /
+        (Dedup.l2norm(col("q_vec")) * Dedup.l2norm(col("nn_vec")))).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "nn_id", "cos", "rk")
   }
