@@ -3,7 +3,8 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Entities
-import graft.ops.{Dedup, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Training-data-pipeline extension queries (BASELINE.json north star,
   * beyond the reference's own surface): deduplication (exact, n-gram
@@ -26,6 +27,8 @@ object ExtensionQueries {
   private def docs(s: SparkSession, dir: String) = Entities.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Entities.read(s, dir, "embeddings")
   private def li(s: SparkSession, dir: String) = Entities.read(s, dir, "lineitem")
+  private def events(s: SparkSession, dir: String) =
+    EventStreams.normalizeTs(Entities.read(s, dir, "events"))
 
   /** DuckDB sequential-fold dot product of two list columns (mirrors
     * [[Dedup.dot]] bit-for-bit: float→double widening, in-order sum). */
@@ -145,6 +148,43 @@ object ExtensionQueries {
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.minGramFingerprint(col("text"), 8).as("min_gram8"))
         .orderBy("doc_id")),
+
+    // ── streaming transforms, run in batch mode (same plan runs under
+    //    readStream + watermark — see EventStreams / StreamingSpec) ────
+    "q_events_windowed" -> ((s, dir) =>
+      EventStreams.tumblingStats(events(s, dir))
+        .orderBy("window_start", "event_type")),
+
+    "q_events_sessionize" -> ((s, dir) =>
+      EventStreams.sessionStats(events(s, dir))
+        .orderBy("user_id", "session_start")),
+
+    "q_events_props" -> ((s, dir) =>
+      EventStreams.propsK(events(s, dir)).orderBy("event_id")),
+
+    // ── multimodal binary-column plumbing ────────────────────────────
+    "q_multimodal_meta" -> ((s, dir) => {
+      val m = Multimodal.mediaFromDocuments(docs(s, dir))
+      m.select(col("media_id"), col("modality"),
+        length(col("payload")).as("n_bytes"),
+        md5(col("payload")).as("payload_md5"),
+        col("meta.width").as("width"), col("meta.height").as("height"),
+        col("meta.sample_rate").as("sample_rate"),
+        col("meta.duration_ms").as("duration_ms"))
+        .orderBy("media_id")
+    }),
+
+    "q_multimodal_frames" -> ((s, dir) =>
+      Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, dir)), 32)
+        .select(col("media_id"), col("frame_idx"),
+          md5(col("frame_bytes")).as("frame_md5"))
+        .orderBy("media_id", "frame_idx")),
+
+    // rows-only check (mapPartitions decode stub — not SQL-expressible)
+    "q_multimodal_features" -> ((s, dir) =>
+      Multimodal.decodeFeatures(
+        Multimodal.partitionByModality(Multimodal.mediaFromDocuments(docs(s, dir))), 8)
+        .orderBy("media_id")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -262,5 +302,61 @@ object ExtensionQueries {
          |              FOR i IN generate_series(1, len(codes)-7)])
          |  ELSE ${sqlPolyFold("codes")} END AS min_gram8
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_events_windowed" ->
+      """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
+        |       COUNT(*) AS n_events,
+        |       SUM(CAST(value AS DECIMAL(12,2))) AS total_value,
+        |       MIN(value) AS min_value, MAX(value) AS max_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // gaps-and-islands mirror of session_window: a session breaks only
+    // when the gap to the previous event EXCEEDS 30 min (Spark merges an
+    // event landing exactly at last+gap — inclusive boundary, verified in
+    // StreamingSpec).
+    "q_events_sessionize" ->
+      """WITH o AS (SELECT user_id, event_id, ts, value,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, ts, value,
+        |        CASE WHEN prev_ts IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM o),
+        |s AS (SELECT user_id, ts, value,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m)
+        |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
+        |       SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+        |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
+
+    "q_events_props" ->
+      """SELECT event_id, event_type,
+        |       CAST(json_extract_string(props, '$.k') AS INT) AS props_k
+        |FROM events ORDER BY event_id""".stripMargin,
+
+    // documents are pure-ASCII (verified), so varchar-side length/
+    // substring/md5 equal Spark's byte-side ops on the UTF-8 payload.
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |  CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+        |  md5(text) AS payload_md5,
+        |  CAST(64 + (doc_id % 16) * 16 AS INT) AS width,
+        |  CAST(64 + (doc_id % 8) * 32 AS INT) AS height,
+        |  CAST(8000 + (doc_id % 4) * 8000 AS INT) AS sample_rate,
+        |  CAST(n_chars * 10 AS INT) AS duration_ms
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH f AS (SELECT doc_id AS media_id, text,
+        |             unnest(generate_series(0,
+        |               CAST(ceil(length(text) / 32.0) AS INT) - 1)) AS frame_idx
+        |           FROM documents)
+        |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
+        |       md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
+        |FROM f ORDER BY media_id, frame_idx""".stripMargin,
   )
 }

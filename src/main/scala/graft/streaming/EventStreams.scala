@@ -1,0 +1,125 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming extension over the `events` fixture (the reference
+  * is pure daily batch — SURVEY.md §2.10 — so this is additive capability,
+  * built the Spark-first way: one declarative transform that runs
+  * identically over a batch DataFrame or a `readStream` source).
+  *
+  * Scale posture: tumbling/session windows shuffle by (window, key) —
+  * embarrassingly parallel; watermarks bound state so a 100 TB/day stream
+  * holds only the open windows per key in the state store.
+  */
+object EventStreams {
+
+  /** Fixture schema (TESTDATA.md) — required up front for readStream. */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream over a directory of parquet event files. The
+    * schema is taken from a batch read of the same directory (streaming
+    * sources require one up front), then [[normalizeTs]] repairs the
+    * fixture's TIMESTAMP(NANOS) column. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    normalizeTs(spark.readStream.schema(spark.read.parquet(dir).schema)
+      .option("maxFilesPerTrigger", 1).parquet(dir))
+
+  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark's reader rejects unless `spark.sql.legacy.parquet.nanosAsLong`
+    * is set (it is, in Verify/Bench/tests) — the column then arrives as
+    * LongType nanos. Truncating division to micros matches DuckDB's
+    * nanos→micros read exactly (`div` truncates toward zero; epochs are
+    * positive). No-op when `ts` is already a timestamp. */
+  def normalizeTs(events: DataFrame): DataFrame =
+    events.schema("ts").dataType match {
+      case LongType =>
+        // integer `div`, NOT `/`: double division loses precision above 2^53
+        events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _ => events
+    }
+
+  /** Tumbling-window stats per event type. Works on batch and streaming
+    * input alike; pass a watermark for streaming so state is bounded and
+    * late data beyond it is dropped. The value sum is DECIMAL(12,2) —
+    * exact and aggregation-order-independent (fixture values are
+    * 2-decimal), so batch results hash-match the DuckDB oracle. */
+  def tumblingStats(events: DataFrame, windowLen: String = "1 hour",
+                    watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    src.groupBy(window(col("ts"), windowLen).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n_events"), col("total_value"), col("min_value"), col("max_value"))
+  }
+
+  /** Gap-based sessionization per user via the native `session_window`
+    * operator (batch + streaming; Spark merges events closer than `gap`
+    * into one window [first_ts, last_ts + gap)). */
+  def sessionStats(events: DataFrame, gap: String = "30 minutes",
+                   watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    src.groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_value"))
+      .select(col("user_id"), col("w.start").as("session_start"),
+        col("n_events"), col("total_value"))
+  }
+
+  /** JSON props extraction — the lightweight event-payload parse
+    * (`get_json_object`, codegen'd; no UDF). */
+  def propsK(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
+      get_json_object(col("props"), "$.k").cast("int").as("props_k"))
+
+  // ── custom state: mapGroupsWithState ───────────────────────────────
+
+  case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+                   event_type: String, value: Double, props: String)
+  case class UserRunning(user_id: Long, n_events: Long, total_cents: Long)
+
+  /** Per-user running totals with explicit keyed state — the
+    * `mapGroupsWithState` pattern for semantics window operators can't
+    * express (cross-batch accumulators). Cents are integer math so state
+    * is exact regardless of arrival order. */
+  def runningTotals(events: Dataset[Event]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](GroupStateTimeout.NoTimeout) {
+        (user: Long, batch: Iterator[Event], state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(user, 0L, 0L))
+          var n = prev.n_events
+          var cents = prev.total_cents
+          batch.foreach { e =>
+            n += 1
+            cents += math.round(e.value * 100)
+          }
+          val next = UserRunning(user, n, cents)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Launch [[runningTotals]] as an update-mode stream into a memory
+    * sink (test/dev harness for the stateful operator). */
+  def runningTotalsQuery(events: DataFrame, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import events.sparkSession.implicits._
+    runningTotals(events.as[Event]).writeStream
+      .format("memory").queryName(queryName)
+      .outputMode(OutputMode.Update()).start()
+  }
+}

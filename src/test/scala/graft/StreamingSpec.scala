@@ -1,0 +1,121 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.Event
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+  private def ev(id: Long, t: String, user: Long = 1L, typ: String = "click",
+                 v: Double = 1.0) = Event(id, ts(t), user, typ, v, "{\"k\": 1}")
+
+  test("tumblingStats over a MemoryStream with watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.tumblingStats(mem.toDF(), "1 hour", Some("30 minutes"))
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(
+        ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 10:55:00"),
+        ev(3, "2024-01-01 11:10:00", typ = "view"))
+      q.processAllAvailable()
+      val rows = spark.table("tumbling_test")
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(rows == Set(
+        (ts("2024-01-01 10:00:00"), "click", 2L),
+        (ts("2024-01-01 11:00:00"), "view", 1L)))
+      // a second batch lands in an existing window
+      mem.addData(ev(4, "2024-01-01 10:20:00"))
+      q.processAllAvailable()
+      val n = spark.table("tumbling_test")
+        .filter($"event_type" === "click").select("n_events").first().getLong(0)
+      assert(n == 3L)
+    } finally q.stop()
+  }
+
+  test("sessionStats merges events within the gap, batch == streaming") {
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
+      ev(3, "2024-01-01 10:41:00"), // 31 min after -> new session
+      ev(4, "2024-01-01 09:00:00", user = 2L))
+    // batch path
+    val batch = EventStreams.sessionStats(data.toDF(), "30 minutes")
+      .orderBy("user_id", "session_start").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+    assert(batch.toSeq == Seq(
+      (1L, ts("2024-01-01 10:00:00"), 2L),
+      (1L, ts("2024-01-01 10:41:00"), 1L),
+      (2L, ts("2024-01-01 09:00:00"), 1L)))
+    // streaming path (complete mode over the same data)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sessionStats(mem.toDF(), "30 minutes", Some("1 hour"))
+      .writeStream.format("memory").queryName("session_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      val stream = spark.table("session_test")
+        .orderBy("user_id", "session_start").collect()
+        .map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2)))
+      assert(stream.toSeq == batch.toSeq, "streaming must equal batch")
+    } finally q.stop()
+  }
+
+  test("session boundary: exactly gap-late merges; beyond gap splits") {
+    val merged = EventStreams.sessionStats(
+      Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00")).toDF(),
+      "30 minutes").collect()
+    assert(merged.length == 1, "event at exactly last+gap merges (inclusive)")
+    val split = EventStreams.sessionStats(
+      Seq(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:01")).toDF(),
+      "30 minutes").collect()
+    assert(split.length == 2, "event beyond last+gap starts a new session")
+  }
+
+  test("runningTotals keeps per-user state across stream batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.runningTotalsQuery(mem.toDF(), "running_test")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00", v = 1.25),
+        ev(2, "2024-01-01 10:01:00", v = 2.50))
+      q.processAllAvailable()
+      mem.addData(ev(3, "2024-01-01 10:02:00", v = 0.25))
+      q.processAllAvailable()
+      // update mode: latest row per user wins
+      val last = spark.table("running_test")
+        .groupBy("user_id").agg(max("n_events").as("n"), max("total_cents").as("c"))
+        .first()
+      assert(last.getLong(1) == 3L)
+      assert(last.getLong(2) == 400L) // 125 + 250 + 25 cents
+    } finally q.stop()
+  }
+
+  test("file readStream over the fixture parquet reaches the same counts") {
+    // FileStreamSource wants a directory: stage the fixture file into one
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    implicit val sqlCtx = spark.sqlContext
+    val stream = EventStreams.readStream(spark, dir)
+    val q = EventStreams.tumblingStats(stream, "1 hour", Some("1 hour"))
+      .writeStream.format("memory").queryName("file_stream_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("file_stream_test")
+        .agg(sum("n_events")).first().getLong(0)
+      val batch = spark.read.parquet(s"$sf/events.parquet").count()
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+}
