@@ -43,9 +43,14 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
 
 object SimHash64 {
 
+  private val mdLocal = new ThreadLocal[MessageDigest] {
+    override def initialValue(): MessageDigest = MessageDigest.getInstance("MD5")
+  }
+
   /** Stable 64-bit token hash: first 8 bytes of MD5, big-endian. */
   def tokenHash(token: String): Long = {
-    val md = MessageDigest.getInstance("MD5")
+    val md = mdLocal.get()
+    md.reset()
     val d = md.digest(token.getBytes(StandardCharsets.UTF_8))
     var h = 0L
     var i = 0

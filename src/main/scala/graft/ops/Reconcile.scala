@@ -141,4 +141,41 @@ object Reconcile {
       .drop("compared_cnt")
       .orderBy(desc("Percentage_Of_Mismatch"), col("mismatch_column_name"))
   }
+
+  /** All diff artifacts of one reconciliation run, lazily (nothing
+    * executes until a sink or action touches a member). */
+  final case class DiffResult(rowDiff: DataFrame, colMismatch: DataFrame,
+                              srcExtra: DataFrame, tgtExtra: DataFrame,
+                              summary: DataFrame, colSummary: DataFrame)
+
+  /** The composed operator — the Scala face of the reference's
+    * `submit_raptor_request` compare stage (`Raptor.py:536-655`). Both
+    * sides are cached before fan-out: six artifacts read them (the
+    * reference does the same, `Raptor.py:545-546`). */
+  def diff(source: DataFrame, target: DataFrame, keys: Seq[String]): DiffResult = {
+    val s = source.cache()
+    val t = target.cache()
+    DiffResult(
+      rowDiff(s, t, keys), colMismatch(s, t, keys),
+      srcExtra(s, t, keys), tgtExtra(s, t, keys),
+      summary(s, t, keys), colSummary(s, t, keys))
+  }
+
+  /** Q8 — delta-table persistence under the reference's naming convention
+    * `work.{col_,col_lvl_,src_,tgt_}{name}_{runstamp}` (`Raptor.py:
+    * 608-645,464-472`), here as parquet paths under `baseDir` (the JDBC
+    * variant is [[graft.io.Sinks.jdbc]] with the same table names). */
+  def persist(result: DiffResult, name: String, runstamp: String,
+              baseDir: String): Map[String, String] = {
+    val artifacts = Map(
+      s"col_${name}_$runstamp" -> result.colMismatch,
+      s"col_lvl_${name}_$runstamp" -> result.colSummary,
+      s"src_${name}_$runstamp" -> result.srcExtra,
+      s"tgt_${name}_$runstamp" -> result.tgtExtra)
+    artifacts.map { case (table, df) =>
+      val path = s"$baseDir/$table"
+      graft.io.Sinks.parquet(df, path)
+      table -> path
+    }
+  }
 }

@@ -70,6 +70,33 @@ class ReconcileSpec extends SparkSpec {
     assert(rows.head.getAs[String]("Percentage_Of_Mismatch") == "33.33%")
   }
 
+  test("diff composes all six artifacts; persist writes Q8 delta tables") {
+    val d = Reconcile.diff(src, tgt, Seq("id"))
+    assert(d.rowDiff.count() == 1)
+    assert(d.srcExtra.count() == 1 && d.tgtExtra.count() == 1)
+    assert(d.summary.count() == 7)
+    val base = java.nio.file.Files.createTempDirectory("graft_recon_").toString
+    val written = Reconcile.persist(d, "orders", "20250101120000", base)
+    assert(written.keySet == Set(
+      "col_orders_20250101120000", "col_lvl_orders_20250101120000",
+      "src_orders_20250101120000", "tgt_orders_20250101120000"))
+    written.values.foreach { p =>
+      assert(spark.read.parquet(p).columns.nonEmpty)
+    }
+  }
+
+  test("HtmlReport renders bounded, escaped sections") {
+    val d = Reconcile.diff(src, tgt, Seq("id"))
+    val html = graft.ops.HtmlReport.render("orders vs orders_v2", d)
+    assert(html.contains("<h2>orders vs orders_v2</h2>"))
+    assert(html.contains("Reconciliation Summary"))
+    assert(html.contains("Number of rows in Source"))
+    assert(html.contains("<td>4</td>"))
+    // escaping
+    val evil = Seq((1, "<script>")).toDF("id", "payload")
+    assert(!graft.ops.HtmlReport.table(evil).contains("<script>"))
+  }
+
   test("multi-column composite keys reconcile") {
     val a = Seq((1, "x", "p"), (1, "y", "q")).toDF("k1", "k2", "v")
     val b = Seq((1, "x", "p"), (1, "y", "Z")).toDF("k1", "k2", "v")
