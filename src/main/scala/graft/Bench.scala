@@ -11,6 +11,10 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // JVM/codegen warmup outside the timed region: the first Spark action
+    // in a fresh JVM pays ~4s of classloading/codegen that belongs to the
+    // session, not to whichever query happens to run first.
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // Dev-only subset filter (full run when unset — the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val results = SparkEntry.queries

@@ -21,9 +21,14 @@ import graft.model.Entities.{dec, decQ}
   * exact decimal SUM/COUNT division done in DOUBLE at the end so Spark and
   * DuckDB agree bit-for-bit (their decimal-division scale rules differ).
   *
-  * Scale posture: products is the dim (broadcast to the sales fan-out at
-  * real scale the join is sales-side partitioned, no big shuffle); the
-  * group-by on PRODUCT_ID gets map-side partial aggregation for free.
+  * Scale posture (plan-reviewed): sales is AGGREGATED BY PRODUCT BEFORE
+  * the products outer join — a left outer preserving the dim side cannot
+  * broadcast, so joining the raw fact table would sort-merge |sales|
+  * rows; aggregating first shrinks the join to |products| vs |products|.
+  * Values are identical because decimal arithmetic distributes exactly:
+  * Σ(qty·price) = (Σqty)·price per product (price constant per group),
+  * and the per-group price sum is price·n. The final AGG⋈PROD dim join
+  * broadcasts products.
   */
 object ProductPerformance {
 
@@ -33,28 +38,31 @@ object ProductPerformance {
         "COST_PRICE", "STOCK_QUANTITY", "REORDER_LEVEL")
     val sales = Entities.sales(spark, dir).select("PRODUCT_ID", "QUANTITY")
 
-    val joined = products
-      .join(sales, products("PRODUCT_ID") === sales("PRODUCT_ID"), "left")
-      .select(products("PRODUCT_ID"), products("PRODUCT_NAME"),
-        products("CATEGORY"), sales("QUANTITY"),
-        products("SELLING_PRICE"), products("COST_PRICE"),
-        products("STOCK_QUANTITY"))
-      .withColumn("SALES_AMOUNT", decQ(col("QUANTITY")) * dec(col("SELLING_PRICE")))
-      .withColumn("PROFIT_AMOUNT",
-        decQ(col("QUANTITY")) * (dec(col("SELLING_PRICE")) - dec(col("COST_PRICE"))))
+    // Pre-aggregate the fact side: one row per product before any join.
+    val salesAgg = sales.groupBy(sales("PRODUCT_ID").as("SP_ID"))
+      .agg(sum("QUANTITY").as("qty_sum"), count(lit(1)).as("n_sales"))
 
-    val agg = joined
-      .groupBy("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY")
-      .agg(
-        sum("QUANTITY").as("agg_QUANTITY"),
-        sum("SALES_AMOUNT").as("agg_TOTAL_SALES_AMOUNT"),
-        // exact pieces of avg(SELLING_PRICE); divided as double below
-        sum(dec(col("SELLING_PRICE"))).as("agg_PRICE_SUM"),
-        count(col("SELLING_PRICE")).as("agg_PRICE_CNT"),
-        sum("PROFIT_AMOUNT").as("agg_PROFIT_AMOUNT"))
+    // Wider qty decimal than the per-row cast: a per-product SUM of
+    // quantities needs more digits than one quantity (100 TB posture).
+    val qtySum = col("qty_sum").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+
+    val agg = products
+      .join(salesAgg, products("PRODUCT_ID") === col("SP_ID"), "left")
+      .select(products("PRODUCT_ID"), products("PRODUCT_NAME"),
+        products("CATEGORY"), products("SELLING_PRICE"), products("COST_PRICE"),
+        col("qty_sum"), col("n_sales"))
+      .withColumn("agg_QUANTITY", col("qty_sum"))
+      .withColumn("agg_TOTAL_SALES_AMOUNT", qtySum * dec(col("SELLING_PRICE")))
+      .withColumn("agg_PROFIT_AMOUNT",
+        qtySum * (dec(col("SELLING_PRICE")) - dec(col("COST_PRICE"))))
+      // the reference's avg(SELLING_PRICE) pieces: the no-sales product
+      // still contributes its one left-join row (count = 1)
+      .withColumn("agg_PRICE_CNT", coalesce(col("n_sales"), lit(1L)))
+      .withColumn("agg_PRICE_SUM", dec(col("SELLING_PRICE")) * col("agg_PRICE_CNT"))
 
     agg.as("AGG")
-      .join(products.as("PROD"), col("AGG.PRODUCT_ID") === col("PROD.PRODUCT_ID"), "inner")
+      .join(broadcast(products.as("PROD")),
+        col("AGG.PRODUCT_ID") === col("PROD.PRODUCT_ID"), "inner")
       .select(
         col("AGG.PRODUCT_ID").as("PRODUCT_ID"),
         col("AGG.PRODUCT_NAME").as("PRODUCT_NAME"),

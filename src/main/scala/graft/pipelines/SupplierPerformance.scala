@@ -22,11 +22,22 @@ import graft.model.Entities.{dec, decD, decQ}
   *     order-independent — see [[graft.model.Entities]]).
   *   - DAY_DT is the injected clock, not `current_date()`.
   *
-  * Scale posture: suppliers is a small dim → broadcast. The supplier×product
-  * aggregate feeds both branches (diamond); the groupBy shuffle is identical
-  * for both consumers so Spark's ReuseExchange serves them from one shuffle.
-  * The final global orderBy of the reference is kept as a range-partitioned
-  * sort (Spark's orderBy), fine at any scale.
+  * Scale posture (plan-reviewed via explain("formatted")):
+  *   - products is broadcast into the big sales scan; the lineitem⟕orders
+  *     backbone stays a key-partitioned join.
+  *   - The supplier×product AGGREGATION RUNS BEFORE the suppliers join
+  *     (the reference joins first): an outer join cannot broadcast its
+  *     preserved side, so joining raw sales to suppliers forces a
+  *     sort-merge of the full fact table — aggregating first shrinks the
+  *     join input from |sales| to |supplier×product| rows. Results are
+  *     identical: the aggregation keys functionally determine the
+  *     supplier, and unmatched/no-sales rows flow the same way.
+  *   - The aggregate feeds both branches (window top-1 and supplier
+  *     re-agg); it is cache()d so the diamond computes the fact scan ONCE
+  *     (slightly different pushed constraints per branch defeat
+  *     ReuseExchange otherwise — verified in the physical plan).
+  *   - The final global orderBy is a range-partitioned sort, fine at any
+  *     scale.
   */
 object SupplierPerformance {
 
@@ -48,23 +59,25 @@ object SupplierPerformance {
       .select(filtered("QUANTITY"), filtered("DISCOUNT"),
         products("PRODUCT_ID"), products("SUPPLIER_ID"),
         products("PRODUCT_NAME"), products("SELLING_PRICE"))
-
-    val withSuppliers = salesProducts
-      .join(broadcast(suppliers),
-        salesProducts("SUPPLIER_ID") === suppliers("SUPPLIER_ID"), "right")
-      .select(salesProducts("PRODUCT_ID"), salesProducts("PRODUCT_NAME"),
-        salesProducts("QUANTITY"), salesProducts("DISCOUNT"),
-        salesProducts("SELLING_PRICE"),
-        suppliers("SUPPLIER_ID"), suppliers("SUPPLIER_NAME"))
       .withColumn("REVENUE",
         decQ(col("QUANTITY")) * (dec(col("SELLING_PRICE")) -
           coalesce(decD(col("DISCOUNT")), lit(0).cast(Entities.DiscDec))))
 
-    val aggSupplierProduct = withSuppliers
-      .groupBy("SUPPLIER_ID", "SUPPLIER_NAME", "PRODUCT_ID", "PRODUCT_NAME")
+    // Aggregate BEFORE the suppliers outer join (see scale posture above):
+    // the join then touches |supplier×product| rows, not |sales|.
+    val aggSalesProduct = salesProducts
+      .groupBy("SUPPLIER_ID", "PRODUCT_ID", "PRODUCT_NAME")
       .agg(
         sum("REVENUE").as("agg_REVENUE"),
         sum("QUANTITY").as("agg_QUANTITY"))
+
+    val aggSupplierProduct = aggSalesProduct
+      .join(suppliers,
+        aggSalesProduct("SUPPLIER_ID") === suppliers("SUPPLIER_ID"), "right")
+      .select(aggSalesProduct("PRODUCT_ID"), aggSalesProduct("PRODUCT_NAME"),
+        aggSalesProduct("agg_REVENUE"), aggSalesProduct("agg_QUANTITY"),
+        suppliers("SUPPLIER_ID"), suppliers("SUPPLIER_NAME"))
+      .cache() // diamond: consumed by both the window and the re-agg branch
 
     val w = Window.partitionBy("SUPPLIER_ID")
       .orderBy(col("agg_REVENUE").desc, col("PRODUCT_ID").asc)
