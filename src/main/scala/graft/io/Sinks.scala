@@ -36,6 +36,13 @@ object Sinks {
     jdbc(df, url, table, mode, props)
   }
 
+  /** Hive-style partitioned parquet layout (`path/col=value/...`) — the
+    * 100 TB landing pattern: downstream scans with a partition-column
+    * predicate prune whole directories before reading a byte. */
+  def partitionedParquet(df: DataFrame, path: String, partitionCols: Seq[String],
+                         mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
+
   /** The reference's snapshot-ledger convention (`ingestion_task.py:66-69`
     * and parallels): the current frame overwrites `raw`, and the same frame
     * appends to the `legacy` history — a hand-rolled SCD-0 daily ledger. */

@@ -101,4 +101,63 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "nn_id", "cos", "rk")
   }
+
+  /** IVF (inverted-file) ANN top-k: the corpus is partitioned into the
+    * Voronoi cells of `nCentroids` seed centroids; each query probes its
+    * `nProbe` nearest cells and exact-cosine reranks the members.
+    *
+    * Centroid "training" is a deterministic seed — the first
+    * `nCentroids` corpus vectors by id (real k-means refinement is one
+    * `groupBy(cell).avg(vec)` pass per iteration, a straightforward
+    * extension; the cell-assignment / probe / rerank dataflow below IS
+    * the 100 TB path: one broadcast pass to assign, shuffles keyed by
+    * cell id, candidates bounded by probed cells instead of the corpus).
+    *
+    * Tie-handling is deterministic: cells are picked via max(struct(cos,
+    * cid)) — a total order. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+              vecCol: String, k: Int = 5, nCentroids: Int = 16,
+              nProbe: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("c_vec"),
+        Dedup.l2norm(col(vecCol)).as("c_nrm"))
+
+    def cosTo(vec: Column, nrm: Column) =
+      Dedup.dot(vec, col("c_vec")) / (nrm * col("c_nrm"))
+
+    // one broadcast pass: nearest cell per corpus vector
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      Dedup.l2norm(col(vecCol)).as("nn_nrm"))
+    val assigned = c.crossJoin(broadcast(cents))
+      .groupBy(col("nn_id"))
+      .agg(
+        max(struct(cosTo(col("nn_vec"), col("nn_nrm")).as("cos"),
+          col("cid").as("cid"))).as("best"),
+        first(col("nn_vec")).as("nn_vec"),
+        first(col("nn_nrm")).as("nn_nrm"))
+      .select(col("best.cid").as("cid"), col("nn_id"), col("nn_vec"), col("nn_nrm"))
+
+    // nProbe nearest cells per query
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Dedup.l2norm(col(vecCol)).as("q_nrm"))
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("p_cos").desc, col("cid").asc)
+    val probed = q.crossJoin(broadcast(cents))
+      .select(col("query_id"), col("q_vec"), col("q_nrm"), col("cid"),
+        cosTo(col("q_vec"), col("q_nrm")).as("p_cos"))
+      .withColumn("p_rk", row_number().over(probeW)).filter(col("p_rk") <= nProbe)
+      .select("query_id", "q_vec", "q_nrm", "cid")
+
+    // candidates = probed cells' members, exact-reranked
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    probed.join(assigned, "cid")
+      .filter(col("nn_id") =!= col("query_id"))
+      .select(col("query_id"), col("nn_id"),
+        (Dedup.dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+          .as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id", "cos", "rk")
+  }
 }

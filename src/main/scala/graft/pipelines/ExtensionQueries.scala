@@ -113,6 +113,23 @@ object ExtensionQueries {
         "vec_id", "embedding", SimK).orderBy("query_id", "rk")
     }),
 
+    // rows-only check (probabilistic cell recall; spec measures vs brute force)
+    "q_sim_ivf_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e, e.filter(col("vec_id") < SimQueryIds),
+        "vec_id", "embedding", SimK).orderBy("query_id", "rk")
+    }),
+
+    // skew-salted join — semantically identical to the plain inner join,
+    // proven by sharing its oracle
+    "q_join_salted" -> ((s, dir) => {
+      val l = li(s, dir).select("l_orderkey", "l_partkey", "l_quantity")
+      val p = Entities.read(s, dir, "part").select("p_partkey", "p_name")
+        .withColumnRenamed("p_partkey", "l_partkey")
+      graft.ops.Skew.saltedJoin(l, p, Seq("l_partkey"), 8)
+        .orderBy("l_orderkey", "l_partkey", "l_quantity")
+    }),
+
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -195,6 +212,11 @@ object ExtensionQueries {
     "q_dedup_exact_key" ->
       """SELECT text, min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin,
+
+    "q_join_salted" ->
+      """SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_name
+        |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        |ORDER BY l.l_orderkey, l.l_partkey, l.l_quantity""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardOracle(JaccardThreshold),
 

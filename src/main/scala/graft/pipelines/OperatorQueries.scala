@@ -131,6 +131,36 @@ object OperatorQueries {
         |       COUNT(DISTINCT l_partkey) AS n_parts
         |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
 
+    // Grouping-sets family (engine capability beyond the reference surface)
+    "q_agg_cube" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).cube("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
+        |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
+
+    "q_agg_rollup" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).rollup("l_returnflag", "l_linestatus")
+          .agg(sum("l_quantity").as("sum_qty"))
+          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+      """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
+
+    "q_pivot" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).groupBy("l_returnflag")
+          .pivot("l_linestatus", Seq("F", "O"))
+          .agg(sum("l_quantity"))
+          .orderBy("l_returnflag")),
+      """SELECT l_returnflag,
+        |       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
+        |       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // W-family — lag/lead (deterministic: o_orderkey is unique per customer order)
     "q_window_lag_lead" -> (
       ((s: SparkSession, dir: String) => {

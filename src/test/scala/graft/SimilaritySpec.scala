@@ -37,6 +37,28 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"LSH recall degenerate: $recall")
   }
 
+  test("ivfTopK: exact cosines, bounded candidates, usable recall") {
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    ivf.foreach { case (key, cos) =>
+      bf.get(key).foreach(exact => assert(exact == cos, s"cosine mismatch at $key"))
+    }
+    val recall = ivf.keySet.count(bf.contains).toDouble / bf.size
+    info(f"IVF recall@5 vs brute force: $recall%.3f")
+    assert(recall > 0.1, s"IVF recall degenerate: $recall")
+    // probing half the cells must not return more than k rows per query
+    assert(ivf.size <= 8 * 5)
+  }
+
+  test("ivfTopK is deterministic across runs") {
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    assert(run() == run())
+  }
+
   test("lshBuckets emits one row per (row, table)") {
     val b = Similarity.lshBuckets(emb.limit(10), "embedding", tables = 4)
     assert(b.count() == 40)
