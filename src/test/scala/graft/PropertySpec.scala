@@ -1,0 +1,106 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.{Dedup, Quality, Reconcile, Skew}
+
+/** Property-based invariants (SURVEY.md §5: the guarantees the reference
+  * never tested). Case counts are small — every case spins Spark jobs. */
+class PropertySpec extends SparkSpec {
+  import spark.implicits._
+
+  private val params = SCTest.Parameters.default
+    .withMinSuccessfulTests(10).withInitialSeed(org.scalacheck.rng.Seed(42L))
+
+  private def check(name: String, p: Prop): Unit = {
+    val r = SCTest.check(params, p)
+    assert(r.passed, s"$name failed: ${r.status}")
+  }
+
+  private val rowsGen: Gen[List[(Int, String, Double)]] = for {
+    n <- Gen.choose(1, 12)
+    rows <- Gen.listOfN(n, for {
+      name <- Gen.oneOf("a", "b", "c", "d", "")
+      amt <- Gen.oneOf(0.0, 1.5, -2.25, 10.0)
+    } yield (name, amt))
+  } yield rows.zipWithIndex.map { case ((nm, a), i) => (i, nm, a) }
+
+  test("property: dup gate passes unique keys, throws on any injected duplicate") {
+    check("dup-gate", Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "name", "amt")
+      val clean = Quality.gate(df, Seq("id")).count() == rows.length
+      val dup = rows.head.copy(_2 = "dup") :: rows // same id twice
+      val thrown =
+        try { Quality.gate(dup.toDF("id", "name", "amt"), Seq("id")).count(); false }
+        catch { case _: graft.ops.DuplicateException => true }
+      clean && thrown
+    })
+  }
+
+  test("property: reconcile diff of a frame with itself is empty") {
+    check("diff-self", Prop.forAll(rowsGen) { rows =>
+      val df = rows.toDF("id", "name", "amt")
+      Reconcile.rowDiff(df, df, Seq("id")).isEmpty &&
+        Reconcile.colMismatch(df, df, Seq("id")).isEmpty &&
+        Reconcile.srcExtra(df, df, Seq("id")).isEmpty
+    })
+  }
+
+  test("property: a single perturbed cell yields exactly one column mismatch") {
+    val gen = for { rows <- rowsGen; idx <- Gen.choose(0, 100) } yield (rows, idx)
+    check("one-cell", Prop.forAll(gen) { case (rows, idx) =>
+      val i = idx % rows.length
+      val perturbed = rows.updated(i, rows(i).copy(_2 = rows(i)._2 + "~X"))
+      val m = Reconcile.colMismatch(
+        rows.toDF("id", "name", "amt"),
+        perturbed.toDF("id", "name", "amt"), Seq("id")).collect()
+      m.length == 1 &&
+        m.head.getAs[String]("mismatch_column_name") == "name" &&
+        m.head.getAs[String]("id") == rows(i)._1.toString
+    })
+  }
+
+  test("property: saltedJoin is the plain inner join for any salt fan-out") {
+    val gen = for {
+      rows <- rowsGen
+      dims <- Gen.someOf(0 to 11)
+      n <- Gen.oneOf(1, 3, 8)
+    } yield (rows, dims.toList, n)
+    check("salted-join", Prop.forAll(gen) { case (rows, dims, n) =>
+      val big = rows.map { case (id, nm, amt) => (id % 4, nm, amt) }
+        .toDF("k", "name", "amt")
+      val small = dims.map(d => (d % 4, s"dim$d")).distinct.toDF("k", "d")
+      val plain = big.join(small, Seq("k")).collect()
+        .map(_.toSeq.toString).sorted.toSeq
+      val salted = Skew.saltedJoin(big, small, Seq("k"), n).collect()
+        .map(_.toSeq.toString).sorted.toSeq
+      plain == salted
+    })
+  }
+
+  test("property: DotProduct equals the local sequential fold bit-for-bit") {
+    val vecGen = Gen.listOfN(16, Gen.chooseNum(-10.0f, 10.0f))
+    check("dot", Prop.forAll(vecGen, vecGen) { (a, b) =>
+      val expected = a.zip(b).foldLeft(0.0) { case (acc, (x, y)) =>
+        acc + x.toDouble * y.toDouble
+      }
+      val got = Seq((a.toArray, b.toArray)).toDF("a", "b")
+        .select(graft.functions.VectorOps.dot($"a", $"b")).first().getDouble(0)
+      got == expected
+    })
+  }
+
+  test("property: hashed shingle count equals distinct string-shingle count") {
+    val textGen = for {
+      n <- Gen.choose(0, 12)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "dd", "ee"))
+    } yield toks.mkString(" ")
+    check("shingles", Prop.forAll(textGen) { text =>
+      val df = Seq(Tuple1(text)).toDF("text")
+      val hashed = df.select(
+        size(graft.functions.ShingleHashes.shingleHashes($"text", 3))).first().getInt(0)
+      val strings = df.select(size(Dedup.shingles($"text", 3))).first().getInt(0)
+      hashed == strings
+    })
+  }
+}
