@@ -61,18 +61,17 @@ object Dedup {
     (index, sizes)
   }
 
-  /** Exact n-gram Jaccard near-dup pairs via the inverted-index join:
-    * (doc_i, doc_j, jaccard) for all pairs with similarity ≥ threshold.
-    * Never materializes the full pair matrix — only pairs sharing ≥1
-    * shingle are generated. */
-  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-                   n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
-    val common = index.as("a")
-      .join(index.as("b"),
-        col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
-      .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
-      .agg(count(lit(1)).as("common"))
+  /** Exact jaccard over a candidate pair set: common counts from the
+    * FULL index restricted to candidates, sizes joined, thresholded.
+    * Shared verify tail of [[jaccardPairs]] (capped mode) and
+    * [[minhashLshPairs]]. */
+  private def verifyJaccard(cands: DataFrame, index: DataFrame, sizes: DataFrame,
+                            threshold: Double): DataFrame = {
+    val common = cands
+      .join(index.as("ia"), col("doc_i") === col("ia.id"))
+      .join(index.as("ib"),
+        col("doc_j") === col("ib.id") && col("ia.shash") === col("ib.shash"))
+      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("common"))
     common
       .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
       .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
@@ -80,6 +79,52 @@ object Dedup {
         col("common") * lit(1.0) / (col("n_i") + col("n_j") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select("doc_i", "doc_j", "jaccard")
+  }
+
+  /** Exact n-gram Jaccard near-dup pairs via the inverted-index join:
+    * (doc_i, doc_j, jaccard) for all pairs with similarity ≥ threshold.
+    * Never materializes the full pair matrix — only pairs sharing ≥1
+    * shingle are generated.
+    *
+    * `maxDf`: pair-join work is Σ df(shingle)² — quadratic in shingle
+    * document frequency (measured 19× cost at a 10× corpus whose common
+    * grams are shared). With a cap, CANDIDATE GENERATION only joins on
+    * shingles appearing in ≤ maxDf docs (bounding the join at
+    * ~|docs|·avgSh·maxDf); candidates are then verified with exact
+    * Jaccard over the FULL index, so reported similarities are always
+    * exact. A pair is missed only if every one of its shared shingles
+    * exceeds the cap — for threshold ≥ 0.8 a pair shares most of its
+    * (mostly rare) shingles, so recall loss is negligible on natural
+    * corpora. None (default) is fully exact — the oracle-checked mode. */
+  def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3, threshold: Double = 0.8,
+                   maxDf: Option[Int] = None): DataFrame = {
+    val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
+    maxDf match {
+      case None =>
+        val common = index.as("a")
+          .join(index.as("b"),
+            col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
+          .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+          .agg(count(lit(1)).as("common"))
+        common
+          .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+          .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+          .withColumn("jaccard",
+            col("common") * lit(1.0) / (col("n_i") + col("n_j") - col("common")))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_i", "doc_j", "jaccard")
+      case Some(cap) =>
+        val rare = index.groupBy("shash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shash")
+        val capped = index.join(rare, "shash")
+        val cands = capped.as("a")
+          .join(capped.as("b"),
+            col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
+          .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+          .distinct()
+        verifyJaccard(cands, index, sizes, threshold)
+    }
   }
 
   /** Number of minhash functions / LSH bands (rows per band = hashes/bands). */
@@ -136,18 +181,7 @@ object Dedup {
                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
     val cands = lshCandidates(minhashSignatures(docs, idCol, textCol, n))
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
-    val common = cands
-      .join(index.as("ia"), col("doc_i") === col("ia.id"))
-      .join(index.as("ib"),
-        col("doc_j") === col("ib.id") && col("ia.shash") === col("ib.shash"))
-      .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("common"))
-    common
-      .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
-      .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
-      .withColumn("jaccard",
-        col("common") * lit(1.0) / (col("n_i") + col("n_j") - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_i", "doc_j", "jaccard")
+    verifyJaccard(cands, index, sizes, threshold)
   }
 
   /** Sequential-fold dot product — a native codegen'd Catalyst expression

@@ -1,0 +1,45 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's `submit_raptor_request` end-to-end flow
+  * (`Raptor.py:491-534` → `536-655`): resolve each side from its source
+  * mode, run the composed diff, persist the delta tables, render the
+  * report. The SMTP send stays out of the engine (the caller gets the
+  * HTML).
+  *
+  * Source modes mirror the reference exactly:
+  *   - `JdbcSide` — "pg_admin": arbitrary SQL pushed down as a dbtable
+  *     subquery (`Raptor.py:20-38`).
+  *   - `ParquetSide` — "reporting": parquet → temp view → SQL with the
+  *     `reporting.<view>` prefix rewritten (`Raptor.py:89-100`).
+  *   - `FrameSide` — a frame already in hand (tests, composition).
+  */
+object Raptor {
+
+  sealed trait Side
+  final case class JdbcSide(url: String, sql: String,
+                            props: Map[String, String]) extends Side
+  final case class ParquetSide(path: String, view: String, sql: String) extends Side
+  final case class FrameSide(df: DataFrame) extends Side
+
+  final case class RaptorResult(diff: Reconcile.DiffResult,
+                                deltaTables: Map[String, String],
+                                reportHtml: String)
+
+  def resolve(spark: SparkSession, side: Side): DataFrame = side match {
+    case JdbcSide(url, sql, props) => graft.io.Sources.jdbcQuery(spark, url, sql, props)
+    case ParquetSide(path, view, sql) => graft.io.Sources.parquetSql(spark, path, view, sql)
+    case FrameSide(df) => df
+  }
+
+  /** Full comparison run: diff + `work.*_{runstamp}` persistence + HTML. */
+  def submit(spark: SparkSession, source: Side, target: Side,
+             keys: Seq[String], name: String, runstamp: String,
+             baseDir: String, sampleRows: Int = 15): RaptorResult = {
+    val d = Reconcile.diff(resolve(spark, source), resolve(spark, target), keys)
+    val written = Reconcile.persist(d, name, runstamp, baseDir)
+    val html = HtmlReport.render(s"Raptor: $name @ $runstamp", d, sampleRows)
+    RaptorResult(d, written, html)
+  }
+}

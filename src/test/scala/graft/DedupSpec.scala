@@ -45,6 +45,15 @@ class DedupSpec extends SparkSpec {
     assert(math.abs(out.head.getDouble(2) - 0.5) < 1e-15) // 2 common / 4 union
   }
 
+  test("df-capped jaccardPairs reports exact similarities with full recall here") {
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8, Some(50))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(capped == exact,
+      "cap=50 on the fixture corpus must not lose pairs, and verify is exact")
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on the fixture corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -97,6 +97,19 @@ class ReconcileSpec extends SparkSpec {
     assert(!graft.ops.HtmlReport.table(evil).contains("<script>"))
   }
 
+  test("Raptor.submit runs end-to-end over parquet and frame sides") {
+    val base = java.nio.file.Files.createTempDirectory("graft_raptor_").toString
+    src.write.mode("overwrite").parquet(s"$base/src_in")
+    val result = graft.ops.Raptor.submit(spark,
+      graft.ops.Raptor.ParquetSide(s"$base/src_in", "src_v",
+        "select id, name, amt from reporting.src_v"),
+      graft.ops.Raptor.FrameSide(tgt),
+      keys = Seq("id"), name = "t", runstamp = "20250101", baseDir = base)
+    assert(result.diff.rowDiff.count() == 1)
+    assert(result.deltaTables.size == 4)
+    assert(result.reportHtml.contains("Raptor: t @ 20250101"))
+  }
+
   test("multi-column composite keys reconcile") {
     val a = Seq((1, "x", "p"), (1, "y", "q")).toDF("k1", "k2", "v")
     val b = Seq((1, "x", "p"), (1, "y", "Z")).toDF("k1", "k2", "v")
