@@ -46,6 +46,26 @@ object Dedup {
     df.groupBy(key.map(col): _*)
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+  /** The deduplicated corpus: one surviving row per key group (the row
+    * whose `idCol` is the group minimum). Left-semi against the survivor
+    * set — no payload shuffle beyond the key columns. */
+  def exactSurvivors(df: DataFrame, key: Seq[String], idCol: String): DataFrame = {
+    val keep = exactByKey(df, key, idCol)
+      .select(col("keep_id").as(idCol))
+    df.join(keep, Seq(idCol), "left_semi")
+  }
+
+  /** Greedy near-dup removal: given (doc_i, doc_j, …) near-dup pairs
+    * (any of [[jaccardPairs]] / [[minhashLshPairs]] / [[simhashPairs]] /
+    * [[cosinePairs]] with ids ordered doc_i < doc_j), drop every row that
+    * appears as the GREATER id of some pair. One anti-join pass; each
+    * near-dup cluster keeps at least its minimum id (the canonical
+    * training-data dedup sweep; full transitive clustering would need
+    * iterative connected components). */
+  def removeNearDups(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame =
+    docs.join(pairs.select(col("doc_j").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+
   /** Exploded (id, shingle-hash) inverted index with per-doc shingle
     * counts. Shingles are xxhash64'd to longs before the index leaves this
     * function: every downstream self-join shuffles 8-byte keys instead of

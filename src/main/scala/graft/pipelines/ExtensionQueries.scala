@@ -88,6 +88,17 @@ object ExtensionQueries {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
         .orderBy("doc_i", "doc_j")),
 
+    "q_dedup_survivors" -> ((s, dir) =>
+      Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+
+    "q_dedup_filtered" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.removeNearDups(d,
+        Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
+        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
     "q_dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
         .orderBy("doc_i", "doc_j")),
@@ -219,6 +230,17 @@ object ExtensionQueries {
         |ORDER BY l.l_orderkey, l.l_partkey, l.l_quantity""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardOracle(JaccardThreshold),
+
+    "q_dedup_survivors" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_filtered" ->
+      s"""WITH pairs AS (${jaccardOracle(JaccardThreshold)})
+         |SELECT doc_id, lang, source, n_chars FROM documents
+         |WHERE doc_id NOT IN (SELECT doc_j FROM pairs)
+         |ORDER BY doc_id""".stripMargin,
 
     // LSH candidates + exact verification ⇒ output equals the exact pair
     // set whenever LSH recall holds (P[miss] < 1e-7 at s ≥ 0.8 with

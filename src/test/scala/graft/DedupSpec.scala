@@ -79,6 +79,22 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("exactSurvivors keeps one row per text, the min doc_id") {
+    val surv = Dedup.exactSurvivors(docs, Seq("text"), "doc_id")
+    val expected = Dedup.exactByKey(docs, Seq("text"), "doc_id").count()
+    assert(surv.count() == expected)
+    assert(surv.select("doc_id").distinct().count() == expected)
+  }
+
+  test("removeNearDups drops the greater id of every near-dup pair") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val kept = Dedup.removeNearDups(docs, pairs, "doc_id")
+    val dropped = pairs.select("doc_j").distinct().count()
+    assert(kept.count() == docs.count() - dropped)
+    // no kept doc may appear as doc_j of any pair
+    assert(kept.join(pairs, kept("doc_id") === pairs("doc_j")).isEmpty)
+  }
+
   test("cosine is 1.0 on identical vectors, bit-deterministic") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
