@@ -128,9 +128,12 @@ object Reconcile {
     * compared-row count rides along as a broadcastable one-row aggregate
     * instead of the reference's eager `.count()`. */
   def colSummary(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
-    val s = canonicalize(source, keys, "Source_Record")
-    val t = canonicalize(target, keys, "Target_Record")
-    val compared = s.join(t, keys).agg(count(lit(1)).as("compared_cnt"))
+    // keys-only inner join for the compared-row count: prunes the scan to
+    // the key columns instead of canonicalizing every column twice
+    val sk = source.select(keys.map(c => col(c).cast("string").as(c)): _*)
+    val tk = target.select(keys.map(c => col(c).cast("string").as(c)): _*)
+    val compared = sk.na.fill("").join(tk.na.fill(""), keys)
+      .agg(count(lit(1)).as("compared_cnt"))
     colMismatch(source, target, keys)
       .groupBy("mismatch_column_name")
       .agg(count(lit(1)).as("Mismatch_Record_Count_Column_Level"))
