@@ -44,12 +44,39 @@ object Reconcile {
       .select((keys.map(col) :+ col(recordCol)): _*)
   }
 
+  /** Type-erased frame: every column cast to string, null→''. */
+  private def erased(df: DataFrame): DataFrame =
+    df.select(df.columns.map(c => col(c).cast("string").as(c)): _*).na.fill("")
+
+  /** Target-side erased frame with every column prefixed `__t_`. */
+  private def erasedT(df: DataFrame): DataFrame = {
+    val e = erased(df)
+    e.select(df.columns.map(c => col(c).as(s"__t_$c")).toSeq: _*)
+  }
+
+  private def record(cols: Seq[String], side: Seq[String] => Seq[org.apache.spark.sql.Column]) =
+    concat_ws(Sep, side(cols): _*)
+
   /** Rows present on both sides (by key) whose canonical records differ:
-    * keys..., Source_Record, Target_Record. */
+    * keys..., Source_Record, Target_Record.
+    *
+    * Record equality over the SOH concat is equivalent to column-wise
+    * equality of the erased tuples (the separator never collides as long
+    * as data carries no SOH — the reference's own assumption), so the
+    * implementation compares columns first and builds the concatenated
+    * record strings ONLY for the mismatching rows. At 100 TB that skips
+    * string materialization for the overwhelmingly matching majority. */
   def rowDiff(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
-    val s = canonicalize(source, keys, "Source_Record")
-    val t = canonicalize(target, keys, "Target_Record")
-    s.join(t, keys).where(col("Source_Record") =!= col("Target_Record"))
+    val cols = source.columns.toSeq
+    val s = erased(source)
+    val t = erasedT(target)
+    val joinCond = keys.map(k => s(k) === t(s"__t_$k")).reduce(_ && _)
+    val anyNeq = cols.map(c => s(c) =!= t(s"__t_$c")).reduce(_ || _)
+    s.join(t, joinCond, "inner")
+      .where(anyNeq)
+      .select(keys.map(k => s(k).as(k)) :+
+        record(cols, _.map(s(_))).as("Source_Record") :+
+        record(cols, _.map(c => t(s"__t_$c"))).as("Target_Record"): _*)
   }
 
   /** Column-level mismatch explosion: keys..., source_value, target_value,
@@ -71,20 +98,29 @@ object Reconcile {
   }
 
   /** Rows whose key exists only in source (reference's left join + null
-    * filter, `Raptor.py:619-631`; semantically a left_anti join). */
+    * filter, `Raptor.py:619-631`; semantically a left_anti join). The
+    * record string is built only for the surviving extra rows. */
   def srcExtra(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
-    val s = canonicalize(source, keys, "Source_Record")
-    val t = canonicalize(target, keys, "Target_Record")
-    s.join(t, keys, "left").filter(col("Target_Record").isNull)
-      .select((keys.map(col) :+ col("Source_Record")): _*)
+    val cols = source.columns.toSeq
+    val s = erased(source)
+    val tKeys = erasedT(target.select(keys.map(col): _*))
+    val joinCond = keys.map(k => s(k) === tKeys(s"__t_$k")).reduce(_ && _)
+    s.join(tKeys, joinCond, "left")
+      .filter(tKeys(s"__t_${keys.head}").isNull)
+      .select(keys.map(k => s(k).as(k)) :+
+        record(cols, _.map(s(_))).as("Source_Record"): _*)
   }
 
   /** Rows whose key exists only in target (`Raptor.py:633-645`). */
   def tgtExtra(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
-    val s = canonicalize(source, keys, "Source_Record")
-    val t = canonicalize(target, keys, "Target_Record")
-    s.join(t, keys, "right").filter(col("Source_Record").isNull)
-      .select((keys.map(col) :+ col("Target_Record")): _*)
+    val cols = target.columns.toSeq
+    val sKeys = erased(source.select(keys.map(col): _*))
+    val t = erasedT(target)
+    val joinCond = keys.map(k => sKeys(k) === t(s"__t_$k")).reduce(_ && _)
+    sKeys.join(t, joinCond, "right")
+      .filter(sKeys(keys.head).isNull)
+      .select(keys.map(k => t(s"__t_$k").as(k)) :+
+        record(cols, _.map(c => t(s"__t_$c"))).as("Target_Record"): _*)
   }
 
   /** Reconciliation summary (Description, Value) — the reference's
@@ -93,16 +129,21 @@ object Reconcile {
     * (thousands separators, system labels) is left to report renderers;
     * the Values carry the plain counts. */
   def summary(source: DataFrame, target: DataFrame, keys: Seq[String]): DataFrame = {
-    val s = canonicalize(source, keys, "Source_Record")
-    val t = canonicalize(target, keys, "Target_Record")
-    val src = col("Source_Record")
-    val tgt = col("Target_Record")
-    s.join(t, keys, "full_outer")
+    val cols = source.columns.toSeq
+    val s = erased(source)
+    val t = erasedT(target)
+    val joinCond = keys.map(k => s(k) === t(s"__t_$k")).reduce(_ && _)
+    // post-erasure keys are never null, so a null key column marks the
+    // absent side of the full-outer join; no record strings needed at all
+    val src = s(keys.head)
+    val tgt = t(s"__t_${keys.head}")
+    val anyNeq = cols.map(c => s(c) =!= t(s"__t_$c")).reduce(_ || _)
+    s.join(t, joinCond, "full_outer")
       .agg(
         count(src).as("src_cnt"),
         count(tgt).as("tgt_cnt"),
         count(when(src.isNotNull && tgt.isNotNull, 1)).as("common_cnt"),
-        count(when(src.isNotNull && tgt.isNotNull && src =!= tgt, 1)).as("mismatch_cnt"),
+        count(when(src.isNotNull && tgt.isNotNull && anyNeq, 1)).as("mismatch_cnt"),
         count(when(tgt.isNull, 1)).as("src_extra_cnt"),
         count(when(src.isNull, 1)).as("tgt_extra_cnt"))
       .withColumn("pct",
