@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** SQL-surface registration for graft's custom Catalyst expressions, so
+  * `spark.sql("SELECT simhash64(text) ...")` works the same as the
+  * Column API — completing preference order (c) from the build brief:
+  * custom expressions registered through `SparkSessionExtensions`.
+  *
+  * Two entry points:
+  *   - config: `spark.sql.extensions=graft.GraftExtensions` (applied at
+  *     session build time),
+  *   - programmatic: `GraftExtensions.register(spark)` on a live session
+  *     (same registry, useful when the session already exists).
+  */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+    GraftExtensions.injections.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((org.apache.spark.sql.catalyst.FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+  import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+  private type Builder = Seq[Expression] => Expression
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  private[graft] val injections: Map[String, (ExpressionInfo, Builder)] = Map(
+    "simhash64" -> (info("simhash64",
+      "simhash64(text) - 64-bit SimHash of whitespace-tokenized text"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "simhash64 takes one argument")
+        graft.functions.SimHash64(args.head)
+      }),
+    "dot_product" -> (info("dot_product",
+      "dot_product(a, b) - sequential-fold dot product of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "dot_product takes two arguments")
+        graft.functions.DotProduct(args(0), args(1))
+      }),
+    "shingle_hashes" -> (info("shingle_hashes",
+      "shingle_hashes(text, n) - distinct xxhash64'd word n-grams"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "shingle_hashes takes (text, n)")
+        val n = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"shingle_hashes n must be a literal, got $other")
+        }
+        graft.functions.ShingleHashes(args(0), n)
+      }))
+
+  /** Register the functions on an existing session's catalog. */
+  def register(spark: SparkSession): Unit =
+    injections.foreach { case (name, (i, builder)) =>
+      spark.sessionState.functionRegistry.registerFunction(
+        org.apache.spark.sql.catalyst.FunctionIdentifier(name), i, builder)
+    }
+}

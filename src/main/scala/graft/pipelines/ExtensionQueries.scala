@@ -141,6 +141,35 @@ object ExtensionQueries {
         .orderBy("l_orderkey", "l_partkey", "l_quantity")
     }),
 
+    // Scalable variant of the customer report's global percent_rank
+    // tiering (SURVEY.md §4 anti-pattern 3): aggregate per customer
+    // FIRST, then rank |customers| rows instead of |sales| rows in the
+    // single-partition window.
+    "q_customer_tier_scalable" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      import graft.model.Entities.{dec, decD, decQ}
+      val sales = Entities.sales(s, dir)
+        .filter(col("ORDER_STATUS").isin("Delivered", "Shipped"))
+      val products = Entities.products(s, dir).select("PRODUCT_ID", "SELLING_PRICE")
+      val amounts = sales.join(broadcast(products), Seq("PRODUCT_ID"), "left")
+        .select(col("CUSTOMER_ID"),
+          round(decQ(col("QUANTITY")) * dec(col("SELLING_PRICE")) *
+            (lit(100).cast(Entities.DiscDec) - decD(col("DISCOUNT"))) *
+            lit(new java.math.BigDecimal("0.01")), 2).as("amt"))
+      val perCustomer = amounts.groupBy("CUSTOMER_ID")
+        .agg(sum("amt").as("total_dec"))
+        .join(Entities.customers(s, dir), Seq("CUSTOMER_ID"), "inner")
+      val w = Window.orderBy(col("total_dec").desc)
+      perCustomer
+        .withColumn("pr", percent_rank().over(w))
+        .select(col("CUSTOMER_ID"), col("NAME").as("CUSTOMER_NAME"),
+          col("total_dec").cast("double").as("TOTAL_SALES"),
+          when(col("pr") <= 0.2, "Gold")
+            .when(col("pr") > 0.2 && col("pr") <= 0.5, "Silver")
+            .otherwise("Bronze").as("LOYALTY_TIER"))
+        .orderBy("CUSTOMER_ID")
+    }),
+
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -292,6 +321,26 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT query_id, nn_id, cos, rk FROM ranked WHERE rk <= $SimK
          |ORDER BY query_id, rk""".stripMargin,
+
+    "q_customer_tier_scalable" -> (Entities.sqlCtes + """
+      |, fil AS (SELECT * FROM sales WHERE ORDER_STATUS IN ('Delivered','Shipped'))
+      |, amounts AS (
+      |  SELECT f.CUSTOMER_ID,
+      |         ROUND(CAST(f.QUANTITY AS DECIMAL(8,2)) * CAST(p.SELLING_PRICE AS DECIMAL(12,4)) *
+      |               (CAST(100 AS DECIMAL(8,4)) - CAST(f.DISCOUNT AS DECIMAL(8,4))) *
+      |               CAST(0.01 AS DECIMAL(3,2)), 2) AS amt
+      |  FROM fil f LEFT JOIN products p ON f.PRODUCT_ID = p.PRODUCT_ID
+      |), per_cust AS (
+      |  SELECT a.CUSTOMER_ID, c.NAME AS CUSTOMER_NAME, a.total_dec
+      |  FROM (SELECT CUSTOMER_ID, SUM(amt) AS total_dec FROM amounts GROUP BY 1) a
+      |  JOIN customers c ON a.CUSTOMER_ID = c.CUSTOMER_ID
+      |)
+      |SELECT CUSTOMER_ID, CUSTOMER_NAME, CAST(total_dec AS DOUBLE) AS TOTAL_SALES,
+      |       CASE WHEN pr <= 0.2 THEN 'Gold'
+      |            WHEN pr > 0.2 AND pr <= 0.5 THEN 'Silver'
+      |            ELSE 'Bronze' END AS LOYALTY_TIER
+      |FROM (SELECT *, PERCENT_RANK() OVER (ORDER BY total_dec DESC) AS pr FROM per_cust)
+      |ORDER BY CUSTOMER_ID""".stripMargin),
 
     "q_text_tokens" ->
       s"""SELECT doc_id, length(text) AS n_chars,

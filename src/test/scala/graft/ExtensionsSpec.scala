@@ -1,0 +1,40 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class ExtensionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("registered SQL functions equal the Column API") {
+    GraftExtensions.register(spark)
+    Seq(("the quick brown fox", 1L)).toDF("text", "id")
+      .createOrReplaceTempView("ext_docs")
+    val viaSql = spark.sql(
+      "SELECT simhash64(text) AS h, shingle_hashes(text, 3) AS sh FROM ext_docs")
+      .first()
+    val viaCol = Seq(("the quick brown fox", 1L)).toDF("text", "id")
+      .select(
+        graft.functions.SimHash64.simhash64($"text").as("h"),
+        graft.functions.ShingleHashes.shingleHashes($"text", 3).as("sh"))
+      .first()
+    assert(viaSql.getLong(0) == viaCol.getLong(0))
+    assert(viaSql.getSeq[Long](1) == viaCol.getSeq[Long](1))
+  }
+
+  test("dot_product in SQL matches VectorOps.dot") {
+    GraftExtensions.register(spark)
+    val df = Seq((Array(1.0f, 2.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    df.createOrReplaceTempView("ext_vecs")
+    val viaSql = spark.sql("SELECT dot_product(a, b) FROM ext_vecs").first().getDouble(0)
+    val viaCol = df.select(graft.functions.VectorOps.dot($"a", $"b")).first().getDouble(0)
+    assert(viaSql == 11.0 && viaCol == 11.0)
+  }
+
+  test("non-literal n for shingle_hashes is rejected") {
+    GraftExtensions.register(spark)
+    Seq(("a b c", 3)).toDF("text", "n").createOrReplaceTempView("ext_bad")
+    intercept[Exception] {
+      spark.sql("SELECT shingle_hashes(text, n) FROM ext_bad").collect()
+    }
+  }
+}
