@@ -165,8 +165,10 @@ object Dedup {
     * aggregate of an affine rehash — 128 partial-aggregating MINs in one
     * shuffle pass, no signature matrix materialized on the driver. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3): DataFrame = {
-    val (index, _) = shingleIndex(docs, idCol, textCol, n)
+                        n: Int = 3): DataFrame =
+    minhashSignaturesFromIndex(shingleIndex(docs, idCol, textCol, n)._1)
+
+  private def minhashSignaturesFromIndex(index: DataFrame): DataFrame = {
     val h = pmod(col("shash"), lit(Prime))
     val sigCols = (0 until NumHashes).map { i =>
       val (a, b) = coeffs(i)
@@ -199,8 +201,11 @@ object Dedup {
     * (by parameter choice, misses need P < 1e-7 at s ≥ 0.8). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val cands = lshCandidates(minhashSignatures(docs, idCol, textCol, n))
+    // the exploded index feeds signatures and both verify sides; with
+    // the one-pass native ShingleHashes, rescanning beats caching the
+    // ~|docs|·avgSh exploded rows (measured: cache cost > rescan here)
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
+    val cands = lshCandidates(minhashSignaturesFromIndex(index))
     verifyJaccard(cands, index, sizes, threshold)
   }
 
