@@ -36,6 +36,22 @@ object Sinks {
     jdbc(df, url, table, mode, props)
   }
 
+  /** Bucketed parquet table: rows pre-hashed into `buckets` files per
+    * partition by the bucket columns and sorted within. Two tables
+    * bucketed the same way join WITHOUT a shuffle exchange (verified in
+    * `BucketingSpec`) — the 100 TB answer to the fact⋈fact join, e.g.
+    * lineitem⋈orders on the order key (`graft.model.Entities.sales`).
+    * Requires the table catalog (`saveAsTable`); plain `save` cannot
+    * carry bucket metadata. */
+  def bucketed(df: DataFrame, table: String, buckets: Int,
+               bucketCols: Seq[String],
+               mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode)
+      .bucketBy(buckets, bucketCols.head, bucketCols.tail: _*)
+      .sortBy(bucketCols.head, bucketCols.tail: _*)
+      .format("parquet")
+      .saveAsTable(table)
+
   /** Hive-style partitioned parquet layout (`path/col=value/...`) — the
     * 100 TB landing pattern: downstream scans with a partition-column
     * predicate prune whole directories before reading a byte. */
