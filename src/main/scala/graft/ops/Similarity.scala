@@ -102,41 +102,65 @@ object Similarity {
       .select("query_id", "nn_id", "cos", "rk")
   }
 
+  /** Nearest cell per corpus vector — one broadcast pass. */
+  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
+    val cellCos = Dedup.dot(col("nn_vec"), col("c_vec")) /
+      (col("nn_nrm") * col("c_nrm"))
+    c.crossJoin(broadcast(cents))
+      .groupBy(col("nn_id"))
+      .agg(
+        max(struct(cellCos.as("cos"), col("cid").as("cid"))).as("best"),
+        first(col("nn_vec")).as("nn_vec"),
+        first(col("nn_nrm")).as("nn_nrm"))
+      .select(col("best.cid").as("cid"), col("nn_id"), col("nn_vec"), col("nn_nrm"))
+  }
+
+  /** One k-means step: element-wise mean of each cell's members. Means
+    * are computed in DECIMAL (exact, aggregation-order-independent) then
+    * cast to double, so refinement is bit-deterministic across runs and
+    * cluster layouts. Empty cells drop out naturally. */
+  private def refineCentroids(assigned: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    assigned
+      .select(col("cid"), posexplode(col("nn_vec")).as(Seq("pos", "v")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("v").cast(DecimalType(24, 10))) / count(lit(1)))
+        .cast("double").as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), x => x.getField("m")).as("c_vec"))
+      .withColumn("c_nrm", Dedup.l2norm(col("c_vec")))
+  }
+
   /** IVF (inverted-file) ANN top-k: the corpus is partitioned into the
-    * Voronoi cells of `nCentroids` seed centroids; each query probes its
+    * Voronoi cells of `nCentroids` centroids; each query probes its
     * `nProbe` nearest cells and exact-cosine reranks the members.
     *
-    * Centroid "training" is a deterministic seed — the first
-    * `nCentroids` corpus vectors by id (real k-means refinement is one
-    * `groupBy(cell).avg(vec)` pass per iteration, a straightforward
-    * extension; the cell-assignment / probe / rerank dataflow below IS
-    * the 100 TB path: one broadcast pass to assign, shuffles keyed by
-    * cell id, candidates bounded by probed cells instead of the corpus).
+    * Centroids seed from the first `nCentroids` corpus vectors by id and
+    * are optionally refined with `iters` k-means passes (one
+    * `groupBy(cell)` element-wise decimal mean per pass — deterministic,
+    * see [[refineCentroids]]). The dataflow is the 100 TB path: one
+    * broadcast pass to assign, shuffles keyed by cell id, candidates
+    * bounded by probed cells instead of the corpus.
     *
     * Tie-handling is deterministic: cells are picked via max(struct(cos,
     * cid)) — a total order. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, nCentroids: Int = 16,
-              nProbe: Int = 4): DataFrame = {
+              nProbe: Int = 4, iters: Int = 0): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cents = corpus.filter(col(idCol) < nCentroids)
+    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      Dedup.l2norm(col(vecCol)).as("nn_nrm"))
+    var cents = corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("c_vec"),
         Dedup.l2norm(col(vecCol)).as("c_nrm"))
+    for (_ <- 0 until iters)
+      cents = refineCentroids(assignCells(c, cents))
 
     def cosTo(vec: Column, nrm: Column) =
       Dedup.dot(vec, col("c_vec")) / (nrm * col("c_nrm"))
 
-    // one broadcast pass: nearest cell per corpus vector
-    val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
-      Dedup.l2norm(col(vecCol)).as("nn_nrm"))
-    val assigned = c.crossJoin(broadcast(cents))
-      .groupBy(col("nn_id"))
-      .agg(
-        max(struct(cosTo(col("nn_vec"), col("nn_nrm")).as("cos"),
-          col("cid").as("cid"))).as("best"),
-        first(col("nn_vec")).as("nn_vec"),
-        first(col("nn_nrm")).as("nn_nrm"))
-      .select(col("best.cid").as("cid"), col("nn_id"), col("nn_vec"), col("nn_nrm"))
+    val assigned = assignCells(c, cents)
 
     // nProbe nearest cells per query
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),

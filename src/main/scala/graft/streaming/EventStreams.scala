@@ -85,6 +85,30 @@ object EventStreams {
     events.select(col("event_id"), col("event_type"),
       get_json_object(col("props"), "$.k").cast("int").as("props_k"))
 
+  /** Streaming exactly-once-per-key dedup: `dropDuplicates` on the event
+    * id with a watermark bounding the dedup state (late replays beyond
+    * the watermark age out of the state store instead of growing it
+    * forever — the at-least-once→effectively-once repair every ingest
+    * pipeline needs). Works identically on batch input (watermark is a
+    * no-op there). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
+    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
+              else events
+    src.dropDuplicates("event_id")
+  }
+
+  /** The production streaming sink pattern: `foreachBatch` hands each
+    * micro-batch to the BATCH sink layer (parquet here; the JDBC sink
+    * composes the same way), so one sink implementation serves both
+    * worlds and the stream gets batch-sink atomicity per micro-batch. */
+  def sinkBatches(stream: DataFrame, path: String, queryName: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    stream.writeStream.queryName(queryName)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.io.Sinks.parquet(batch, s"$path/batch_$batchId")
+      }
+      .start()
+
   // ── custom state: mapGroupsWithState ───────────────────────────────
 
   case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,

@@ -59,6 +59,19 @@ class SimilaritySpec extends SparkSpec {
     assert(run() == run())
   }
 
+  test("ivfTopK with k-means refinement: deterministic, recall not degraded") {
+    def run() = Similarity.ivfTopK(emb, queries, "vec_id", "embedding", 5,
+      nCentroids = 16, nProbe = 8, iters = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSeq
+    val r1 = run()
+    assert(r1 == run(), "decimal-mean refinement must be bit-deterministic")
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = r1.map(t => (t._1, t._2)).count(bf.contains).toDouble / bf.size
+    info(f"IVF(iters=2) recall@5: $recall%.3f")
+    assert(recall > 0.1)
+  }
+
   test("lshBuckets emits one row per (row, table)") {
     val b = Similarity.lshBuckets(emb.limit(10), "embedding", tables = 4)
     assert(b.count() == 40)

@@ -99,6 +99,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupEvents drops replayed ids across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.dedupEvents(mem.toDF(), "1 hour")
+      .writeStream.format("memory").queryName("dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:01:00"))
+      q.processAllAvailable()
+      mem.addData(ev(1, "2024-01-01 10:02:00"), // replay of id 1
+        ev(3, "2024-01-01 10:03:00"))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id")
+        .collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L), "replayed id must be dropped")
+    } finally q.stop()
+  }
+
+  test("sinkBatches lands each micro-batch through the batch parquet sink") {
+    implicit val sqlCtx = spark.sqlContext
+    val out = java.nio.file.Files.createTempDirectory("graft_fb_").toString
+    val mem = MemoryStream[Event]
+    val q = EventStreams.sinkBatches(mem.toDF(), out, "fb_test")
+    try {
+      mem.addData(ev(1, "2024-01-01 10:00:00")); q.processAllAvailable()
+      mem.addData(ev(2, "2024-01-01 10:01:00")); q.processAllAvailable()
+      val landed = spark.read.parquet(s"$out/batch_*").count()
+      assert(landed == 2)
+    } finally q.stop()
+  }
+
   test("file readStream over the fixture parquet reaches the same counts") {
     // FileStreamSource wants a directory: stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
