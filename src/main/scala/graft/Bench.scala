@@ -21,7 +21,10 @@ object Bench {
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .map { case (name, fn) =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // noop sink: evaluates every column of every row (count() would
+        // let Catalyst prune the projections being measured)
+        try fn(spark, sfDir).write.mode("overwrite").format("noop").save()
+        catch { case _: Throwable => () }
         name -> (System.nanoTime() - t0) / 1e9
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -106,8 +106,19 @@ object TextAnalysis {
     * every k-char window. Near-identical documents share the minimizing
     * window with high probability, so equal min-grams flag near-dups with
     * one scan and a groupBy — no pair join. Falls back to the whole-text
-    * hash when the text is shorter than k. */
-  def minGramFingerprint(text: Column, k: Int = 8): Column = {
+    * hash when the text is shorter than k.
+    *
+    * Implemented as the native rolling-hash expression
+    * [[graft.functions.MinGramHash64]] (O(len) single pass); the
+    * equivalent HOF composition (`transform(sequence, i ->
+    * aggregate(slice))`) computes identical values but interprets
+    * O(len·k) lambdas — ~200× slower, measured. */
+  def minGramFingerprint(text: Column, k: Int = 8): Column =
+    graft.functions.MinGramHash64.minGramHash64(text, k)
+
+  /** The HOF form of [[minGramFingerprint]] — kept as the executable
+    * specification the native expression is cross-checked against. */
+  def minGramFingerprintHof(text: Column, k: Int = 8): Column = {
     val codes = charCodes(text)
     val gramHashes = transform(
       sequence(lit(1), size(codes) - (k - 1)),

@@ -28,6 +28,15 @@ class TextAnalysisSpec extends SparkSpec {
     assert(fa == fb)
   }
 
+  test("native rolling min-gram equals the HOF specification on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val diff = docs.select(
+      TextAnalysis.minGramFingerprint($"text", 8).as("native"),
+      TextAnalysis.minGramFingerprintHof($"text", 8).as("hof"))
+      .filter($"native" =!= $"hof").count()
+    assert(diff == 0, "rolling update must equal the windowed fold exactly")
+  }
+
   test("langId picks the stopword-richest language, en-first ties") {
     val df = Seq(
       "the cat and the dog is in the house",
