@@ -71,6 +71,12 @@ object CustomerSalesReport {
       .withColumn("LOAD_TSTMP",
         lit(java.sql.Timestamp.valueOf(Entities.LoadTstmpLit)))
 
+    // Global percent_rank kept as the faithful single-partition window
+    // (W3). A distinct-amount rank-join variant was measured SLOWER here:
+    // SALE_AMOUNTs are mostly unique, so aggregating by amount compresses
+    // nothing and just re-computes the metrics lineage per branch. The
+    // scalable tiering pattern is q_customer_tier_scalable, where the
+    // per-customer aggregation genuinely shrinks the windowed set.
     val tierWindow = Window.orderBy(col("SALE_AMOUNT").desc)
     val tiered = metrics
       .withColumn("percent_rank", percent_rank().over(tierWindow))
