@@ -154,35 +154,32 @@ object Dedup {
   private val Prime = 2038074743L // < 2^31, keeps a*h+b within long exactly
 
   /** Deterministic affine hash coefficients (seeded — reproducible runs). */
-  private val coeffs: IndexedSeq[(Long, Long)] = {
+  private[graft] val coeffs: IndexedSeq[(Long, Long)] = {
     val rnd = new scala.util.Random(42)
     IndexedSeq.fill(NumHashes)((rnd.nextInt(Int.MaxValue - 1).toLong + 1,
       rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** MinHash signatures: one row per doc, `sig_0..sig_{NumHashes-1}`.
-    * Shingles are hashed with codegen'd xxhash64; each minhash is a MIN
-    * aggregate of an affine rehash — 128 partial-aggregating MINs in one
-    * shuffle pass, no signature matrix materialized on the driver. */
+  /** MinHash signatures: one row per doc, `sig` = array of NumHashes
+    * minima. One custom [[graft.functions.MinHashSketch]] imperative
+    * aggregate (partial+final, elementwise-min merge) instead of 128
+    * separate `min()` columns — the wide formulation cost ~2s of
+    * whole-stage codegen per JVM before any row moved. */
   def minhashSignatures(docs: DataFrame, idCol: String, textCol: String,
                         n: Int = 3): DataFrame =
     minhashSignaturesFromIndex(shingleIndex(docs, idCol, textCol, n)._1)
 
-  private def minhashSignaturesFromIndex(index: DataFrame): DataFrame = {
-    val h = pmod(col("shash"), lit(Prime))
-    val sigCols = (0 until NumHashes).map { i =>
-      val (a, b) = coeffs(i)
-      min(pmod(h * lit(a) + lit(b), lit(Prime))).as(s"sig_$i")
-    }
-    index.groupBy(col("id")).agg(sigCols.head, sigCols.tail: _*)
-  }
+  private def minhashSignaturesFromIndex(index: DataFrame): DataFrame =
+    index.groupBy(col("id")).agg(
+      graft.functions.MinHashSketch
+        .minhashSketch(col("shash"), coeffs, Prime).as("sig"))
 
-  /** LSH candidate pairs: band the signature, bucket-join within bands.
-    * Returns distinct (doc_i, doc_j) candidates. */
+  /** LSH candidate pairs: band the signature array, bucket-join within
+    * bands. Returns distinct (doc_i, doc_j) candidates. */
   def lshCandidates(signatures: DataFrame): DataFrame = {
     val bandStructs = (0 until NumBands).map { b =>
-      val rows = (0 until RowsPerBand).map(r => col(s"sig_${b * RowsPerBand + r}"))
-      struct(lit(b).as("band"), hash(rows: _*).as("bucket"))
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))
     }
     val banded = signatures
       .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
