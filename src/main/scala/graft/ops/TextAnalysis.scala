@@ -91,6 +91,25 @@ object TextAnalysis {
       when(size(toks) >= 20, lit(0.1)).otherwise(lit(0.0))
   }
 
+  /** Canonical text normalization — the pass every dedup/fingerprint
+    * stage runs first at scale: lowercase, collapse whitespace runs to
+    * one space, trim. Pure codegen'd string expressions. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(lower(text), "\\s+", " "))
+
+  // Conservative content-flag patterns, identical under Java regex and
+  // RE2 (no backrefs/lookaround): the filters a corpus-quality sweep
+  // applies before training.
+  val UrlPattern = "https?://[^ ]+"
+  val EmailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val DigitRunPattern = "[0-9]{6,}"
+
+  /** Content flags: URL / email / long-digit-run presence + counts. */
+  def contentFlags(text: Column): Seq[(String, Column)] = Seq(
+    "has_url" -> (size(regexp_extract_all(text, lit(UrlPattern), lit(0))) > 0),
+    "has_email" -> (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) > 0),
+    "n_digit_runs" -> size(regexp_extract_all(text, lit(DigitRunPattern), lit(0))))
+
   /** Per-character code points as longs (ASCII corpus contract). */
   def charCodes(text: Column): Column =
     transform(split(text, ""), c => ascii(c).cast("long"))

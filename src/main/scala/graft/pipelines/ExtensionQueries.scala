@@ -206,6 +206,19 @@ object ExtensionQueries {
         TextAnalysis.minGramFingerprint(col("text"), 8).as("min_gram8"))
         .orderBy("doc_id")),
 
+    "q_text_normalize" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id"),
+        TextAnalysis.normalizeText(col("text")).as("text_norm"),
+        length(TextAnalysis.normalizeText(col("text"))).as("n_chars_norm"))
+        .orderBy("doc_id")),
+
+    "q_text_flags" -> ((s, dir) =>
+      docs(s, dir).select(
+        col("doc_id") +:
+          TextAnalysis.contentFlags(col("text")).map { case (n, c) => c.as(n) }: _*)
+        .orderBy("doc_id")),
+
     // ── streaming transforms, run in batch mode (same plan runs under
     //    readStream + watermark — see EventStreams / StreamingSpec) ────
     "q_events_windowed" -> ((s, dir) =>
@@ -395,6 +408,19 @@ object ExtensionQueries {
          |              FOR i IN generate_series(1, len(codes)-7)])
          |  ELSE ${sqlPolyFold("codes")} END AS min_gram8
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS text_norm,
+        |  length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS n_chars_norm
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_flags" ->
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) > 0 AS has_url,
+         |  len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) > 0 AS has_email,
+         |  CAST(len(regexp_extract_all(text, '${TextAnalysis.DigitRunPattern}')) AS INT) AS n_digit_runs
+         |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q_events_windowed" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -59,6 +59,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(r.getInt(1) == 6)
   }
 
+  test("normalizeText lowercases, collapses whitespace, trims") {
+    val out = Seq("  Hello   WORLD\t\n again  ").toDF("text")
+      .select(TextAnalysis.normalizeText($"text")).first().getString(0)
+    assert(out == "hello world again")
+  }
+
+  test("content flags detect urls, emails, digit runs") {
+    val df = Seq(
+      ("see https://example.com/x now", true, false, 0),
+      ("mail me at a.b+c@test.org", false, true, 0),
+      ("id 1234567 and 89", false, false, 1),
+      ("plain text", false, false, 0)
+    ).toDF("text", "url", "email", "runs")
+    val flags = TextAnalysis.contentFlags($"text")
+    val rows = df.select($"url", $"email", $"runs",
+      flags(0)._2.as("u"), flags(1)._2.as("e"), flags(2)._2.as("r")).collect()
+    rows.foreach { r =>
+      assert(r.getBoolean(0) == r.getBoolean(3))
+      assert(r.getBoolean(1) == r.getBoolean(4))
+      assert(r.getInt(2) == r.getInt(5))
+    }
+  }
+
   test("quality ratios bounded and punctuation-sensitive") {
     val clean = "the quick brown fox jumps over the lazy dog and it runs on"
     val noisy = "!!! ??? ... ,,, ;;;"
