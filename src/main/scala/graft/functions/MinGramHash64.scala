@@ -49,23 +49,26 @@ object MinGramHash64 {
   }
 
   def compute(s: String, k: Int): Long = {
-    val n = s.length
+    // code points, not UTF-16 units: the HOF form folds over
+    // split(text,'') characters whose ascii() is the code point
+    val cp = s.codePoints().toArray
+    val n = cp.length
     // short text: whole-text fold (same fallback as the Column form)
     if (n < k) {
       var h = 0L
       var i = 0
-      while (i < n) { h = (h * B + s.charAt(i)) % P; i += 1 }
+      while (i < n) { h = (h * B + cp(i)) % P; i += 1 }
       return h
     }
     val w = pow(k)
     var h = 0L
     var i = 0
-    while (i < k) { h = (h * B + s.charAt(i)) % P; i += 1 }
+    while (i < k) { h = (h * B + cp(i)) % P; i += 1 }
     var min = h
     while (i < n) {
-      // remove s(i-k), shift, add s(i) — all mod P (kept non-negative)
-      h = (h - (s.charAt(i - k) * w) % P + P) % P
-      h = (h * B + s.charAt(i)) % P
+      // remove cp(i-k), shift, add cp(i) — all mod P (kept non-negative)
+      h = (h - (cp(i - k) * w) % P + P) % P
+      h = (h * B + cp(i)) % P
       if (h < min) min = h
       i += 1
     }
