@@ -232,6 +232,17 @@ object ExtensionQueries {
     "q_events_props" -> ((s, dir) =>
       EventStreams.propsK(events(s, dir)).orderBy("event_id")),
 
+    // As-of join (union-window form; DuckDB's native ASOF JOIN is the
+    // oracle): each event joined to the user's latest strictly-earlier
+    // event.
+    "q_join_asof" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id", "ts", "user_id", "value")
+      graft.ops.AsOf.asOfJoin(e, e, Seq("user_id"), "ts", "ts", strict = true)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"),
+          col("asof_ts"), col("asof_value"))
+        .orderBy("event_id")
+    }),
+
     // ── multimodal binary-column plumbing ────────────────────────────
     "q_multimodal_meta" -> ((s, dir) => {
       val m = Multimodal.mediaFromDocuments(docs(s, dir))
@@ -454,6 +465,13 @@ object ExtensionQueries {
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS props_k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_join_asof" ->
+      """SELECT l.event_id, l.user_id, l.ts, l.value,
+        |       r.ts AS asof_ts, r.value AS asof_value
+        |FROM events l ASOF LEFT JOIN events r
+        |  ON l.user_id = r.user_id AND r.ts < l.ts
+        |ORDER BY l.event_id""".stripMargin,
 
     // documents are pure-ASCII (verified), so varchar-side length/
     // substring/md5 equal Spark's byte-side ops on the UTF-8 payload.

@@ -1,0 +1,47 @@
+package graft
+
+import java.sql.Timestamp
+import graft.ops.AsOf
+
+class AsOfSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  private lazy val quotes = Seq(
+    (1L, ts("2024-01-01 10:00:00"), 100.0),
+    (1L, ts("2024-01-01 10:05:00"), 101.0),
+    (2L, ts("2024-01-01 10:02:00"), 50.0)
+  ).toDF("key", "qt", "price")
+
+  private lazy val trades = Seq(
+    (1L, ts("2024-01-01 10:03:00"), "t1"), // between the two quotes
+    (1L, ts("2024-01-01 10:05:00"), "t2"), // exactly at quote 2
+    (2L, ts("2024-01-01 10:01:00"), "t3"), // before any key-2 quote
+    (3L, ts("2024-01-01 10:00:00"), "t4")  // key with no quotes at all
+  ).toDF("key", "tt", "trade")
+
+  test("non-strict: latest quote at-or-before each trade") {
+    val out = AsOf.asOfJoin(trades, quotes, Seq("key"), "tt", "qt")
+      .select("trade", "asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t1").contains(100.0))
+    assert(out("t2").contains(101.0)) // equal time included
+    assert(out("t3").isEmpty)
+    assert(out("t4").isEmpty)
+  }
+
+  test("strict: equal-time right row excluded") {
+    val out = AsOf.asOfJoin(trades, quotes, Seq("key"), "tt", "qt", strict = true)
+      .select("trade", "asof_price").collect()
+      .map(r => r.getString(0) -> Option(r.get(1))).toMap
+    assert(out("t2").contains(100.0)) // falls back to the earlier quote
+  }
+
+  test("left rows and columns are all preserved") {
+    val out = AsOf.asOfJoin(trades, quotes, Seq("key"), "tt", "qt")
+    assert(out.count() == trades.count())
+    assert(Seq("key", "tt", "trade", "asof_qt", "asof_price")
+      .forall(out.columns.contains))
+  }
+}
