@@ -243,6 +243,22 @@ object ExtensionQueries {
         .orderBy("event_id")
     }),
 
+    // Range join (bin-bucketed equi-join + exact filter): events landing
+    // within the hour after another event of the same user.
+    "q_join_range" -> ((s, dir) => {
+      val e = events(s, dir).select("event_id", "ts", "user_id")
+      val intervals = e
+        .withColumnRenamed("event_id", "interval_id")
+        .withColumn("end_ts", expr("ts + INTERVAL 1 HOUR"))
+        .select(col("user_id"), col("interval_id"), col("ts").as("start_ts"), col("end_ts"))
+      graft.ops.RangeJoin.binnedRangeJoin(
+        e, intervals, Seq("user_id"), "ts", "start_ts", "end_ts", 3600L)
+        .filter(col("ts") > col("range_start_ts")) // strictly after, excludes self
+        .select(col("event_id"), col("range_interval_id").as("interval_id"),
+          col("user_id"))
+        .orderBy("event_id", "interval_id")
+    }),
+
     // ── multimodal binary-column plumbing ────────────────────────────
     "q_multimodal_meta" -> ((s, dir) => {
       val m = Multimodal.mediaFromDocuments(docs(s, dir))
@@ -472,6 +488,13 @@ object ExtensionQueries {
         |FROM events l ASOF LEFT JOIN events r
         |  ON l.user_id = r.user_id AND r.ts < l.ts
         |ORDER BY l.event_id""".stripMargin,
+
+    "q_join_range" ->
+      """SELECT p.event_id, i.event_id AS interval_id, p.user_id
+        |FROM events p JOIN events i
+        |  ON p.user_id = i.user_id
+        | AND p.ts > i.ts AND p.ts <= i.ts + INTERVAL 1 HOUR
+        |ORDER BY p.event_id, interval_id""".stripMargin,
 
     // documents are pure-ASCII (verified), so varchar-side length/
     // substring/md5 equal Spark's byte-side ops on the UTF-8 payload.

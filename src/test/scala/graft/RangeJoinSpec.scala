@@ -1,0 +1,51 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import graft.ops.RangeJoin
+
+class RangeJoinSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("binnedRangeJoin equals the naive theta join, inclusive bounds") {
+    val points = Seq(
+      (1L, 10L, ts("2024-01-01 10:30:00")),
+      (2L, 10L, ts("2024-01-01 11:00:00")), // exactly at an interval end
+      (3L, 10L, ts("2024-01-01 12:00:01")), // just outside
+      (4L, 20L, ts("2024-01-01 10:30:00")) // right key, wrong user
+    ).toDF("pid", "user_id", "ts")
+    val intervals = Seq(
+      (100L, 10L, ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")),
+      (101L, 10L, ts("2024-01-01 11:30:00"), ts("2024-01-01 12:00:00"))
+    ).toDF("iid", "user_id", "start_ts", "end_ts")
+
+    val binned = RangeJoin.binnedRangeJoin(points, intervals, Seq("user_id"),
+      "ts", "start_ts", "end_ts", binSeconds = 600L)
+      .select("pid", "range_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == Set((1L, 100L), (2L, 100L)))
+
+    // cross-check against the naive inequality join
+    val naive = points.join(intervals, Seq("user_id"))
+      .filter($"ts" >= $"start_ts" && $"ts" <= $"end_ts")
+      .select("pid", "iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(binned == naive)
+  }
+
+  test("bin width does not change results, only candidate counts") {
+    val e = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .select("event_id", "user_id", "ts")
+    val iv = e.withColumnRenamed("event_id", "iid")
+      .withColumn("end_ts", expr("ts + INTERVAL 30 MINUTES"))
+      .select($"user_id", $"iid", $"ts".as("start_ts"), $"end_ts")
+    def run(bin: Long) = RangeJoin.binnedRangeJoin(e, iv, Seq("user_id"),
+      "ts", "start_ts", "end_ts", bin)
+      .select("event_id", "range_iid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(600L) == run(7200L))
+  }
+}
