@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic sampling — the reproducibility-critical alternative to
+  * `df.sample()` for training-data pipelines: `sample()` draws from a
+  * per-partition RNG, so results change with partitioning, task retries,
+  * and Spark versions; these operators decide membership from row
+  * CONTENT, so a sample is stable across runs, cluster layouts, and
+  * re-executions (and two teams sampling the same corpus get the same
+  * rows).
+  */
+object Sampling {
+
+  val Buckets = 1000000L
+
+  /** Hash-based Bernoulli sample: keep rows where
+    * `xxhash64(keys) mod 1e6 < fraction·1e6`. Per-row membership is a
+    * pure function of the key columns. */
+  def hashSample(df: DataFrame, keyCols: Seq[String], fraction: Double): DataFrame = {
+    require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
+    df.filter(bucketOf(keyCols.map(col)) < (fraction * Buckets).toLong)
+  }
+
+  private def bucketOf(keys: Seq[Column]): Column =
+    pmod(xxhash64(keys: _*), lit(Buckets))
+
+  /** Stratified deterministic sample: per-stratum fractions, hash-based
+    * membership within each stratum (`fractions` maps stratum value →
+    * fraction; absent strata use `default`). */
+  def stratifiedHashSample(df: DataFrame, strataCol: String, keyCols: Seq[String],
+                           fractions: Map[String, Double],
+                           default: Double = 0.0): DataFrame = {
+    val cut = fractions.foldLeft(lit((default * Buckets).toLong)) {
+      case (acc, (value, f)) =>
+        when(col(strataCol) === value, lit((f * Buckets).toLong)).otherwise(acc)
+    }
+    df.filter(bucketOf(keyCols.map(col)) < cut)
+  }
+
+  /** Systematic sample on an integer key: keep rows where
+    * `key mod every < take` — the fully SQL-portable deterministic sample
+    * (exactly mirrored by the DuckDB oracle). */
+  def systematicSample(df: DataFrame, keyCol: String, every: Long, take: Long): DataFrame = {
+    require(every > 0 && take >= 0 && take <= every)
+    df.filter(pmod(col(keyCol), lit(every)) < take)
+  }
+}

@@ -170,6 +170,12 @@ object ExtensionQueries {
         .orderBy("CUSTOMER_ID")
     }),
 
+    // Deterministic sampling (reproducible corpus subsetting)
+    "q_sample_systematic" -> ((s, dir) =>
+      graft.ops.Sampling.systematicSample(
+        docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id", 10L, 3L)
+        .orderBy("doc_id")),
+
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -435,6 +441,10 @@ object ExtensionQueries {
          |              FOR i IN generate_series(1, len(codes)-7)])
          |  ELSE ${sqlPolyFold("codes")} END AS min_gram8
          |FROM c ORDER BY doc_id""".stripMargin,
+
+    "q_sample_systematic" ->
+      """SELECT doc_id, lang, n_chars FROM documents
+        |WHERE doc_id % 10 < 3 ORDER BY doc_id""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

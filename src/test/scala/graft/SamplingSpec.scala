@@ -1,0 +1,43 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Sampling
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("hashSample: deterministic, partition-invariant, near the fraction") {
+    val a = Sampling.hashSample(docs, Seq("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val b = Sampling.hashSample(docs.repartition(17), Seq("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(a == b, "membership must not depend on partitioning")
+    val frac = a.size.toDouble / docs.count()
+    assert(frac > 0.2 && frac < 0.4, s"observed fraction $frac")
+  }
+
+  test("hashSample nests: a 10% sample is a subset of the 30% sample") {
+    val small = Sampling.hashSample(docs, Seq("doc_id"), 0.1)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val big = Sampling.hashSample(docs, Seq("doc_id"), 0.3)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(small.subsetOf(big))
+  }
+
+  test("stratifiedHashSample applies per-stratum fractions") {
+    val out = Sampling.stratifiedHashSample(docs, "lang", Seq("doc_id"),
+      Map("en" -> 1.0, "de" -> 0.0), default = 0.0)
+    val langs = out.select("lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en")))
+    val enTotal = docs.filter(col("lang") === "en").count()
+    assert(out.count() == enTotal, "fraction 1.0 keeps the whole stratum")
+  }
+
+  test("systematicSample keeps exactly key % every < take") {
+    val out = Sampling.systematicSample(docs, "doc_id", 10L, 3L)
+      .select("doc_id").collect().map(_.getLong(0))
+    assert(out.forall(id => id % 10 < 3))
+    assert(out.length == docs.filter(col("doc_id") % 10 < 3).count())
+  }
+}
