@@ -53,10 +53,13 @@ object Sources {
 
   /** S6 — parquet source registered as a temp view + SQL over it
     * (reference `Raptor.py:89-100`, including the `reporting.<table>`
-    * prefix rewrite). */
+    * prefix rewrite — done with a word-boundary regex, not plain
+    * `String.replace`, so `reporting.<view>` inside string literals like
+    * `'x reporting.foo'` or in a longer identifier is left alone). */
   def parquetSql(spark: SparkSession, path: String, view: String, sql: String): DataFrame = {
     spark.read.parquet(path).createOrReplaceTempView(view)
-    spark.sql(sql.replace(s"reporting.$view", view))
+    val pat = ("(?i)\\breporting\\." + java.util.regex.Pattern.quote(view) + "\\b").r
+    spark.sql(pat.replaceAllIn(sql, java.util.regex.Matcher.quoteReplacement(view)))
   }
 
   /** S9 — dated-path resolution, the reference's

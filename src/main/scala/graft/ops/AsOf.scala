@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -38,17 +38,20 @@ object AsOf {
       .withColumn("__t", col(s"$rightPrefix$rightTime"))
       .withColumn("__side", lit(0))
 
-    // align schemas for the union
-    val allCols =
-      keys.map(col) ++
-        leftCols.filterNot(keys.contains).map(c => col(c)) ++
-        rightPayload.map(c => col(s"$rightPrefix$c")) ++
-        Seq(col("__t"), col("__side"))
-    val l = taggedLeft
-      .select(allCols.map(c => tryCol(taggedLeft, c)): _*)
-    val r = taggedRight
-      .select(allCols.map(c => tryCol(taggedRight, c)): _*)
-    val unioned = l.unionByName(r)
+    // align schemas for the union by NAME, with missing columns filled by
+    // nulls typed from the side that has them (untyped NullType would lean
+    // on union coercion; expression-valued Columns would not round-trip)
+    val allNames: Seq[String] =
+      keys ++ leftCols.filterNot(keys.contains) ++
+        rightPayload.map(c => s"$rightPrefix$c") ++ Seq("__t", "__side")
+    val types: Map[String, org.apache.spark.sql.types.DataType] =
+      (taggedLeft.schema ++ taggedRight.schema).map(f => f.name -> f.dataType).toMap
+    def aligned(df: DataFrame): DataFrame = {
+      val present = df.columns.toSet
+      df.select(allNames.map(n =>
+        if (present(n)) col(n) else lit(null).cast(types(n)).as(n)): _*)
+    }
+    val unioned = aligned(taggedLeft).unionByName(aligned(taggedRight))
 
     // at equal times: non-strict sees the right row (right side=0 sorts
     // first, ascending), strict does not (left sorts first, descending)
@@ -56,17 +59,18 @@ object AsOf {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, sideOrder)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = rightPayload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(s"$rightPrefix$c",
-        last(col(s"$rightPrefix$c"), ignoreNulls = true).over(w))
-    }
-    filled.filter(col("__side") === 1).drop("__t", "__side")
-  }
-
-  /** Column if present on the frame, else a typed null placeholder. */
-  private def tryCol(df: DataFrame, c: Column): Column = {
-    val name = c.toString
-    if (df.columns.contains(name)) col(name)
-    else lit(null).as(name)
+    // fill ONE struct of the whole right payload, not each column
+    // independently: per-column last(ignoreNulls) would let a null field
+    // skip back to an OLDER right row than its siblings, producing an
+    // output row that corresponds to no actual right row. The struct is
+    // non-null exactly on right-side rows, so null fields travel with
+    // their row (ASOF LEFT returns the matched row including its nulls).
+    val payloadStruct = when(col("__side") === 0,
+      struct(rightPayload.map(c => col(s"$rightPrefix$c")): _*))
+    val filled = unioned
+      .withColumn("__r", last(payloadStruct, ignoreNulls = true).over(w))
+    rightPayload.foldLeft(filled) { (df, c) =>
+      df.withColumn(s"$rightPrefix$c", col("__r").getField(s"$rightPrefix$c"))
+    }.filter(col("__side") === 1).drop("__t", "__side", "__r")
   }
 }

@@ -182,8 +182,11 @@ object Reconcile {
       .withColumn("Percentage_Of_Mismatch",
         concat((col("Mismatch_Record_Count_Column_Level") * lit(100.0) /
           col("compared_cnt")).cast("decimal(10,2)").cast("string"), lit("%")))
+      // worst-first by the NUMERIC ratio — sorting the formatted string
+      // would be lexicographic ('9.09%' above '33.33%')
+      .orderBy((col("Mismatch_Record_Count_Column_Level") /
+          col("compared_cnt")).desc, col("mismatch_column_name"))
       .drop("compared_cnt")
-      .orderBy(desc("Percentage_Of_Mismatch"), col("mismatch_column_name"))
   }
 
   /** All diff artifacts of one reconciliation run, lazily (nothing

@@ -227,12 +227,18 @@ object ExtensionQueries {
 
     // ── streaming transforms, run in batch mode (same plan runs under
     //    readStream + watermark — see EventStreams / StreamingSpec) ────
+    // total_value is summed in DECIMAL (exact, order-independent) and cast
+    // to double only at the query edge: values are 2-decimal so the double
+    // is exact, and the driver's hasher representation of Spark vs DuckDB
+    // DECIMAL types differs even when values are identical (VERDICT r1 §1).
     "q_events_windowed" -> ((s, dir) =>
       EventStreams.tumblingStats(events(s, dir))
+        .withColumn("total_value", col("total_value").cast("double"))
         .orderBy("window_start", "event_type")),
 
     "q_events_sessionize" -> ((s, dir) =>
       EventStreams.sessionStats(events(s, dir))
+        .withColumn("total_value", col("total_value").cast("double"))
         .orderBy("user_id", "session_start")),
 
     "q_events_props" -> ((s, dir) =>
@@ -283,10 +289,16 @@ object ExtensionQueries {
           md5(col("frame_bytes")).as("frame_md5"))
         .orderBy("media_id", "frame_idx")),
 
-    // rows-only check (mapPartitions decode stub — not SQL-expressible)
+    // features quantized (floor(f·1e6), exact: the stub's double math and
+    // float rounding are IEEE-identical in DuckDB) and serialized at the
+    // edge — the driver's pandas sort can't hash array cells (VERDICT r1 §2)
     "q_multimodal_features" -> ((s, dir) =>
       Multimodal.decodeFeatures(
         Multimodal.partitionByModality(Multimodal.mediaFromDocuments(docs(s, dir))), 8)
+        .select(col("media_id"), col("modality"),
+          concat_ws(" ", transform(col("features"),
+            f => floor(f.cast("double") * lit(1000000.0)).cast("string")))
+            .as("features_q6"))
         .orderBy("media_id")),
   )
 
@@ -462,7 +474,7 @@ object ExtensionQueries {
     "q_events_windowed" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,
         |       COUNT(*) AS n_events,
-        |       SUM(CAST(value AS DECIMAL(12,2))) AS total_value,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
         |       MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
@@ -484,7 +496,7 @@ object ExtensionQueries {
         |                         ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM m)
         |SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events,
-        |       SUM(CAST(value AS DECIMAL(12,2))) AS total_value
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""".stripMargin,
 
     "q_events_props" ->
@@ -528,5 +540,29 @@ object ExtensionQueries {
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // recomputes the decode stub from scratch (per-chunk mean byte value /
+    // 255 → float): docs are pure ASCII so ord(ch) = payload byte; the
+    // double divisions, float rounding, and floor quantization are
+    // IEEE-identical between DuckDB and the JVM.
+    "q_multimodal_features" ->
+      """WITH c AS (
+        |  SELECT doc_id AS media_id,
+        |         CASE WHEN doc_id % 3 = 0 THEN 'image'
+        |              WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+        |         [CAST(ord(ch) AS BIGINT) FOR ch IN string_split(text, '')] AS codes,
+        |         CAST(length(text) AS BIGINT) AS n
+        |  FROM documents),
+        |k AS (SELECT media_id, modality, codes, n, greatest(1, n // 8) AS chunk FROM c)
+        |SELECT media_id, modality,
+        |  array_to_string([
+        |    CASE WHEN least(n, d * chunk + chunk) > d * chunk
+        |         THEN CAST(CAST(floor(CAST(CAST(
+        |                CAST(list_sum(codes[d * chunk + 1 : least(n, d * chunk + chunk)]) AS DOUBLE)
+        |                / (least(n, d * chunk + chunk) - d * chunk) / 255.0 AS REAL) AS DOUBLE)
+        |              * 1000000.0) AS BIGINT) AS VARCHAR)
+        |         ELSE '0' END
+        |    FOR d IN generate_series(0, 7)], ' ') AS features_q6
+        |FROM k ORDER BY media_id""".stripMargin,
   )
 }

@@ -383,7 +383,10 @@ object OperatorQueries {
         |       CAST(l_linenumber AS DOUBLE) AS line_dbl
         |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_partkey""".stripMargin),
 
-    // E7/E8 — array + higher-order function family over documents
+    // E7/E8 — array + higher-order function family over documents.
+    // head3 is built as an ARRAY (slice) and serialized only at the query
+    // edge (array_join): the driver's pandas sort can't hash array cells
+    // (VERDICT r1 §2), and the serialization keeps the HOF itself under test.
     "q_expr_array_hof" -> (
       ((s: SparkSession, dir: String) => {
         val toks = split(col("text"), " ")
@@ -393,7 +396,7 @@ object OperatorQueries {
           element_at(toks, 1).as("first_token"),
           array_contains(toks, "spark").as("has_spark"),
           element_at(transform(toks, x => upper(x)), 2).as("second_upper"),
-          slice(toks, 1, 3).as("head3"),
+          array_join(slice(toks, 1, 3), " ").as("head3"),
           aggregate(transform(toks, x => length(x)), lit(0), (acc, x) => acc + x)
             .as("total_chars"))
           .orderBy("doc_id")
@@ -403,7 +406,7 @@ object OperatorQueries {
         |       string_split(text, ' ')[1] AS first_token,
         |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |       list_transform(string_split(text, ' '), x -> upper(x))[2] AS second_upper,
-        |       list_slice(string_split(text, ' '), 1, 3) AS head3,
+        |       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS head3,
         |       list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS total_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 

@@ -177,5 +177,6 @@ object ReconcileQueries {
     |SELECT m.mismatch_column_name, m.Mismatch_Record_Count_Column_Level,
     |       CAST(CAST(m.Mismatch_Record_Count_Column_Level * 100.0 / c.compared_cnt AS DECIMAL(10,2)) AS VARCHAR) || '%' AS Percentage_Of_Mismatch
     |FROM mism m CROSS JOIN cmp c
-    |ORDER BY Percentage_Of_Mismatch DESC, m.mismatch_column_name""".stripMargin
+    |ORDER BY m.Mismatch_Record_Count_Column_Level * 1.0 / c.compared_cnt DESC,
+    |         m.mismatch_column_name""".stripMargin
 }
