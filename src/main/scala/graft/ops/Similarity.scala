@@ -34,6 +34,12 @@ object Similarity {
     if ((z & 1L) == 1L) 1 else -1
   }
 
+  /** All signs of one plane — exposed so the differential oracle can emit
+    * the SAME deterministic hyperplanes as literal SQL weight arrays
+    * (the LSH path is then fully SQL-checkable, not rows-only). */
+  private[graft] def planeSigns(table: Int, plane: Int, dims: Int): IndexedSeq[Int] =
+    (0 until dims).map(d => planeSign(table, plane, d))
+
   /** Signed projection of a vector column onto plane (t, p): the fold
     * Σ v[d] * sign(t,p,d) as a codegen'd dot product against a literal
     * weight array ([[graft.functions.DotProduct]], no UDF). */

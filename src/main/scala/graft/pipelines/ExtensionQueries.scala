@@ -16,9 +16,10 @@ import graft.streaming.EventStreams
   * Oracle notes: every numeric output is either integer or a
   * bit-deterministic double (sequential folds, single IEEE ops — see
   * [[Dedup.dot]] / [[TextAnalysis]]), so DuckDB hash-compare is exact.
-  * `q_sim_lsh_topk` has no SQL equivalent (random-hyperplane buckets);
-  * the driver records its weaker rows-only check and the spec measures
-  * recall against brute force instead.
+  * This includes both ANN paths: IVF with `iters=0` is a deterministic
+  * dataflow (seeded centroids, total-order tie-breaks) and LSH's
+  * hyperplanes are deterministic splitmix64 signs which the oracle
+  * re-emits as literal SQL weight arrays — no rows-only checks left.
   */
 object ExtensionQueries {
 
@@ -74,6 +75,21 @@ object ExtensionQueries {
   val CosineThreshold = 0.4
   val SimQueryIds = 8
   val SimK = 5
+  val IvfCentroids = 16
+  val IvfProbe = 4
+  val LshTables = 8
+  val LshPlanes = 8
+  val EmbDims = 64
+
+  /** The LSH hyperplane signs as literal VALUES rows `(tbl, pl, [±1.0…])`
+    * — the exact same deterministic splitmix64 signs
+    * [[Similarity.lshBuckets]] folds against, re-emitted for DuckDB. */
+  private def lshWeightValues: String =
+    (for { t <- 0 until LshTables; p <- 0 until LshPlanes } yield {
+      val arr = Similarity.planeSigns(t, p, EmbDims)
+        .map(s => s"$s.0").mkString("[", ",", "]")
+      s"($t,$p,$arr)"
+    }).mkString(",\n")
 
   val queries: Map[String, Q] = Map(
     // ── deduplication ────────────────────────────────────────────────
@@ -124,7 +140,8 @@ object ExtensionQueries {
         "vec_id", "embedding", SimK).orderBy("query_id", "rk")
     }),
 
-    // rows-only check (probabilistic cell recall; spec measures vs brute force)
+    // deterministic with iters=0: centroids = first-N corpus vectors,
+    // total-order tie-breaks — the oracle replays the same dataflow in SQL
     "q_sim_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < SimQueryIds),
@@ -373,6 +390,77 @@ object ExtensionQueries {
          |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
          |  FROM norms q CROSS JOIN norms c
          |  WHERE q.vec_id < $SimQueryIds AND c.vec_id <> q.vec_id),
+         |ranked AS (
+         |  SELECT query_id, nn_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, nn_id, cos, rk FROM ranked WHERE rk <= $SimK
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // replays ivfTopK(iters=0) exactly: centroids = vec_id < IvfCentroids,
+    // cell assignment tie-break (cos DESC, cid DESC) mirrors Spark's
+    // max(struct(cos, cid)); probe tie-break (cos DESC, cid ASC) mirrors
+    // the probe window. All cosines are the same sequential fold.
+    "q_sim_ivf_topk" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |cents AS (SELECT vec_id AS cid, embedding AS c_vec, nrm AS c_nrm
+         |          FROM norms WHERE vec_id < $IvfCentroids),
+         |assigned AS (
+         |  SELECT nn_id, cid FROM (
+         |    SELECT c.vec_id AS nn_id, t.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY c.vec_id
+         |             ORDER BY ${sqlDot("c.embedding", "t.c_vec")} / (c.nrm * t.c_nrm) DESC,
+         |                      t.cid DESC) AS rn
+         |    FROM norms c CROSS JOIN cents t)
+         |  WHERE rn = 1),
+         |probed AS (
+         |  SELECT query_id, cid FROM (
+         |    SELECT q.vec_id AS query_id, t.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+         |             ORDER BY ${sqlDot("q.embedding", "t.c_vec")} / (q.nrm * t.c_nrm) DESC,
+         |                      t.cid ASC) AS rn
+         |    FROM norms q CROSS JOIN cents t
+         |    WHERE q.vec_id < $SimQueryIds)
+         |  WHERE rn <= $IvfProbe),
+         |scored AS (
+         |  SELECT p.query_id, a.nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM probed p JOIN assigned a ON a.cid = p.cid
+         |  JOIN norms q ON q.vec_id = p.query_id
+         |  JOIN norms c ON c.vec_id = a.nn_id
+         |  WHERE a.nn_id <> p.query_id),
+         |ranked AS (
+         |  SELECT query_id, nn_id, cos,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rk
+         |  FROM scored)
+         |SELECT query_id, nn_id, cos, rk FROM ranked WHERE rk <= $SimK
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // replays lshTopK with the SAME hyperplanes (literal sign arrays from
+    // the splitmix64 generator): bucket = packed sign bits per table,
+    // candidates share any (table, bucket), exact-cosine rerank.
+    "q_sim_lsh_topk" ->
+      s"""WITH w(tbl, pl, wv) AS (VALUES
+         |$lshWeightValues),
+         |bk AS (
+         |  SELECT e.vec_id, w.tbl,
+         |         SUM(CASE WHEN ${sqlDot("e.embedding", "w.wv")} >= 0
+         |                  THEN (1 << w.pl) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN w GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id
+         |  FROM bk c JOIN bk q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE q.vec_id < $SimQueryIds AND c.vec_id <> q.vec_id),
+         |norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |scored AS (
+         |  SELECT d.query_id, d.nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM cand d JOIN norms q ON q.vec_id = d.query_id
+         |  JOIN norms c ON c.vec_id = d.nn_id),
          |ranked AS (
          |  SELECT query_id, nn_id, cos,
          |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, nn_id) AS INT) AS rk
