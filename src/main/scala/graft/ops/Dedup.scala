@@ -21,8 +21,9 @@ import org.apache.spark.sql.functions._
   *     then candidates are verified with exact Jaccard. Parameters
   *     (128 hashes, 32 bands × 4 rows) put the S-curve threshold at
   *     ~(1/32)^(1/4) ≈ 0.42 — recall at s ≥ 0.8 is 1-(1-0.8⁴)³² ≈ 1-5e-8.
-  *   - Cosine near-dup here is the exact small-side variant (self-join);
-  *     the LSH-bucketed scale path is in [[Similarity]].
+  *   - Cosine near-dup ships both modes: [[cosinePairs]] (exact
+  *     small-side self-join) and [[cosinePairsLsh]] (hyperplane-bucketed
+  *     candidates + exact verify — the 100 TB path).
   */
 object Dedup {
 
@@ -244,8 +245,8 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (exact, self-join). Norms are
     * computed once per vector BEFORE the pair join (N folds instead of
     * 2·N² — the division `dot/(nrm_a·nrm_b)` is bit-identical to folding
-    * per pair). At 100 TB this becomes candidates-from-
-    * [[Similarity.lshBuckets]] + this verify. */
+    * per pair). This is the small-side exact mode; [[cosinePairsLsh]] is
+    * the bucketed 100 TB path. */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
                   threshold: Double = 0.95): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
@@ -253,6 +254,45 @@ object Dedup {
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"),
         (dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** Embedding-cosine near-dup pairs via random-hyperplane LSH candidate
+    * generation + exact verify — the scale path that replaces
+    * [[cosinePairs]]'s all-pairs join: candidates come from an equi-join
+    * on (table, bucket) (shuffle-partitioned, never a nested loop), and
+    * every candidate's TRUE cosine is computed and thresholded, so
+    * reported similarities are always exact and false positives cost only
+    * one verify fold.
+    *
+    * Recall: a pair at angle θ collides on one b-plane table with
+    * p₁ = (1 − θ/π)ᵇ, so P[miss] = (1 − p₁)^tables. Tune (tables, planes)
+    * to the threshold: production near-dup sweeps (cos ≥ 0.9, θ ≤ 26°)
+    * take planes 6-8 with tables 16-32 (deep buckets, strong pruning);
+    * looser thresholds need shallower tables — at cos 0.4, 32 tables × 2
+    * planes gives P[miss] ≈ 9e-8 (the oracle-shared configuration; at such
+    * low thresholds the candidate set approaches all-pairs, which is
+    * intrinsic to the operating point, not the algorithm — the join is
+    * still hash-partitioned, not a broadcast nested loop). */
+  def cosinePairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, tables: Int = 16,
+                     planes: Int = 8, dims: Int = 64): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val banded = Similarity
+      .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
+      .select("id", "table", "bucket")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"))
+      .distinct()
+    cands
+      .join(e.select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
+      .join(e.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
+      .select(col("vec_i"), col("vec_j"),
+        (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -54,4 +54,14 @@ object Dag {
 
     ingestion ++ marts
   }
+
+  /** The reference's SECOND production DAG (`dags/usa_etl_dag.py:6-10`,
+    * one task: `usa_population_ingestion.py:20-56`) — canonicalize + gate
+    * via [[Ingestion.usaPopulation]], landed with the same raw/legacy
+    * snapshot convention as [[runAll]]'s stages. */
+  def runUsaEtl(spark: SparkSession, sfDir: String, outDir: String): StageResult = {
+    val gated = Ingestion.usaPopulationSnapshot(spark, sfDir)
+    Sinks.snapshot(gated, s"$outDir/raw/usa_population", s"$outDir/legacy/usa_population")
+    StageResult("usa_population", gated.count(), s"$outDir/raw/usa_population")
+  }
 }

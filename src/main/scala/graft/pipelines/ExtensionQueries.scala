@@ -81,6 +81,19 @@ object ExtensionQueries {
   val LshPlanes = 8
   val EmbDims = 64
 
+  /** Exact all-pairs cosine oracle — shared by the exact mode and the
+    * LSH mode (whose recall makes the outputs identical, see
+    * [[Dedup.cosinePairsLsh]]). */
+  private def cosineOracle: String =
+    s"""WITH norms AS (
+       |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings)
+       |SELECT vec_i, vec_j, cos FROM (
+       |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
+       |WHERE cos >= $CosineThreshold ORDER BY vec_i, vec_j""".stripMargin
+
   /** The LSH hyperplane signs as literal VALUES rows `(tbl, pl, [±1.0…])`
     * — the exact same deterministic splitmix64 signs
     * [[Similarity.lshBuckets]] folds against, re-emitted for DuckDB. */
@@ -104,6 +117,15 @@ object ExtensionQueries {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
         .orderBy("doc_i", "doc_j")),
 
+    // the df-capped 100 TB mode, sharing the exact oracle: candidate
+    // generation skips shingles with df > 50, the verify is exact over the
+    // full index, and a pair is missed only if EVERY shared shingle
+    // exceeds the cap — near-dups at J ≥ 0.8 share their (mostly rare)
+    // shingles, so the cap provably loses nothing here (spec-checked too)
+    "q_dedup_jaccard_capped" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold,
+        maxDf = Some(50)).orderBy("doc_i", "doc_j")),
+
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
@@ -126,6 +148,14 @@ object ExtensionQueries {
     "q_dedup_cosine" -> ((s, dir) =>
       Dedup.cosinePairs(emb(s, dir), "vec_id", "embedding", CosineThreshold)
         .orderBy("vec_i", "vec_j")),
+
+    // the bucketed scale path, sharing the exact mode's oracle: at this
+    // threshold 32 tables × 2 planes puts P[miss] ≈ 9e-8 per pair
+    // (Dedup.cosinePairsLsh scaladoc), so LSH candidates + exact verify
+    // equals the exact pair set
+    "q_dedup_cosine_lsh" -> ((s, dir) =>
+      Dedup.cosinePairsLsh(emb(s, dir), "vec_id", "embedding", CosineThreshold,
+        tables = 32, planes = 2).orderBy("vec_i", "vec_j")),
 
     // ── similarity search ────────────────────────────────────────────
     "q_sim_bruteforce_topk" -> ((s, dir) => {
@@ -261,6 +291,15 @@ object ExtensionQueries {
     "q_events_props" -> ((s, dir) =>
       EventStreams.propsK(events(s, dir)).orderBy("event_id")),
 
+    // the mapGroupsWithState operator run in batch mode (one state pass
+    // per group): integer-cents accumulation is order-independent, so the
+    // batch result is SQL-expressible and equals the stream's final state
+    "q_events_running_totals" -> ((s, dir) => {
+      import s.implicits._
+      EventStreams.runningTotals(events(s, dir).as[EventStreams.Event])
+        .toDF().orderBy("user_id")
+    }),
+
     // As-of join (union-window form; DuckDB's native ASOF JOIN is the
     // oracle): each event joined to the user's latest strictly-earlier
     // event.
@@ -335,6 +374,10 @@ object ExtensionQueries {
 
     "q_dedup_jaccard" -> jaccardOracle(JaccardThreshold),
 
+    // capped candidate generation + exact verify ⇒ exact pair set (see
+    // the query comment); the oracle is the uncapped exact computation
+    "q_dedup_jaccard_capped" -> jaccardOracle(JaccardThreshold),
+
     "q_dedup_survivors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents
         |WHERE doc_id IN (SELECT min(doc_id) FROM documents GROUP BY text)
@@ -371,15 +414,11 @@ object ExtensionQueries {
         |SELECT doc_i, doc_j, CAST(hamming AS INT) AS hamming FROM ham
         |WHERE hamming <= 3 ORDER BY doc_i, doc_j""".stripMargin,
 
-    "q_dedup_cosine" ->
-      s"""WITH norms AS (
-         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings)
-         |SELECT vec_i, vec_j, cos FROM (
-         |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
-         |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
-         |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
-         |WHERE cos >= $CosineThreshold ORDER BY vec_i, vec_j""".stripMargin,
+    "q_dedup_cosine" -> cosineOracle,
+
+    // LSH candidates + exact verify ⇒ equals the exact pair set
+    // (P[miss] ≈ 9e-8 at cos ≥ 0.4 with 32 tables × 2 planes)
+    "q_dedup_cosine_lsh" -> cosineOracle,
 
     "q_sim_bruteforce_topk" ->
       s"""WITH norms AS (
@@ -591,6 +630,13 @@ object ExtensionQueries {
       """SELECT event_id, event_type,
         |       CAST(json_extract_string(props, '$.k') AS INT) AS props_k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    // fixture values are 2-decimal, so value*100 is never near a .5
+    // boundary and JVM math.round == DuckDB round here
+    "q_events_running_totals" ->
+      """SELECT user_id, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
 
     "q_join_asof" ->
       """SELECT l.event_id, l.user_id, l.ts, l.value,

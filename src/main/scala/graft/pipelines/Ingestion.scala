@@ -39,6 +39,48 @@ object Ingestion {
     canonical
   }
 
+  /** S1/P3/Q1 — the USA-population ingestion flow (reference
+    * `dags/tasks/usa_population_ingestion.py:20-56`, wired as its own DAG
+    * in `dags/usa_etl_dag.py:6-10`): records arriving with the API's
+    * space-bearing column names are canonicalized with a backticked
+    * `selectExpr` rename, then gated on the (nation, year) grain. The
+    * reference's REST fetch and JDBC write are the I/O edges
+    * ([[graft.io.Rest]] / [[graft.io.Sinks]]); this is the engine middle
+    * they sandwich. */
+  def usaPopulation(raw: DataFrame): DataFrame = {
+    val canonical = raw.selectExpr(
+      "`ID Nation` as ID_NATION",
+      "`Nation` as NATION",
+      "`ID Year` as ID_YEAR",
+      "`Year` as YEAR",
+      "`Population` as POPULATION",
+      "`Slug Nation` as SLUG_NATION")
+    Quality.gate(canonical, Seq("ID_NATION", "ID_YEAR"))
+  }
+
+  /** Driver-facing query: the API payload shape derived deterministically
+    * from the `nation` fixture (the sandbox has no egress), pushed through
+    * the same canonicalize-and-gate flow. */
+  def usaPopulationSnapshot(spark: SparkSession, dir: String): DataFrame = {
+    val n = Entities.read(spark, dir, "nation")
+    val raw = n.select(
+      col("n_nationkey").as("ID Nation"),
+      col("n_name").as("Nation"),
+      (lit(2020) + col("n_nationkey") % 3).cast("int").as("ID Year"),
+      (lit(2020) + col("n_nationkey") % 3).cast("string").as("Year"),
+      (lit(1000000L) + col("n_nationkey").cast("long") * 12345L).as("Population"),
+      lower(col("n_name")).as("Slug Nation"))
+    usaPopulation(raw).orderBy("ID_NATION")
+  }
+
+  val usaPopulationOracle: String =
+    """SELECT n_nationkey AS ID_NATION, n_name AS NATION,
+      |       CAST(2020 + n_nationkey % 3 AS INT) AS ID_YEAR,
+      |       CAST(CAST(2020 + n_nationkey % 3 AS INT) AS VARCHAR) AS YEAR,
+      |       CAST(1000000 + n_nationkey * 12345 AS BIGINT) AS POPULATION,
+      |       lower(n_name) AS SLUG_NATION
+      |FROM nation ORDER BY n_nationkey""".stripMargin
+
   /** Driver-facing query: the suppliers entity canonicalized with its
     * audit column, as the ingestion tasks produce it. */
   def suppliersSnapshot(spark: SparkSession, dir: String): DataFrame =

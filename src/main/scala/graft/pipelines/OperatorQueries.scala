@@ -414,5 +414,11 @@ object OperatorQueries {
     "q_ingest_suppliers_snapshot" -> (
       ((s: SparkSession, dir: String) => Ingestion.suppliersSnapshot(s, dir)),
       Ingestion.suppliersSnapshotOracle),
+
+    // S1/P3/Q1 — the reference's second DAG end-to-end (backticked
+    // selectExpr canonicalization + duplicate gate)
+    "q_ingest_usa_population" -> (
+      ((s: SparkSession, dir: String) => Ingestion.usaPopulationSnapshot(s, dir)),
+      Ingestion.usaPopulationOracle),
   )
 }

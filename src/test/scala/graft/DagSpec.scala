@@ -25,6 +25,17 @@ class DagSpec extends SparkSpec {
     }
   }
 
+  test("runUsaEtl lands the second DAG's single stage, gated and snapshotted") {
+    val out = java.nio.file.Files.createTempDirectory("graft_usa_").toString
+    val r = Dag.runUsaEtl(spark, sf, out)
+    assert(r.name == "usa_population")
+    assert(r.rows > 0)
+    assert(spark.read.parquet(r.path).count() == r.rows)
+    assert(spark.read.parquet(r.path.replace("/raw/", "/legacy/")).count() == r.rows)
+    assert(spark.read.parquet(r.path).columns.toSeq == Seq("ID_NATION",
+      "NATION", "ID_YEAR", "YEAR", "POPULATION", "SLUG_NATION"))
+  }
+
   test("the sale grain would fail a SALE_ID gate (fixture plants dups)") {
     intercept[graft.ops.DuplicateException] {
       graft.ops.Quality.gate(

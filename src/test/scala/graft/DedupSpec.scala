@@ -95,6 +95,19 @@ class DedupSpec extends SparkSpec {
     assert(kept.join(pairs, kept("doc_id") === pairs("doc_j")).isEmpty)
   }
 
+  test("cosinePairsLsh equals exact cosinePairs on the fixture corpus") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.cosinePairsLsh(e, "vec_id", "embedding", 0.4,
+        tables = 32, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.nonEmpty, "fixture plants cosine near-dups")
+    assert(lsh == exact, s"LSH-verified pairs must equal exact pairs " +
+      s"(and cosines must be bit-identical); missing=${exact.keySet -- lsh.keySet}, " +
+      s"extra=${lsh.keySet -- exact.keySet}")
+  }
+
   test("cosine is 1.0 on identical vectors, bit-deterministic") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
