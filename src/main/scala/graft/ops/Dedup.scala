@@ -113,10 +113,13 @@ object Dedup {
     * shingles appearing in ≤ maxDf docs (bounding the join at
     * ~|docs|·avgSh·maxDf); candidates are then verified with exact
     * Jaccard over the FULL index, so reported similarities are always
-    * exact. A pair is missed only if every one of its shared shingles
-    * exceeds the cap — for threshold ≥ 0.8 a pair shares most of its
-    * (mostly rare) shingles, so recall loss is negligible on natural
-    * corpora. None (default) is fully exact — the oracle-checked mode. */
+    * exact (an upper-bound prune — shared-rare count plus the smaller
+    * side's non-rare budget — drops provably-below-threshold pairs first,
+    * so the exact verify only touches plausible candidates). A pair is
+    * missed only if every one of its shared shingles exceeds the cap —
+    * for threshold ≥ 0.8 a pair shares most of its (mostly rare)
+    * shingles, so recall loss is negligible on natural corpora. None
+    * (default) is fully exact — the oracle-checked mode. */
   def jaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                    n: Int = 3, threshold: Double = 0.8,
                    maxDf: Option[Int] = None): DataFrame = {
@@ -139,11 +142,31 @@ object Dedup {
         val rare = index.groupBy("shash").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("shash")
         val capped = index.join(rare, "shash")
-        val cands = capped.as("a")
+        // count shared RARE shingles per pair directly (map-side-combined
+        // aggregation, like the uncapped path — no distinct-then-rejoin:
+        // materializing every co-occurring pair for the full verify made
+        // verify cost |pairs sharing any rare shingle| × avgSh)
+        val cRare = capped.as("a")
           .join(capped.as("b"),
             col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
-          .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
-          .distinct()
+          .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+          .agg(count(lit(1)).as("c_r"))
+        val rareSizes = capped.groupBy("id").agg(count(lit(1)).as("n_rare"))
+        // exact upper bound on the TRUE common count: shared rare + at
+        // most every non-rare shingle of the smaller side. J is monotone
+        // in common, so filtering on J(upper) keeps every pair the capped
+        // contract can report — only provably-below-threshold pairs skip
+        // the exact verify.
+        val withBounds = cRare
+          .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+          .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+          .join(rareSizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_rare", "r_i"), "doc_i")
+          .join(rareSizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_rare", "r_j"), "doc_j")
+        val ubCommon = col("c_r") +
+          least(col("n_i") - col("r_i"), col("n_j") - col("r_j"))
+        val cands = withBounds
+          .filter(ubCommon / (col("n_i") + col("n_j") - ubCommon) >= threshold)
+          .select("doc_i", "doc_j")
         verifyJaccard(cands, index, sizes, threshold)
     }
   }
