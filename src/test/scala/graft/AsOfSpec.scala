@@ -38,6 +38,26 @@ class AsOfSpec extends SparkSpec {
     assert(out("t2").contains(100.0)) // falls back to the earlier quote
   }
 
+  test("a null payload field travels with its matched row (no field mixing)") {
+    // the matched (latest) quote has a NULL size: ASOF LEFT must return
+    // that row's null, NOT reach back to the older row's 7 for size while
+    // taking price from the newer row — a combination matching no real row
+    val quotesWithNulls = Seq(
+      (1L, ts("2024-01-01 10:00:00"), Some(100.0), Some(7L)),
+      (1L, ts("2024-01-01 10:05:00"), Some(101.0), None),
+      (1L, ts("2024-01-01 10:08:00"), None, Some(9L))
+    ).toDF("key", "qt", "price", "size")
+    val t = Seq((1L, ts("2024-01-01 10:06:00"), "x"),
+      (1L, ts("2024-01-01 10:09:00"), "y")).toDF("key", "tt", "trade")
+    val out = AsOf.asOfJoin(t, quotesWithNulls, Seq("key"), "tt", "qt")
+      .select("trade", "asof_price", "asof_size").collect()
+      .map(r => r.getString(0) -> ((Option(r.get(1)), Option(r.get(2))))).toMap
+    assert(out("x") == ((Some(101.0), None)),
+      "size must be the matched row's null, not an older row's value")
+    assert(out("y") == ((None, Some(9L))),
+      "price must be the matched row's null, not an older row's value")
+  }
+
   test("left rows and columns are all preserved") {
     val out = AsOf.asOfJoin(trades, quotes, Seq("key"), "tt", "qt")
     assert(out.count() == trades.count())
