@@ -67,6 +67,55 @@ object Dedup {
     docs.join(pairs.select(col("doc_j").as(idCol)).distinct(),
       Seq(idCol), "left_anti")
 
+  /** Full transitive near-dup clustering — the connected components of
+    * the pair graph: every document gets `cluster_id` = the minimum doc
+    * id reachable through near-dup pairs (singletons cluster to
+    * themselves). This is what [[removeNearDups]]'s greedy sweep
+    * approximates; cluster ids let a pipeline pick one survivor per
+    * component, weight clusters, or audit chain merges.
+    *
+    * Implementation is iterative min-label propagation with pointer
+    * jumping (the alternating-star family): each round takes the min
+    * label over neighbors, then short-circuits label → label-of-label, so
+    * label paths halve per round and convergence needs O(log n) rounds
+    * even on chain-shaped components, not O(diameter). Each round is two
+    * shuffle joins; `localCheckpoint` truncates the growing lineage (the
+    * standard Spark iterative-algorithm discipline). The fixpoint is
+    * unique (elementwise min over a lattice), so the result is
+    * deterministic regardless of execution order — which is what lets a
+    * SQL oracle replay it with a recursive transitive closure. */
+  def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
+                      maxIters: Int = 25): DataFrame = {
+    val edges = pairs.select(col("doc_i").as("src"), col("doc_j").as("dst"))
+      .union(pairs.select(col("doc_j").as("src"), col("doc_i").as("dst")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var iter = 0
+    var changed = 1L
+    while (changed > 0 && iter < maxIters) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
+        .groupBy(col("src").as("id")).agg(min("dlabel").as("nmin"))
+      val stepped = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+      // pointer jumping: follow one hop of the label forest (labels always
+      // point at existing ids, so the lookup join always hits)
+      val next = stepped
+        .join(stepped.select(col("id").as("label"), col("label").as("ll")),
+          Seq("label"), "left")
+        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .localCheckpoint(true)
+      changed = next
+        .join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iter += 1
+    }
+    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+  }
+
   /** Exploded (id, shingle-hash) inverted index with per-doc shingle
     * counts. Shingles are xxhash64'd to longs before the index leaves this
     * function: every downstream self-join shuffles 8-byte keys instead of

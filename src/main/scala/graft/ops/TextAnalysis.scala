@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for training-data pipelines: language ID
@@ -143,5 +143,32 @@ object TextAnalysis {
       sequence(lit(1), size(codes) - (k - 1)),
       i => polyFold(slice(codes, i, lit(k))))
     when(size(codes) >= k, array_min(gramHashes)).otherwise(polyFold(codes))
+  }
+
+  // ── corpus-level statistics (the only TextAnalysis ops that shuffle) ─
+
+  /** Corpus vocabulary: per token, document frequency (docs containing
+    * it) and total term frequency. One explode + one hash aggregation by
+    * token — partial aggregation absorbs hot-token skew before the
+    * shuffle, and the exact `countDistinct` expands to (token, id)
+    * pre-aggregation; at extreme cardinality swap it for
+    * `approx_count_distinct`. df/tf are the ingredients of every
+    * TF-IDF-style weighting downstream. */
+  def vocabulary(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("token"))
+      .groupBy("token")
+      .agg(countDistinct("id").as("df"), count(lit(1)).as("tf"))
+
+  /** Top-k tokens per document by term frequency (ties broken by token
+    * order — a total order, so deterministic): groupBy (doc, token) then
+    * a per-doc window — both shuffles are keyed by doc id. */
+  def docTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs
+      .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("token").asc)
+    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 }

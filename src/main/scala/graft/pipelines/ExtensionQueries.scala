@@ -38,9 +38,11 @@ object ExtensionQueries {
        |  [CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip($a, $b)]),
        |  (acc, v) -> acc + v)""".stripMargin
 
-  /** DuckDB mirror of [[Dedup.shingles]] + inverted-index Jaccard pairs. */
-  private def jaccardOracle(threshold: Double): String =
-    s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+  /** DuckDB mirror of [[Dedup.shingles]] + inverted-index Jaccard pairs,
+    * as a CTE list ending in `jpairs` so derived oracles (clusters) can
+    * extend the same pipeline. */
+  private def jaccardCtes(threshold: Double): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(t) >= 3
        |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
@@ -50,11 +52,16 @@ object ExtensionQueries {
        |idx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
        |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS common
        |           FROM idx a JOIN idx b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-       |           GROUP BY 1, 2)
-       |SELECT doc_i, doc_j, jaccard FROM (
-       |  SELECT doc_i, doc_j, common * 1.0 / (ni.n_sh + nj.n_sh - common) AS jaccard
-       |  FROM common JOIN sz ni ON ni.doc_id = doc_i JOIN sz nj ON nj.doc_id = doc_j)
-       |WHERE jaccard >= $threshold ORDER BY doc_i, doc_j""".stripMargin
+       |           GROUP BY 1, 2),
+       |jpairs AS (
+       |  SELECT doc_i, doc_j, jaccard FROM (
+       |    SELECT doc_i, doc_j, common * 1.0 / (ni.n_sh + nj.n_sh - common) AS jaccard
+       |    FROM common JOIN sz ni ON ni.doc_id = doc_i JOIN sz nj ON nj.doc_id = doc_j)
+       |  WHERE jaccard >= $threshold)""".stripMargin
+
+  private def jaccardOracle(threshold: Double): String =
+    s"""WITH ${jaccardCtes(threshold)}
+       |SELECT doc_i, doc_j, jaccard FROM jpairs ORDER BY doc_i, doc_j""".stripMargin
 
   private val stopLists = Map(
     "en" -> TextAnalysis.StopEn, "de" -> TextAnalysis.StopDe,
@@ -135,6 +142,16 @@ object ExtensionQueries {
       Dedup.removeNearDups(d,
         Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+    }),
+
+    // transitive clustering of the near-dup graph (connected components):
+    // deterministic unique fixpoint, so the SQL oracle replays it as a
+    // recursive transitive closure
+    "q_dedup_clusters" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.nearDupClusters(d,
+        Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
+        .orderBy("doc_id")
     }),
 
     "q_dedup_minhash_lsh" -> ((s, dir) =>
@@ -272,6 +289,37 @@ object ExtensionQueries {
           TextAnalysis.contentFlags(col("text")).map { case (n, c) => c.as(n) }: _*)
         .orderBy("doc_id")),
 
+    // corpus vocabulary: df/tf per token (the TF-IDF ingredients), top-100
+    // by (tf, token) — a total order, so the limit is deterministic
+    "q_text_vocab" -> ((s, dir) =>
+      TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")
+        .orderBy(col("tf").desc, col("token")).limit(100)),
+
+    "q_text_doc_topterms" -> ((s, dir) =>
+      TextAnalysis.docTopTerms(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")),
+
+    // ── embedding preprocessing ──────────────────────────────────────
+    // float arrays quantized (floor(f·1e6)) + serialized at the edge,
+    // same discipline as q_multimodal_features
+    "q_emb_normalize" -> ((s, dir) =>
+      emb(s, dir).select(col("vec_id"),
+        concat_ws(" ", transform(
+          graft.ops.Embeddings.l2Normalize(col("embedding")),
+          f => floor(f.cast("double") * lit(1000000.0)).cast("string")))
+          .as("norm_q6"))
+        .orderBy("vec_id")),
+
+    "q_emb_quantize" -> ((s, dir) => {
+      val q = graft.ops.Embeddings.quantizeInt8(col("embedding"))
+      emb(s, dir)
+        .select(col("vec_id"),
+          concat_ws(" ", transform(q.getField("q"), x => x.cast("string")))
+            .as("q_str"),
+          q.getField("scale").as("scale"))
+        .orderBy("vec_id")
+    }),
+
     // ── streaming transforms, run in batch mode (same plan runs under
     //    readStream + watermark — see EventStreams / StreamingSpec) ────
     // total_value is summed in DECIMAL (exact, order-independent) and cast
@@ -393,6 +441,18 @@ object ExtensionQueries {
     // set whenever LSH recall holds (P[miss] < 1e-7 at s ≥ 0.8 with
     // 32 bands × 4 rows — Dedup.scala header).
     "q_dedup_minhash_lsh" -> jaccardOracle(JaccardThreshold),
+
+    // min-label fixpoint == min reachable id == recursive closure min
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE ${jaccardCtes(JaccardThreshold)},
+         |edges AS (SELECT doc_i AS src, doc_j AS dst FROM jpairs
+         |          UNION ALL SELECT doc_j, doc_i FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
+         |SELECT node AS doc_id, min(r) AS cluster_id FROM reach
+         |GROUP BY node ORDER BY doc_id""".stripMargin,
 
     // SimHash: 4-chunk banding is recall-exact for hamming ≤ 3 (pigeonhole),
     // so the oracle recomputes signatures from scratch: per-token MD5-top-8-
@@ -597,6 +657,49 @@ object ExtensionQueries {
          |  len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) > 0 AS has_email,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.DigitRunPattern}')) AS INT) AS n_digit_runs
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_text_vocab" ->
+      """WITH tk AS (SELECT doc_id, unnest([t FOR t IN string_split(text, ' ') IF t <> '']) AS token
+        |            FROM documents)
+        |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
+        |FROM tk GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    "q_text_doc_topterms" ->
+      """WITH tk AS (SELECT doc_id, unnest([t FOR t IN string_split(text, ' ') IF t <> '']) AS token
+        |            FROM documents),
+        |cnt AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, token, tf,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tf DESC, token) AS INT) AS rk
+        |       FROM cnt)
+        |SELECT doc_id, token, tf, rk FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    "q_emb_normalize" ->
+      s"""WITH n AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT vec_id,
+         |  array_to_string([
+         |    CAST(CAST(floor(CAST(
+         |      CASE WHEN nrm = 0 THEN x
+         |           ELSE CAST(CAST(x AS DOUBLE) / nrm AS REAL) END
+         |      AS DOUBLE) * 1000000.0) AS BIGINT) AS VARCHAR)
+         |    FOR x IN embedding], ' ') AS norm_q6
+         |FROM n ORDER BY vec_id""".stripMargin,
+
+    "q_emb_quantize" ->
+      """WITH m AS (
+        |  SELECT vec_id, embedding,
+        |         list_max([abs(CAST(x AS DOUBLE)) FOR x IN embedding]) AS am
+        |  FROM embeddings),
+        |s AS (SELECT vec_id, embedding,
+        |        CASE WHEN am = 0 THEN 0.0 ELSE 127.0 / am END AS scale
+        |      FROM m)
+        |SELECT vec_id,
+        |  array_to_string([CAST(CAST(floor(CAST(x AS DOUBLE) * scale + 0.5) AS INT) AS VARCHAR)
+        |                   FOR x IN embedding], ' ') AS q_str,
+        |  scale
+        |FROM s ORDER BY vec_id""".stripMargin,
 
     "q_events_windowed" ->
       """SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start, event_type,

@@ -95,6 +95,37 @@ class DedupSpec extends SparkSpec {
     assert(kept.join(pairs, kept("doc_id") === pairs("doc_j")).isEmpty)
   }
 
+  test("nearDupClusters: transitive components, chains, singletons") {
+    // chain 1-2-3-4-5 (forces propagation across hops), pair 10-11,
+    // singletons 20, 21; cluster_id must be the component minimum
+    val d = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L, 21L)).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+      .toDF("doc_i", "doc_j")
+    val out = Dedup.nearDupClusters(d, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+      10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
+  }
+
+  test("nearDupClusters agrees with a driver-side closure on the fixture") {
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val got = Dedup.nearDupClusters(docs, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: union-find over the collected pair list
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (find(r.getLong(0)), find(r.getLong(1)))
+      if (a != b) parent(math.max(a, b)) = math.min(a, b)
+    }
+    val ids = docs.select("doc_id").collect().map(_.getLong(0))
+    val want = ids.map(i => i -> find(i)).toMap
+    assert(got == want)
+  }
+
   test("cosinePairsLsh equals exact cosinePairs on the fixture corpus") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.4)

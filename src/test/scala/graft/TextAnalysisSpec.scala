@@ -95,4 +95,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows(noisy)._1 > 0.5)
     assert(rows(clean)._2 > rows(noisy)._2)
   }
+
+  test("vocabulary counts df and tf; docTopTerms ranks by tf then token") {
+    val docs = Seq((1L, "a b a c"), (2L, "a b b"), (3L, "")).toDF("doc_id", "text")
+    val vocab = TextAnalysis.vocabulary(docs, "doc_id", "text")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(vocab == Map("a" -> ((2L, 3L)), "b" -> ((2L, 3L)), "c" -> ((1L, 1L))))
+    val top = TextAnalysis.docTopTerms(docs, "doc_id", "text", 2)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    assert(top == Map((1L, 1) -> "a", (1L, 2) -> "b", (2L, 1) -> "b", (2L, 2) -> "a"))
+  }
 }
