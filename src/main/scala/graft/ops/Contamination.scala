@@ -1,0 +1,70 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Train/eval contamination detection — the decontamination sweep every
+  * serious training corpus runs before a model sees it: find training
+  * documents whose word n-grams cover a large fraction of some eval
+  * document's n-grams.
+  *
+  * The score is *containment* — |S(eval) ∩ S(train)| / |S(eval)| — not
+  * symmetric Jaccard: a short eval prompt fully quoted inside a long
+  * training page is 100% contaminated even though the pair's Jaccard is
+  * tiny. (Same shape as the n-gram-overlap decontamination described in
+  * the GPT-3/PaLM appendices — public methodology.)
+  *
+  * Scale posture: a *bipartite* inverted shingle-hash index join — never
+  * an |eval| × |train| cross join. Cost is Σ_shingle df_eval · df_train,
+  * and the eval side is tiny relative to the corpus (benchmarks, not the
+  * 100 TB crawl), so candidate generation is bounded by the eval side's
+  * index. The same `maxDf` df-capping as [[Dedup.jaccardPairs]] applies
+  * if a degenerate shingle is shared by everything: drop shingles with
+  * train-df above the cap from CANDIDATE GENERATION only, then verify
+  * exactly over the full index.
+  */
+object Contamination {
+
+  /** (eval_id, train_id, containment) for every cross pair with
+    * containment ≥ threshold. Shingle hashing/distinctness matches
+    * [[Dedup.jaccardPairs]] (xxhash64'd word n-grams — 8-byte shuffle
+    * keys). Eval docs with fewer than `n` tokens have no shingles and
+    * produce no pairs. */
+  def containmentPairs(train: DataFrame, eval: DataFrame, idCol: String,
+                       textCol: String, n: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    def index(docs: DataFrame, side: String) = docs.select(
+      col(idCol).as(s"${side}_id"),
+      explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("shash"))
+    val evalIdx = index(eval, "eval")
+    val evalSizes = eval.select(col(idCol).as("eval_id"),
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_eval"))
+    val common = evalIdx.join(index(train, "train"), "shash")
+      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("common"))
+    common.join(evalSizes, "eval_id")
+      .withColumn("containment", col("common") * lit(1.0) / col("n_eval"))
+      .filter(col("containment") >= threshold)
+      .select("eval_id", "train_id", "containment")
+  }
+
+  /** Per-eval-document verdict: the worst (max-containment) offending
+    * train doc, ties broken by min train id; eval docs with no pair over
+    * the threshold report containment 0.0 and a NULL offender — so the
+    * output is a complete audit table over the eval set, one row each. */
+  def evalSummary(eval: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val worst = pairs
+      .groupBy("eval_id")
+      .agg(max(struct(col("containment"), (-col("train_id")).as("neg_id")))
+        .as("w"))
+      .select(col("eval_id"), col("w.containment").as("max_containment"),
+        (-col("w.neg_id")).as("worst_train_id"))
+    eval.select(col(idCol).as("eval_id"))
+      .join(worst, Seq("eval_id"), "left")
+      .select(col("eval_id"),
+        coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+        col("worst_train_id"),
+        col("max_containment").isNotNull.as("contaminated"))
+  }
+}

@@ -110,6 +110,41 @@ object TextAnalysis {
     "has_email" -> (size(regexp_extract_all(text, lit(EmailPattern), lit(0))) > 0),
     "n_digit_runs" -> size(regexp_extract_all(text, lit(DigitRunPattern), lit(0))))
 
+  /** PII-style redaction: URLs, emails, then long digit runs replaced by
+    * placeholder tags (URL first — an email-shaped substring inside a URL
+    * query string must redact as part of the URL, and digit runs last so
+    * they can't bite pieces out of the other two). Same conservative
+    * RE2-compatible patterns as [[contentFlags]]; one codegen'd
+    * regexp_replace chain, no shuffle. */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, UrlPattern, "[URL]"),
+        EmailPattern, "[EMAIL]"),
+      DigitRunPattern, "[NUM]")
+
+  /** Word n-grams WITHOUT distincting (the repetition signal needs the
+    * duplicates [[Dedup.shingles]] throws away); empty below n tokens. */
+  def wordGrams(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    val grams = transform(
+      sequence(lit(1), size(toks) - (n - 1)),
+      k => concat_ws(" ", (0 until n).map(o => element_at(toks, k + o)): _*))
+    when(size(toks) >= n, grams).otherwise(array().cast("array<string>"))
+  }
+
+  /** Gopher-style repetition signal: the fraction of n-gram occurrences
+    * that are repeats of an earlier occurrence in the same document
+    * (0.0 when the doc has no n-grams). High values flag boilerplate,
+    * keyword stuffing, and generation loops — standard quality-filter
+    * input. One exact double division; per-row map, no shuffle. */
+  def dupGramFraction(text: Column, n: Int): Column = {
+    val g = wordGrams(text, n)
+    when(size(g) > 0,
+      (size(g) - size(array_distinct(g))) * lit(1.0) / size(g))
+      .otherwise(lit(0.0))
+  }
+
   /** Per-character code points as longs (ASCII corpus contract). */
   def charCodes(text: Column): Column =
     transform(split(text, ""), c => ascii(c).cast("long"))
@@ -170,5 +205,32 @@ object TextAnalysis {
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("token").asc)
     counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+  }
+
+  /** Top-k tokens per document by a TF-IDF-style weight. The idf factor
+    * is the *rational* N/df (not log(N/df)): transcendental functions are
+    * not bit-reproducible across engines, and for RANKING terms within a
+    * doc any monotone transform of N/df orders identically — so the
+    * rational form keeps the oracle exact without changing the answer.
+    * weight = (tf · N) / df computed as one exact integer product
+    * (< 2⁵³) and one IEEE division. Shuffles are keyed by doc id and
+    * token (both pre-aggregated map-side); N arrives via a broadcast
+    * 1-row cross join, not a driver action — the plan stays lazy. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val counts = docs
+      .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val df = counts.groupBy("token").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("weight").desc, col("token").asc)
+    counts.join(df, "token").crossJoin(broadcast(nDocs))
+      .withColumn("weight",
+        (col("tf") * col("n_docs")).cast("double") / col("df"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"),
+        col("weight"), col("rk"))
   }
 }

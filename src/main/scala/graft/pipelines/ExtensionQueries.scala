@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Entities
-import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline extension queries (BASELINE.json north star,
@@ -63,6 +63,48 @@ object ExtensionQueries {
     s"""WITH ${jaccardCtes(threshold)}
        |SELECT doc_i, doc_j, jaccard FROM jpairs ORDER BY doc_i, doc_j""".stripMargin
 
+  /** Bipartite containment CTEs ending in `cpairs` — mirrors
+    * [[Contamination.containmentPairs]] on the doc_id%mod eval split. */
+  private def contamCtes(mod: Int, threshold: Double): String =
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+       |sh AS (SELECT doc_id,
+       |  CASE WHEN len(t) >= 3
+       |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+       |                           FOR i IN generate_series(1, len(t)-2)])
+       |       ELSE [] END AS s FROM toks),
+       |ei AS (SELECT doc_id AS eval_id, unnest(s) AS shingle FROM sh
+       |       WHERE doc_id % $mod = 0),
+       |ti AS (SELECT doc_id AS train_id, unnest(s) AS shingle FROM sh
+       |       WHERE doc_id % $mod <> 0),
+       |esz AS (SELECT doc_id AS eval_id, len(s) AS n_eval FROM sh
+       |        WHERE doc_id % $mod = 0),
+       |ccom AS (SELECT eval_id, train_id, COUNT(*) AS c
+       |         FROM ei JOIN ti USING (shingle) GROUP BY 1, 2),
+       |cpairs AS (
+       |  SELECT eval_id, train_id, containment FROM (
+       |    SELECT eval_id, train_id, c * 1.0 / n_eval AS containment
+       |    FROM ccom JOIN esz USING (eval_id))
+       |  WHERE containment >= $threshold)""".stripMargin
+
+  /** Recursive next-fit packing CTEs ending in `pack` — replays
+    * [[graft.ops.Packing.nextFitPack]]'s per-group sequential walk. */
+  private def packCtes(budget: Int, groups: Int): String =
+    s"""t AS (
+       |  SELECT doc_id, CAST(doc_id % $groups AS INT) AS pack_group,
+       |         CAST(len([x FOR x IN string_split(text, ' ') IF x <> '']) AS INT) AS n_tokens,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % $groups
+       |                                 ORDER BY doc_id) AS INT) AS rn
+       |  FROM documents),
+       |pack(pack_group, rn, doc_id, n_tokens, bin_id, fill) AS (
+       |  SELECT pack_group, rn, doc_id, n_tokens, 0, n_tokens FROM t WHERE rn = 1
+       |  UNION ALL
+       |  SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+       |         CASE WHEN p.fill + t.n_tokens <= $budget
+       |              THEN p.bin_id ELSE p.bin_id + 1 END,
+       |         CASE WHEN p.fill + t.n_tokens <= $budget
+       |              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+       |  FROM pack p JOIN t ON t.pack_group = p.pack_group AND t.rn = p.rn + 1)""".stripMargin
+
   private val stopLists = Map(
     "en" -> TextAnalysis.StopEn, "de" -> TextAnalysis.StopDe,
     "es" -> TextAnalysis.StopEs, "fr" -> TextAnalysis.StopFr)
@@ -80,6 +122,10 @@ object ExtensionQueries {
 
   val JaccardThreshold = 0.8
   val CosineThreshold = 0.4
+  val ContamThreshold = 0.5
+  val ContamEvalMod = 7
+  val PackBudget = 256
+  val PackGroups = 8
   val SimQueryIds = 8
   val SimK = 5
   val IvfCentroids = 16
@@ -298,6 +344,64 @@ object ExtensionQueries {
     "q_text_doc_topterms" -> ((s, dir) =>
       TextAnalysis.docTopTerms(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rk")),
+
+    // TF-IDF-style keyword extraction with the rational idf N/df (log-free
+    // for bit-reproducibility — any monotone idf ranks identically per doc)
+    "q_text_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")),
+
+    // Gopher-style repetition quality signals: duplicate token / 2-gram /
+    // 3-gram occurrence fractions per document
+    "q_text_repetition" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.dupGramFraction(col("text"), 1).as("dup_tok_frac"),
+        TextAnalysis.dupGramFraction(col("text"), 2).as("dup_2gram_frac"),
+        TextAnalysis.dupGramFraction(col("text"), 3).as("dup_3gram_frac"))
+        .orderBy("doc_id")),
+
+    // PII-style redaction pass (URL → email → digit-run, order matters)
+    "q_text_redact" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+        TextAnalysis.redactPii(col("text")).as("text_redacted"),
+        length(TextAnalysis.redactPii(col("text"))).as("n_chars_redacted"))
+        .orderBy("doc_id")),
+
+    // ── train/eval contamination (decontamination sweep) ─────────────
+    // eval slice = doc_id % 7 == 0, train = the rest; containment =
+    // shared-shingle fraction of the EVAL doc's shingles
+    "q_contam_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Contamination.containmentPairs(
+        d.filter(col("doc_id") % ContamEvalMod =!= 0),
+        d.filter(col("doc_id") % ContamEvalMod === 0),
+        "doc_id", "text", 3, ContamThreshold)
+        .orderBy("eval_id", "train_id")
+    }),
+
+    "q_contam_summary" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val eval = d.filter(col("doc_id") % ContamEvalMod === 0)
+      Contamination.evalSummary(eval,
+        Contamination.containmentPairs(
+          d.filter(col("doc_id") % ContamEvalMod =!= 0), eval,
+          "doc_id", "text", 3, ContamThreshold),
+        "doc_id")
+        .orderBy("eval_id")
+    }),
+
+    // ── token-budget sequence packing ────────────────────────────────
+    "q_pack_nextfit" -> ((s, dir) =>
+      Packing.nextFitPack(docs(s, dir), "doc_id",
+        size(TextAnalysis.tokens(col("text"))), PackBudget, PackGroups)
+        .orderBy("doc_id")),
+
+    "q_pack_bins" -> ((s, dir) =>
+      Packing.binStats(
+        Packing.nextFitPack(docs(s, dir), "doc_id",
+          size(TextAnalysis.tokens(col("text"))), PackBudget, PackGroups),
+        PackBudget)
+        .orderBy("pack_group", "bin_id")),
 
     // ── embedding preprocessing ──────────────────────────────────────
     // float arrays quantized (floor(f·1e6)) + serialized at the edge,
@@ -673,6 +777,85 @@ object ExtensionQueries {
         |       FROM cnt)
         |SELECT doc_id, token, tf, rk FROM rk WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
+
+    "q_text_tfidf" ->
+      """WITH tk AS (SELECT doc_id, unnest([t FOR t IN string_split(text, ' ') IF t <> '']) AS token
+        |            FROM documents),
+        |cnt AS (SELECT doc_id, token, COUNT(*) AS tf FROM tk GROUP BY 1, 2),
+        |dfc AS (SELECT token, COUNT(*) AS df FROM cnt GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |j AS (SELECT c.doc_id, c.token, c.tf, d.df,
+        |        CAST(c.tf * n.n_docs AS DOUBLE) / d.df AS weight
+        |      FROM cnt c JOIN dfc d USING (token) CROSS JOIN n),
+        |rk AS (SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                        ORDER BY weight DESC, token) AS INT) AS rk FROM j)
+        |SELECT doc_id, token, tf, df, weight, rk FROM rk WHERE rk <= 3
+        |ORDER BY doc_id, rk""".stripMargin,
+
+    // mirrors dupGramFraction: non-empty tokens, NON-distinct grams,
+    // (total - distinct) / total per n
+    "q_text_repetition" ->
+      """WITH t AS (SELECT doc_id,
+        |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
+        |g AS (SELECT doc_id, tk,
+        |  CASE WHEN len(tk) >= 2
+        |       THEN [concat_ws(' ', tk[i], tk[i+1]) FOR i IN generate_series(1, len(tk)-1)]
+        |       ELSE [] END AS g2,
+        |  CASE WHEN len(tk) >= 3
+        |       THEN [concat_ws(' ', tk[i], tk[i+1], tk[i+2]) FOR i IN generate_series(1, len(tk)-2)]
+        |       ELSE [] END AS g3
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN len(tk) > 0
+        |       THEN (len(tk) - len(list_distinct(tk))) * 1.0 / len(tk) ELSE 0.0 END AS dup_tok_frac,
+        |  CASE WHEN len(g2) > 0
+        |       THEN (len(g2) - len(list_distinct(g2))) * 1.0 / len(g2) ELSE 0.0 END AS dup_2gram_frac,
+        |  CASE WHEN len(g3) > 0
+        |       THEN (len(g3) - len(list_distinct(g3))) * 1.0 / len(g3) ELSE 0.0 END AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin,
+
+    "q_text_redact" ->
+      s"""WITH r AS (SELECT doc_id,
+         |  regexp_replace(
+         |    regexp_replace(
+         |      regexp_replace(text, '${TextAnalysis.UrlPattern}', '[URL]', 'g'),
+         |      '${TextAnalysis.EmailPattern}', '[EMAIL]', 'g'),
+         |    '${TextAnalysis.DigitRunPattern}', '[NUM]', 'g') AS text_redacted
+         |FROM documents)
+         |SELECT doc_id, text_redacted, length(text_redacted) AS n_chars_redacted
+         |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q_contam_pairs" ->
+      s"""WITH ${contamCtes(ContamEvalMod, ContamThreshold)}
+         |SELECT eval_id, train_id, containment FROM cpairs
+         |ORDER BY eval_id, train_id""".stripMargin,
+
+    "q_contam_summary" ->
+      s"""WITH ${contamCtes(ContamEvalMod, ContamThreshold)},
+         |worst AS (
+         |  SELECT eval_id, containment AS max_containment, train_id AS worst_train_id
+         |  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY eval_id
+         |          ORDER BY containment DESC, train_id ASC) AS rn FROM cpairs)
+         |  WHERE rn = 1)
+         |SELECT e.doc_id AS eval_id,
+         |       coalesce(w.max_containment, 0.0) AS max_containment,
+         |       w.worst_train_id,
+         |       w.max_containment IS NOT NULL AS contaminated
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % $ContamEvalMod = 0) e
+         |LEFT JOIN worst w ON w.eval_id = e.doc_id
+         |ORDER BY eval_id""".stripMargin,
+
+    "q_pack_nextfit" ->
+      s"""WITH RECURSIVE ${packCtes(PackBudget, PackGroups)}
+         |SELECT doc_id, pack_group, n_tokens, bin_id FROM pack
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_pack_bins" ->
+      s"""WITH RECURSIVE ${packCtes(PackBudget, PackGroups)}
+         |SELECT pack_group, bin_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS fill,
+         |       CAST(GREATEST($PackBudget - SUM(n_tokens), 0) AS BIGINT) AS waste
+         |FROM pack GROUP BY 1, 2 ORDER BY pack_group, bin_id""".stripMargin,
 
     "q_emb_normalize" ->
       s"""WITH n AS (

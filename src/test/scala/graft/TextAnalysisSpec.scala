@@ -105,4 +105,43 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
     assert(top == Map((1L, 1) -> "a", (1L, 2) -> "b", (2L, 1) -> "b", (2L, 2) -> "a"))
   }
+
+  test("dupGramFraction counts repeated n-gram occurrences") {
+    val df = Seq(
+      ("a b a b a", 0.6, 0.5),  // tokens: (5-2)/5; 2-grams ab,ba,ab,ba: (4-2)/4
+      ("x y z", 0.0, 0.0),
+      ("", 0.0, 0.0)
+    ).toDF("text", "d1", "d2")
+    df.collect() // force
+    val got = df.select($"d1", $"d2",
+      TextAnalysis.dupGramFraction($"text", 1).as("g1"),
+      TextAnalysis.dupGramFraction($"text", 2).as("g2")).collect()
+    got.foreach { r =>
+      assert(r.getDouble(2) === r.getDouble(0))
+      assert(r.getDouble(3) === r.getDouble(1))
+    }
+  }
+
+  test("redactPii: URL wins over embedded email, digit runs last") {
+    val df = Seq(
+      "mail me@x.com or see https://a.b/?e=me@x.com id 1234567",
+      "clean text").toDF("text")
+    val out = df.select(TextAnalysis.redactPii($"text")).as[String].collect()
+    assert(out(0) === "mail [EMAIL] or see [URL] id [NUM]")
+    assert(out(1) === "clean text")
+  }
+
+  test("tfidfTopTerms ranks by rational tf*N/df with token tie-break") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val top = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 1)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getDouble(4))).toMap
+    // doc 1: rare tf=1 df=1 w=3.0; common tf=2 df=3 w=2.0 -> rare wins
+    assert(top(1L) === (("rare", 3.0)))
+    assert(top(2L) === (("common", 3.0)))
+    // doc 3: common 1*3/3=1.0, other 1*3/1=3.0
+    assert(top(3L) === (("other", 3.0)))
+  }
 }
