@@ -132,19 +132,21 @@ object Dedup {
   }
 
   /** Exact jaccard over a candidate pair set: common counts from the
-    * FULL index restricted to candidates, sizes joined, thresholded.
-    * Shared verify tail of [[jaccardPairs]] (capped mode) and
-    * [[minhashLshPairs]]. */
-  private def verifyJaccard(cands: DataFrame, index: DataFrame, sizes: DataFrame,
+    * FULL indexes restricted to candidates, sizes joined, thresholded.
+    * Shared verify tail of [[jaccardPairs]] (capped mode),
+    * [[minhashLshPairs]], and the cross-batch [[minhashLshCrossPairs]]
+    * (which passes a distinct index per side). */
+  private def verifyJaccard(cands: DataFrame, indexI: DataFrame, indexJ: DataFrame,
+                            sizesI: DataFrame, sizesJ: DataFrame,
                             threshold: Double): DataFrame = {
     val common = cands
-      .join(index.as("ia"), col("doc_i") === col("ia.id"))
-      .join(index.as("ib"),
+      .join(indexI.as("ia"), col("doc_i") === col("ia.id"))
+      .join(indexJ.as("ib"),
         col("doc_j") === col("ib.id") && col("ia.shash") === col("ib.shash"))
       .groupBy("doc_i", "doc_j").agg(count(lit(1)).as("common"))
     common
-      .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
-      .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
+      .join(sizesI.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
+      .join(sizesJ.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
       .withColumn("jaccard",
         col("common") * lit(1.0) / (col("n_i") + col("n_j") - col("common")))
       .filter(col("jaccard") >= threshold)
@@ -216,7 +218,7 @@ object Dedup {
         val cands = withBounds
           .filter(ubCommon / (col("n_i") + col("n_j") - ubCommon) >= threshold)
           .select("doc_i", "doc_j")
-        verifyJaccard(cands, index, sizes, threshold)
+        verifyJaccard(cands, index, index, sizes, sizes, threshold)
     }
   }
 
@@ -250,19 +252,26 @@ object Dedup {
   /** LSH candidate pairs: band the signature array, bucket-join within
     * bands. Returns distinct (doc_i, doc_j) candidates. */
   def lshCandidates(signatures: DataFrame): DataFrame = {
-    val bandStructs = (0 until NumBands).map { b =>
-      struct(lit(b).as("band"),
-        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))
-    }
-    val banded = signatures
-      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
+    val banded = bandedBuckets(signatures)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
       .distinct()
+  }
+
+  /** (id, band, bucket) rows from minhash signatures — the shared banding
+    * of [[lshCandidates]] (self-join) and [[minhashLshCrossPairs]]
+    * (bipartite join). */
+  private def bandedBuckets(signatures: DataFrame): DataFrame = {
+    val bandStructs = (0 until NumBands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bucket"))
+    }
+    signatures
+      .select(col("id"), explode(array(bandStructs: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bucket").as("bucket"))
   }
 
   /** MinHash+LSH near-dup pairs, exact-verified: candidates from banded
@@ -276,7 +285,30 @@ object Dedup {
     // ~|docs|·avgSh exploded rows (measured: cache cost > rescan here)
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
     val cands = lshCandidates(minhashSignaturesFromIndex(index))
-    verifyJaccard(cands, index, sizes, threshold)
+    verifyJaccard(cands, index, index, sizes, sizes, threshold)
+  }
+
+  /** Incremental (cross-batch) MinHash+LSH dedup — how near-dup removal
+    * actually runs on a growing 100 TB corpus: a new ingestion batch is
+    * checked against the existing corpus WITHOUT re-pairing the corpus
+    * against itself. Candidate generation is a *bipartite* banded join
+    * (corpus signatures × batch signatures on (band, bucket) — in
+    * production the corpus side is a persisted signature table, so the
+    * per-batch cost is |batch|-proportional, never |corpus|²), followed by
+    * the same exact-Jaccard verify as [[minhashLshPairs]]. Output is
+    * (doc_i = corpus id, doc_j = batch id, jaccard ≥ threshold); id sets
+    * are assumed disjoint (they're different batches by contract). */
+  def minhashLshCrossPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
+                           textCol: String, n: Int = 3,
+                           threshold: Double = 0.8): DataFrame = {
+    val (corpusIdx, corpusSizes) = shingleIndex(corpus, idCol, textCol, n)
+    val (batchIdx, batchSizes) = shingleIndex(batch, idCol, textCol, n)
+    val cands = bandedBuckets(minhashSignaturesFromIndex(corpusIdx)).as("a")
+      .join(bandedBuckets(minhashSignaturesFromIndex(batchIdx)).as("b"),
+        col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+      .distinct()
+    verifyJaccard(cands, corpusIdx, batchIdx, corpusSizes, batchSizes, threshold)
   }
 
   /** Sequential-fold dot product — a native codegen'd Catalyst expression

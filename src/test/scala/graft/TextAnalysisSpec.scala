@@ -112,13 +112,29 @@ class TextAnalysisSpec extends SparkSpec {
       ("x y z", 0.0, 0.0),
       ("", 0.0, 0.0)
     ).toDF("text", "d1", "d2")
-    df.collect() // force
     val got = df.select($"d1", $"d2",
       TextAnalysis.dupGramFraction($"text", 1).as("g1"),
       TextAnalysis.dupGramFraction($"text", 2).as("g2")).collect()
     got.foreach { r =>
       assert(r.getDouble(2) === r.getDouble(0))
       assert(r.getDouble(3) === r.getDouble(1))
+    }
+  }
+
+  test("native dupGramFraction equals the HOF gram specification on the corpus") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    Seq(1, 2, 3).foreach { n =>
+      val hofFrac = {
+        val g = TextAnalysis.wordGrams($"text", n)
+        when(size(g) > 0,
+          (size(g) - size(array_distinct(g))) * lit(1.0) / size(g))
+          .otherwise(lit(0.0))
+      }
+      val diff = docs.select(
+        TextAnalysis.dupGramFraction($"text", n).as("native"),
+        hofFrac.as("hof"))
+        .filter($"native" =!= $"hof").count()
+      assert(diff == 0, s"n=$n: hash-distinct count must equal string-distinct")
     }
   }
 
