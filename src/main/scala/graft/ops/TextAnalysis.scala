@@ -225,9 +225,14 @@ object TextAnalysis {
     * doc any monotone transform of N/df orders identically — so the
     * rational form keeps the oracle exact without changing the answer.
     * weight = (tf · N) / df computed as one exact integer product
-    * (< 2⁵³) and one IEEE division. Shuffles are keyed by doc id and
-    * token (both pre-aggregated map-side); N arrives via a broadcast
-    * 1-row cross join, not a driver action — the plan stays lazy. */
+    * (< 2⁵³) and one IEEE division.
+    *
+    * Single corpus scan: df comes from a count window over the (doc,
+    * token) aggregate's token partitioning, NOT a second aggregation of
+    * the counts lineage — Spark recomputes unreferenced lineage, and the
+    * re-scan would re-tokenize the whole corpus (plan-audited; at 100 TB
+    * the tokenize+explode scan dominates everything else). N arrives via
+    * a broadcast 1-row cross join, not a driver action — lazy plan. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -235,10 +240,11 @@ object TextAnalysis {
     val counts = docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    val df = counts.groupBy("token").agg(count(lit(1)).as("df"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("weight").desc, col("token").asc)
-    counts.join(df, "token").crossJoin(broadcast(nDocs))
+    counts
+      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .crossJoin(broadcast(nDocs))
       .withColumn("weight",
         (col("tf") * col("n_docs")).cast("double") / col("df"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)

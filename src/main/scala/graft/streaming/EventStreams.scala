@@ -97,6 +97,31 @@ object EventStreams {
     src.dropDuplicates("event_id")
   }
 
+  /** Stream-stream interval join: each probe event joined to the same
+    * user's earlier events within `intervalSecs` — the streaming form of
+    * the range join (`q_join_range` is the batch-equivalence check of
+    * this exact plan). On streaming input BOTH sides carry watermarks and
+    * the join condition bounds event time on both sides, so Spark can
+    * compute a state watermark and evict buffered rows — the state-bound
+    * contract a 100 TB/day stream needs; unbounded stream-stream joins
+    * are rejected by the analyzer. On batch input the same plan is a
+    * plain inner join with the interval predicate. */
+  def intervalJoin(probes: DataFrame, intervals: DataFrame,
+                   intervalSecs: Long = 3600L,
+                   watermark: String = "1 hour"): DataFrame = {
+    def side(df: DataFrame) =
+      if (df.isStreaming) df.withWatermark("ts", watermark) else df
+    val p = side(probes).select(col("event_id").as("event_id"),
+      col("user_id").as("user_id"), col("ts").as("ts"))
+    val i = side(intervals).select(col("event_id").as("interval_id"),
+      col("user_id").as("i_user_id"), col("ts").as("i_ts"))
+    p.join(i,
+      col("user_id") === col("i_user_id") &&
+        col("ts") > col("i_ts") &&
+        col("ts") <= col("i_ts") + expr(s"INTERVAL $intervalSecs SECONDS"))
+      .select(col("event_id"), col("interval_id"), col("user_id"))
+  }
+
   /** The production streaming sink pattern: `foreachBatch` hands each
     * micro-batch to the BATCH sink layer (parquet here; the JDBC sink
     * composes the same way), so one sink implementation serves both

@@ -103,4 +103,53 @@ class PropertySpec extends SparkSpec {
       hashed == strings
     })
   }
+
+  test("property: next-fit packing is a partition and respects the budget") {
+    val docsGen = for {
+      n <- Gen.choose(1, 20)
+      toks <- Gen.listOfN(n, Gen.choose(1, 120))
+    } yield toks.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    check("packing", Prop.forAll(docsGen) { docs =>
+      val budget = 100
+      val out = graft.ops.Packing
+        .nextFitPack(docs.toDF("doc_id", "n_tokens"), "doc_id", $"n_tokens",
+          budget, 3)
+        .collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("pack_group"),
+          r.getAs[Int]("n_tokens"), r.getAs[Int]("bin_id")))
+      // every doc assigned exactly once
+      val partition = out.map(_._1).sorted.toSeq == docs.map(_._1).sorted
+      // a bin only exceeds the budget when it holds a single oversized doc
+      val binsOk = out.groupBy(o => (o._2, o._4)).values.forall { bin =>
+        bin.map(_._3).sum <= budget || bin.length == 1
+      }
+      // bins are numbered contiguously from 0 within each group
+      val contiguous = out.groupBy(_._2).values.forall { g =>
+        val ids = g.map(_._4).distinct.sorted.toSeq
+        ids == (0 until ids.length)
+      }
+      partition && binsOk && contiguous
+    })
+  }
+
+  test("property: containment is within (0,1] and 1.0 iff self-contained") {
+    val textGen = for {
+      n <- Gen.choose(3, 10)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d", "e"))
+    } yield toks.mkString(" ")
+    check("containment", Prop.forAll(Gen.listOfN(4, textGen)) { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val train = docs.filter(_._1 % 2 == 0).toDF("doc_id", "text")
+      val eval = docs.filter(_._1 % 2 == 1).toDF("doc_id", "text")
+      val pairs = graft.ops.Contamination
+        .containmentPairs(train, eval, "doc_id", "text", 3, 0.0)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      // containment of an eval doc against a train doc with identical
+      // text must be exactly 1.0; all scores in (0, 1]
+      val byText = docs.toMap
+      pairs.forall { case (e, t, c) =>
+        c > 0.0 && c <= 1.0 && (byText(e) != byText(t) || c == 1.0)
+      }
+    })
+  }
 }

@@ -130,6 +130,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("intervalJoin: stream-stream join equals batch, state bounded by watermark") {
+    val data = Seq(
+      ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:30:00"),
+      ev(3, "2024-01-01 11:30:00"),                 // > 1h after ev1, within 1h of ev2
+      ev(4, "2024-01-01 10:10:00", user = 2L))      // other user, no partner
+    val batch = EventStreams.intervalJoin(data.toDF(), data.toDF(), 3600L)
+      .orderBy("event_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(batch == Seq((2L, 1L), (3L, 2L)))
+    // streaming path: both sides from one MemoryStream, append mode
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val src = mem.toDF()
+    val q = EventStreams.intervalJoin(src, src, 3600L, "2 hours")
+      .writeStream.format("memory").queryName("interval_join_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData(data: _*)
+      q.processAllAvailable()
+      // advance the watermark so buffered matches flush
+      mem.addData(ev(99, "2024-01-01 20:00:00"))
+      q.processAllAvailable()
+      val stream = spark.table("interval_join_test")
+        .filter($"event_id" =!= 99L && $"interval_id" =!= 99L)
+        .orderBy("event_id", "interval_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(stream == batch, "stream-stream interval join must equal batch")
+    } finally q.stop()
+  }
+
   test("file readStream over the fixture parquet reaches the same counts") {
     // FileStreamSource wants a directory: stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
