@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Exact distributed quantiles over integral columns — the corpus-audit
+  * primitive behind "filter docs below the p10 quality length" style
+  * sweeps.
+  *
+  * The usual exact route (global sort, or a single-partition window) is
+  * a 100 TB scale-killer, and `approx_percentile` is neither exact nor
+  * engine-reproducible. This is the distributed selection algorithm
+  * instead: each pass histograms the surviving value range into `bins`
+  * equal-width buckets with ONE map-side-combined aggregation, locates
+  * the bucket holding the k-th value, and recurses into it. The value
+  * range shrinks by ~`bins`× per pass, so a full 64-bit range needs at
+  * most ⌈64/log₂bins⌉ = 7 passes at the default 1024 bins; each pass
+  * ships `bins` counters to the driver, never data rows. No sort, no
+  * repartition-to-1, no collect of values.
+  */
+object Quantiles {
+
+  /** Exact k-th smallest (1-based, duplicates counted) of integral
+    * column `valueCol`. Requires 1 ≤ k ≤ count; one aggregate action per
+    * refinement pass. */
+  def exactKth(df: DataFrame, valueCol: String, k: Long, bins: Int = 1024): Long = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val v = col(valueCol).cast("long")
+    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).head()
+    require(!bounds.isNullAt(0), "column has no non-null values")
+    require(k <= bounds.getLong(2), s"k=$k exceeds count=${bounds.getLong(2)}")
+    var lo = bounds.getLong(0)
+    var hi = bounds.getLong(1)
+    var kk = k
+    while (lo < hi) {
+      // ceil-div keeps bucket count <= bins; Long math is safe while the
+      // range is below 2^62 (true for any real measurement column)
+      val width = math.max(1L, (hi - lo) / bins + 1L)
+      // integer `div`, NOT `/`: Spark's `/` on longs is double division,
+      // which loses exactness above 2^53
+      val hist = df.select(v.as("__v")).filter(col("__v") >= lo && col("__v") <= hi)
+        .groupBy(expr(s"(__v - ${lo}L) div ${width}L").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      var cum = 0L
+      var i = 0
+      while (cum + hist(i)._2 < kk) { cum += hist(i)._2; i += 1 }
+      kk -= cum
+      val b = hist(i)._1
+      val newLo = lo + b * width
+      hi = math.min(hi, newLo + width - 1)
+      lo = newLo
+    }
+    lo
+  }
+
+  /** Exact quantiles at ranks ⌈q·n⌉ (percentile-disc style, lower
+    * rounding via ⌈⌉ on the 1-based rank). Returns (q, value) pairs;
+    * runs one selection per q. */
+  def exactQuantiles(df: DataFrame, valueCol: String,
+                     qs: Seq[Double]): Seq[(Double, Long)] = {
+    val n = df.filter(col(valueCol).isNotNull).count()
+    qs.map { q =>
+      require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      q -> exactKth(df, valueCol, k)
+    }
+  }
+}

@@ -414,6 +414,33 @@ object ExtensionQueries {
         PackBudget)
         .orderBy("pack_group", "bin_id")),
 
+    // the composed quality sweep every corpus runs before training:
+    // length floor + quality score + repetition cap + PII-free, all
+    // predicates fused into ONE codegen'd scan (no joins, no shuffle
+    // before the harness sort)
+    "q_corpus_filter" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(col("text"))
+      val flags = TextAnalysis.contentFlags(col("text")).toMap
+      docs(s, dir)
+        .filter(size(toks) >= 20 &&
+          TextAnalysis.qualityScore(col("text")) > 0.2 &&
+          TextAnalysis.dupGramFraction(col("text"), 3) <= 0.1 &&
+          !flags("has_url") && !flags("has_email"))
+        .select("doc_id", "lang", "n_chars")
+        .orderBy("doc_id")
+    }),
+
+    // exact corpus quantiles by distributed selection (no sort, no
+    // single-partition window, no approx sketch): ranks ⌈q·n⌉ over n_chars
+    "q_text_length_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Quantiles
+        .exactQuantiles(docs(s, dir), "n_chars", Seq(0.50, 0.90, 0.99))
+        .map { case (q, v) => (f"p${(q * 100).toInt}%02d", v) }
+        .toDF("metric", "value")
+        .orderBy("metric")
+    }),
+
     // ── embedding preprocessing ──────────────────────────────────────
     // float arrays quantized (floor(f·1e6)) + serialized at the edge,
     // same discipline as q_multimodal_features
@@ -425,15 +452,17 @@ object ExtensionQueries {
           .as("norm_q6"))
         .orderBy("vec_id")),
 
-    "q_emb_quantize" -> ((s, dir) => {
-      val q = graft.ops.Embeddings.quantizeInt8(col("embedding"))
+    "q_emb_quantize" -> ((s, dir) =>
+      // materialize the quantizer struct in its own projection so the
+      // abs-max/scale chain is computed once, not once per output field
       emb(s, dir)
         .select(col("vec_id"),
-          concat_ws(" ", transform(q.getField("q"), x => x.cast("string")))
+          graft.ops.Embeddings.quantizeInt8(col("embedding")).as("qz"))
+        .select(col("vec_id"),
+          concat_ws(" ", transform(col("qz.q"), x => x.cast("string")))
             .as("q_str"),
-          q.getField("scale").as("scale"))
-        .orderBy("vec_id")
-    }),
+          col("qz.scale").as("scale"))
+        .orderBy("vec_id")),
 
     // ── streaming transforms, run in batch mode (same plan runs under
     //    readStream + watermark — see EventStreams / StreamingSpec) ────
@@ -889,6 +918,50 @@ object ExtensionQueries {
          |       CAST(SUM(n_tokens) AS BIGINT) AS fill,
          |       CAST(GREATEST($PackBudget - SUM(n_tokens), 0) AS BIGINT) AS waste
          |FROM pack GROUP BY 1, 2 ORDER BY pack_group, bin_id""".stripMargin,
+
+    "q_corpus_filter" ->
+      s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
+         |  string_split(text, ' ') AS tku,
+         |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
+         |m AS (SELECT doc_id, lang, n_chars, text,
+         |  len(tk) AS ntok,
+         |  CASE WHEN length(text) > 0
+         |    THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))) * 1.0
+         |         / length(text)
+         |    ELSE 0.0 END AS punct,
+         |  CASE WHEN len(tk) > 0
+         |    THEN len([x FOR x IN tk IF list_contains(['the','and','of','to','in','is','it','for','on','with'], x)]) * 1.0 / len(tk)
+         |    ELSE 0.0 END AS stopr,
+         |  CASE WHEN len(tku) >= 3
+         |    THEN (len(tku) - 2 - len(list_distinct(
+         |           [concat_ws(' ', tku[i], tku[i+1], tku[i+2])
+         |            FOR i IN generate_series(1, len(tku)-2)]))) * 1.0 / (len(tku) - 2)
+         |    ELSE 0.0 END AS dup3
+         |FROM t)
+         |SELECT doc_id, lang, n_chars FROM m
+         |WHERE ntok >= 20
+         |  AND stopr * 2.0 - punct + (CASE WHEN ntok >= 20 THEN 0.1 ELSE 0.0 END) > 0.2
+         |  AND dup3 <= 0.1
+         |  AND len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) = 0
+         |  AND len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) = 0
+         |ORDER BY doc_id""".stripMargin,
+
+    // percentile-disc semantics at rank ⌈q·n⌉ — both engines evaluate the
+    // same IEEE ceil(q*n), so the rank is identical
+    "q_text_length_quantiles" ->
+      """WITH s AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'p50' AS metric, s.n_chars AS value FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'p90', s.n_chars FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'p99', s.n_chars FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)))
+        |ORDER BY metric""".stripMargin,
 
     "q_emb_normalize" ->
       s"""WITH n AS (

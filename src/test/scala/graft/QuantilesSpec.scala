@@ -1,0 +1,50 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import graft.ops.Quantiles
+
+class QuantilesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exactKth selects the k-th smallest with duplicates and negatives") {
+    val vals = Seq(5L, -3L, 5L, 0L, 9L, -3L, 2L)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    (1 to vals.length).foreach { k =>
+      assert(Quantiles.exactKth(df, "v", k.toLong, bins = 4) === sorted(k - 1),
+        s"k=$k")
+    }
+  }
+
+  test("exactKth rejects out-of-range ranks") {
+    val df = Seq(1L, 2L).toDF("v")
+    intercept[IllegalArgumentException](Quantiles.exactKth(df, "v", 0L))
+    intercept[IllegalArgumentException](Quantiles.exactKth(df, "v", 3L))
+  }
+
+  test("exactQuantiles matches the rank definition on the fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val sorted = docs.select("n_chars").collect().map(_.getLong(0)).sorted
+    val n = sorted.length
+    Quantiles.exactQuantiles(docs, "n_chars", Seq(0.5, 0.9, 0.99))
+      .foreach { case (q, v) =>
+        val k = math.max(1L, math.ceil(q * n).toLong).toInt
+        assert(v === sorted(k - 1), s"q=$q")
+      }
+  }
+
+  test("property: exactKth equals in-memory sort for random data") {
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(8).withInitialSeed(org.scalacheck.rng.Seed(7L))
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      vs <- Gen.listOfN(n, Gen.choose(-1000L, 1000L))
+      k <- Gen.choose(1, n)
+    } yield (vs, k)
+    val r = SCTest.check(params, Prop.forAll(gen) { case (vs, k) =>
+      Quantiles.exactKth(vs.toDF("v"), "v", k.toLong, bins = 8) ==
+        vs.sorted.apply(k - 1)
+    })
+    assert(r.passed, s"property failed: ${r.status}")
+  }
+}
