@@ -97,20 +97,21 @@ object Dedup {
       val nbrMin = edges
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min("dlabel").as("nmin"))
+      // carry the pre-step label through the pass: change detection then
+      // filters the already-checkpointed frame instead of re-joining the
+      // previous labels (one shuffle join fewer per iteration)
       val stepped = labels.join(nbrMin, Seq("id"), "left")
-        .select(col("id"),
+        .select(col("id"), col("label").as("old"),
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // pointer jumping: follow one hop of the label forest (labels always
       // point at existing ids, so the lookup join always hits)
       val next = stepped
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"), coalesce(col("ll"), col("label")).as("label"))
+        .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
         .localCheckpoint(true)
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("old")).count()
+      labels = next.select("id", "label")
       iter += 1
     }
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))

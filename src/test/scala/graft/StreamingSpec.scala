@@ -160,6 +160,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static dedup drops docs already in the static corpus") {
+    val corpus = Seq((1L, "seen text one"), (2L, "seen text two"))
+      .toDF("doc_id", "text")
+    // batch contract
+    val batchIn = Seq((10L, "seen text one"), (11L, "fresh text"))
+      .toDF("doc_id", "text")
+    val batch = graft.streaming.CorpusStreams
+      .dedupAgainstCorpus(batchIn, corpus).select("doc_id")
+      .collect().map(_.getLong(0)).toSeq
+    assert(batch == Seq(11L))
+    // streaming path over the same data
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val q = graft.streaming.CorpusStreams
+      .dedupAgainstCorpus(mem.toDF().toDF("doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("corpus_dedup_test")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      mem.addData((10L, "seen text one"), (11L, "fresh text"))
+      q.processAllAvailable()
+      mem.addData((12L, "seen text two"), (13L, "also fresh"))
+      q.processAllAvailable()
+      val ids = spark.table("corpus_dedup_test").select("doc_id")
+        .collect().map(_.getLong(0)).sorted.toSeq
+      assert(ids == Seq(11L, 13L), "corpus dups dropped in every micro-batch")
+    } finally q.stop()
+  }
+
+  test("qualityGate filters a stream with the corpus-filter predicates") {
+    val good = "the cat and the dog sat on the mat with the bird and " +
+      "the fish for the day in the sun is it good for all of them to stay"
+    val in = Seq((1L, good), (2L, "x"), (3L, good + " see https://spam.example"))
+      .toDF("doc_id", "text")
+    val out = graft.streaming.CorpusStreams.qualityGate(in)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    assert(out == Seq(1L))
+  }
+
   test("file readStream over the fixture parquet reaches the same counts") {
     // FileStreamSource wants a directory: stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
