@@ -67,6 +67,25 @@ object Multimodal {
                                     frameBytes: Int) =
     substring(payload, idx * frameBytes + 1, lit(frameBytes))
 
+  /** Deterministic nearest-neighbor "resize" of every payload to a fixed
+    * byte budget (`outBytes`, e.g. 64 = an 8×8 thumbnail's worth): output
+    * byte k is input byte ⌊k·n/outBytes⌋ — the classic nearest-neighbor
+    * downsample applied to the flat byte stream. A REAL pixel-space
+    * resize needs the decoded raster (see [[decodeFeatures]]'s stub
+    * note); the Spark-side contract — fixed-size binary out, pure
+    * codegen'd expressions, no UDF, no shuffle — is exactly what the
+    * production version keeps. Payloads shorter than `outBytes` upsample
+    * by repetition (floor index repeats bytes). */
+  def resizeStub(media: DataFrame, outBytes: Int = 64): DataFrame = {
+    val n = length(col("payload"))
+    val pieces = (0 until outBytes).map { k =>
+      substring(col("payload"),
+        floor(lit(k) * n / lit(outBytes)).cast("int") + 1, lit(1))
+    }
+    media.select(col("media_id"), col("modality"),
+      concat(pieces: _*).as("resized"))
+  }
+
   /** Batch "decode" → fixed-dim feature vector per media row.
     *
     * ??? REAL DECODER GOES HERE — STUBBED ???

@@ -537,6 +537,15 @@ object ExtensionQueries {
           md5(col("frame_bytes")).as("frame_md5"))
         .orderBy("media_id", "frame_idx")),
 
+    // nearest-neighbor byte resize to a 64-byte budget; md5 at the edge
+    // (binary columns don't survive the driver's pandas sort)
+    "q_multimodal_resize" -> ((s, dir) =>
+      Multimodal.resizeStub(Multimodal.mediaFromDocuments(docs(s, dir)), 64)
+        .select(col("media_id"), col("modality"),
+          length(col("resized")).as("n_bytes"),
+          md5(col("resized")).as("resized_md5"))
+        .orderBy("media_id")),
+
     // features quantized (floor(f·1e6), exact: the stub's double math and
     // float rounding are IEEE-identical in DuckDB) and serialized at the
     // edge — the driver's pandas sort can't hash array cells (VERDICT r1 §2)
@@ -1066,6 +1075,20 @@ object ExtensionQueries {
         |SELECT media_id, CAST(frame_idx AS INT) AS frame_idx,
         |       md5(substring(text, frame_idx * 32 + 1, 32)) AS frame_md5
         |FROM f ORDER BY media_id, frame_idx""".stripMargin,
+
+    // same byte indexing as resizeStub over the ASCII payload (varchar
+    // substr == byte substr for pure-ASCII documents)
+    "q_multimodal_resize" -> {
+      val pieces = (0 until 64).map(k =>
+        s"substr(text, CAST(floor($k * length(text) / 64.0) AS INT) + 1, 1)")
+        .mkString(",\n        ")
+      s"""SELECT doc_id AS media_id,
+         |  CASE WHEN doc_id % 3 = 0 THEN 'image'
+         |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
+         |  CAST(64 AS INT) AS n_bytes,
+         |  md5(concat(${pieces})) AS resized_md5
+         |FROM documents ORDER BY media_id""".stripMargin
+    },
 
     // recomputes the decode stub from scratch (per-chunk mean byte value /
     // 255 → float): docs are pure ASCII so ord(ch) = payload byte; the

@@ -48,6 +48,17 @@ class MultimodalSpec extends SparkSpec {
     assert(f1 == f2, "decode stub must be deterministic and partition-invariant")
   }
 
+  test("resizeStub emits a fixed byte budget with nearest-neighbor indexing") {
+    val out = Multimodal.resizeStub(media, 64)
+    assert(out.select(length($"resized")).distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(64), "every payload resizes to 64 bytes")
+    // upsampling-by-repetition: a 2-byte payload resized to 4 is ABBB? no —
+    // indices floor(k*2/4) = 0,0,1,1 -> AABB
+    val tiny = Multimodal.resizeStub(
+      Seq((1L, "img", "AB".getBytes("UTF-8"))).toDF("media_id", "modality", "payload"), 4)
+    assert(new String(tiny.first().getAs[Array[Byte]]("resized"), "UTF-8") == "AABB")
+  }
+
   test("features feed the ANN path (Similarity over decoded vectors)") {
     val feats = Multimodal.decodeFeatures(media, 8)
       .select($"media_id".as("vec_id"), $"features".as("embedding"))
