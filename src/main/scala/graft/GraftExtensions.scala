@@ -52,6 +52,18 @@ object GraftExtensions {
             s"shingle_hashes n must be a literal, got $other")
         }
         graft.functions.ShingleHashes(args(0), n)
+      }),
+    "min_gram_hash64" -> (info("min_gram_hash64",
+      "min_gram_hash64(text, k) - minimum polynomial hash over k-char windows (winnowing fingerprint)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "min_gram_hash64 takes (text, k)")
+        val k = args(1) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"min_gram_hash64 k must be a literal, got $other")
+        }
+        graft.functions.MinGramHash64(args(0), k)
       }))
 
   /** Register the functions on an existing session's catalog. */

@@ -58,6 +58,13 @@ class AsOfSpec extends SparkSpec {
       "price must be the matched row's null, not an older row's value")
   }
 
+  test("empty right side preserves every left row with null payloads") {
+    val noQuotes = quotes.filter($"key" === -1L)
+    val out = AsOf.asOfJoin(trades, noQuotes, Seq("key"), "tt", "qt")
+    assert(out.count() == trades.count())
+    assert(out.filter($"asof_price".isNotNull).count() == 0)
+  }
+
   test("left rows and columns are all preserved") {
     val out = AsOf.asOfJoin(trades, quotes, Seq("key"), "tt", "qt")
     assert(out.count() == trades.count())

@@ -30,6 +30,17 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == 11.0 && viaCol == 11.0)
   }
 
+  test("min_gram_hash64 in SQL matches the Column API") {
+    GraftExtensions.register(spark)
+    val df = Seq(Tuple1("long enough text here")).toDF("text")
+    df.createOrReplaceTempView("ext_mgh")
+    val viaSql = spark.sql("SELECT min_gram_hash64(text, 8) FROM ext_mgh")
+      .first().getLong(0)
+    val viaCol = df.select(graft.ops.TextAnalysis.minGramFingerprint($"text", 8))
+      .first().getLong(0)
+    assert(viaSql == viaCol)
+  }
+
   test("non-literal n for shingle_hashes is rejected") {
     GraftExtensions.register(spark)
     Seq(("a b c", 3)).toDF("text", "n").createOrReplaceTempView("ext_bad")

@@ -29,6 +29,14 @@ class PackingSpec extends SparkSpec {
     assert(a.toSeq === b.toSeq)
   }
 
+  test("empty input packs to an empty frame with the output schema") {
+    val out = Packing.nextFitPack(
+      docsDf.filter(col("doc_id") < 0), "doc_id", col("n_tokens"), 256, 4)
+    assert(out.count() === 0)
+    assert(out.columns.toSeq ===
+      Seq("doc_id", "pack_group", "n_tokens", "bin_id"))
+  }
+
   test("groups pack independently and binStats accounts every token") {
     val packed = Packing.nextFitPack(docsDf, "doc_id", col("n_tokens"), 256, 2)
     // group 0: docs 0,2,4 (100,100,50) -> one bin of 250
