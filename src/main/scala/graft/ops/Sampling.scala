@@ -46,4 +46,25 @@ object Sampling {
     require(every > 0 && take >= 0 && take <= every)
     df.filter(pmod(col(keyCol), lit(every)) < take)
   }
+
+  /** Deterministic corpus mixing by UP-sampling: repeat each row
+    * `repeats(stratum)` times (default `default`), tagged with a
+    * `copy_idx` — the "N epochs of source X" mixture weighting every
+    * LLM data recipe applies to high-quality sources. One `explode`
+    * over a per-row `sequence`, no shuffle; repetition lands adjacent
+    * to the original row, so downstream `repartition` decides placement
+    * explicitly. Strata with repeat 0 drop out (sequence(1,0) is empty —
+    * doubling as a coarse filter). */
+  def repeatByStratum(df: DataFrame, strataCol: String,
+                      repeats: Map[String, Int], default: Int = 1): DataFrame = {
+    require((repeats.values ++ Seq(default)).forall(_ >= 0), "repeats >= 0")
+    val n = repeats.foldLeft(lit(default)) { case (acc, (v, r)) =>
+      when(col(strataCol) === v, lit(r)).otherwise(acc)
+    }
+    // guard the zero case: Spark's sequence(1, 0) steps DOWNWARD ([1,0]),
+    // it is not empty like DuckDB's generate_series(1, 0)
+    df.withColumn("copy_idx",
+      explode(when(n > 0, sequence(lit(1), n))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

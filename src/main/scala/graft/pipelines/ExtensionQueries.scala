@@ -297,6 +297,14 @@ object ExtensionQueries {
         docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id", 10L, 3L)
         .orderBy("doc_id")),
 
+    // deterministic up-sampling corpus mix: src0 ×3 epochs, src1 ×2,
+    // the rest ×1 — the per-source repetition weighting of data recipes
+    "q_sample_mix" -> ((s, dir) =>
+      graft.ops.Sampling.repeatByStratum(
+        docs(s, dir).select("doc_id", "source"), "source",
+        Map("src0" -> 3, "src1" -> 2))
+        .orderBy("doc_id", "copy_idx")),
+
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -818,6 +826,15 @@ object ExtensionQueries {
     "q_sample_systematic" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 10 < 3 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_mix" ->
+      """SELECT doc_id, source,
+        |       CAST(unnest(generate_series(1, r)) AS INT) AS copy_idx
+        |FROM (SELECT doc_id, source,
+        |        CASE WHEN source = 'src0' THEN 3
+        |             WHEN source = 'src1' THEN 2 ELSE 1 END AS r
+        |      FROM documents)
+        |ORDER BY doc_id, copy_idx""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -40,4 +40,12 @@ class SamplingSpec extends SparkSpec {
     assert(out.forall(id => id % 10 < 3))
     assert(out.length == docs.filter(col("doc_id") % 10 < 3).count())
   }
+
+  test("repeatByStratum up-samples per source; repeat 0 drops the stratum") {
+    import spark.implicits._
+    val df = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "src")
+    val out = Sampling.repeatByStratum(df, "src", Map("a" -> 3, "c" -> 0))
+      .collect().map(r => (r.getLong(0), r.getInt(2)))
+    assert(out.toSeq.sorted == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
+  }
 }
