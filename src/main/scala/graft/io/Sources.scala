@@ -54,8 +54,11 @@ object Sources {
   /** S6 — parquet source registered as a temp view + SQL over it
     * (reference `Raptor.py:89-100`, including the `reporting.<table>`
     * prefix rewrite — done with a word-boundary regex, not plain
-    * `String.replace`, so `reporting.<view>` inside string literals like
-    * `'x reporting.foo'` or in a longer identifier is left alone). */
+    * `String.replace`, so the prefix inside a LONGER identifier
+    * (`xreporting.foo`, `reporting.foobar`) is left alone. A
+    * `reporting.<view>` token inside a string LITERAL is still
+    * rewritten (`\b` cannot see quoting) — same limitation as the
+    * reference's replace; pass SQL without such literals. */
   def parquetSql(spark: SparkSession, path: String, view: String, sql: String): DataFrame = {
     spark.read.parquet(path).createOrReplaceTempView(view)
     val pat = ("(?i)\\breporting\\." + java.util.regex.Pattern.quote(view) + "\\b").r

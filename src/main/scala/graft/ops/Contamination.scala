@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
   * an |eval| × |train| cross join. Cost is Σ_shingle df_eval · df_train,
   * and the eval side is tiny relative to the corpus (benchmarks, not the
   * 100 TB crawl), so candidate generation is bounded by the eval side's
-  * index. The same `maxDf` df-capping as [[Dedup.jaccardPairs]] applies
-  * if a degenerate shingle is shared by everything: drop shingles with
-  * train-df above the cap from CANDIDATE GENERATION only, then verify
-  * exactly over the full index.
+  * index. `maxDf` applies the same df-capping as [[Dedup.jaccardPairs]]
+  * when a degenerate shingle is shared by everything: shingles with
+  * train-df above the cap are dropped from CANDIDATE GENERATION only,
+  * and every candidate's containment is then computed exactly over the
+  * full indexes — a pair is missed only if ALL its shared shingles
+  * exceed the cap.
   */
 object Contamination {
 
@@ -29,20 +31,40 @@ object Contamination {
     * containment ≥ threshold. Shingle hashing/distinctness matches
     * [[Dedup.jaccardPairs]] (xxhash64'd word n-grams — 8-byte shuffle
     * keys). Eval docs with fewer than `n` tokens have no shingles and
-    * produce no pairs. */
+    * produce no pairs. `maxDf = None` (default) is fully exact. */
   def containmentPairs(train: DataFrame, eval: DataFrame, idCol: String,
                        textCol: String, n: Int = 3,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5,
+                       maxDf: Option[Int] = None): DataFrame = {
     def index(docs: DataFrame, side: String) = docs.select(
       col(idCol).as(s"${side}_id"),
       explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
         .as("shash"))
     val evalIdx = index(eval, "eval")
+    val trainIdx = index(train, "train")
     val evalSizes = eval.select(col(idCol).as("eval_id"),
       size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
         .as("n_eval"))
-    val common = evalIdx.join(index(train, "train"), "shash")
-      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("common"))
+    val common = maxDf match {
+      case None =>
+        evalIdx.join(trainIdx, "shash")
+          .groupBy("eval_id", "train_id").agg(count(lit(1)).as("common"))
+      case Some(cap) =>
+        // candidates only from rare (train-df ≤ cap) shingles, then the
+        // TRUE common count over the full indexes for those candidates
+        val rare = trainIdx.groupBy("shash").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("shash")
+        val cands = evalIdx.join(trainIdx.join(rare, "shash"), "shash")
+          .select("eval_id", "train_id").distinct()
+        cands.as("c")
+          .join(evalIdx.as("e"), col("c.eval_id") === col("e.eval_id"))
+          .join(trainIdx.as("t"),
+            col("c.train_id") === col("t.train_id") &&
+              col("e.shash") === col("t.shash"))
+          .groupBy(col("c.eval_id").as("eval_id"),
+            col("c.train_id").as("train_id"))
+          .agg(count(lit(1)).as("common"))
+    }
     common.join(evalSizes, "eval_id")
       .withColumn("containment", col("common") * lit(1.0) / col("n_eval"))
       .filter(col("containment") >= threshold)

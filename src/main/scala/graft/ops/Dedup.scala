@@ -79,18 +79,24 @@ object Dedup {
     * label over neighbors, then short-circuits label → label-of-label, so
     * label paths halve per round and convergence needs O(log n) rounds
     * even on chain-shaped components, not O(diameter). Each round is two
-    * shuffle joins; `localCheckpoint` truncates the growing lineage (the
-    * standard Spark iterative-algorithm discipline). The fixpoint is
-    * unique (elementwise min over a lattice), so the result is
-    * deterministic regardless of execution order — which is what lets a
-    * SQL oracle replay it with a recursive transitive closure. */
+    * shuffle joins over a `persist`ed generation; the superseded
+    * generation is explicitly `unpersist`ed, so block-manager residency
+    * is bounded at TWO label generations + the edge set for the whole
+    * run (the standard iterative-algorithm cache discipline — an
+    * every-round `localCheckpoint` would pin every dead generation until
+    * GC). The fixpoint is unique (elementwise min over a lattice), so
+    * the result is deterministic regardless of execution order — which
+    * is what lets a SQL oracle replay it with a recursive transitive
+    * closure. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
                       maxIters: Int = 25): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
     val edges = pairs.select(col("doc_i").as("src"), col("doc_j").as("dst"))
       .union(pairs.select(col("doc_j").as("src"), col("doc_i").as("dst")))
-      .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("id"), col(idCol).as("label"))
-      .localCheckpoint(true)
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var cached = docs.select(col(idCol).as("id"), col(idCol).as("label"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -98,7 +104,7 @@ object Dedup {
         .join(labels.select(col("id").as("dst"), col("label").as("dlabel")), "dst")
         .groupBy(col("src").as("id")).agg(min("dlabel").as("nmin"))
       // carry the pre-step label through the pass: change detection then
-      // filters the already-checkpointed frame instead of re-joining the
+      // filters the already-materialized frame instead of re-joining the
       // previous labels (one shuffle join fewer per iteration)
       val stepped = labels.join(nbrMin, Seq("id"), "left")
         .select(col("id"), col("label").as("old"),
@@ -109,11 +115,14 @@ object Dedup {
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
         .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
-        .localCheckpoint(true)
-      changed = next.filter(col("label") =!= col("old")).count()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      changed = next.filter(col("label") =!= col("old")).count() // materializes next
+      cached.unpersist()
+      cached = next
       labels = next.select("id", "label")
       iter += 1
     }
+    edges.unpersist()
     labels.select(col("id").as(idCol), col("label").as("cluster_id"))
   }
 

@@ -22,15 +22,28 @@ object Quantiles {
 
   /** Exact k-th smallest (1-based, duplicates counted) of integral
     * column `valueCol`. Requires 1 ≤ k ≤ count; one aggregate action per
-    * refinement pass. */
+    * refinement pass plus one bounds scan. */
   def exactKth(df: DataFrame, valueCol: String, k: Long, bins: Int = 1024): Long = {
-    require(k >= 1, s"k must be >= 1, got $k")
+    val (lo, hi, n) = bounds(df, valueCol)
+    selectKth(df, valueCol, k, lo, hi, n, bins)
+  }
+
+  /** One (min, max, count) scan — shared by all selections over the same
+    * column so multi-quantile calls don't rescan per rank. */
+  private def bounds(df: DataFrame, valueCol: String): (Long, Long, Long) = {
     val v = col(valueCol).cast("long")
-    val bounds = df.agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).head()
-    require(!bounds.isNullAt(0), "column has no non-null values")
-    require(k <= bounds.getLong(2), s"k=$k exceeds count=${bounds.getLong(2)}")
-    var lo = bounds.getLong(0)
-    var hi = bounds.getLong(1)
+    val b = df.agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).head()
+    require(!b.isNullAt(0), "column has no non-null values")
+    (b.getLong(0), b.getLong(1), b.getLong(2))
+  }
+
+  private def selectKth(df: DataFrame, valueCol: String, k: Long,
+                        initLo: Long, initHi: Long, n: Long, bins: Int): Long = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    require(k <= n, s"k=$k exceeds count=$n")
+    val v = col(valueCol).cast("long")
+    var lo = initLo
+    var hi = initHi
     var kk = k
     while (lo < hi) {
       // ceil-div keeps bucket count <= bins; Long math is safe while the
@@ -56,14 +69,14 @@ object Quantiles {
 
   /** Exact quantiles at ranks ⌈q·n⌉ (percentile-disc style, lower
     * rounding via ⌈⌉ on the 1-based rank). Returns (q, value) pairs;
-    * runs one selection per q. */
+    * ONE bounds scan total, then one selection per q. */
   def exactQuantiles(df: DataFrame, valueCol: String,
                      qs: Seq[Double]): Seq[(Double, Long)] = {
-    val n = df.filter(col(valueCol).isNotNull).count()
+    val (lo, hi, n) = bounds(df, valueCol)
     qs.map { q =>
       require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
       val k = math.max(1L, math.ceil(q * n).toLong)
-      q -> exactKth(df, valueCol, k)
+      q -> selectKth(df, valueCol, k, lo, hi, n, bins = 1024)
     }
   }
 }

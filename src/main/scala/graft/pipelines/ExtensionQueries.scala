@@ -425,18 +425,13 @@ object ExtensionQueries {
     // the composed quality sweep every corpus runs before training:
     // length floor + quality score + repetition cap + PII-free, all
     // predicates fused into ONE codegen'd scan (no joins, no shuffle
-    // before the harness sort)
-    "q_corpus_filter" -> ((s, dir) => {
-      val toks = TextAnalysis.tokens(col("text"))
-      val flags = TextAnalysis.contentFlags(col("text")).toMap
-      docs(s, dir)
-        .filter(size(toks) >= 20 &&
-          TextAnalysis.qualityScore(col("text")) > 0.2 &&
-          TextAnalysis.dupGramFraction(col("text"), 3) <= 0.1 &&
-          !flags("has_url") && !flags("has_email"))
+    // before the harness sort). The predicate set is THE quality gate —
+    // shared with the streaming form (CorpusStreams.qualityGate), so the
+    // batch oracle here also pins the stream's semantics.
+    "q_corpus_filter" -> ((s, dir) =>
+      graft.streaming.CorpusStreams.qualityGate(docs(s, dir))
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")
-    }),
+        .orderBy("doc_id")),
 
     // exact corpus quantiles by distributed selection (no sort, no
     // single-partition window, no approx sketch): ranks ⌈q·n⌉ over n_chars
@@ -1099,12 +1094,15 @@ object ExtensionQueries {
       val pieces = (0 until 64).map(k =>
         s"substr(text, CAST(floor($k * length(text) / 64.0) AS INT) + 1, 1)")
         .mkString(",\n        ")
-      s"""SELECT doc_id AS media_id,
+      // n_bytes measured from the concat, not hardcoded 64: an empty
+      // payload resizes to an empty blob on the Spark side too
+      s"""WITH r AS (SELECT doc_id, concat(${pieces}) AS resized FROM documents)
+         |SELECT doc_id AS media_id,
          |  CASE WHEN doc_id % 3 = 0 THEN 'image'
          |       WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS modality,
-         |  CAST(64 AS INT) AS n_bytes,
-         |  md5(concat(${pieces})) AS resized_md5
-         |FROM documents ORDER BY media_id""".stripMargin
+         |  CAST(length(resized) AS INT) AS n_bytes,
+         |  md5(resized) AS resized_md5
+         |FROM r ORDER BY media_id""".stripMargin
     },
 
     // recomputes the decode stub from scratch (per-chunk mean byte value /
