@@ -47,6 +47,25 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/legacy").count() == 2)   // accumulated
   }
 
+  test("partitionedParquet prunes directories on partition-column predicates") {
+    val d = Files.createTempDirectory("graft_part").toString
+    val docs = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
+      .toDF("doc_id", "lang", "text")
+    Sinks.partitionedParquet(docs, s"$d/docs", Seq("lang"))
+    val back = spark.read.parquet(s"$d/docs")
+    assert(back.count() == 3, "roundtrip preserves rows")
+    val pruned = back.filter($"lang" === "en")
+    assert(pruned.count() == 2)
+    // partition pruning is real: the physical scan carries the predicate
+    // as a PartitionFilter (directory-level pruning, not a row filter)
+    val scan = pruned.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.partitionFilters.exists(_.references.map(_.name).toSeq.contains("lang")),
+      s"lang predicate must be a partition filter: ${scan.partitionFilters}")
+    assert(scan.relation.partitionSchema.fieldNames.toSeq == Seq("lang"))
+  }
+
   test("ingestion canonicalize renames positionally and stamps DAY_DT") {
     val raw = Seq(("S1", "Acme", "555", "East")).toDF("a", "b", "c", "d")
     val out = Ingestion.canonicalize(raw,
