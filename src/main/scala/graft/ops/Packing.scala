@@ -63,4 +63,21 @@ object Packing {
     packed.groupBy("pack_group", "bin_id")
       .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill"))
       .withColumn("waste", greatest(lit(budget) - col("fill"), lit(0)))
+
+  /** Materialize each bin as one training sequence: the bin's documents
+    * concatenated in doc_id order with a single-space separator. The
+    * in-bin order is made deterministic with `sort_array` over
+    * (doc_id, text) structs — `collect_list` alone has no order
+    * guarantee under parallel aggregation. One shuffle keyed by
+    * (pack_group, bin_id). */
+  def materializeBins(packed: DataFrame, docs: DataFrame, idCol: String,
+                      textCol: String): DataFrame =
+    packed
+      .join(docs.select(col(idCol).cast("long").as("doc_id"),
+        col(textCol).as("__text")), Seq("doc_id"))
+      .groupBy("pack_group", "bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("fill"),
+        concat_ws(" ", transform(
+          sort_array(collect_list(struct(col("doc_id"), col("__text").as("t")))),
+          s => s.getField("t"))).as("seq_text"))
 }

@@ -219,6 +219,27 @@ object TextAnalysis {
     counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
   }
 
+  /** Sliding token-window chunking — the standard preprocessing step
+    * before embedding/RAG indexing: each document becomes ⌈(n−size)/
+    * stride⌉+1 overlapping windows of `size` tokens advancing by
+    * `stride` (documents at or under `size` tokens yield one chunk,
+    * empty documents one empty chunk — no rows are silently dropped).
+    * One posexplode per doc; chunk assembly is slice+concat over the
+    * token array, O(size/stride) overlap factor — a per-row map, no
+    * shuffle. */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int = 64, stride: Int = 48): DataFrame = {
+    require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
+    val toks = tokens(col(textCol))
+    val nChunks = when(size(toks) <= chunkSize, lit(1))
+      .otherwise(ceil((size(toks) - chunkSize) / lit(stride.toDouble))
+        .cast("int") + 1)
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      .withColumn("n_chunk_tokens", size(tokens(col("chunk_text"))))
+  }
+
   /** Top-k tokens per document by a TF-IDF-style weight. The idf factor
     * is the *rational* N/df (not log(N/df)): transcendental functions are
     * not bit-reproducible across engines, and for RANKING terms within a

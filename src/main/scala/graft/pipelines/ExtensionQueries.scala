@@ -422,6 +422,24 @@ object ExtensionQueries {
         PackBudget)
         .orderBy("pack_group", "bin_id")),
 
+    // bins materialized as actual training sequences (doc_id-ordered
+    // concatenation); md5 at the edge keeps the row narrow for the driver
+    "q_pack_sequences" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Packing.materializeBins(
+        Packing.nextFitPack(d, "doc_id",
+          size(TextAnalysis.tokens(col("text"))), PackBudget, PackGroups),
+        d, "doc_id", "text")
+        .select(col("pack_group"), col("bin_id"), col("n_docs"), col("fill"),
+          md5(col("seq_text")).as("seq_md5"))
+        .orderBy("pack_group", "bin_id")
+    }),
+
+    // sliding token-window chunking (64-token windows, stride 48)
+    "q_text_chunks" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text", 64, 48)
+        .orderBy("doc_id", "chunk_idx")),
+
     // the composed quality sweep every corpus runs before training:
     // length floor + quality score + repetition cap + PII-free, all
     // predicates fused into ONE codegen'd scan (no joins, no shuffle
@@ -939,6 +957,29 @@ object ExtensionQueries {
          |       CAST(SUM(n_tokens) AS BIGINT) AS fill,
          |       CAST(GREATEST($PackBudget - SUM(n_tokens), 0) AS BIGINT) AS waste
          |FROM pack GROUP BY 1, 2 ORDER BY pack_group, bin_id""".stripMargin,
+
+    "q_pack_sequences" ->
+      s"""WITH RECURSIVE ${packCtes(PackBudget, PackGroups)}
+         |SELECT p.pack_group, p.bin_id, COUNT(*) AS n_docs,
+         |       CAST(SUM(p.n_tokens) AS BIGINT) AS fill,
+         |       md5(string_agg(d.text, ' ' ORDER BY p.doc_id)) AS seq_md5
+         |FROM pack p JOIN documents d ON d.doc_id = p.doc_id
+         |GROUP BY 1, 2 ORDER BY pack_group, bin_id""".stripMargin,
+
+    "q_text_chunks" ->
+      """WITH t AS (SELECT doc_id,
+        |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
+        |c AS (SELECT doc_id, tk,
+        |  CASE WHEN len(tk) <= 64 THEN 1
+        |       ELSE CAST(ceil((len(tk) - 64) / 48.0) AS INT) + 1 END AS n_chunks
+        |FROM t),
+        |e AS (SELECT doc_id, tk,
+        |        CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_idx
+        |      FROM c)
+        |SELECT doc_id, chunk_idx,
+        |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
+        |  CAST(len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INT) AS n_chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_corpus_filter" ->
       s"""WITH t AS (SELECT doc_id, lang, n_chars, text,

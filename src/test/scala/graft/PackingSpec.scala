@@ -20,6 +20,17 @@ class PackingSpec extends SparkSpec {
     assert(out === Map(0L -> 0, 1L -> 0, 2L -> 1, 3L -> 2, 4L -> 3, 5L -> 3))
   }
 
+  test("materializeBins concatenates bin docs in doc_id order") {
+    val docs = Seq((0L, "aa bb", 2), (1L, "cc", 1), (2L, "dd ee ff", 3))
+      .toDF("doc_id", "text", "n_tokens")
+    val packed = Packing.nextFitPack(docs, "doc_id", col("n_tokens"), 4, 1)
+    // next-fit: docs 0,1 (2+1=3 <= 4) -> bin 0; doc 2 -> bin 1
+    val out = Packing.materializeBins(packed, docs, "doc_id", "text")
+      .orderBy("bin_id").collect()
+      .map(r => (r.getAs[Int]("bin_id"), r.getAs[String]("seq_text")))
+    assert(out.toSeq == Seq((0, "aa bb cc"), (1, "dd ee ff")))
+  }
+
   test("bin ids depend only on in-group order, not physical partitioning") {
     val shuffled = docsDf.repartition(5)
     val a = Packing.nextFitPack(docsDf, "doc_id", col("n_tokens"), 256, 1)

@@ -147,6 +147,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(1) === "clean text")
   }
 
+  test("chunkTokens windows overlap by size-stride; short and empty docs chunk once") {
+    val docs = Seq(
+      (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),
+      (3L, "")
+    ).toDF("doc_id", "text")
+    val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", 4, 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1)) -> (r.getString(2), r.getInt(3))).toMap
+    // doc 1: ceil((10-4)/3)+1 = 3 chunks at offsets 0,3,6
+    assert(out((1L, 0)) == (("t1 t2 t3 t4", 4)))
+    assert(out((1L, 1)) == (("t4 t5 t6 t7", 4)))
+    assert(out((1L, 2)) == (("t7 t8 t9 t10", 4)))
+    assert(out((2L, 0)) == (("a b", 2)))
+    assert(out((3L, 0)) == (("", 0)))
+    assert(out.size == 5)
+  }
+
   test("tfidfTopTerms ranks by rational tf*N/df with token tie-break") {
     val docs = Seq(
       (1L, "rare common common"),
