@@ -298,27 +298,53 @@ object Dedup {
     verifyJaccard(cands, index, index, sizes, sizes, threshold)
   }
 
+  /** The persisted side of incremental dedup: the corpus's shingle
+    * index, per-doc sizes, and banded LSH buckets, each a plain
+    * DataFrame a production pipeline writes to parquet ONCE (and appends
+    * per accepted batch) instead of recomputing per ingestion batch.
+    * Build with [[buildCorpusIndex]]; feed to
+    * [[minhashLshCrossPairsIndexed]]. */
+  final case class CorpusIndex(index: DataFrame, sizes: DataFrame,
+                               banded: DataFrame)
+
+  /** Compute a corpus's reusable dedup index (one corpus scan). */
+  def buildCorpusIndex(docs: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3): CorpusIndex = {
+    val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
+    CorpusIndex(index, sizes, bandedBuckets(minhashSignaturesFromIndex(index)))
+  }
+
   /** Incremental (cross-batch) MinHash+LSH dedup — how near-dup removal
     * actually runs on a growing 100 TB corpus: a new ingestion batch is
     * checked against the existing corpus WITHOUT re-pairing the corpus
     * against itself. Candidate generation is a *bipartite* banded join
-    * (corpus signatures × batch signatures on (band, bucket) — in
-    * production the corpus side is a persisted signature table, so the
-    * per-batch cost is |batch|-proportional, never |corpus|²), followed by
-    * the same exact-Jaccard verify as [[minhashLshPairs]]. Output is
+    * (corpus signatures × batch signatures on (band, bucket)), followed
+    * by the same exact-Jaccard verify as [[minhashLshPairs]]. Output is
     * (doc_i = corpus id, doc_j = batch id, jaccard ≥ threshold); id sets
-    * are assumed disjoint (they're different batches by contract). */
+    * are assumed disjoint (they're different batches by contract).
+    *
+    * This convenience form recomputes the corpus index inline; the
+    * production path builds [[CorpusIndex]] once, persists it, and calls
+    * [[minhashLshCrossPairsIndexed]] per batch — |batch|-proportional
+    * work, never |corpus|². */
   def minhashLshCrossPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
                            textCol: String, n: Int = 3,
-                           threshold: Double = 0.8): DataFrame = {
-    val (corpusIdx, corpusSizes) = shingleIndex(corpus, idCol, textCol, n)
+                           threshold: Double = 0.8): DataFrame =
+    minhashLshCrossPairsIndexed(buildCorpusIndex(corpus, idCol, textCol, n),
+      batch, idCol, textCol, n, threshold)
+
+  /** [[minhashLshCrossPairs]] against a prebuilt (typically persisted)
+    * [[CorpusIndex]] — the per-batch incremental form. */
+  def minhashLshCrossPairsIndexed(corpus: CorpusIndex, batch: DataFrame,
+                                  idCol: String, textCol: String, n: Int = 3,
+                                  threshold: Double = 0.8): DataFrame = {
     val (batchIdx, batchSizes) = shingleIndex(batch, idCol, textCol, n)
-    val cands = bandedBuckets(minhashSignaturesFromIndex(corpusIdx)).as("a")
+    val cands = corpus.banded.as("a")
       .join(bandedBuckets(minhashSignaturesFromIndex(batchIdx)).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
       .distinct()
-    verifyJaccard(cands, corpusIdx, batchIdx, corpusSizes, batchSizes, threshold)
+    verifyJaccard(cands, corpus.index, batchIdx, corpus.sizes, batchSizes, threshold)
   }
 
   /** Sequential-fold dot product — a native codegen'd Catalyst expression

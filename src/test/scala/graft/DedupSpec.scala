@@ -159,6 +159,28 @@ class DedupSpec extends SparkSpec {
       }
   }
 
+  test("a parquet-persisted CorpusIndex reproduces the inline cross pairs") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter($"doc_id" % 2 === 0)
+    val batch = docs.filter($"doc_id" % 2 === 1)
+    val inline = Dedup.minhashLshCrossPairs(corpus, batch, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // persist the index the way a production pipeline would, read it back
+    val d = java.nio.file.Files.createTempDirectory("graft_cidx_").toString
+    val built = Dedup.buildCorpusIndex(corpus, "doc_id", "text", 3)
+    built.index.write.parquet(s"$d/index")
+    built.sizes.write.parquet(s"$d/sizes")
+    built.banded.write.parquet(s"$d/banded")
+    val persisted = Dedup.CorpusIndex(
+      spark.read.parquet(s"$d/index"),
+      spark.read.parquet(s"$d/sizes"),
+      spark.read.parquet(s"$d/banded"))
+    val indexed = Dedup
+      .minhashLshCrossPairsIndexed(persisted, batch, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(indexed == inline)
+  }
+
   test("cosine is 1.0 on identical vectors, bit-deterministic") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
