@@ -59,6 +59,16 @@ object Sinks {
                          mode: SaveMode = SaveMode.Overwrite): Unit =
     df.write.mode(mode).partitionBy(partitionCols: _*).parquet(path)
 
+  /** JSONL (newline-delimited JSON) sink — the interchange format corpus
+    * releases ship in. One JSON object per line; compression via the
+    * standard `compression` option (e.g. "gzip") when the consumer
+    * expects `.jsonl.gz`. */
+  def jsonl(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+            compression: Option[String] = None): Unit = {
+    val w = df.write.mode(mode)
+    compression.fold(w)(c => w.option("compression", c)).json(path)
+  }
+
   /** The reference's snapshot-ledger convention (`ingestion_task.py:66-69`
     * and parallels): the current frame overwrites `raw`, and the same frame
     * appends to the `legacy` history — a hand-rolled SCD-0 daily ledger. */

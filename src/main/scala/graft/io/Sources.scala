@@ -37,6 +37,14 @@ object Sources {
     schema.fold(r.option("inferSchema", "true"))(s => r.schema(s)).csv(path)
   }
 
+  /** JSONL (newline-delimited JSON) corpus source. Schema declared when
+    * known — inference double-reads, and a 100 TB corpus scan must not
+    * pay that twice. Compressed inputs (`.jsonl.gz`) are handled by the
+    * codec automatically. */
+  def jsonl(spark: SparkSession, path: String,
+            schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
+
   /** S4 — whole-table JDBC source (reference `dags/utils.py:115-129`). */
   def jdbcTable(spark: SparkSession, url: String, table: String,
                 props: Map[String, String]): DataFrame = {

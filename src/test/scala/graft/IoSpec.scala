@@ -47,6 +47,22 @@ class IoSpec extends SparkSpec {
     assert(spark.read.parquet(s"$d/legacy").count() == 2)   // accumulated
   }
 
+  test("jsonl roundtrip preserves rows and declared schema avoids inference") {
+    val d = Files.createTempDirectory("graft_jsonl").toString
+    val docs = Seq((1L, "hello world", "en"), (2L, "hallo welt", "de"))
+      .toDF("doc_id", "text", "lang")
+    Sinks.jsonl(docs, s"$d/corpus")
+    val back = Sources.jsonl(spark, s"$d/corpus", Some(docs.schema))
+    // JSON sources force nullable=true; names and types must round-trip
+    assert(back.schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      docs.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(back.orderBy("doc_id").collect().map(_.toSeq).toSeq ==
+      docs.orderBy("doc_id").collect().map(_.toSeq).toSeq)
+    // gzip-compressed variant reads back transparently
+    Sinks.jsonl(docs, s"$d/gz", compression = Some("gzip"))
+    assert(Sources.jsonl(spark, s"$d/gz", Some(docs.schema)).count() == 2)
+  }
+
   test("partitionedParquet prunes directories on partition-column predicates") {
     val d = Files.createTempDirectory("graft_part").toString
     val docs = Seq((1L, "en", "a"), (2L, "de", "b"), (3L, "en", "c"))
