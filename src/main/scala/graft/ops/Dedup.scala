@@ -302,16 +302,18 @@ object Dedup {
     * index, per-doc sizes, and banded LSH buckets, each a plain
     * DataFrame a production pipeline writes to parquet ONCE (and appends
     * per accepted batch) instead of recomputing per ingestion batch.
-    * Build with [[buildCorpusIndex]]; feed to
-    * [[minhashLshCrossPairsIndexed]]. */
+    * `n` records the shingle width the index was built with — the batch
+    * side MUST shingle identically or every cross-Jaccard is silently
+    * ~0, so [[minhashLshCrossPairsIndexed]] takes it from here, not
+    * from a caller parameter. Build with [[buildCorpusIndex]]. */
   final case class CorpusIndex(index: DataFrame, sizes: DataFrame,
-                               banded: DataFrame)
+                               banded: DataFrame, n: Int)
 
   /** Compute a corpus's reusable dedup index (one corpus scan). */
   def buildCorpusIndex(docs: DataFrame, idCol: String, textCol: String,
                        n: Int = 3): CorpusIndex = {
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
-    CorpusIndex(index, sizes, bandedBuckets(minhashSignaturesFromIndex(index)))
+    CorpusIndex(index, sizes, bandedBuckets(minhashSignaturesFromIndex(index)), n)
   }
 
   /** Incremental (cross-batch) MinHash+LSH dedup — how near-dup removal
@@ -331,14 +333,16 @@ object Dedup {
                            textCol: String, n: Int = 3,
                            threshold: Double = 0.8): DataFrame =
     minhashLshCrossPairsIndexed(buildCorpusIndex(corpus, idCol, textCol, n),
-      batch, idCol, textCol, n, threshold)
+      batch, idCol, textCol, threshold)
 
   /** [[minhashLshCrossPairs]] against a prebuilt (typically persisted)
-    * [[CorpusIndex]] — the per-batch incremental form. */
+    * [[CorpusIndex]] — the per-batch incremental form. The batch is
+    * shingled with the INDEX's `n` (mismatched widths can't happen by
+    * construction). */
   def minhashLshCrossPairsIndexed(corpus: CorpusIndex, batch: DataFrame,
-                                  idCol: String, textCol: String, n: Int = 3,
+                                  idCol: String, textCol: String,
                                   threshold: Double = 0.8): DataFrame = {
-    val (batchIdx, batchSizes) = shingleIndex(batch, idCol, textCol, n)
+    val (batchIdx, batchSizes) = shingleIndex(batch, idCol, textCol, corpus.n)
     val cands = corpus.banded.as("a")
       .join(bandedBuckets(minhashSignaturesFromIndex(batchIdx)).as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))

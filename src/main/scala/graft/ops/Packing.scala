@@ -68,8 +68,10 @@ object Packing {
     * concatenated in doc_id order with a single-space separator. The
     * in-bin order is made deterministic with `sort_array` over
     * (doc_id, text) structs — `collect_list` alone has no order
-    * guarantee under parallel aggregation. One shuffle keyed by
-    * (pack_group, bin_id). */
+    * guarantee under parallel aggregation. Two shuffles: the doc_id
+    * equi-join to fetch texts, then the (pack_group, bin_id)
+    * aggregation — the join exchange moves the corpus text once, which
+    * is the unavoidable floor for materialization. */
   def materializeBins(packed: DataFrame, docs: DataFrame, idCol: String,
                       textCol: String): DataFrame =
     packed

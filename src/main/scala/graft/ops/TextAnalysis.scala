@@ -230,14 +230,23 @@ object TextAnalysis {
   def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
                   chunkSize: Int = 64, stride: Int = 48): DataFrame = {
     require(chunkSize > 0 && stride > 0 && stride <= chunkSize)
-    val toks = tokens(col(textCol))
+    // coalesce pins NULL-text semantics explicitly: null ≡ empty ≡ one
+    // empty chunk (size(null) is NULL post-2.x, which would silently
+    // DROP the doc at the posexplode — a corpus op must not lose rows)
+    val toks = tokens(coalesce(col(textCol), lit("")))
     val nChunks = when(size(toks) <= chunkSize, lit(1))
       .otherwise(ceil((size(toks) - chunkSize) / lit(stride.toDouble))
         .cast("int") + 1)
     val chunks = transform(sequence(lit(0), nChunks - 1),
       i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
-    docs.select(col(idCol), posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
-      .withColumn("n_chunk_tokens", size(tokens(col("chunk_text"))))
+    docs.select(col(idCol), size(toks).as("__n"),
+      posexplode(chunks).as(Seq("chunk_idx", "chunk_text")))
+      // token count from the slice bounds — no re-tokenization of the
+      // assembled chunk text in the hot per-row map
+      .withColumn("n_chunk_tokens",
+        greatest(least(lit(chunkSize), col("__n") - col("chunk_idx") * stride),
+          lit(0)))
+      .drop("__n")
   }
 
   /** Top-k tokens per document by a TF-IDF-style weight. The idf factor

@@ -966,9 +966,13 @@ object ExtensionQueries {
          |FROM pack p JOIN documents d ON d.doc_id = p.doc_id
          |GROUP BY 1, 2 ORDER BY pack_group, bin_id""".stripMargin,
 
+    // NULL/empty-text semantics pinned on both sides: one ('', 0) chunk
+    // (coalesce at the tokenizer; coalesce/greatest at the outputs —
+    // DuckDB's slice of an empty list is NULL, not '')
     "q_text_chunks" ->
       """WITH t AS (SELECT doc_id,
-        |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
+        |  [x FOR x IN string_split(coalesce(text, ''), ' ') IF x <> ''] AS tk
+        |FROM documents),
         |c AS (SELECT doc_id, tk,
         |  CASE WHEN len(tk) <= 64 THEN 1
         |       ELSE CAST(ceil((len(tk) - 64) / 48.0) AS INT) + 1 END AS n_chunks
@@ -977,8 +981,9 @@ object ExtensionQueries {
         |        CAST(unnest(generate_series(0, n_chunks - 1)) AS INT) AS chunk_idx
         |      FROM c)
         |SELECT doc_id, chunk_idx,
-        |  array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' ') AS chunk_text,
-        |  CAST(len(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64]) AS INT) AS n_chunk_tokens
+        |  coalesce(array_to_string(tk[chunk_idx * 48 + 1 : chunk_idx * 48 + 64], ' '), '')
+        |    AS chunk_text,
+        |  CAST(GREATEST(LEAST(64, len(tk) - chunk_idx * 48), 0) AS INT) AS n_chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_corpus_filter" ->

@@ -174,9 +174,9 @@ class DedupSpec extends SparkSpec {
     val persisted = Dedup.CorpusIndex(
       spark.read.parquet(s"$d/index"),
       spark.read.parquet(s"$d/sizes"),
-      spark.read.parquet(s"$d/banded"))
+      spark.read.parquet(s"$d/banded"), n = 3)
     val indexed = Dedup
-      .minhashLshCrossPairsIndexed(persisted, batch, "doc_id", "text", 3, 0.8)
+      .minhashLshCrossPairsIndexed(persisted, batch, "doc_id", "text", 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     assert(indexed == inline)
   }

@@ -151,7 +151,8 @@ class TextAnalysisSpec extends SparkSpec {
     val docs = Seq(
       (1L, (1 to 10).map(i => s"t$i").mkString(" ")), // 10 tokens
       (2L, "a b"),
-      (3L, "")
+      (3L, ""),
+      (4L, null.asInstanceOf[String]) // must not be dropped
     ).toDF("doc_id", "text")
     val out = TextAnalysis.chunkTokens(docs, "doc_id", "text", 4, 3)
       .collect()
@@ -162,7 +163,8 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out((1L, 2)) == (("t7 t8 t9 t10", 4)))
     assert(out((2L, 0)) == (("a b", 2)))
     assert(out((3L, 0)) == (("", 0)))
-    assert(out.size == 5)
+    assert(out((4L, 0)) == (("", 0)), "null text chunks once, not dropped")
+    assert(out.size == 6)
   }
 
   test("tfidfTopTerms ranks by rational tf*N/df with token tie-break") {
