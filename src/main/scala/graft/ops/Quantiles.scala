@@ -45,6 +45,12 @@ object Quantiles {
     var lo = initLo
     var hi = initHi
     var kk = k
+    // a range spanning both signs can overflow (hi - lo) and (v - lo):
+    // split at zero first (one count job), then each side spans < 2^63
+    if (lo < 0 && hi > 0) {
+      val nNeg = df.filter(v >= lo && v < 0).count()
+      if (kk <= nNeg) hi = -1L else { kk -= nNeg; lo = 0L }
+    }
     while (lo < hi) {
       // ceil-div keeps bucket count <= bins; Long math is safe while the
       // range is below 2^62 (true for any real measurement column)
@@ -77,6 +83,35 @@ object Quantiles {
       require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
       val k = math.max(1L, math.ceil(q * n).toLong)
       q -> selectKth(df, valueCol, k, lo, hi, n, bins = 1024)
+    }
+  }
+
+  /** Exact k-th smallest of a DOUBLE column: the values are mapped
+    * through the order-preserving IEEE bits transform
+    * ([[graft.functions.SortableDoubleBits]], codegen'd), selected as
+    * longs, and mapped back — same pass structure and exactness as the
+    * integral path (±0.0 compare equal; NaN sorts last, matching SQL
+    * ORDER BY). */
+  def exactKthDouble(df: DataFrame, valueCol: String, k: Long,
+                     bins: Int = 1024): Double = {
+    val mapped = df.select(graft.functions.SortableDoubleBits
+      .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
+    graft.functions.SortableDoubleBits.fromSortable(
+      exactKth(mapped, "__s", k, bins))
+  }
+
+  /** [[exactQuantiles]] for DOUBLE columns (ranks ⌈q·n⌉, one bounds
+    * scan, one selection per q). */
+  def exactQuantilesDouble(df: DataFrame, valueCol: String,
+                           qs: Seq[Double]): Seq[(Double, Double)] = {
+    val mapped = df.select(graft.functions.SortableDoubleBits
+      .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
+    val (lo, hi, n) = bounds(mapped, "__s")
+    qs.map { q =>
+      require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+      val k = math.max(1L, math.ceil(q * n).toLong)
+      q -> graft.functions.SortableDoubleBits.fromSortable(
+        selectKth(mapped, "__s", k, lo, hi, n, bins = 1024))
     }
   }
 }

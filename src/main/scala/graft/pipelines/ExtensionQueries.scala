@@ -462,6 +462,20 @@ object ExtensionQueries {
         .orderBy("metric")
     }),
 
+    // the DOUBLE variant: exact value quantiles via the order-preserving
+    // IEEE-bits mapping (codegen'd SortableDoubleBits) + the same
+    // distributed selection — the k-th smallest double is directly
+    // SQL-checkable, so the internal mapping needs no oracle mirror
+    "q_events_value_quantiles" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Quantiles
+        .exactQuantilesDouble(Entities.read(s, dir, "events"), "value",
+          Seq(0.50, 0.90, 0.99))
+        .map { case (q, v) => (f"p${(q * 100).toInt}%02d", v) }
+        .toDF("metric", "value")
+        .orderBy("metric")
+    }),
+
     // ── embedding preprocessing ──────────────────────────────────────
     // float arrays quantized (floor(f·1e6)) + serialized at the edge,
     // same discipline as q_multimodal_features
@@ -1012,6 +1026,21 @@ object ExtensionQueries {
          |  AND len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) = 0
          |  AND len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) = 0
          |ORDER BY doc_id""".stripMargin,
+
+    "q_events_value_quantiles" ->
+      """WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
+        |           FROM events),
+        |n AS (SELECT COUNT(*) AS n FROM events)
+        |SELECT * FROM (
+        |  SELECT 'p50' AS metric, s.value AS value FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'p90', s.value FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'p99', s.value FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)))
+        |ORDER BY metric""".stripMargin,
 
     // percentile-disc semantics at rank ⌈q·n⌉ — both engines evaluate the
     // same IEEE ceil(q*n), so the rank is identical

@@ -33,6 +33,38 @@ class QuantilesSpec extends SparkSpec {
       }
   }
 
+  test("sortable double bits: order-preserving bijection incl. signs and zeros") {
+    import graft.functions.SortableDoubleBits._
+    val vals = Seq(Double.NegativeInfinity, -1e300, -2.5, -1e-300, -0.0,
+      0.0, 1e-300, 2.5, 1e300, Double.PositiveInfinity)
+    val mapped = vals.map(toSortable)
+    assert(mapped == mapped.sorted, "mapping must preserve order")
+    vals.filterNot(_ == 0.0).foreach { d =>
+      assert(fromSortable(toSortable(d)) == d, s"roundtrip $d")
+    }
+    assert(toSortable(0.0) == toSortable(-0.0), "signed zeros compare equal")
+  }
+
+  test("exactKthDouble selects the k-th smallest double with negatives") {
+    val vals = Seq(3.5, -2.25, 0.0, -2.25, 7.125, -0.5)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    (1 to vals.length).foreach { k =>
+      assert(Quantiles.exactKthDouble(df, "v", k.toLong, bins = 4)
+        == sorted(k - 1), s"k=$k")
+    }
+  }
+
+  test("wide long ranges spanning both signs select without overflow") {
+    val vals = Seq(Long.MinValue / 2, -17L, 0L, 42L, Long.MaxValue / 2)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    (1 to vals.length).foreach { k =>
+      assert(Quantiles.exactKth(df, "v", k.toLong, bins = 4) == sorted(k - 1),
+        s"k=$k")
+    }
+  }
+
   test("property: exactKth equals in-memory sort for random data") {
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(8).withInitialSeed(org.scalacheck.rng.Seed(7L))
