@@ -65,6 +65,19 @@ class QuantilesSpec extends SparkSpec {
     }
   }
 
+  test("batched multi-rank selection matches per-rank sorts across signs") {
+    val vals = Seq(-900L, -5L, -5L, 0L, 3L, 3L, 77L, 1000L, 12L)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val n = vals.length
+    val qs = Seq(0.1, 0.5, 0.9, 1.0)
+    val got = Quantiles.exactQuantiles(df, "v", qs).toMap
+    qs.foreach { q =>
+      val k = math.max(1L, math.ceil(q * n).toLong).toInt
+      assert(got(q) == sorted(k - 1), s"q=$q")
+    }
+  }
+
   test("property: exactKth equals in-memory sort for random data") {
     val params = SCTest.Parameters.default
       .withMinSuccessfulTests(8).withInitialSeed(org.scalacheck.rng.Seed(7L))
