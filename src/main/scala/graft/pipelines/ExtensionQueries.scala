@@ -462,6 +462,30 @@ object ExtensionQueries {
         .orderBy("metric")
     }),
 
+    // quantile-threshold sweep: keep docs at or above the corpus median
+    // length — the Quantiles selection composed as a filter cutoff (the
+    // scalar is computed by distributed selection, never a global sort)
+    "q_corpus_filter_quantile" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val p50 = graft.ops.Quantiles.exactQuantiles(d, "n_chars", Seq(0.5)).head._2
+      d.filter(col("n_chars") >= p50)
+        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+    }),
+
+    // per-group exact median: a (lang)-partitioned window — parallel
+    // across groups, each group's rank scan local to its partition
+    "q_text_lang_median" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang").orderBy("n_chars", "doc_id")
+      val wc = Window.partitionBy("lang")
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(wc))
+        .filter(col("rn") === ceil(col("cnt") * 0.5).cast("int"))
+        .select(col("lang"), col("n_chars").as("median_n_chars"))
+        .orderBy("lang")
+    }),
+
     // the DOUBLE variant: exact value quantiles via the order-preserving
     // IEEE-bits mapping (codegen'd SortableDoubleBits) + the same
     // distributed selection — the k-th smallest double is directly
@@ -1026,6 +1050,24 @@ object ExtensionQueries {
          |  AND len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) = 0
          |  AND len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) = 0
          |ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_filter_quantile" ->
+      """WITH s AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |p AS (SELECT s.n_chars AS p50 FROM s, n
+        |      WHERE rn = GREATEST(1, CAST(ceil(0.5 * n) AS BIGINT)))
+        |SELECT doc_id, lang, n_chars FROM documents, p
+        |WHERE n_chars >= p50 ORDER BY doc_id""".stripMargin,
+
+    "q_text_lang_median" ->
+      """WITH r AS (SELECT lang, n_chars,
+        |             ROW_NUMBER() OVER (PARTITION BY lang
+        |                                ORDER BY n_chars, doc_id) AS rn,
+        |             COUNT(*) OVER (PARTITION BY lang) AS cnt
+        |           FROM documents)
+        |SELECT lang, n_chars AS median_n_chars FROM r
+        |WHERE rn = CAST(ceil(cnt * 0.5) AS INT) ORDER BY lang""".stripMargin,
 
     "q_events_value_quantiles" ->
       """WITH s AS (SELECT value, ROW_NUMBER() OVER (ORDER BY value) AS rn
