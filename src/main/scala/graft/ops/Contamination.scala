@@ -76,12 +76,18 @@ object Contamination {
     * the threshold report containment 0.0 and a NULL offender — so the
     * output is a complete audit table over the eval set, one row each. */
   def evalSummary(eval: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    // rank-based worst-offender pick: orders by (containment desc, id asc)
+    // without negating the id, so string doc ids (the common corpus case)
+    // work as well as numeric ones. The window partitions by eval_id —
+    // per-group, never global, and bounded by that doc's candidate count.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("eval_id")
+      .orderBy(col("containment").desc, col("train_id").asc)
     val worst = pairs
-      .groupBy("eval_id")
-      .agg(max(struct(col("containment"), (-col("train_id")).as("neg_id")))
-        .as("w"))
-      .select(col("eval_id"), col("w.containment").as("max_containment"),
-        (-col("w.neg_id")).as("worst_train_id"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("eval_id"), col("containment").as("max_containment"),
+        col("train_id").as("worst_train_id"))
     eval.select(col(idCol).as("eval_id"))
       .join(worst, Seq("eval_id"), "left")
       .select(col("eval_id"),

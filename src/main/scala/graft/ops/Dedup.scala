@@ -79,24 +79,34 @@ object Dedup {
     * label over neighbors, then short-circuits label → label-of-label, so
     * label paths halve per round and convergence needs O(log n) rounds
     * even on chain-shaped components, not O(diameter). Each round is two
-    * shuffle joins over a `persist`ed generation; the superseded
-    * generation is explicitly `unpersist`ed, so block-manager residency
-    * is bounded at TWO label generations + the edge set for the whole
-    * run (the standard iterative-algorithm cache discipline — an
-    * every-round `localCheckpoint` would pin every dead generation until
-    * GC). The fixpoint is unique (elementwise min over a lattice), so
-    * the result is deterministic regardless of execution order — which
-    * is what lets a SQL oracle replay it with a recursive transitive
-    * closure. */
+    * shuffle joins over the previous generation, and each generation is
+    * `localCheckpoint`ed at the RDD level: the lineage is TRUNCATED every
+    * round (plan size stays constant — a persist-only loop would embed
+    * the prior plan twice per round and grow the tree 2^rounds, stalling
+    * the driver's analyzer on deep components), while the RDD handle lets
+    * the superseded generation's blocks be explicitly `unpersist`ed, so
+    * block-manager residency is still bounded at TWO label generations +
+    * the edge set for the whole run. The fixpoint is unique (elementwise
+    * min over a lattice), so the result is deterministic regardless of
+    * execution order — which is what lets a SQL oracle replay it with a
+    * recursive transitive closure. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
                       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
+    val spark = docs.sparkSession
     val edges = pairs.select(col("doc_i").as("src"), col("doc_j").as("dst"))
       .union(pairs.select(col("doc_j").as("src"), col("doc_i").as("dst")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var cached = docs.select(col(idCol).as("id"), col(idCol).as("label"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = cached
+    // generation 0 — checkpointed like every later generation so the
+    // loop body never references a deep upstream plan
+    def checkpointGen(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd // external rows: tiny (id, [old,] label) tuples
+      rdd.localCheckpoint()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+    var (labels, prevRdd) =
+      checkpointGen(docs.select(col(idCol).as("id"), col(idCol).as("label")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -111,14 +121,13 @@ object Dedup {
           least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
       // pointer jumping: follow one hop of the label forest (labels always
       // point at existing ids, so the lookup join always hits)
-      val next = stepped
+      val (next, nextRdd) = checkpointGen(stepped
         .join(stepped.select(col("id").as("label"), col("label").as("ll")),
           Seq("label"), "left")
-        .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .select(col("id"), col("old"), coalesce(col("ll"), col("label")).as("label")))
       changed = next.filter(col("label") =!= col("old")).count() // materializes next
-      cached.unpersist()
-      cached = next
+      prevRdd.unpersist(blocking = false) // old generation is dead: free its blocks
+      prevRdd = nextRdd
       labels = next.select("id", "label")
       iter += 1
     }

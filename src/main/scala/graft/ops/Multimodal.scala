@@ -77,10 +77,13 @@ object Multimodal {
     * production version keeps. Payloads shorter than `outBytes` upsample
     * by repetition (floor index repeats bytes). */
   def resizeStub(media: DataFrame, outBytes: Int = 64): DataFrame = {
-    val n = length(col("payload"))
+    // long arithmetic: k·n as INT wraps silently past 2^31 (payloads over
+    // ~34 MB at k=63 under non-ANSI eval) — the quotient itself always
+    // fits an int (≤ n), so only the product needs widening.
+    val n = length(col("payload")).cast("long")
     val pieces = (0 until outBytes).map { k =>
       substring(col("payload"),
-        floor(lit(k) * n / lit(outBytes)).cast("int") + 1, lit(1))
+        floor(lit(k.toLong) * n / lit(outBytes)).cast("int") + 1, lit(1))
     }
     media.select(col("media_id"), col("modality"),
       concat(pieces: _*).as("resized"))

@@ -392,22 +392,24 @@ object OperatorQueries {
         val toks = split(col("text"), " ")
         docs(s, dir).select(
           col("doc_id"),
-          size(toks).as("n_tokens"),
+          size(toks).cast("long").as("n_tokens"),
           element_at(toks, 1).as("first_token"),
           array_contains(toks, "spark").as("has_spark"),
           element_at(transform(toks, x => upper(x)), 2).as("second_upper"),
           array_join(slice(toks, 1, 3), " ").as("head3"),
-          aggregate(transform(toks, x => length(x)), lit(0), (acc, x) => acc + x)
+          // BIGINT on both engines: DuckDB's list_sum yields HUGEINT, whose
+          // pandas rendering hash-diverges from Spark INT even on equal values.
+          aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
             .as("total_chars"))
           .orderBy("doc_id")
       }),
       """SELECT doc_id,
-        |       len(string_split(text, ' ')) AS n_tokens,
+        |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
         |       string_split(text, ' ')[1] AS first_token,
         |       list_contains(string_split(text, ' '), 'spark') AS has_spark,
         |       list_transform(string_split(text, ' '), x -> upper(x))[2] AS second_upper,
         |       array_to_string(list_slice(string_split(text, ' '), 1, 3), ' ') AS head3,
-        |       list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS total_chars
+        |       CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars
         |FROM documents ORDER BY doc_id""".stripMargin),
 
     // S1/P1/P8 — ingestion snapshot canonicalization
