@@ -52,6 +52,31 @@ object Sources {
     props.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
   }
 
+  /** S4 at scale — range-partitioned JDBC table read. The reference reads
+    * whole tables through ONE connection (`dags/utils.py:123-127`), which
+    * is the single-stream extract bottleneck at 100 TB: a typed
+    * `partitionColumn/lowerBound/upperBound/numPartitions` spec opens
+    * `numPartitions` parallel connections, each scanning a disjoint
+    * stride of the key range (`WHERE col >= lo+k·step AND col < ...`),
+    * pushed down to the database. Rows with a NULL partition column land
+    * in the first stride (Spark's contract). `lo`/`hi` only steer the
+    * stride layout — rows outside the range are still read by the
+    * unbounded edge strides, so the result set equals the whole table.
+    * Size `n` to what the database can serve concurrently, not to the
+    * cluster's core count. */
+  def jdbcTablePartitioned(spark: SparkSession, url: String, table: String,
+                           partitionCol: String, lo: Long, hi: Long, n: Int,
+                           props: Map[String, String]): DataFrame = {
+    require(n > 0, s"numPartitions must be positive, got $n")
+    require(lo <= hi, s"lowerBound $lo must be <= upperBound $hi")
+    val r = spark.read.format("jdbc")
+      .option("url", url).option("dbtable", table)
+      .option("partitionColumn", partitionCol)
+      .option("lowerBound", lo).option("upperBound", hi)
+      .option("numPartitions", n)
+    props.foldLeft(r) { case (b, (k, v)) => b.option(k, v) }.load()
+  }
+
   /** S5 — JDBC subquery pushdown: wraps arbitrary SQL as a dbtable
     * subquery so predicates/projections run in the RDBMS (reference
     * `Raptor.py:20-38`). */

@@ -5,8 +5,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 /** The reference's `submit_raptor_request` end-to-end flow
   * (`Raptor.py:491-534` → `536-655`): resolve each side from its source
   * mode, run the composed diff, persist the delta tables, render the
-  * report. The SMTP send stays out of the engine (the caller gets the
-  * HTML).
+  * report, and (via [[submitAndDeliver]]) hand the report to an
+  * injectable [[graft.io.Mail.Mailer]] — completing the reference's
+  * SMTP delivery step (`Raptor.py:675-683`) without binding the engine
+  * to a transport.
   *
   * Source modes mirror the reference exactly:
   *   - `JdbcSide` — "pg_admin": arbitrary SQL pushed down as a dbtable
@@ -41,5 +43,25 @@ object Raptor {
     val written = Reconcile.persist(d, name, runstamp, baseDir)
     val html = HtmlReport.render(s"Raptor: $name @ $runstamp", d, sampleRows)
     RaptorResult(d, written, html)
+  }
+
+  /** The report mail the reference assembles before its SMTP send
+    * (`Raptor.py:142-263`): subject names the comparison + runstamp, body
+    * is the rendered HTML report. */
+  def reportMessage(result: RaptorResult, name: String, runstamp: String,
+                    from: String, to: Seq[String]): graft.io.Mail.Message =
+    graft.io.Mail.Message(from, to,
+      s"Raptor comparison report: $name @ $runstamp", result.reportHtml)
+
+  /** [[submit]] + delivery through the injected mailer — the complete
+    * reference flow (`Raptor.py:536-683`) with the transport as a seam. */
+  def submitAndDeliver(spark: SparkSession, source: Side, target: Side,
+                       keys: Seq[String], name: String, runstamp: String,
+                       baseDir: String, from: String, to: Seq[String],
+                       mailer: graft.io.Mail.Mailer,
+                       sampleRows: Int = 15): RaptorResult = {
+    val result = submit(spark, source, target, keys, name, runstamp, baseDir, sampleRows)
+    mailer(reportMessage(result, name, runstamp, from, to))
+    result
   }
 }

@@ -14,46 +14,122 @@ import graft.ops.Quality
   * reference's gate-then-write ordering (a duplicate-key failure means
   * no partial load).
   *
-  * Retry/backoff, scheduling, and alerting stay with whatever runs the
-  * driver (cron, Airflow's SparkSubmitOperator, …) — they are not engine
-  * concerns.
+  * Scheduling and alerting stay with whatever runs the driver (cron,
+  * Airflow's SparkSubmitOperator, …), but the RETRY/FAILURE contract the
+  * reference pins — every task body wrapped in a typed failure
+  * (`ingestion_task.py:73-78` wraps in `AirflowException`) with bounded
+  * retries ≥ 2 (asserted by the reference's only test,
+  * `tests/dags/test_dag_example.py:74-83`) and downstream tasks aborted
+  * on upstream failure — IS engine surface, carried by [[runTasks]].
   */
 object Dag {
 
   final case class StageResult(name: String, rows: Long, path: String)
 
-  /** Run the full pipeline against `sfDir`, landing every output under
-    * `outDir` with the raw/legacy snapshot convention. Returns per-stage
-    * row counts in execution order. */
-  def runAll(spark: SparkSession, sfDir: String, outDir: String): Seq[StageResult] = {
+  /** Typed failure wrapping a task body's exception after all attempts —
+    * the analog of the reference's `AirflowException` wrap. */
+  final case class DagTaskException(task: String, attempts: Int, cause: Throwable)
+    extends RuntimeException(s"task '$task' failed after $attempts attempt(s)", cause)
 
-    def load(name: String, df: DataFrame, pk: Option[Seq[String]]): StageResult = {
-      val gated = pk.fold(df)(Quality.gate(df, _))
-      Sinks.snapshot(gated, s"$outDir/raw/$name", s"$outDir/legacy/$name")
-      StageResult(name, gated.count(), s"$outDir/raw/$name")
+  /** Bounded-retry policy: `retries` RE-attempts after the first failure
+    * (so retries=2 ⇒ up to 3 attempts — the reference's floor). */
+  final case class RetryPolicy(retries: Int = 2, delayMillis: Long = 0L) {
+    require(retries >= 0, "retries must be >= 0")
+  }
+
+  sealed trait TaskOutcome { def name: String }
+  final case class TaskSucceeded(name: String, result: StageResult, attempts: Int)
+    extends TaskOutcome
+  final case class TaskFailed(name: String, attempts: Int, cause: Throwable)
+    extends TaskOutcome
+  /** Downstream of a failure: never attempted (Airflow `upstream_failed`). */
+  final case class TaskSkipped(name: String, failedUpstream: String) extends TaskOutcome
+
+  /** Sequence task thunks with bounded per-task retries. The first task
+    * still failing after its attempt budget marks every remaining task
+    * skipped — the linear-chain analog of Airflow's all-success trigger
+    * rule (the reference's DAG is a linear chain after the ingest fan-in,
+    * `dags/metamorph_etl_dag.py:28`). Total attempts per task ≤
+    * 1 + policy.retries; a gate failure (e.g. [[Quality.gate]]'s
+    * DuplicateException) is deterministic, so it burns its budget and
+    * aborts — exactly the no-partial-load behavior the reference relies
+    * on. */
+  def runTasks(tasks: Seq[(String, () => StageResult)],
+               policy: RetryPolicy = RetryPolicy()): Seq[TaskOutcome] = {
+    val out = Seq.newBuilder[TaskOutcome]
+    var failed: Option[String] = None
+    tasks.foreach { case (name, body) =>
+      failed match {
+        case Some(up) => out += TaskSkipped(name, up)
+        case None =>
+          var attempt = 0
+          var done: Option[TaskOutcome] = None
+          while (done.isEmpty) {
+            attempt += 1
+            try done = Some(TaskSucceeded(name, body(), attempt))
+            catch {
+              case scala.util.control.NonFatal(_) if attempt <= policy.retries =>
+                if (policy.delayMillis > 0) Thread.sleep(policy.delayMillis)
+              case scala.util.control.NonFatal(e) =>
+                done = Some(TaskFailed(name, attempt, e))
+                failed = Some(name)
+            }
+          }
+          out += done.get
+      }
     }
+    out.result()
+  }
+
+  /** The production pipeline's stage list as named thunks — shared by the
+    * fail-fast [[runAll]] and the policy-driven [[runAllWithRetries]]. */
+  private def stages(spark: SparkSession, sfDir: String,
+                     outDir: String): Seq[(String, () => StageResult)] = {
+
+    def load(name: String, df: => DataFrame,
+             pk: Option[Seq[String]]): (String, () => StageResult) =
+      name -> { () =>
+        val gated = pk.fold(df)(Quality.gate(df, _))
+        Sinks.snapshot(gated, s"$outDir/raw/$name", s"$outDir/legacy/$name")
+        StageResult(name, gated.count(), s"$outDir/raw/$name")
+      }
 
     // ingestion fan-in (the reference's three parallel ingests + sales).
     // The sale grain is UNGATED by design: the driver fixture plants
     // duplicate (orderkey, linenumber) pairs, so a SALE_ID gate correctly
     // throws (QualitySpec/DagSpec assert that) — the reference would fail
     // this load too; the dirty grain is the fixture's dup-detection bait.
-    val ingestion = Seq(
+    Seq(
       load("suppliers", Ingestion.suppliersSnapshot(spark, sfDir), Some(Seq("SUPPLIER_ID"))),
       load("products", graft.model.Entities.products(spark, sfDir), Some(Seq("PRODUCT_ID"))),
       load("customers", graft.model.Entities.customers(spark, sfDir), Some(Seq("CUSTOMER_ID"))),
-      load("sales", graft.model.Entities.sales(spark, sfDir), None))
-
-    // marts, in the reference's dependency order
-    val marts = Seq(
+      load("sales", graft.model.Entities.sales(spark, sfDir), None),
+      // marts, in the reference's dependency order
       load("supplier_performance", SupplierPerformance(spark, sfDir),
         Some(Seq("SUPPLIER_ID", "DAY_DT"))),
       load("product_performance", ProductPerformance(spark, sfDir),
         Some(Seq("PRODUCT_ID", "DAY_DT"))),
       load("customer_sales_report", CustomerSalesReport(spark, sfDir), None))
-
-    ingestion ++ marts
   }
+
+  /** Run the full pipeline against `sfDir`, landing every output under
+    * `outDir` with the raw/legacy snapshot convention. Returns per-stage
+    * row counts in execution order; fail-fast (first failure throws
+    * [[DagTaskException]] — no retries, no downstream execution). */
+  def runAll(spark: SparkSession, sfDir: String, outDir: String): Seq[StageResult] =
+    runAllWithRetries(spark, sfDir, outDir, RetryPolicy(retries = 0)).map {
+      case TaskSucceeded(_, r, _) => r
+      case TaskFailed(name, attempts, cause) => throw DagTaskException(name, attempts, cause)
+      case TaskSkipped(name, up) =>
+        throw new IllegalStateException(s"task '$name' skipped after '$up' failed")
+    }
+
+  /** Policy-driven run: per-task bounded retries, typed outcomes, and
+    * downstream abort on failure — the reference's operational contract
+    * without an orchestrator dependency. */
+  def runAllWithRetries(spark: SparkSession, sfDir: String, outDir: String,
+                        policy: RetryPolicy = RetryPolicy()): Seq[TaskOutcome] =
+    runTasks(stages(spark, sfDir, outDir), policy)
 
   /** The reference's SECOND production DAG (`dags/usa_etl_dag.py:6-10`,
     * one task: `usa_population_ingestion.py:20-56`) — canonicalize + gate

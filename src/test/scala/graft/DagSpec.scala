@@ -42,4 +42,48 @@ class DagSpec extends SparkSpec {
         graft.model.Entities.sales(spark, sf), Seq("SALE_ID")).count()
     }
   }
+
+  test("a flaky task succeeds on retry under the default policy") {
+    var calls = 0
+    val flaky = "flaky" -> { () =>
+      calls += 1
+      if (calls < 3) sys.error(s"transient failure $calls")
+      Dag.StageResult("flaky", 1L, "mem")
+    }
+    val after = "downstream" -> (() => Dag.StageResult("downstream", 2L, "mem"))
+    val out = Dag.runTasks(Seq(flaky, after)) // retries=2 -> 3 attempts
+    assert(out == Seq(
+      Dag.TaskSucceeded("flaky", Dag.StageResult("flaky", 1L, "mem"), attempts = 3),
+      Dag.TaskSucceeded("downstream", Dag.StageResult("downstream", 2L, "mem"), 1)))
+    assert(calls == 3)
+  }
+
+  test("a task failing past its budget aborts every downstream task") {
+    var downstreamRan = false
+    val gate = "gate" -> { () =>
+      // a deterministic dup-gate failure: same exception every attempt
+      throw new graft.ops.DuplicateException("SALE_ID grain has duplicates")
+    }
+    val after = "mart" -> { () =>
+      downstreamRan = true
+      Dag.StageResult("mart", 1L, "mem")
+    }
+    val out = Dag.runTasks(Seq(gate, after), Dag.RetryPolicy(retries = 2))
+    assert(!downstreamRan, "downstream must never start after a failure")
+    out match {
+      case Seq(Dag.TaskFailed("gate", 3, cause), Dag.TaskSkipped("mart", "gate")) =>
+        assert(cause.isInstanceOf[graft.ops.DuplicateException])
+      case other => fail(s"unexpected outcomes: $other")
+    }
+  }
+
+  test("DagTaskException carries task name, attempts, and the real cause") {
+    val boom = Dag.runTasks(
+      Seq("only" -> (() => sys.error("nope"))), Dag.RetryPolicy(retries = 0))
+    val failed = boom.head.asInstanceOf[Dag.TaskFailed]
+    assert(failed.attempts == 1)
+    val ex = Dag.DagTaskException("only", failed.attempts, failed.cause)
+    assert(ex.getMessage == "task 'only' failed after 1 attempt(s)")
+    assert(ex.getCause.getMessage == "nope")
+  }
 }

@@ -44,4 +44,23 @@ class JdbcSpec extends SparkSpec {
       props, "CREATE SCHEMA graftwork")
     assert(Sources.jdbcTable(spark, url, "graftwork.t_ddl", props).count() == 3)
   }
+
+  test("S4-scale partitioned read opens n disjoint strides, same results") {
+    val wide = (1L to 100L).map(i => (i, s"row$i", i * 1.5))
+      .toDF("id", "name", "amount")
+    Sinks.jdbc(wide, url, "t_part", SaveMode.Overwrite, props)
+    val back = Sources.jdbcTablePartitioned(
+      spark, url, "t_part", "\"id\"", lo = 1L, hi = 101L, n = 4, props)
+    assert(back.rdd.getNumPartitions == 4, "4 parallel JDBC strides")
+    // each stride carries a disjoint quarter of the key range
+    val perPart = back.rdd
+      .mapPartitionsWithIndex((i, it) => Iterator((i, it.size)))
+      .collect().toMap
+    assert(perPart.values.sum == 100)
+    assert(perPart.values.forall(_ == 25), s"even strides, got $perPart")
+    // rows OUTSIDE [lo, hi) are still read (unbounded edge strides)
+    val backNarrow = Sources.jdbcTablePartitioned(
+      spark, url, "t_part", "\"id\"", lo = 40L, hi = 60L, n = 4, props)
+    assert(backNarrow.count() == 100, "bounds steer strides, never filter")
+  }
 }

@@ -110,6 +110,44 @@ class ReconcileSpec extends SparkSpec {
     assert(result.reportHtml.contains("Raptor: t @ 20250101"))
   }
 
+  test("Raptor.submitAndDeliver hands the report to the injected mailer") {
+    val base = java.nio.file.Files.createTempDirectory("graft_raptor_mail_").toString
+    src.write.mode("overwrite").parquet(s"$base/src_in")
+    var sent: Option[graft.io.Mail.Message] = None
+    val result = graft.ops.Raptor.submitAndDeliver(spark,
+      graft.ops.Raptor.ParquetSide(s"$base/src_in", "src_v2",
+        "select id, name, amt from reporting.src_v2"),
+      graft.ops.Raptor.FrameSide(tgt),
+      keys = Seq("id"), name = "orders", runstamp = "20250102", baseDir = base,
+      from = "raptor@example.invalid", to = Seq("team@example.invalid"),
+      mailer = m => sent = Some(m))
+    val msg = sent.getOrElse(fail("mailer never invoked"))
+    assert(msg.from == "raptor@example.invalid")
+    assert(msg.to == Seq("team@example.invalid"))
+    assert(msg.subject == "Raptor comparison report: orders @ 20250102")
+    assert(msg.htmlBody == result.reportHtml)
+    assert(msg.htmlBody.contains("Reconciliation Summary"))
+  }
+
+  test("Mail.fileMailer spools an RFC-822-shaped .eml, idempotent on retry") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_mail_").toString
+    val mailer = graft.io.Mail.fileMailer(dir)
+    val msg = graft.io.Mail.Message("a@example.invalid",
+      Seq("b@example.invalid", "c@example.invalid"),
+      "Raptor comparison report: orders @ 20250102", "<h2>body</h2>")
+    mailer(msg)
+    mailer(msg) // DAG retry: overwrites, never duplicates
+    val files = new java.io.File(dir).listFiles().toSeq
+    assert(files.map(_.getName) ==
+      Seq("raptor_comparison_report_orders_20250102.eml"))
+    val text = new String(
+      java.nio.file.Files.readAllBytes(files.head.toPath), "UTF-8")
+    assert(text.startsWith("From: a@example.invalid\n"))
+    assert(text.contains("To: b@example.invalid, c@example.invalid"))
+    assert(text.contains("Content-Type: text/html"))
+    assert(text.contains("<h2>body</h2>"))
+  }
+
   test("multi-column composite keys reconcile") {
     val a = Seq((1, "x", "p"), (1, "y", "q")).toDF("k1", "k2", "v")
     val b = Seq((1, "x", "p"), (1, "y", "Z")).toDF("k1", "k2", "v")
