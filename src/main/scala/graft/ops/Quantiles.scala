@@ -143,6 +143,98 @@ object Quantiles {
     qs.zip(ks).map { case (q, k) => q -> selected(k) }
   }
 
+  /** Exact per-group quantile at rank ⌈q·n_g⌉ — the scalable form of a
+    * `row_number() over (partition by g)` median: a partitioned window
+    * puts each whole group in ONE task (fine for 5 languages at sf0.1,
+    * a straggler/OOM once a group holds billions of rows), while this
+    * runs the same refinement passes as [[exactQuantiles]] with the
+    * histogram keyed by (group, bucket) — every round is ONE
+    * map-side-combined aggregation covering ALL still-active groups, so
+    * the pass count stays ≤ 7 regardless of group count or skew.
+    *
+    * Driver state is O(groups) and each round ships ≤ groups·bins
+    * counters; `bins` auto-shrinks so that stays ≤ ~2²⁰ per round. Meant
+    * for categorical group domains (languages, sources, shards — up to
+    * ~10⁵ groups), not high-cardinality keys. Rows with a NULL group key
+    * form their own group (SQL GROUP BY semantics); NULL values are
+    * ignored (not counted in n_g).
+    *
+    * Returns (groupCol [original type], value LONG), one row per group. */
+  def groupedExactQuantile(df: DataFrame, groupCol: String, valueCol: String,
+                           q: Double, bins: Int = 1024): DataFrame = {
+    require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val v = col(valueCol).cast("long")
+    val g = col(groupCol)
+
+    val boundsRows = df.groupBy(g.as("__g"))
+      .agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).collect()
+    // groups with only NULL values have no quantile; drop them like
+    // exactKth's require, but per-group and non-fatal
+    var state: Map[Any, (Long, Long, Long)] = boundsRows.iterator
+      .filter(r => !r.isNullAt(1) && r.getLong(3) > 0)
+      .map { r =>
+        val k = math.max(1L, math.ceil(q * r.getLong(3)).toLong)
+        r.get(0) -> ((r.getLong(1), r.getLong(2), k))
+      }.toMap
+    val effBins = math.max(16, math.min(bins, (1 << 20) / math.max(1, state.size)))
+
+    // a range spanning both signs can overflow (hi-lo) and (v-lo): split
+    // the affected groups at zero with ONE shared count job
+    if (state.values.exists { case (lo, hi, _) => lo < 0 && hi > 0 }) {
+      val negCounts = df.filter(v < 0).groupBy(g.as("__g"))
+        .agg(count(lit(1)).as("c")).collect()
+        .map(r => r.get(0) -> r.getLong(1)).toMap
+      state = state.map {
+        case (gv, (lo, hi, kk)) if lo < 0 && hi > 0 =>
+          val nNeg = negCounts.getOrElse(gv, 0L)
+          gv -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
+        case other => other
+      }
+    }
+
+    val groupField = df.select(g).schema.head.copy(name = "__g")
+    val rangeSchema = StructType(Seq(groupField,
+      StructField("__lo", LongType), StructField("__hi", LongType),
+      StructField("__width", LongType)))
+    while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
+      val active = state.filter { case (_, (lo, hi, _)) => lo < hi }
+      val rangeRows = active.map { case (gv, (lo, hi, _)) =>
+        Row(gv, lo, hi, math.max(1L, (hi - lo) / effBins + 1L))
+      }.toSeq
+      val ranges = spark.createDataFrame(
+        spark.sparkContext.parallelize(rangeRows, 1), rangeSchema)
+      // null-safe group equi-join keeps the NULL-key group refining too
+      val hists = df.select(g.as("__gv"), v.as("__v"))
+        .join(broadcast(ranges), col("__gv") <=> col("__g") &&
+          col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .groupBy(col("__g"), expr("(__v - __lo) div __width").as("b"))
+        .agg(count(lit(1)).as("c"))
+        .collect()
+        .groupBy(_.get(0))
+        .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1))
+        .toMap
+      state = state.map {
+        case (gv, s @ (lo, hi, _)) if lo >= hi => gv -> s
+        case (gv, (lo, hi, kk)) =>
+          val width = math.max(1L, (hi - lo) / effBins + 1L)
+          val hist = hists(gv)
+          var cum = 0L
+          var i = 0
+          while (cum + hist(i)._2 < kk) { cum += hist(i)._2; i += 1 }
+          val newLo = lo + hist(i)._1 * width
+          gv -> ((newLo, math.min(hi, newLo + width - 1), kk - cum))
+      }
+    }
+
+    val outSchema = StructType(Seq(groupField.copy(name = groupCol),
+      StructField("value", LongType, nullable = false)))
+    val outRows = state.map { case (gv, (lo, _, _)) => Row(gv, lo) }.toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
+  }
+
   /** Exact k-th smallest of a DOUBLE column: the values are mapped
     * through the order-preserving IEEE bits transform
     * ([[graft.functions.SortableDoubleBits]], codegen'd), selected as

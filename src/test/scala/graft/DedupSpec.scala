@@ -126,7 +126,8 @@ class DedupSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("cosinePairsLsh equals exact cosinePairs on the fixture corpus") {
+  test("cosinePairsLsh equals exact cosinePairs on the fixture corpus " +
+       "(loose recall demo: cos >= 0.4, 32 tables x 2 planes)") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.4)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
@@ -137,6 +138,32 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact, s"LSH-verified pairs must equal exact pairs " +
       s"(and cosines must be bit-identical); missing=${exact.keySet -- lsh.keySet}, " +
       s"extra=${lsh.keySet -- exact.keySet}")
+  }
+
+  test("cosinePairsLsh production operating point (cos >= 0.9, 16x8) " +
+       "keeps full recall on planted near-identical dups") {
+    // The parquet fixture's max pair cosine is ~0.51 — a clean corpus, on
+    // which the production sweep correctly returns empty (that case is
+    // oracle-checked by q_dedup_cosine_lsh). Recall at the tight
+    // threshold needs actual near-identical dups, so plant them: 60 base
+    // vectors, every third duplicated with a tiny perturbation
+    // (cos > 0.98, where 16x8 recall is ~1 - 6e-7 per pair).
+    val rng = new scala.util.Random(7)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+    val base = (0L until 60L).map(i => (i, vec()))
+    val dups = base.filter(_._1 % 3 == 0).map { case (i, v) => (1000L + i, perturb(v)) }
+    val e = spark.createDataFrame(base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = Dedup.cosinePairsLsh(e, "vec_id", "embedding", 0.9,
+        tables = 16, planes = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size == 20, s"all 20 planted dup pairs qualify, got ${exact.size}")
+    assert(lsh == exact,
+      s"missing=${exact.keySet -- lsh.keySet}, extra=${lsh.keySet -- exact.keySet}")
+    // and the buckets genuinely prune: no pair below threshold survives
+    assert(lsh.values.forall(_ >= 0.9))
   }
 
   test("minhashLshCrossPairs equals exact jaccard restricted to cross pairs") {

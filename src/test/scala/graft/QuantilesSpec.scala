@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.{col, lit}
 import org.scalacheck.{Gen, Prop, Test => SCTest}
 import graft.ops.Quantiles
 
@@ -31,6 +32,43 @@ class QuantilesSpec extends SparkSpec {
         val k = math.max(1L, math.ceil(q * n).toLong).toInt
         assert(v === sorted(k - 1), s"q=$q")
       }
+  }
+
+  test("groupedExactQuantile reproduces per-group rank medians exactly") {
+    // groups of very different sizes, duplicates, negatives, and a NULL
+    // group key; compare against a driver-side rank computation
+    val rng = new scala.util.Random(42)
+    val rows = (1 to 2000).map { i =>
+      val g = i % 7 match {
+        case 0 => null
+        case 1 | 2 => "big"
+        case 3 => "neg"
+        case k => s"g$k"
+      }
+      val v = g match {
+        case "neg" => rng.nextLong() % 1000L - 500L // spans both signs
+        case _ => math.abs(rng.nextLong() % 5000L)
+      }
+      (g, v)
+    }
+    val df = rows.toDF("grp", "v")
+    val got = Quantiles.groupedExactQuantile(df, "grp", "v", 0.5, bins = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val expected = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val k = math.max(1L, math.ceil(0.5 * sorted.length).toLong).toInt
+      g -> sorted(k - 1)
+    }
+    assert(got == expected)
+  }
+
+  test("groupedExactQuantile agrees with exactQuantiles on one group") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val single = docs.select(lit("all").as("grp"), col("n_chars"))
+    val grouped = Quantiles.groupedExactQuantile(single, "grp", "n_chars", 0.9)
+      .collect().head.getLong(1)
+    val global = Quantiles.exactQuantiles(docs, "n_chars", Seq(0.9)).head._2
+    assert(grouped === global)
   }
 
   test("sortable double bits: order-preserving bijection incl. signs and zeros") {
