@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Dev harness: writes a key-shifted `factor`× replica of the relational
+  * (TPC-H-surface) tables so Bench can take a scale point beyond sf0.1
+  * for the reference-surface queries (marts, reconcile, dup gate).
+  *
+  * Every replica shifts each table's join keys by `i · 10⁷` — far above
+  * any sf0.1 key — and the SAME offset is applied to both sides of every
+  * key space (l_suppkey and s_suppkey, o_custkey and c_custkey, …), so
+  * per-replica joins keep their exact 1× fan-out and cross-replica joins
+  * are impossible: join selectivity, dup density, and group counts scale
+  * linearly, which is what makes the 1×-vs-N× timing ratio meaningful.
+  * Non-key columns are copied verbatim. region/nation (pure dims) and
+  * the corpus tables (events/documents/embeddings — their scaling table
+  * was measured separately with replica-disjoint vocabularies) are
+  * copied 1× so every suite query still runs against the output dir.
+  *
+  * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10]
+  */
+object Replicate {
+
+  private val ShiftStep = 10000000L // > every key in sf0.1 by ~16×
+
+  private val shiftCols: Map[String, Seq[String]] = Map(
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"))
+
+  private val copyTables =
+    Seq("region", "nation", "events", "documents", "embeddings")
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args(0)
+    val outDir = args(1)
+    val factor = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    for ((t, keys) <- shiftCols) {
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out = (0 until factor).map { i =>
+        keys.foldLeft(df) { (d, k) => d.withColumn(k, col(k) + lit(i * ShiftStep)) }
+      }.reduce(_ union _)
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[replicate] $t x$factor -> $outDir")
+    }
+    for (t <- copyTables) {
+      spark.read.parquet(s"$srcDir/$t.parquet")
+        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      println(s"[replicate] $t x1 -> $outDir")
+    }
+    spark.stop()
+  }
+}

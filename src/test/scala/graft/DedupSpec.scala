@@ -107,6 +107,21 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("nearDupClusters converges on a 300-node chain in logarithmic " +
+       "rounds with constant-size plans (lineage truncated per round)") {
+    // a worst-case diameter component: pointer jumping needs ~log2(300)≈9
+    // rounds; before the per-round localCheckpoint the logical plan
+    // doubled every round (2^9 joins by convergence) and analysis cost
+    // exploded — this test is the regression guard for that discipline
+    val n = 300L
+    val d = (1L to n).toDF("doc_id")
+    val pairs = (1L until n).map(i => (i, i + 1)).toDF("doc_i", "doc_j")
+    val out = Dedup.nearDupClusters(d, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out.size == n)
+    assert(out.values.forall(_ == 1L), "one component, min label everywhere")
+  }
+
   test("nearDupClusters agrees with a driver-side closure on the fixture") {
     val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
     val got = Dedup.nearDupClusters(docs, pairs, "doc_id")
