@@ -69,6 +69,12 @@ object Sinks {
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
 
+  /** ORC sink — Spark's other native columnar format; same lazy,
+    * partitioning-inheriting posture as [[parquet]]. Useful when the
+    * downstream warehouse is ORC-native (Hive/Trino deployments). */
+  def orc(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite): Unit =
+    df.write.mode(mode).orc(path)
+
   /** The reference's snapshot-ledger convention (`ingestion_task.py:66-69`
     * and parallels): the current frame overwrites `raw`, and the same frame
     * appends to the `legacy` history — a hand-rolled SCD-0 daily ledger. */

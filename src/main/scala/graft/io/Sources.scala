@@ -45,6 +45,13 @@ object Sources {
             schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read)(s => spark.read.schema(s)).json(path)
 
+  /** ORC source — Spark-native columnar read with the same pushdown/
+    * pruning behavior as parquet (predicate + column pushdown verified
+    * in `IoSpec`). Schema declared when known, like [[jsonl]]. */
+  def orc(spark: SparkSession, path: String,
+          schema: Option[StructType] = None): DataFrame =
+    schema.fold(spark.read)(s => spark.read.schema(s)).orc(path)
+
   /** S4 — whole-table JDBC source (reference `dags/utils.py:115-129`). */
   def jdbcTable(spark: SparkSession, url: String, table: String,
                 props: Map[String, String]): DataFrame = {

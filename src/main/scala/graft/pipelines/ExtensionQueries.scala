@@ -130,6 +130,7 @@ object ExtensionQueries {
   val CosineLshTables = 16
   val CosineLshPlanes = 8
   val ContamThreshold = 0.5
+  val HeavyHitterK = 40
   val ContamEvalMod = 7
   val PackBudget = 256
   val PackGroups = 8
@@ -377,6 +378,14 @@ object ExtensionQueries {
     "q_text_doc_topterms" -> ((s, dir) =>
       TextAnalysis.docTopTerms(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_id", "rk")),
+
+    // exact frequent tokens over the n/k threshold via two-pass
+    // Misra–Gries (bounded-memory candidates, exact rescan) — the sketch
+    // path whose output is still exactly SQL-checkable because false
+    // positives are culled and false negatives are impossible
+    "q_text_heavy_hitters" -> ((s, dir) =>
+      graft.ops.HeavyHitters.frequentTokens(docs(s, dir), "text", HeavyHitterK)
+        .orderBy(col("cnt").desc, col("token"))),
 
     // TF-IDF-style keyword extraction with the rational idf N/df (log-free
     // for bit-reproducibility — any monotone idf ranks identically per doc)
@@ -932,6 +941,15 @@ object ExtensionQueries {
         |            FROM documents)
         |SELECT token, COUNT(DISTINCT doc_id) AS df, COUNT(*) AS tf
         |FROM tk GROUP BY token ORDER BY tf DESC, token LIMIT 100""".stripMargin,
+
+    // the HAVING replays the engine's exact integer threshold cnt·k > n
+    "q_text_heavy_hitters" ->
+      s"""WITH tk AS (SELECT unnest([t FOR t IN string_split(text, ' ') IF t <> '']) AS token
+         |            FROM documents),
+         |n AS (SELECT COUNT(*) AS total FROM tk)
+         |SELECT token, COUNT(*) AS cnt FROM tk GROUP BY token
+         |HAVING COUNT(*) * $HeavyHitterK > (SELECT total FROM n)
+         |ORDER BY cnt DESC, token""".stripMargin,
 
     "q_text_doc_topterms" ->
       """WITH tk AS (SELECT doc_id, unnest([t FOR t IN string_split(text, ' ') IF t <> '']) AS token

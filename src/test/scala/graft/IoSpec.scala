@@ -91,6 +91,26 @@ class IoSpec extends SparkSpec {
     assert(out.select("DAY_DT").first().getDate(0).toString == "2025-01-01")
   }
 
+  test("orc roundtrip preserves rows; predicates push down to the scan") {
+    val d = Files.createTempDirectory("graft_orc").toString
+    val df = Seq((1L, "en", 10.5), (2L, "de", 20.0), (3L, "en", 30.25))
+      .toDF("id", "lang", "score")
+    Sinks.orc(df, s"$d/t")
+    val back = Sources.orc(spark, s"$d/t")
+    assert(back.orderBy("id").collect().map(_.toSeq).toSeq ==
+      df.orderBy("id").collect().map(_.toSeq).toSeq)
+    // predicate + projection reach the ORC scan (same discipline as
+    // the parquet paths): data filters pushed, read schema pruned
+    val q = back.filter($"id" > 1L).select("id", "lang")
+    val scan = q.queryExecution.executedPlan.collectLeaves()
+      .collectFirst { case s: org.apache.spark.sql.execution.FileSourceScanExec => s }
+      .getOrElse(fail("no FileSourceScanExec in plan"))
+    assert(scan.metadata("PushedFilters").contains("GreaterThan(id,1)"),
+      s"id predicate must push down: ${scan.metadata("PushedFilters")}")
+    assert(scan.requiredSchema.fieldNames.toSeq == Seq("id", "lang"),
+      "projection must prune the read schema")
+  }
+
   test("snapshotIngest gates duplicates before any write") {
     val d = Files.createTempDirectory("graft_gate").toString
     val dup = Seq(("S1", "x"), ("S1", "y")).toDF("a", "b")
