@@ -427,6 +427,41 @@ object Dedup {
     * low thresholds the candidate set approaches all-pairs, which is
     * intrinsic to the operating point, not the algorithm — the join is
     * still hash-partitioned, not a broadcast nested loop). */
+  /** Incremental embedding dedup — cosine near-dup pairs between an
+    * existing corpus and a NEW batch, the embedding-side analog of
+    * [[minhashLshCrossPairs]]: a *bipartite* (table, bucket) join
+    * (corpus buckets × batch buckets — the corpus is never self-paired),
+    * then the exact verify fold. Per-batch cost is |batch|-proportional
+    * against the corpus bucket index; at 100 TB the corpus side's
+    * buckets are computed once and persisted, exactly like
+    * [[CorpusIndex]] for shingles. Output is (vec_i = corpus id,
+    * vec_j = batch id, cos ≥ threshold); id sets are assumed disjoint
+    * (different batches by contract). Same (tables, planes) recall
+    * tuning as [[cosinePairsLsh]]. */
+  def cosineCrossPairsLsh(corpus: DataFrame, batch: DataFrame, idCol: String,
+                          vecCol: String, threshold: Double = 0.95,
+                          tables: Int = 16, planes: Int = 8,
+                          dims: Int = 64): DataFrame = {
+    def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    def buckets(e: DataFrame) = Similarity
+      .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
+      .select("id", "table", "bucket")
+    val c = prep(corpus)
+    val b = prep(batch)
+    val cands = buckets(c).as("a")
+      .join(buckets(b).as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
+      .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"))
+      .distinct()
+    cands
+      .join(c.select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
+      .join(b.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
+      .select(col("vec_i"), col("vec_j"),
+        (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   def cosinePairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, tables: Int = 16,
                      planes: Int = 8, dims: Int = 64): DataFrame = {

@@ -235,6 +235,24 @@ object Quantiles {
     spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
   }
 
+  /** [[groupedExactQuantile]] for DOUBLE columns: values ride the
+    * order-preserving IEEE-bits mapping ([[graft.functions.SortableDoubleBits]],
+    * codegen'd) through the grouped selection and map back on the
+    * driver — the result frame is per-group (tiny) either way. */
+  def groupedExactQuantileDouble(df: DataFrame, groupCol: String, valueCol: String,
+                                 q: Double, bins: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
+    val spark = df.sparkSession
+    val mapped = df.select(col(groupCol), graft.functions.SortableDoubleBits
+      .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
+    val sel = groupedExactQuantile(mapped, groupCol, "__s", q, bins)
+    val rows = sel.collect().map(r =>
+      Row(r.get(0), graft.functions.SortableDoubleBits.fromSortable(r.getLong(1)))).toSeq
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
+      StructType(Seq(sel.schema.head, StructField("value", DoubleType, nullable = false))))
+  }
+
   /** Exact k-th smallest of a DOUBLE column: the values are mapped
     * through the order-preserving IEEE bits transform
     * ([[graft.functions.SortableDoubleBits]], codegen'd), selected as

@@ -45,46 +45,83 @@ object Dag {
   /** Downstream of a failure: never attempted (Airflow `upstream_failed`). */
   final case class TaskSkipped(name: String, failedUpstream: String) extends TaskOutcome
 
+  /** One task body through its bounded retry budget → a typed outcome.
+    * Total attempts ≤ 1 + policy.retries. */
+  private def runOne(name: String, body: () => StageResult,
+                     policy: RetryPolicy): TaskOutcome = {
+    var attempt = 0
+    var done: Option[TaskOutcome] = None
+    while (done.isEmpty) {
+      attempt += 1
+      try done = Some(TaskSucceeded(name, body(), attempt))
+      catch {
+        case scala.util.control.NonFatal(_) if attempt <= policy.retries =>
+          if (policy.delayMillis > 0) Thread.sleep(policy.delayMillis)
+        case scala.util.control.NonFatal(e) =>
+          done = Some(TaskFailed(name, attempt, e))
+      }
+    }
+    done.get
+  }
+
   /** Sequence task thunks with bounded per-task retries. The first task
     * still failing after its attempt budget marks every remaining task
     * skipped — the linear-chain analog of Airflow's all-success trigger
     * rule (the reference's DAG is a linear chain after the ingest fan-in,
-    * `dags/metamorph_etl_dag.py:28`). Total attempts per task ≤
-    * 1 + policy.retries; a gate failure (e.g. [[Quality.gate]]'s
-    * DuplicateException) is deterministic, so it burns its budget and
-    * aborts — exactly the no-partial-load behavior the reference relies
-    * on. */
+    * `dags/metamorph_etl_dag.py:28`). A gate failure (e.g.
+    * [[Quality.gate]]'s DuplicateException) is deterministic, so it burns
+    * its budget and aborts — exactly the no-partial-load behavior the
+    * reference relies on. */
   def runTasks(tasks: Seq[(String, () => StageResult)],
-               policy: RetryPolicy = RetryPolicy()): Seq[TaskOutcome] = {
+               policy: RetryPolicy = RetryPolicy()): Seq[TaskOutcome] =
+    runTaskGroups(tasks.map(Seq(_)), policy)
+
+  /** Stage-grouped execution with PARALLEL fan-in: tasks inside one group
+    * run concurrently (the reference's `[suppliers, products, customers]`
+    * ingest fan-in — independent Spark jobs the scheduler interleaves, so
+    * their scans and writes overlap instead of serializing); groups run
+    * in declaration order. A failure inside a group lets its SIBLINGS run
+    * to completion (Airflow semantics: parallel tasks already running
+    * aren't killed) but skips every LATER group. Outcomes preserve
+    * declaration order regardless of completion order. */
+  def runTaskGroups(groups: Seq[Seq[(String, () => StageResult)]],
+                    policy: RetryPolicy = RetryPolicy()): Seq[TaskOutcome] = {
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
     val out = Seq.newBuilder[TaskOutcome]
     var failed: Option[String] = None
-    tasks.foreach { case (name, body) =>
+    groups.foreach { group =>
       failed match {
-        case Some(up) => out += TaskSkipped(name, up)
+        case Some(up) => group.foreach { case (name, _) => out += TaskSkipped(name, up) }
+        case None if group.sizeIs == 1 =>
+          val (name, body) = group.head
+          val r = runOne(name, body, policy)
+          out += r
+          r match { case TaskFailed(n, _, _) => failed = Some(n); case _ => }
         case None =>
-          var attempt = 0
-          var done: Option[TaskOutcome] = None
-          while (done.isEmpty) {
-            attempt += 1
-            try done = Some(TaskSucceeded(name, body(), attempt))
-            catch {
-              case scala.util.control.NonFatal(_) if attempt <= policy.retries =>
-                if (policy.delayMillis > 0) Thread.sleep(policy.delayMillis)
-              case scala.util.control.NonFatal(e) =>
-                done = Some(TaskFailed(name, attempt, e))
-                failed = Some(name)
-            }
-          }
-          out += done.get
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(group.size)
+          implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
+          try {
+            val results = Await.result(
+              Future.sequence(group.map { case (name, body) =>
+                Future(runOne(name, body, policy))
+              }), Duration.Inf)
+            out ++= results
+            if (failed.isEmpty)
+              failed = results.collectFirst { case TaskFailed(n, _, _) => n }
+          } finally pool.shutdown()
       }
     }
     out.result()
   }
 
-  /** The production pipeline's stage list as named thunks — shared by the
-    * fail-fast [[runAll]] and the policy-driven [[runAllWithRetries]]. */
+  /** The production pipeline's stage groups as named thunks — shared by
+    * the fail-fast [[runAll]] and the policy-driven [[runAllWithRetries]].
+    * Group structure mirrors the reference DAG exactly
+    * (`dags/metamorph_etl_dag.py:28`): the three ingests fan IN (parallel
+    * group), then sales and the marts chain sequentially. */
   private def stages(spark: SparkSession, sfDir: String,
-                     outDir: String): Seq[(String, () => StageResult)] = {
+                     outDir: String): Seq[Seq[(String, () => StageResult)]] = {
 
     def load(name: String, df: => DataFrame,
              pk: Option[Seq[String]]): (String, () => StageResult) =
@@ -100,16 +137,17 @@ object Dag {
     // throws (QualitySpec/DagSpec assert that) — the reference would fail
     // this load too; the dirty grain is the fixture's dup-detection bait.
     Seq(
-      load("suppliers", Ingestion.suppliersSnapshot(spark, sfDir), Some(Seq("SUPPLIER_ID"))),
-      load("products", graft.model.Entities.products(spark, sfDir), Some(Seq("PRODUCT_ID"))),
-      load("customers", graft.model.Entities.customers(spark, sfDir), Some(Seq("CUSTOMER_ID"))),
-      load("sales", graft.model.Entities.sales(spark, sfDir), None),
+      Seq(
+        load("suppliers", Ingestion.suppliersSnapshot(spark, sfDir), Some(Seq("SUPPLIER_ID"))),
+        load("products", graft.model.Entities.products(spark, sfDir), Some(Seq("PRODUCT_ID"))),
+        load("customers", graft.model.Entities.customers(spark, sfDir), Some(Seq("CUSTOMER_ID")))),
+      Seq(load("sales", graft.model.Entities.sales(spark, sfDir), None)),
       // marts, in the reference's dependency order
-      load("supplier_performance", SupplierPerformance(spark, sfDir),
-        Some(Seq("SUPPLIER_ID", "DAY_DT"))),
-      load("product_performance", ProductPerformance(spark, sfDir),
-        Some(Seq("PRODUCT_ID", "DAY_DT"))),
-      load("customer_sales_report", CustomerSalesReport(spark, sfDir), None))
+      Seq(load("supplier_performance", SupplierPerformance(spark, sfDir),
+        Some(Seq("SUPPLIER_ID", "DAY_DT")))),
+      Seq(load("product_performance", ProductPerformance(spark, sfDir),
+        Some(Seq("PRODUCT_ID", "DAY_DT")))),
+      Seq(load("customer_sales_report", CustomerSalesReport(spark, sfDir), None)))
   }
 
   /** Run the full pipeline against `sfDir`, landing every output under
@@ -124,12 +162,13 @@ object Dag {
         throw new IllegalStateException(s"task '$name' skipped after '$up' failed")
     }
 
-  /** Policy-driven run: per-task bounded retries, typed outcomes, and
-    * downstream abort on failure — the reference's operational contract
-    * without an orchestrator dependency. */
+  /** Policy-driven run: per-task bounded retries, typed outcomes,
+    * parallel ingest fan-in, and downstream abort on failure — the
+    * reference's operational contract without an orchestrator
+    * dependency. */
   def runAllWithRetries(spark: SparkSession, sfDir: String, outDir: String,
                         policy: RetryPolicy = RetryPolicy()): Seq[TaskOutcome] =
-    runTasks(stages(spark, sfDir, outDir), policy)
+    runTaskGroups(stages(spark, sfDir, outDir), policy)
 
   /** The reference's SECOND production DAG (`dags/usa_etl_dag.py:6-10`,
     * one task: `usa_population_ingestion.py:20-56`) — canonicalize + gate

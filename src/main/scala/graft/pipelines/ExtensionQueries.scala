@@ -225,6 +225,23 @@ object ExtensionQueries {
         .orderBy("doc_i", "doc_j")
     }),
 
+    // the embedding-side incremental form: a 10% "new batch"
+    // (vec_id % 10 == 1) checked against the 90% "existing corpus" with a
+    // bipartite (table, bucket) join + exact verify — the realistic
+    // incremental shape (small batch vs large standing corpus), so the
+    // join cost is |batch|-proportional rather than half×half. The loose
+    // demo threshold (0.4, 32×2 — P[miss] ≈ 9e-8 at the threshold) is
+    // needed for the fixture to yield cross pairs (its planted
+    // near-identical dups land same-side of the split); the oracle is
+    // the exact bipartite cosine restriction.
+    "q_dedup_cosine_incremental" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Dedup.cosineCrossPairsLsh(
+        e.filter(col("vec_id") % 10 =!= 1), e.filter(col("vec_id") % 10 === 1),
+        "vec_id", "embedding", CosineThreshold, tables = 32, planes = 2)
+        .orderBy("vec_i", "vec_j")
+    }),
+
     "q_dedup_simhash" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3)
         .orderBy("doc_i", "doc_j")),
@@ -744,6 +761,18 @@ object ExtensionQueries {
         |WHERE hamming <= 3 ORDER BY doc_i, doc_j""".stripMargin,
 
     "q_dedup_cosine" -> cosineOracleAt(CosineThreshold),
+
+    // exact bipartite cosine over the 90/10 corpus/batch split — bucketed
+    // candidates + exact verify reproduce it at the demo recall config
+    "q_dedup_cosine_incremental" ->
+      s"""WITH norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings)
+         |SELECT vec_i, vec_j, cos FROM (
+         |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+         |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+         |  FROM norms a JOIN norms b ON a.vec_id % 10 <> 1 AND b.vec_id % 10 = 1)
+         |WHERE cos >= $CosineThreshold ORDER BY vec_i, vec_j""".stripMargin,
 
     // LSH candidates + exact verify at the production operating point ⇒
     // equals the exact pair set at cos ≥ 0.9 on the fixture corpus

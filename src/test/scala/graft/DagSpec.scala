@@ -77,6 +77,43 @@ class DagSpec extends SparkSpec {
     }
   }
 
+  test("a fan-in group genuinely runs its tasks concurrently") {
+    // each task blocks until the OTHER has started: only passes if the
+    // group overlaps in time (a sequential runner would deadlock — the
+    // await timeout turns that into a clean failure)
+    val latchA = new java.util.concurrent.CountDownLatch(1)
+    val latchB = new java.util.concurrent.CountDownLatch(1)
+    def task(mine: java.util.concurrent.CountDownLatch,
+             other: java.util.concurrent.CountDownLatch, name: String) =
+      name -> { () =>
+        mine.countDown()
+        if (!other.await(10, java.util.concurrent.TimeUnit.SECONDS))
+          sys.error(s"$name never saw its sibling start: group not parallel")
+        Dag.StageResult(name, 1L, "mem")
+      }
+    val out = Dag.runTaskGroups(
+      Seq(Seq(task(latchA, latchB, "a"), task(latchB, latchA, "b"))),
+      Dag.RetryPolicy(retries = 0))
+    assert(out.forall(_.isInstanceOf[Dag.TaskSucceeded]), s"got $out")
+    assert(out.map(_.name) == Seq("a", "b"), "declaration order preserved")
+  }
+
+  test("a failure inside a group lets siblings finish but skips later groups") {
+    var siblingRan = false
+    var laterRan = false
+    val out = Dag.runTaskGroups(Seq(
+      Seq(
+        "boom" -> (() => sys.error("nope")),
+        "sibling" -> { () => siblingRan = true; Dag.StageResult("sibling", 1L, "mem") }),
+      Seq("later" -> { () => laterRan = true; Dag.StageResult("later", 1L, "mem") })),
+      Dag.RetryPolicy(retries = 0))
+    assert(siblingRan, "siblings already running are not killed")
+    assert(!laterRan, "downstream groups never start")
+    assert(out.map(_.getClass.getSimpleName) ==
+      Seq("TaskFailed", "TaskSucceeded", "TaskSkipped"))
+    assert(out.last == Dag.TaskSkipped("later", "boom"))
+  }
+
   test("DagTaskException carries task name, attempts, and the real cause") {
     val boom = Dag.runTasks(
       Seq("only" -> (() => sys.error("nope"))), Dag.RetryPolicy(retries = 0))

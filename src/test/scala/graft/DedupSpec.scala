@@ -181,6 +181,27 @@ class DedupSpec extends SparkSpec {
     assert(lsh.values.forall(_ >= 0.9))
   }
 
+  test("cosineCrossPairsLsh equals the exact bipartite cosine restriction") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.filter($"vec_id" % 2 === 0)
+    val batch = e.filter($"vec_id" % 2 === 1)
+    val got = Dedup.cosineCrossPairsLsh(corpus, batch, "vec_id", "embedding",
+        0.4, tables = 32, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // exact reference: all cross pairs over the threshold
+    val want = Dedup.cosinePairs(e, "vec_id", "embedding", 0.4)
+      .collect().flatMap { r =>
+        val (i, j, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        // normalize to (corpus, batch) orientation; drop same-side pairs
+        if (i % 2 == 0 && j % 2 == 1) Some((i, j) -> c)
+        else if (i % 2 == 1 && j % 2 == 0) Some((j, i) -> c)
+        else None
+      }.toMap
+    assert(want.nonEmpty, "fixture has cross-side pairs over 0.4")
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet}, extra=${got.keySet -- want.keySet}")
+  }
+
   test("minhashLshCrossPairs equals exact jaccard restricted to cross pairs") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val corpus = docs.filter($"doc_id" % 2 === 0)

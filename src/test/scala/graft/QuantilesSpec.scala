@@ -62,6 +62,22 @@ class QuantilesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("groupedExactQuantileDouble reproduces per-group double medians") {
+    val rng = new scala.util.Random(5)
+    val rows = (1 to 1500).map { i =>
+      (s"g${i % 4}", rng.nextGaussian() * (if (i % 4 == 0) -10 else 100))
+    }
+    val df = rows.toDF("grp", "v")
+    val got = Quantiles.groupedExactQuantileDouble(df, "grp", "v", 0.5, bins = 16)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      val k = math.max(1L, math.ceil(0.5 * sorted.length).toLong).toInt
+      g -> sorted(k - 1)
+    }
+    assert(got == want) // bit-exact: selection returns an actual data value
+  }
+
   test("groupedExactQuantile agrees with exactQuantiles on one group") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val single = docs.select(lit("all").as("grp"), col("n_chars"))
