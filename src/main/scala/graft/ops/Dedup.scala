@@ -143,8 +143,17 @@ object Dedup {
     * collision must co-occur in one pair to perturb a count). */
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): (DataFrame, DataFrame) = {
+    import org.apache.spark.storage.StorageLevel
+    // Persisted: every consumer walks the index ≥2× (self-join sides,
+    // sizes, verify) and the capped-jaccard path up to 9× — without the
+    // cache each walk re-tokenizes and re-hashes the corpus text, which
+    // dominates the whole query. The cached form is the COMPACT one
+    // (id + 8-byte hash array, no text), MEMORY_AND_DISK so blocks are
+    // evictable/spillable under pressure and recomputed on miss — the
+    // same posture as [[Reconcile.diff]]'s source/target cache.
     val withSh = docs.select(col(idCol).as("id"),
       graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("sh"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
     val index = withSh.select(col("id"), explode(col("sh")).as("shash"))
     (index, sizes)
@@ -427,6 +436,28 @@ object Dedup {
     * low thresholds the candidate set approaches all-pairs, which is
     * intrinsic to the operating point, not the algorithm — the join is
     * still hash-partitioned, not a broadcast nested loop). */
+  def cosinePairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
+                     threshold: Double = 0.95, tables: Int = 16,
+                     planes: Int = 8, dims: Int = 64): DataFrame = {
+    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val banded = Similarity
+      .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
+      .select("id", "table", "bucket")
+    val cands = banded.as("a")
+      .join(banded.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"))
+      .distinct()
+    cands
+      .join(e.select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
+      .join(e.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
+      .select(col("vec_i"), col("vec_j"),
+        (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
   /** Incremental embedding dedup — cosine near-dup pairs between an
     * existing corpus and a NEW batch, the embedding-side analog of
     * [[minhashLshCrossPairs]]: a *bipartite* (table, bucket) join
@@ -457,28 +488,6 @@ object Dedup {
     cands
       .join(c.select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
       .join(b.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
-      .select(col("vec_i"), col("vec_j"),
-        (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
-      .filter(col("cos") >= threshold)
-  }
-
-  def cosinePairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
-                     threshold: Double = 0.95, tables: Int = 16,
-                     planes: Int = 8, dims: Int = 64): DataFrame = {
-    val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
-      l2norm(col(vecCol)).as("nrm"))
-    val banded = Similarity
-      .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
-      .select("id", "table", "bucket")
-    val cands = banded.as("a")
-      .join(banded.as("b"),
-        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"))
-      .distinct()
-    cands
-      .join(e.select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
-      .join(e.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
       .select(col("vec_i"), col("vec_j"),
         (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
       .filter(col("cos") >= threshold)

@@ -23,46 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
-  /** Deterministic ±1 hyperplane weights: table t, plane p, dim d. */
-  private def planeSign(table: Int, plane: Int, dim: Int): Int = {
-    // splitmix64-style mix of the (table, plane, dim) triple — stable
-    var z = table.toLong * 0x9e3779b97f4a7c15L + plane.toLong * 0xbf58476d1ce4e5b9L +
-      dim.toLong * 0x94d049bb133111ebL + 0x2545f4914f6cdd1dL
-    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
-    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
-    z = z ^ (z >>> 31)
-    if ((z & 1L) == 1L) 1 else -1
-  }
-
   /** All signs of one plane — exposed so the differential oracle can emit
     * the SAME deterministic hyperplanes as literal SQL weight arrays
-    * (the LSH path is then fully SQL-checkable, not rows-only). */
+    * (the LSH path is then fully SQL-checkable, not rows-only). The sign
+    * function itself lives with the bucketing expression
+    * ([[graft.functions.HyperplaneBuckets.planeSign]]) — one source of
+    * truth for engine and oracle. */
   private[graft] def planeSigns(table: Int, plane: Int, dims: Int): IndexedSeq[Int] =
-    (0 until dims).map(d => planeSign(table, plane, d))
-
-  /** Signed projection of a vector column onto plane (t, p): the fold
-    * Σ v[d] * sign(t,p,d) as a codegen'd dot product against a literal
-    * weight array ([[graft.functions.DotProduct]], no UDF). */
-  private def projection(vec: Column, table: Int, plane: Int, dims: Int): Column = {
-    val weights = array((0 until dims).map(d => lit(planeSign(table, plane, d).toDouble)): _*)
-    graft.functions.VectorOps.dot(vec, weights)
-  }
+    (0 until dims).map(d => graft.functions.HyperplaneBuckets.planeSign(table, plane, d))
 
   /** LSH bucket id per (table, vector): the sign bits of `planes`
-    * projections packed into an int. */
+    * projections packed into an int. One
+    * [[graft.functions.HyperplaneBuckets]] node + posexplode — the
+    * compositional form (tables×planes literal-weight dot folds) cost
+    * ~1.4 s of whole-stage codegen per JVM at the 16×8 production config
+    * and its plan grew with the recall configuration. */
   def lshBuckets(df: DataFrame, vecCol: String, tables: Int = 8,
-                 planes: Int = 8, dims: Int = 64): DataFrame = {
-    val tableStructs = (0 until tables).map { t =>
-      val bits = (0 until planes).map { p =>
-        when(projection(col(vecCol), t, p, dims) >= 0, lit(1 << p)).otherwise(lit(0))
-      }
-      struct(lit(t).as("table"), bits.reduce(_ + _).as("bucket"))
-    }
-    df.select(col("*"), explode(array(tableStructs: _*)).as("tb"))
-      .withColumn("table", col("tb.table"))
-      .withColumn("bucket", col("tb.bucket"))
-      .drop("tb")
-  }
+                 planes: Int = 8, dims: Int = 64): DataFrame =
+    df.select(col("*"),
+        posexplode(graft.functions.HyperplaneBuckets
+          .hyperplaneBuckets(col(vecCol), tables, planes, dims))
+          .as(Seq("table", "bucket")))
 
   /** Exact cosine top-k neighbors for each query vector (self excluded).
     * Queries are expected to be a small frame → broadcast. */
