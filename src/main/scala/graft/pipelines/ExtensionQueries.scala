@@ -294,6 +294,21 @@ object ExtensionQueries {
         .orderBy("l_orderkey", "l_partkey", "l_quantity")
     }),
 
+    // bloom-reduced anti join — semantically identical to the plain
+    // left-anti join (a bloom filter has no false negatives; every
+    // "maybe" is verified by a real join), proven by sharing its
+    // NOT EXISTS oracle. The sketch prunes the probe side BEFORE the
+    // shuffle: customers without an 'F'-status order bypass the join
+    // entirely (see ops/BloomJoin for the 100 TB rationale).
+    "q_join_bloom_anti" -> ((s, dir) => {
+      val c = Entities.read(s, dir, "customer").select("c_custkey", "c_name")
+      val o = Entities.read(s, dir, "orders")
+        .filter(col("o_orderstatus") === "F").select("o_custkey")
+      graft.ops.BloomJoin.bloomAntiJoin(c, o, "c_custkey", "o_custkey",
+        expectedItems = 200000L, fpp = 0.01)
+        .orderBy("c_custkey")
+    }),
+
     // Scalable variant of the customer report's global percent_rank
     // tiering (SURVEY.md §4 anti-pattern 3): aggregate per customer
     // FIRST, then rank |customers| rows instead of |sales| rows in the
@@ -684,6 +699,13 @@ object ExtensionQueries {
       """SELECT l.l_orderkey, l.l_partkey, l.l_quantity, p.p_name
         |FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
         |ORDER BY l.l_orderkey, l.l_partkey, l.l_quantity""".stripMargin,
+
+    // the plain anti-join semantics the bloom reduction must reproduce
+    "q_join_bloom_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+        |ORDER BY c_custkey""".stripMargin,
 
     "q_dedup_jaccard" -> jaccardOracle(JaccardThreshold),
 
