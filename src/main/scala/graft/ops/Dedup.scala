@@ -308,9 +308,11 @@ object Dedup {
     * (by parameter choice, misses need P < 1e-7 at s ≥ 0.8). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
                       n: Int = 3, threshold: Double = 0.8): DataFrame = {
-    // the exploded index feeds signatures and both verify sides; with
-    // the one-pass native ShingleHashes, rescanning beats caching the
-    // ~|docs|·avgSh exploded rows (measured: cache cost > rescan here)
+    // the index feeds signatures and both verify sides; shingleIndex
+    // caches the COMPACT pre-explode (id, hash array) frame, so each walk
+    // re-explodes cheap cached arrays instead of re-tokenizing text
+    // (caching the ~|docs|·avgSh EXPLODED rows measured worse than
+    // rescanning — the compact form is what makes the cache pay)
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
     val cands = lshCandidates(minhashSignaturesFromIndex(index))
     verifyJaccard(cands, index, index, sizes, sizes, threshold)
@@ -472,21 +474,56 @@ object Dedup {
   def cosineCrossPairsLsh(corpus: DataFrame, batch: DataFrame, idCol: String,
                           vecCol: String, threshold: Double = 0.95,
                           tables: Int = 16, planes: Int = 8,
-                          dims: Int = 64): DataFrame = {
-    def prep(df: DataFrame) = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+                          dims: Int = 64): DataFrame =
+    cosineCrossPairsIndexed(
+      buildEmbeddingIndex(corpus, idCol, vecCol, tables, planes, dims),
+      batch, idCol, vecCol, threshold)
+
+  /** The persisted side of incremental EMBEDDING dedup — the analog of
+    * [[CorpusIndex]] for the cosine family: the corpus's (id, table,
+    * bucket) LSH assignments plus its normed vectors, each a plain
+    * DataFrame a production pipeline writes to parquet ONCE (and appends
+    * per accepted batch) instead of re-bucketing the corpus per batch.
+    * The recall configuration (tables, planes, dims) is RECORDED here —
+    * the batch side must bucket against identical hyperplanes or the
+    * (table, bucket) join silently finds nothing, so
+    * [[cosineCrossPairsIndexed]] takes it from the index, never from a
+    * caller parameter. Build with [[buildEmbeddingIndex]]. */
+  final case class EmbeddingIndex(buckets: DataFrame, vectors: DataFrame,
+                                  tables: Int, planes: Int, dims: Int)
+
+  /** Compute a corpus's reusable embedding-dedup index (one corpus
+    * scan: norms + all hyperplane buckets). */
+  def buildEmbeddingIndex(embeddings: DataFrame, idCol: String, vecCol: String,
+                          tables: Int = 16, planes: Int = 8,
+                          dims: Int = 64): EmbeddingIndex = {
+    val v = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
-    def buckets(e: DataFrame) = Similarity
-      .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
+    val buckets = Similarity.lshBuckets(v.select("id", "v"), "v", tables, planes, dims)
       .select("id", "table", "bucket")
-    val c = prep(corpus)
-    val b = prep(batch)
-    val cands = buckets(c).as("a")
-      .join(buckets(b).as("b"),
+    EmbeddingIndex(buckets, v, tables, planes, dims)
+  }
+
+  /** [[cosineCrossPairsLsh]] against a prebuilt (typically persisted)
+    * [[EmbeddingIndex]] — the per-batch incremental form. The batch is
+    * bucketed with the INDEX's (tables, planes, dims), so hyperplane
+    * mismatch can't happen by construction. */
+  def cosineCrossPairsIndexed(corpus: EmbeddingIndex, batch: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double = 0.95): DataFrame = {
+    val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
+      l2norm(col(vecCol)).as("nrm"))
+    val bBuckets = Similarity
+      .lshBuckets(b.select("id", "v"), "v", corpus.tables, corpus.planes, corpus.dims)
+      .select("id", "table", "bucket")
+    val cands = corpus.buckets.as("a")
+      .join(bBuckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"))
       .distinct()
     cands
-      .join(c.select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
+      .join(corpus.vectors
+        .select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
       .join(b.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
       .select(col("vec_i"), col("vec_j"),
         (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))

@@ -244,6 +244,29 @@ class DedupSpec extends SparkSpec {
     assert(indexed == inline)
   }
 
+  test("a parquet-persisted EmbeddingIndex reproduces the inline cosine cross pairs") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.filter($"vec_id" % 2 === 0)
+    val batch = e.filter($"vec_id" % 2 === 1)
+    val inline = Dedup.cosineCrossPairsLsh(corpus, batch, "vec_id", "embedding",
+        0.4, tables = 32, planes = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val d = java.nio.file.Files.createTempDirectory("graft_eidx_").toString
+    val built = Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      tables = 32, planes = 2)
+    built.buckets.write.parquet(s"$d/buckets")
+    built.vectors.write.parquet(s"$d/vectors")
+    val persisted = Dedup.EmbeddingIndex(
+      spark.read.parquet(s"$d/buckets"),
+      spark.read.parquet(s"$d/vectors"),
+      tables = 32, planes = 2, dims = 64)
+    val indexed = Dedup
+      .cosineCrossPairsIndexed(persisted, batch, "vec_id", "embedding", 0.4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(inline.nonEmpty)
+    assert(indexed == inline)
+  }
+
   test("cosine is 1.0 on identical vectors, bit-deterministic") {
     val df = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(1.0f, 2.0f, 3.0f)),
       (3L, Array(-3.0f, 0.0f, 1.0f))).toDF("vec_id", "embedding")
