@@ -89,7 +89,13 @@ object Dedup {
     * the edge set for the whole run. The fixpoint is unique (elementwise
     * min over a lattice), so the result is deterministic regardless of
     * execution order — which is what lets a SQL oracle replay it with a
-    * recursive transitive closure. */
+    * recursive transitive closure.
+    *
+    * Only vertices TOUCHED by a pair iterate: a doc in no near-dup pair
+    * can never change label, so the loop runs over the pair graph's
+    * vertex set (≤ 2·|pairs| ids) and singletons are attached by one
+    * final left join — at a realistic dup rate the per-round volume is
+    * |near-dup docs|, orders of magnitude below |corpus|. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
                       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
@@ -105,8 +111,9 @@ object Dedup {
       rdd.localCheckpoint()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
-    var (labels, prevRdd) =
-      checkpointGen(docs.select(col(idCol).as("id"), col(idCol).as("label")))
+    // both directions are in `edges`, so src alone covers every touched id
+    var (labels, prevRdd) = checkpointGen(edges.select("src").distinct()
+      .select(col("src").as("id"), col("src").as("label")))
     var iter = 0
     var changed = 1L
     while (changed > 0 && iter < maxIters) {
@@ -132,7 +139,11 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.select(col("id").as(idCol), col("label").as("cluster_id"))
+    // attach the untouched majority: no pair ⇒ the doc is its own cluster
+    docs.select(col(idCol).as("id"))
+      .join(labels, Seq("id"), "left")
+      .select(col("id").as(idCol),
+        coalesce(col("label"), col("id")).as("cluster_id"))
   }
 
   /** Exploded (id, shingle-hash) inverted index with per-doc shingle
