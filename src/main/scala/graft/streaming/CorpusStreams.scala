@@ -30,6 +30,36 @@ object CorpusStreams {
       .drop("__fp")
   }
 
+  /** Drop documents whose embedding is a cosine near-dup of the static
+    * corpus — the SEMANTIC ingestion gate next to [[dedupAgainstCorpus]]'s
+    * exact one, and the streaming face of
+    * [[graft.ops.Dedup.cosineCrossPairsIndexed]]: the corpus side is a
+    * prebuilt [[graft.ops.Dedup.EmbeddingIndex]] (bucketed once,
+    * persisted, appended per accepted batch — never re-bucketed per
+    * micro-batch), the incoming rows bucket themselves statelessly, and
+    * a left-anti join removes rows sharing a (table, bucket) with a
+    * corpus vector whose true cosine clears the threshold.
+    *
+    * Streaming contract: apply INSIDE `foreachBatch` (the
+    * [[EventStreams.sinkBatches]] bridge) — the micro-batch arrives as a
+    * plain batch frame, so the candidate `distinct` and the final anti
+    * join are ordinary batch operators there. A direct streaming plan is
+    * impossible by construction: the anti join's right side derives from
+    * the stream itself, and Structured Streaming supports no stream-stream
+    * anti join — which is fine, because per-micro-batch batch semantics
+    * is exactly how incremental ingest runs in production (gate the
+    * batch, append survivors to the index, repeat). Shuffled volume per
+    * batch is the batch's own buckets plus candidate verifies —
+    * |batch|-proportional, like every gate in this file. */
+  def dedupAgainstEmbeddings(stream: DataFrame, corpus: graft.ops.Dedup.EmbeddingIndex,
+                             idCol: String, vecCol: String,
+                             threshold: Double = 0.95): DataFrame = {
+    val dupIds = graft.ops.Dedup
+      .cosineCrossPairsIndexed(corpus, stream, idCol, vecCol, threshold)
+      .select(col("vec_j").as(idCol)).distinct()
+    stream.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Stateless streaming quality gate: the same fused corpus-filter
     * predicates (length floor, quality score, repetition cap, PII-free)
     * applied per micro-batch row — no state, no watermark needed. */

@@ -198,6 +198,41 @@ class StreamingSpec extends SparkSpec {
     assert(out == Seq(1L))
   }
 
+  test("dedupAgainstEmbeddings gates micro-batches against the embedding index") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.filter($"vec_id" % 2 === 0)
+    val idx = graft.ops.Dedup.buildEmbeddingIndex(corpus, "vec_id", "embedding",
+      tables = 32, planes = 2)
+    val incoming = e.filter($"vec_id" % 2 === 1)
+    // batch contract: the gate applied to all incoming rows at once
+    val expected = graft.streaming.CorpusStreams
+      .dedupAgainstEmbeddings(incoming, idx, "vec_id", "embedding", 0.4)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.size < incoming.count(), "fixture has cross-side near-dups")
+    // streaming path: the same rows in two micro-batches through foreachBatch
+    // (per the operator's contract — the anti join's right side derives from
+    // the stream, so a direct streaming plan can't exist)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = incoming.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.CorpusStreams
+          .dedupAgainstEmbeddings(b, idx, "vec_id", "embedding", 0.4)
+          .select("vec_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+      assert(got.sorted.toSeq == expected,
+        "per-micro-batch gating equals the one-shot batch gate")
+    } finally q.stop()
+  }
+
   test("file readStream over the fixture parquet reaches the same counts") {
     // FileStreamSource wants a directory: stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
