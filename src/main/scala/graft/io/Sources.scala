@@ -52,6 +52,20 @@ object Sources {
           schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read)(s => spark.read.schema(s)).orc(path)
 
+  /** Raw media files as (path, modificationTime, length, content) rows —
+    * the ingestion edge of the multimodal pipeline: point it at an
+    * image/audio dump and feed `content` to
+    * [[graft.ops.Multimodal.decodeFeatures]]. Built on Spark's
+    * `binaryFile` format: partition dirs prune, `pathGlobFilter`
+    * (e.g. `*.png`) selects codecs at listing time (no post-filter scan),
+    * and the session conf `spark.sql.sources.binaryFile.maxLength` caps
+    * per-file bytes so one oversized blob can't OOM an executor task. */
+  def binaryFiles(spark: SparkSession, path: String,
+                  glob: Option[String] = None): DataFrame = {
+    val r = spark.read.format("binaryFile")
+    glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
+  }
+
   /** S4 — whole-table JDBC source (reference `dags/utils.py:115-129`). */
   def jdbcTable(spark: SparkSession, url: String, table: String,
                 props: Map[String, String]): DataFrame = {

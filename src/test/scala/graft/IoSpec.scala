@@ -120,4 +120,33 @@ class IoSpec extends SparkSpec {
     }
     assert(!Files.exists(java.nio.file.Paths.get(s"$d/raw"))) // no partial load
   }
+
+  test("binaryFiles reads raw media and feeds the multimodal decode path") {
+    val d = Files.createTempDirectory("graft_bin").toString
+    // one real 4x4 white PNG + one non-media file the glob must exclude
+    val img = new java.awt.image.BufferedImage(
+      4, 4, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0xffffff)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val png = bos.toByteArray
+    Files.write(java.nio.file.Paths.get(s"$d/a.png"), png)
+    Files.write(java.nio.file.Paths.get(s"$d/junk.txt"), "not media".getBytes)
+
+    assert(Sources.binaryFiles(spark, d).count() == 2)
+    val onlyPng = Sources.binaryFiles(spark, d, glob = Some("*.png"))
+    val row = onlyPng.select("path", "length", "content").collect().head
+    assert(row.getString(0).endsWith("a.png"))
+    assert(row.getLong(1) == png.length)
+    assert(row.getAs[Array[Byte]](2).sameElements(png), "content round-trips")
+
+    // end-to-end into the decode operator: real PNG luminance, not the stub
+    val media = onlyPng.select(
+      monotonically_increasing_id().as("media_id"),
+      lit("image").as("modality"), col("content").as("payload"))
+    val feats = graft.ops.Multimodal.decodeFeatures(media, dim = 4)
+      .select("features").collect().head.getSeq[Float](0)
+    assert(feats.forall(v => math.abs(v - 1.0f) < 1e-6),
+      s"all-white image decodes to unit luminance per band, got $feats")
+  }
 }
