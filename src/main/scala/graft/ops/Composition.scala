@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus COMPOSITION — the last step between a cleaned corpus and a
+  * training run: put documents in a reproducible pseudorandom order, cap
+  * each source at a token budget, and interleave sources so no training
+  * window sees a single-source run. All three are deterministic functions
+  * of (doc id, seed) — re-running the pipeline reproduces the exact same
+  * training order, which is what makes data ablations comparable.
+  *
+  * The randomness primitive is an MD5 hex key of `id:seed` — chosen over
+  * a faster hash deliberately: it's computed once per doc (not per pair
+  * like the dedup hashes), is bit-identical in every engine that can
+  * replay the oracle, and its 128 bits make ordering collisions a
+  * non-event at any corpus size.
+  */
+object Composition {
+
+  /** The deterministic pseudorandom sort key: md5("<id>:<seed>") as hex.
+    * Uniform, stable, engine-portable. */
+  def shuffleKey(idCol: Column, seed: Long): Column =
+    md5(concat(idCol.cast("string"), lit(":"), lit(seed.toString)))
+
+  /** Deterministic corpus shuffle — every doc tagged with its pseudorandom
+    * order key. The 100 TB contract: DON'T globally sort here — write with
+    * `repartitionByRange($"shuffle_key")` + `sortWithinPartitions`, which
+    * realizes the same total order across parallel writers (range
+    * boundaries from Spark's sampled partitioner) with no single-partition
+    * stage; a training reader consuming files in key order replays the
+    * permutation. */
+  def shuffled(docs: DataFrame, idCol: String, seed: Long = 42L): DataFrame =
+    docs.withColumn("shuffle_key", shuffleKey(col(idCol), seed))
+
+  /** Cap each source at `budgetTokens`: docs are taken in per-source
+    * pseudorandom order until the running token total would stay within
+    * budget; later docs drop. Deterministic in (id, seed) — the kept set
+    * is a function of the corpus, never of execution order.
+    *
+    * Scale: one window per SOURCE (parallel across sources, shuffle keyed
+    * by source). A single web-scale source makes that window's partition
+    * the straggler — for that shape, compute the budget cutoff as an
+    * exact quantile of the token distribution ([[Quantiles]]) and filter,
+    * trading the exact running-sum boundary doc for a fully parallel
+    * scan. */
+  def tokenBudgetPerSource(docs: DataFrame, idCol: String, sourceCol: String,
+                           tokensCol: String, budgetTokens: Long,
+                           seed: Long = 42L): DataFrame = {
+    val idOrder = Window.partitionBy(col(sourceCol)).orderBy(col("__skey"))
+    docs
+      .withColumn("__skey", shuffleKey(col(idCol), seed))
+      .withColumn("__cum",
+        sum(col(tokensCol)).over(idOrder.rowsBetween(Window.unboundedPreceding, 0)))
+      .filter(col("__cum") <= budgetTokens)
+      .drop("__skey", "__cum")
+  }
+
+  /** Source-interleaved training order: docs rank pseudorandomly WITHIN
+    * their source, and the global order is (rank, source) — a round-robin
+    * through sources, so a contiguous training window mixes sources
+    * instead of marching through one corpus at a time. Emits the two
+    * order keys (`interleave_rank`, source) rather than sorting: the
+    * writer realizes the order with `repartitionByRange` over them, same
+    * contract as [[shuffled]]. Per-source windows parallelize across
+    * sources. */
+  def interleaved(docs: DataFrame, idCol: String, sourceCol: String,
+                  seed: Long = 42L): DataFrame = {
+    val w = Window.partitionBy(col(sourceCol)).orderBy(col("__skey"))
+    docs
+      .withColumn("__skey", shuffleKey(col(idCol), seed))
+      .withColumn("interleave_rank", row_number().over(w))
+      .drop("__skey")
+  }
+}

@@ -352,6 +352,28 @@ object ExtensionQueries {
         Map("src0" -> 3, "src1" -> 2))
         .orderBy("doc_id", "copy_idx")),
 
+    // ── corpus composition (training-order prep; ops/Composition) ────
+    // reproducible pseudorandom training order: every doc tagged with its
+    // engine-portable md5 order key; a writer realizes the total order
+    // with repartitionByRange + sortWithinPartitions, never a global sort
+    "q_corpus_shuffle" -> ((s, dir) =>
+      graft.ops.Composition.shuffled(docs(s, dir), "doc_id", 42L)
+        .select("doc_id", "shuffle_key").orderBy("shuffle_key")),
+
+    // per-source token budget: sources capped at 5000 chars, taken in
+    // per-source pseudorandom order — deterministic in (doc_id, seed)
+    "q_corpus_token_budget" -> ((s, dir) =>
+      graft.ops.Composition.tokenBudgetPerSource(
+        docs(s, dir), "doc_id", "source", "n_chars", 5000L, 42L)
+        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+
+    // round-robin source interleave: rank pseudorandomly within source;
+    // global order (rank, source) mixes sources in every training window
+    "q_corpus_interleave" -> ((s, dir) =>
+      graft.ops.Composition.interleaved(docs(s, dir), "doc_id", "source", 42L)
+        .select("doc_id", "source", "interleave_rank")
+        .orderBy("interleave_rank", "source")),
+
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
       docs(s, dir).select(
@@ -973,6 +995,28 @@ object ExtensionQueries {
         |             WHEN source = 'src1' THEN 2 ELSE 1 END AS r
         |      FROM documents)
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    // corpus composition: the md5("<id>:<seed>") order key is computed
+    // identically on both engines — the whole point of choosing it
+    "q_corpus_shuffle" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key
+        |FROM documents ORDER BY shuffle_key""".stripMargin,
+
+    "q_corpus_token_budget" ->
+      """SELECT doc_id, source, n_chars FROM (
+        |  SELECT doc_id, source, n_chars,
+        |         sum(n_chars) OVER (PARTITION BY source
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')
+        |           ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM documents)
+        |WHERE cum <= 5000 ORDER BY doc_id""".stripMargin,
+
+    "q_corpus_interleave" ->
+      """SELECT doc_id, source,
+        |       CAST(row_number() OVER (PARTITION BY source
+        |         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS INT)
+        |         AS interleave_rank
+        |FROM documents ORDER BY interleave_rank, source""".stripMargin,
 
     "q_text_normalize" ->
       """SELECT doc_id,
