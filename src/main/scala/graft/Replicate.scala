@@ -18,7 +18,15 @@ import org.apache.spark.sql.functions._
   * was measured separately with replica-disjoint vocabularies) are
   * copied 1× so every suite query still runs against the output dir.
   *
-  * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10]
+  * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10] [corpusFactor=1]
+  *
+  * `corpusFactor` > 1 additionally replicates `documents` with shifted
+  * doc_ids (sources unchanged — per-source volume grows by the factor),
+  * for scaling the composition/text scans whose semantics are per-row or
+  * per-source. It is NOT suitable for the dedup-pair family: verbatim
+  * text copies add cross-replica near-dup pairs (output grows ~factor²,
+  * density not constant) — those were measured separately with
+  * replica-disjoint vocabularies.
   */
 object Replicate {
 
@@ -38,6 +46,7 @@ object Replicate {
     val srcDir = args(0)
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
+    val corpusFactor = if (args.length > 3) args(3).toInt else 1
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -55,9 +64,16 @@ object Replicate {
       println(s"[replicate] $t x$factor -> $outDir")
     }
     for (t <- copyTables) {
-      spark.read.parquet(s"$srcDir/$t.parquet")
-        .write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      println(s"[replicate] $t x1 -> $outDir")
+      val df = spark.read.parquet(s"$srcDir/$t.parquet")
+      val out =
+        if (t == "documents" && corpusFactor > 1)
+          (0 until corpusFactor).map(i =>
+            df.withColumn("doc_id", col("doc_id") + lit(i * ShiftStep)))
+            .reduce(_ union _)
+        else df
+      out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
+      val f = if (t == "documents") corpusFactor else 1
+      println(s"[replicate] $t x$f -> $outDir")
     }
     spark.stop()
   }
