@@ -64,6 +64,19 @@ object GraftExtensions {
             s"min_gram_hash64 k must be a literal, got $other")
         }
         graft.functions.MinGramHash64(args(0), k)
+      }),
+    "hyperplane_buckets" -> (info("hyperplane_buckets",
+      "hyperplane_buckets(vec, tables, planes, dims) - all random-hyperplane LSH bucket ids (element t = table t's bucket)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "hyperplane_buckets takes (vec, tables, planes, dims)")
+        def lit(e: Expression, what: String): Int = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"hyperplane_buckets $what must be a literal, got $other")
+        }
+        graft.functions.HyperplaneBuckets(args(0),
+          lit(args(1), "tables"), lit(args(2), "planes"), lit(args(3), "dims"))
       }))
 
   /** Register the functions on an existing session's catalog. */

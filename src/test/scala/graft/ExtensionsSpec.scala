@@ -41,6 +41,18 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("hyperplane_buckets in SQL matches the Column API") {
+    GraftExtensions.register(spark)
+    val df = Seq(Tuple1(Array.tabulate(64)(i => (i % 7 - 3).toFloat))).toDF("v")
+    df.createOrReplaceTempView("ext_hpb")
+    val viaSql = spark.sql("SELECT hyperplane_buckets(v, 16, 8, 64) FROM ext_hpb")
+      .first().getSeq[Int](0)
+    val viaCol = df.select(graft.functions.HyperplaneBuckets
+        .hyperplaneBuckets($"v", 16, 8, 64))
+      .first().getSeq[Int](0)
+    assert(viaSql == viaCol && viaSql.length == 16)
+  }
+
   test("non-literal n for shingle_hashes is rejected") {
     GraftExtensions.register(spark)
     Seq(("a b c", 3)).toDF("text", "n").createOrReplaceTempView("ext_bad")
