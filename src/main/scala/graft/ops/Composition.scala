@@ -57,6 +57,47 @@ object Composition {
       .drop("__skey", "__cum")
   }
 
+  /** 32-hex-digit threshold for cumulative fraction `f`: floor(f·16³²),
+    * zero-padded — comparing the md5 key lexicographically against it is
+    * a bytewise comparison on both engines, so P(key < threshold) = f to
+    * within 16⁻³². Exposed so the differential oracle embeds the SAME
+    * literals. */
+  private[graft] def hexThreshold(f: Double): String = {
+    val t = (BigDecimal(BigInt(1) << 128) * BigDecimal(f)).toBigInt
+    val hex = t.toString(16)
+    ("0" * (32 - hex.length)) + hex
+  }
+
+  /** The hex boundary of each non-final split (cumulative fractions
+    * through [[hexThreshold]]) — ONE computation shared by
+    * [[splitAssign]] and the differential oracle, so engine and oracle
+    * compare against bit-identical literals (summing the fractions
+    * independently could round the boundary differently). */
+  private[graft] def splitBounds(splits: Seq[(String, Double)]): Seq[String] =
+    splits.init.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+      .map(hexThreshold)
+
+  /** Deterministic disjoint split assignment (train/val/test and
+    * friends): each doc lands in exactly one named split with the given
+    * fractions, decided by its md5 key against fixed hex boundaries — a
+    * pure per-row function of (id, seed), so membership never changes
+    * under repartitioning, re-runs, or corpus growth (a doc's split is
+    * decided by its id alone, which is what keeps eval sets stable as
+    * the corpus evolves). Fractions must sum to 1. */
+  def splitAssign(docs: DataFrame, idCol: String,
+                  splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
+    require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
+      s"split fractions must sum to 1, got $splits")
+    val key = shuffleKey(col(idCol), seed)
+    val assigned = splits.init.zip(splitBounds(splits))
+      .foldLeft(Option.empty[Column]) { case (acc, ((name, _), bound)) =>
+        val cond = key < lit(bound)
+        Some(acc.fold(when(cond, lit(name)))(_.when(cond, lit(name))))
+      }
+    docs.withColumn("split",
+      assigned.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1))))
+  }
+
   /** Source-interleaved training order: docs rank pseudorandomly WITHIN
     * their source, and the global order is (rank, source) — a round-robin
     * through sources, so a contiguous training window mixes sources

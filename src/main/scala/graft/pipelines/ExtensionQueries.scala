@@ -131,6 +131,9 @@ object ExtensionQueries {
   val CosineLshPlanes = 8
   val ContamThreshold = 0.5
   val HeavyHitterK = 40
+  // 90/5/5 split; the oracle embeds the SAME hex boundaries via
+  // Composition.splitBounds, so both engines compare identical literals
+  val CorpusSplits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
   val ContamEvalMod = 7
   val PackBudget = 256
   val PackGroups = 8
@@ -373,6 +376,14 @@ object ExtensionQueries {
       graft.ops.Composition.interleaved(docs(s, dir), "doc_id", "source", 42L)
         .select("doc_id", "source", "interleave_rank")
         .orderBy("interleave_rank", "source")),
+
+    // deterministic 90/5/5 train/val/test assignment: membership is a
+    // per-row function of (doc_id, seed) against fixed hex boundaries —
+    // stable under re-runs, repartitioning, and corpus growth
+    "q_corpus_split" -> ((s, dir) =>
+      graft.ops.Composition.splitAssign(docs(s, dir), "doc_id",
+        CorpusSplits, 42L)
+        .select("doc_id", "split").orderBy("doc_id")),
 
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
@@ -1017,6 +1028,15 @@ object ExtensionQueries {
         |         ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS INT)
         |         AS interleave_rank
         |FROM documents ORDER BY interleave_rank, source""".stripMargin,
+
+    "q_corpus_split" -> {
+      val bounds = graft.ops.Composition.splitBounds(CorpusSplits)
+      s"""SELECT doc_id,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < '${bounds(0)}' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < '${bounds(1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
 
     "q_text_normalize" ->
       """SELECT doc_id,

@@ -58,6 +58,24 @@ class CompositionSpec extends SparkSpec {
     }
   }
 
+  test("splitAssign is a disjoint, stable, roughly-proportional partition") {
+    val splits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+    val out = Composition.splitAssign(docs, "doc_id", splits)
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val n = counts.values.sum
+    assert(n == docs.count(), "every doc lands in exactly one split")
+    assert(counts("train") > n * 7 / 10, s"train holds the bulk: $counts")
+    assert(counts.getOrElse("val", 0L) + counts.getOrElse("test", 0L) < n / 4)
+    // stability under corpus growth: membership of existing docs never moves
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val fromHalf = Composition.splitAssign(half, "doc_id", splits)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    val fromFull = out.filter($"doc_id" % 2 === 0)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("split")).toMap
+    assert(fromHalf == fromFull, "a doc's split depends on its id alone")
+  }
+
   test("interleaved ranks are a within-source permutation") {
     val out = Composition.interleaved(docs, "doc_id", "source")
     val bySource = out.select("source", "interleave_rank")
