@@ -69,6 +69,16 @@ object Sinks {
     compression.fold(w)(c => w.option("compression", c)).json(path)
   }
 
+  /** CSV sink — the interchange edge for spreadsheet/warehouse-import
+    * consumers. Header on by default; compression and quoting via the
+    * standard writer options. Completes the format matrix with
+    * [[graft.io.Sources.csv]] on the read side. */
+  def csv(df: DataFrame, path: String, mode: SaveMode = SaveMode.Overwrite,
+          options: Map[String, String] = Map.empty): Unit = {
+    val w = df.write.mode(mode).option("header", "true")
+    options.foldLeft(w) { case (b, (k, v)) => b.option(k, v) }.csv(path)
+  }
+
   /** ORC sink — Spark's other native columnar format; same lazy,
     * partitioning-inheriting posture as [[parquet]]. Useful when the
     * downstream warehouse is ORC-native (Hive/Trino deployments). */

@@ -52,6 +52,16 @@ object Sources {
           schema: Option[StructType] = None): DataFrame =
     schema.fold(spark.read)(s => spark.read.schema(s)).orc(path)
 
+  /** Plain-text corpus source. Line mode (default) yields one row per
+    * line (`value`) — the layout of one-doc-per-line dumps; `wholeFile`
+    * yields one row per FILE, for corpora shipped as a file per document
+    * (pair with `input_file_name()` for the doc id). Line mode splits
+    * large files across tasks; whole-file mode necessarily reads a file
+    * per row — cap file sizes upstream. */
+  def text(spark: SparkSession, path: String, wholeFile: Boolean = false): DataFrame =
+    if (wholeFile) spark.read.option("wholetext", "true").text(path)
+    else spark.read.text(path)
+
   /** Raw media files as (path, modificationTime, length, content) rows —
     * the ingestion edge of the multimodal pipeline: point it at an
     * image/audio dump and feed `content` to

@@ -121,6 +121,27 @@ class IoSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(s"$d/raw"))) // no partial load
   }
 
+  test("text source: line mode and whole-file mode; csv sink round-trips") {
+    val d = Files.createTempDirectory("graft_text").toString
+    Files.write(java.nio.file.Paths.get(s"$d/a.txt"), "line one\nline two\n".getBytes)
+    Files.write(java.nio.file.Paths.get(s"$d/b.txt"), "single doc body".getBytes)
+    assert(Sources.text(spark, d).count() == 3, "line mode: one row per line")
+    val whole = Sources.text(spark, d, wholeFile = true)
+      .withColumn("f", input_file_name())
+    assert(whole.count() == 2, "whole-file mode: one row per file")
+    val bodyByFile = whole.collect()
+      .map(r => r.getString(1).split('/').last -> r.getString(0)).toMap
+    assert(bodyByFile("b.txt") == "single doc body")
+    assert(bodyByFile("a.txt") == "line one\nline two\n")
+
+    val out = s"$d/csv_out"
+    Sinks.csv(spark.read.parquet(s"$sf/region.parquet"), out)
+    val back = spark.read.option("header", "true").csv(out)
+    assert(back.count() == spark.read.parquet(s"$sf/region.parquet").count())
+    assert(back.columns.toSeq ==
+      spark.read.parquet(s"$sf/region.parquet").columns.toSeq)
+  }
+
   test("binaryFiles reads raw media and feeds the multimodal decode path") {
     val d = Files.createTempDirectory("graft_bin").toString
     // one real 4x4 white PNG + one non-media file the glob must exclude
