@@ -134,6 +134,36 @@ object ExtensionQueries {
   // 90/5/5 split; the oracle embeds the SAME hex boundaries via
   // Composition.splitBounds, so both engines compare identical literals
   val CorpusSplits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+
+  // the corpus-quality metric CTEs + predicate, shared by the filter
+  // oracle and the end-to-end curated oracle (one source of truth for
+  // the DuckDB replay of CorpusStreams.qualityGate)
+  private def qualityCtes: String =
+    s"""t AS (SELECT doc_id, lang, source, n_chars, text,
+       |  string_split(text, ' ') AS tku,
+       |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
+       |m AS (SELECT doc_id, lang, source, n_chars, text,
+       |  len(tk) AS ntok,
+       |  CASE WHEN length(text) > 0
+       |    THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))) * 1.0
+       |         / length(text)
+       |    ELSE 0.0 END AS punct,
+       |  CASE WHEN len(tk) > 0
+       |    THEN len([x FOR x IN tk IF list_contains(['the','and','of','to','in','is','it','for','on','with'], x)]) * 1.0 / len(tk)
+       |    ELSE 0.0 END AS stopr,
+       |  CASE WHEN len(tku) >= 3
+       |    THEN (len(tku) - 2 - len(list_distinct(
+       |           [concat_ws(' ', tku[i], tku[i+1], tku[i+2])
+       |            FOR i IN generate_series(1, len(tku)-2)]))) * 1.0 / (len(tku) - 2)
+       |    ELSE 0.0 END AS dup3
+       |FROM t)""".stripMargin
+
+  private def qualityCond: String =
+    s"""ntok >= 20
+       |  AND stopr * 2.0 - punct + (CASE WHEN ntok >= 20 THEN 0.1 ELSE 0.0 END) > 0.2
+       |  AND dup3 <= 0.1
+       |  AND len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) = 0
+       |  AND len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) = 0""".stripMargin
   val ContamEvalMod = 7
   val PackBudget = 256
   val PackGroups = 8
@@ -538,6 +568,19 @@ object ExtensionQueries {
       graft.streaming.CorpusStreams.qualityGate(docs(s, dir))
         .select("doc_id", "lang", "n_chars")
         .orderBy("doc_id")),
+
+    // the FLAGSHIP curation sweep — the whole pre-training pipeline as
+    // one composed declarative plan Catalyst optimizes end to end:
+    // quality gates (fused codegen scan) → exact-dedup survivors within
+    // the passing set (hash shuffle on text) → stable split assignment
+    // (per-row hex-boundary compare). One statement, one oracle.
+    "q_corpus_curated" -> ((s, dir) => {
+      val quality = graft.streaming.CorpusStreams.qualityGate(docs(s, dir))
+      val unique = Dedup.exactSurvivors(quality, Seq("text"), "doc_id")
+      graft.ops.Composition.splitAssign(unique, "doc_id", CorpusSplits, 42L)
+        .select("doc_id", "lang", "source", "n_chars", "split")
+        .orderBy("doc_id")
+    }),
 
     // exact corpus quantiles by distributed selection (no sort, no
     // single-partition window, no approx sketch): ranks ⌈q·n⌉ over n_chars
@@ -1185,31 +1228,26 @@ object ExtensionQueries {
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin,
 
     "q_corpus_filter" ->
-      s"""WITH t AS (SELECT doc_id, lang, n_chars, text,
-         |  string_split(text, ' ') AS tku,
-         |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk FROM documents),
-         |m AS (SELECT doc_id, lang, n_chars, text,
-         |  len(tk) AS ntok,
-         |  CASE WHEN length(text) > 0
-         |    THEN (length(text) - length(regexp_replace(text, '[.,;:!?''"]', '', 'g'))) * 1.0
-         |         / length(text)
-         |    ELSE 0.0 END AS punct,
-         |  CASE WHEN len(tk) > 0
-         |    THEN len([x FOR x IN tk IF list_contains(['the','and','of','to','in','is','it','for','on','with'], x)]) * 1.0 / len(tk)
-         |    ELSE 0.0 END AS stopr,
-         |  CASE WHEN len(tku) >= 3
-         |    THEN (len(tku) - 2 - len(list_distinct(
-         |           [concat_ws(' ', tku[i], tku[i+1], tku[i+2])
-         |            FOR i IN generate_series(1, len(tku)-2)]))) * 1.0 / (len(tku) - 2)
-         |    ELSE 0.0 END AS dup3
-         |FROM t)
+      s"""WITH $qualityCtes
          |SELECT doc_id, lang, n_chars FROM m
-         |WHERE ntok >= 20
-         |  AND stopr * 2.0 - punct + (CASE WHEN ntok >= 20 THEN 0.1 ELSE 0.0 END) > 0.2
-         |  AND dup3 <= 0.1
-         |  AND len(regexp_extract_all(text, '${TextAnalysis.UrlPattern}')) = 0
-         |  AND len(regexp_extract_all(text, '${TextAnalysis.EmailPattern}')) = 0
+         |WHERE $qualityCond
          |ORDER BY doc_id""".stripMargin,
+
+    // the full pre-training sweep as ONE statement: quality gates →
+    // exact-dedup survivors WITHIN the passing set → split assignment
+    "q_corpus_curated" -> {
+      val bounds = graft.ops.Composition.splitBounds(CorpusSplits)
+      s"""WITH $qualityCtes,
+         |q AS (SELECT doc_id, lang, source, n_chars, text FROM m
+         |      WHERE $qualityCond),
+         |kept AS (SELECT doc_id, lang, source, n_chars FROM q
+         |         WHERE doc_id IN (SELECT min(doc_id) FROM q GROUP BY text))
+         |SELECT doc_id, lang, source, n_chars,
+         |  CASE WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < '${bounds(0)}' THEN 'train'
+         |       WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < '${bounds(1)}' THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM kept ORDER BY doc_id""".stripMargin
+    },
 
     "q_corpus_filter_quantile" ->
       """WITH s AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
