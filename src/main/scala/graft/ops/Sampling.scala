@@ -47,6 +47,23 @@ object Sampling {
     df.filter(pmod(col(keyCol), lit(every)) < take)
   }
 
+  /** Exact-k per stratum: the k rows of each stratum whose
+    * [[Composition.shuffleKey]] sorts first — the balanced-eval-set
+    * primitive (equal-size per-language/per-source panels), deterministic
+    * in (id, seed) like every sampler here. One window per stratum
+    * (parallel across strata; the md5 key is collision-free, so the
+    * selection is total-order unambiguous without a tiebreak). */
+  def stratumTopK(df: DataFrame, strataCol: String, idCol: String, k: Int,
+                  seed: Long = 42L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k >= 0, "k >= 0")
+    val w = Window.partitionBy(col(strataCol)).orderBy(col("__skey"))
+    df.withColumn("__skey", Composition.shuffleKey(col(idCol), seed))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__skey", "__rn")
+  }
+
   /** Deterministic corpus mixing by UP-sampling: repeat each row
     * `repeats(stratum)` times (default `default`), tagged with a
     * `copy_idx` — the "N epochs of source X" mixture weighting every

@@ -377,6 +377,13 @@ object ExtensionQueries {
         docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id", 10L, 3L)
         .orderBy("doc_id")),
 
+    // balanced per-language eval panel: exactly 12 docs per lang, chosen
+    // by md5-key order — deterministic in (doc_id, seed)
+    "q_sample_stratum_topk" -> ((s, dir) =>
+      graft.ops.Sampling.stratumTopK(
+        docs(s, dir).select("doc_id", "lang", "n_chars"), "lang", "doc_id", 12)
+        .orderBy("doc_id")),
+
     // deterministic up-sampling corpus mix: src0 ×3 epochs, src1 ×2,
     // the rest ×1 — the per-source repetition weighting of data recipes
     "q_sample_mix" -> ((s, dir) =>
@@ -1040,6 +1047,14 @@ object ExtensionQueries {
     "q_sample_systematic" ->
       """SELECT doc_id, lang, n_chars FROM documents
         |WHERE doc_id % 10 < 3 ORDER BY doc_id""".stripMargin,
+
+    "q_sample_stratum_topk" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42')) AS rn
+        |  FROM documents)
+        |WHERE rn <= 12 ORDER BY doc_id""".stripMargin,
 
     "q_sample_mix" ->
       """SELECT doc_id, source,

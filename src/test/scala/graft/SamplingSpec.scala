@@ -48,4 +48,18 @@ class SamplingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(2)))
     assert(out.toSeq.sorted == Seq((1L, 1), (1L, 2), (1L, 3), (2L, 1)))
   }
+
+  test("stratumTopK takes exactly k per stratum, stable under partitioning") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "lang")
+    val out = Sampling.stratumTopK(docs, "lang", "doc_id", 5)
+    val counts = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.nonEmpty && counts.values.forall(_ == 5L),
+      s"exactly k per stratum: $counts")
+    val again = Sampling.stratumTopK(docs.repartition(13), "lang", "doc_id", 5)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val first = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(again == first, "membership independent of physical layout")
+  }
 }
