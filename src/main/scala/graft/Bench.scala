@@ -48,7 +48,44 @@ object Bench {
       .mkString("{", ",", "}")
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"runs":$runs,"sf":"$sfDir"}""")
+
+    // DuckDB-side per-query times (scripts/bench_duck.py artifact, committed
+    // per round): merged so ONE line carries both engines and the 2x gate
+    // is machine-checkable per query. Flat {"name": secs} extraction is all
+    // we need — the artifact nests them under "queries".
+    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "bench/duck_times.json")
+    val duck: Map[String, Double] =
+      try {
+        val txt = new String(java.nio.file.Files.readAllBytes(
+          java.nio.file.Paths.get(duckPath)), java.nio.charset.StandardCharsets.UTF_8)
+        """"([A-Za-z0-9_]+)"\s*:\s*(-?[0-9][0-9.eE+-]*)""".r
+          .findAllMatchIn(txt)
+          .map(m => m.group(1) -> m.group(2).toDouble)
+          .filter { case (k, _) => best.exists(_._1 == k) }
+          .toMap
+      } catch { case _: Throwable => Map.empty }
+    val duckJson =
+      if (duck.isEmpty) ""
+      else {
+        val shared = best.filter { case (k, t) => t >= 0 && duck.get(k).exists(_ >= 0) }
+        val sparkShared = shared.map(_._2).sum
+        val duckShared = shared.map { case (k, _) => duck(k) }.sum
+        val ratio = if (duckShared > 0) sparkShared / duckShared else -1.0
+        val ds = duck.toSeq.sortBy(_._1)
+          .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+        s""","duck":$ds,"duck_total":$duckShared,"spark_vs_duck_ratio":$ratio,"duck_from":"$duckPath""""
+      }
+
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$fs,"runs":$runs,"sf":"$sfDir"$duckJson}"""
+    println(line)
+    // the driver's BENCH_r{N}.json stores a TAIL of stdout that can cut
+    // mid-JSON — persist the full line to its own file too
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write $outPath: ${e.getMessage}")
+    }
     spark.stop()
   }
 }

@@ -18,15 +18,21 @@ import org.apache.spark.sql.functions._
   * was measured separately with replica-disjoint vocabularies) are
   * copied 1× so every suite query still runs against the output dir.
   *
-  * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10] [corpusFactor=1]
+  * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10]
+  *        [corpusFactor=1] [corpusMode=verbatim|disjoint]
   *
   * `corpusFactor` > 1 additionally replicates `documents` with shifted
   * doc_ids (sources unchanged — per-source volume grows by the factor),
   * for scaling the composition/text scans whose semantics are per-row or
-  * per-source. It is NOT suitable for the dedup-pair family: verbatim
-  * text copies add cross-replica near-dup pairs (output grows ~factor²,
-  * density not constant) — those were measured separately with
-  * replica-disjoint vocabularies.
+  * per-source. Verbatim mode is NOT suitable for the dedup-pair family:
+  * verbatim text copies add cross-replica near-dup pairs (output grows
+  * ~factor², density not constant). `corpusMode=disjoint` suffixes every
+  * token with its replica index instead: token renaming is injective per
+  * replica, so WITHIN-replica shingle sets — and therefore Jaccard
+  * values, pair counts, and cluster structure — are exactly preserved,
+  * while CROSS-replica shingle matches are impossible. Near-dup density
+  * stays constant by construction, which is what makes the 1×-vs-N×
+  * dedup timing ratio meaningful.
   */
 object Replicate {
 
@@ -47,6 +53,9 @@ object Replicate {
     val outDir = args(1)
     val factor = if (args.length > 2) args(2).toInt else 10
     val corpusFactor = if (args.length > 3) args(3).toInt else 1
+    val corpusMode = if (args.length > 4) args(4) else "verbatim"
+    require(corpusMode == "verbatim" || corpusMode == "disjoint",
+      s"corpusMode must be verbatim|disjoint, got $corpusMode")
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -67,9 +76,13 @@ object Replicate {
       val df = spark.read.parquet(s"$srcDir/$t.parquet")
       val out =
         if (t == "documents" && corpusFactor > 1)
-          (0 until corpusFactor).map(i =>
-            df.withColumn("doc_id", col("doc_id") + lit(i * ShiftStep)))
-            .reduce(_ union _)
+          (0 until corpusFactor).map { i =>
+            val shifted = df.withColumn("doc_id", col("doc_id") + lit(i * ShiftStep))
+            if (corpusMode == "disjoint")
+              shifted.withColumn("text", concat_ws(" ",
+                transform(split(col("text"), " "), tk => concat(tk, lit(s"_r$i")))))
+            else shifted
+          }.reduce(_ union _)
         else df
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       val f = if (t == "documents") corpusFactor else 1

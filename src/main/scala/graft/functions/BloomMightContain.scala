@@ -26,7 +26,8 @@ import org.apache.spark.util.sketch.BloomFilter
   * and returning false routes both cases correctly without a separate
   * null branch in the caller.
   */
-case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
+case class BloomMightContain(child: Expression,
+                             filterBytes: BloomMightContain.FilterBytes)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = BooleanType
@@ -34,7 +35,7 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
   override def nullable: Boolean = false
 
   @transient private lazy val filter: BloomFilter =
-    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes))
+    BloomFilter.readFrom(new ByteArrayInputStream(filterBytes.bytes))
 
   override def eval(input: InternalRow): Any = {
     val v = child.eval(input)
@@ -58,9 +59,27 @@ case class BloomMightContain(child: Expression, filterBytes: Array[Byte])
 
 object BloomMightContain {
 
+  /** Filter bytes with CONTENT equality. A bare `Array[Byte]` field
+    * compares referentially inside the case-class product, so two
+    * semantically identical probe expressions never canonicalize equal —
+    * defeating common-subexpression reuse (e.g. bloomAntiJoin's probe
+    * evaluated twice over the left side). Same idea as Spark's own
+    * BloomFilterMightContain, which carries the bytes as a BinaryType
+    * Literal (whose equals is content-based). */
+  final class FilterBytes(val bytes: Array[Byte]) extends Serializable {
+    override def equals(o: Any): Boolean = o match {
+      case f: FilterBytes => java.util.Arrays.equals(bytes, f.bytes)
+      case _ => false
+    }
+    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+    // keep plan strings readable: never dump hundreds of KB of bytes
+    override def toString: String = s"bloom_filter(${bytes.length}B)"
+  }
+
   /** Column API: `mightContain($"key", bytes)`. */
   def mightContain(c: Column, filterBytes: Array[Byte]): Column = {
     import org.apache.spark.sql.graftbridge.ColumnBridge
-    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(c), filterBytes))
+    ColumnBridge.column(
+      BloomMightContain(ColumnBridge.expression(c), new FilterBytes(filterBytes)))
   }
 }

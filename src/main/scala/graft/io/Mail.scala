@@ -35,14 +35,19 @@ object Mail {
       .getBytes(java.nio.charset.StandardCharsets.UTF_8))
   }
 
-  /** RFC-822-shaped rendering (headers + HTML body) used by the spool. */
-  def render(msg: Message): String =
-    s"""From: ${msg.from}
-       |To: ${msg.to.mkString(", ")}
-       |Subject: ${msg.subject}
-       |MIME-Version: 1.0
-       |Content-Type: text/html; charset=utf-8
-       |
-       |${msg.htmlBody}
-       |""".stripMargin
+  /** RFC-822-shaped rendering (headers + HTML body) used by the spool.
+    * The body is concatenated AFTER stripMargin: interpolating it into
+    * the margin block would let any body line starting with whitespace
+    * + '|' be truncated at the pipe. */
+  def render(msg: Message): String = {
+    val headers =
+      s"""From: ${msg.from}
+         |To: ${msg.to.mkString(", ")}
+         |Subject: ${msg.subject}
+         |MIME-Version: 1.0
+         |Content-Type: text/html; charset=utf-8
+         |
+         |""".stripMargin
+    headers + msg.htmlBody + "\n"
+  }
 }

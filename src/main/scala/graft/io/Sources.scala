@@ -137,4 +137,22 @@ object Sources {
     val d = date.format(java.time.format.DateTimeFormatter.BASIC_ISO_DATE)
     s"$bucket/$d/${entity}_$d.$ext"
   }
+
+  /** The object-store seam. The reference reads/writes cloud buckets
+    * directly (`Rest-API/main.py:42-56`, `Raptor.py:104-109`:
+    * `gs://<bucket>/{yyyymmdd}/...`); in Spark that whole concern lives
+    * in the Hadoop FileSystem layer — every reader/sink in this file
+    * takes a URI string whose SCHEME picks the filesystem (`file://`,
+    * `hdfs://`, `gs://`, `s3a://`, ...), so moving to a cloud bucket is
+    * deployment configuration, not code: put the connector jar on the
+    * classpath and inject its credentials/tuning via this pass-through
+    * (keys like `fs.gs.auth.*` / `fs.s3a.access.key`). Set BEFORE the
+    * first read of that scheme — Hadoop caches FileSystem instances per
+    * (scheme, authority). IoSpec proves the seam with `file://` standing
+    * in for `gs://` (this sandbox has zero egress and no cloud
+    * connector jars). */
+  def configureFs(spark: SparkSession, conf: Map[String, String]): Unit =
+    conf.foreach { case (k, v) =>
+      spark.sparkContext.hadoopConfiguration.set(k, v)
+    }
 }

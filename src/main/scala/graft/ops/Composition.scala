@@ -63,7 +63,11 @@ object Composition {
     * within 16⁻³². Exposed so the differential oracle embeds the SAME
     * literals. */
   private[graft] def hexThreshold(f: Double): String = {
-    val t = (BigDecimal(BigInt(1) << 128) * BigDecimal(f)).toBigInt
+    // Clamp to 2^128-1: a cumulative fraction that rounds to exactly 1.0
+    // would otherwise produce a 33-digit hex string, and the "negative pad"
+    // would silently mis-sort every key below it.
+    val max = (BigInt(1) << 128) - 1
+    val t = (BigDecimal(BigInt(1) << 128) * BigDecimal(f)).toBigInt.min(max)
     val hex = t.toString(16)
     ("0" * (32 - hex.length)) + hex
   }
@@ -88,6 +92,9 @@ object Composition {
                   splits: Seq[(String, Double)], seed: Long = 42L): DataFrame = {
     require(splits.nonEmpty && math.abs(splits.map(_._2).sum - 1.0) < 1e-9,
       s"split fractions must sum to 1, got $splits")
+    require(splits.forall(_._2 > 0.0),
+      s"every split fraction must be > 0 (a 0-fraction split pushes a " +
+        s"cumulative boundary to 1.0 exactly), got $splits")
     val key = shuffleKey(col(idCol), seed)
     val assigned = splits.init.zip(splitBounds(splits))
       .foldLeft(Option.empty[Column]) { case (acc, ((name, _), bound)) =>

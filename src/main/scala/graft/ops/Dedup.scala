@@ -152,6 +152,32 @@ object Dedup {
     * ~20-byte strings, and distinctness per doc is preserved (collision
     * odds across a corpus's ~10⁵ distinct shingles are ~10⁻⁹ — and a
     * collision must co-occur in one pair to perturb a count). */
+  /** Recently-persisted compact shingle frames, bounded: a long-lived
+    * session issuing many dedup calls over different corpora would
+    * otherwise accumulate cached blocks forever (evictable, but
+    * block-manager residency grew unbounded). The window keeps the last
+    * [[MaxCachedShingleFrames]] frames hot — every consumer of one
+    * query's index runs while its frame is in the window — and
+    * unpersists the oldest beyond that (worst case: a recomputation on
+    * miss, never a wrong result). [[releaseCaches]] drops them all. */
+  private val shingleCacheWindow =
+    new scala.collection.mutable.ArrayDeque[DataFrame]()
+  private val MaxCachedShingleFrames = 4
+
+  private def registerShingleCache(df: DataFrame): Unit =
+    shingleCacheWindow.synchronized {
+      shingleCacheWindow.append(df)
+      while (shingleCacheWindow.length > MaxCachedShingleFrames)
+        shingleCacheWindow.removeHead().unpersist(blocking = false)
+    }
+
+  /** Unpersist every shingle frame this object still holds — call when a
+    * long-lived session is done with a dedup workload. */
+  def releaseCaches(): Unit = shingleCacheWindow.synchronized {
+    shingleCacheWindow.foreach(_.unpersist(blocking = false))
+    shingleCacheWindow.clear()
+  }
+
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): (DataFrame, DataFrame) = {
     import org.apache.spark.storage.StorageLevel
@@ -162,9 +188,11 @@ object Dedup {
     // (id + 8-byte hash array, no text), MEMORY_AND_DISK so blocks are
     // evictable/spillable under pressure and recomputed on miss — the
     // same posture as [[Reconcile.diff]]'s source/target cache.
+    // Residency across calls is bounded by [[registerShingleCache]].
     val withSh = docs.select(col(idCol).as("id"),
       graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("sh"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    registerShingleCache(withSh)
     val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
     val index = withSh.select(col("id"), explode(col("sh")).as("shash"))
     (index, sizes)

@@ -28,6 +28,17 @@ object Quantiles {
     selectKth(df, valueCol, k, lo, hi, n, bins)
   }
 
+  /** Saturating `a + b` for the refinement upper bound: when the
+    * surviving range abuts Long.MaxValue (a column containing it),
+    * `newLo + width - 1` would wrap negative and silently return a wrong
+    * quantile — saturate to MaxValue instead (the outer `min(hi, _)`
+    * then restores the true bound). */
+  private def satAdd(a: Long, b: Long): Long = {
+    val s = a + b
+    if (((a ^ s) & (b ^ s)) < 0L) { if (a >= 0) Long.MaxValue else Long.MinValue }
+    else s
+  }
+
   /** One (min, max, count) scan — shared by all selections over the same
     * column so multi-quantile calls don't rescan per rank. */
   private def bounds(df: DataFrame, valueCol: String): (Long, Long, Long) = {
@@ -52,8 +63,9 @@ object Quantiles {
       if (kk <= nNeg) hi = -1L else { kk -= nNeg; lo = 0L }
     }
     while (lo < hi) {
-      // ceil-div keeps bucket count <= bins; Long math is safe while the
-      // range is below 2^62 (true for any real measurement column)
+      // ceil-div keeps bucket count <= bins; after the zero-split both
+      // bounds share a sign so (hi - lo) can't wrap, and the upper-bound
+      // update saturates (satAdd) so a range abutting Long.MaxValue is safe
       val width = math.max(1L, (hi - lo) / bins + 1L)
       // integer `div`, NOT `/`: Spark's `/` on longs is double division,
       // which loses exactness above 2^53
@@ -67,7 +79,7 @@ object Quantiles {
       kk -= cum
       val b = hist(i)._1
       val newLo = lo + b * width
-      hi = math.min(hi, newLo + width - 1)
+      hi = math.min(hi, satAdd(newLo, width - 1))
       lo = newLo
     }
     lo
@@ -125,7 +137,7 @@ object Quantiles {
           var i = 0
           while (cum + hist(i)._2 < kk) { cum += hist(i)._2; i += 1 }
           val newLo = lo + hist(i)._1 * width
-          k -> (newLo, math.min(hi, newLo + width - 1), kk - cum)
+          k -> (newLo, math.min(hi, satAdd(newLo, width - 1)), kk - cum)
       }
     }
     state.map { case (k, (lo, _, _)) => k -> lo }
@@ -225,7 +237,7 @@ object Quantiles {
           var i = 0
           while (cum + hist(i)._2 < kk) { cum += hist(i)._2; i += 1 }
           val newLo = lo + hist(i)._1 * width
-          gv -> ((newLo, math.min(hi, newLo + width - 1), kk - cum))
+          gv -> ((newLo, math.min(hi, satAdd(newLo, width - 1)), kk - cum))
       }
     }
 

@@ -25,9 +25,11 @@ import graft.model.Entities.{dec, decD, decQ}
   *
   * Scale note: the reference's global `percent_rank` window
   * (`Window.orderBy(...)` with no partition) is single-partition by
-  * semantics — kept faithfully, flagged as the known 100 TB scaling limit
-  * of this mart (SURVEY.md §4 anti-pattern 3). A scalable variant would
-  * pre-aggregate per customer before ranking.
+  * semantics (SURVEY.md §4 anti-pattern 3). The SEMANTICS are kept
+  * bit-for-bit, but the execution is the distributed two-pass rank
+  * ([[graft.ops.Ranks.globalPercentRank]]) — no single-partition
+  * exchange anywhere in this mart's plan. The per-customer
+  * pre-aggregated tiering variant also ships (q_customer_tier_scalable).
   */
 object CustomerSalesReport {
 
@@ -71,15 +73,17 @@ object CustomerSalesReport {
       .withColumn("LOAD_TSTMP",
         lit(java.sql.Timestamp.valueOf(Entities.LoadTstmpLit)))
 
-    // Global percent_rank kept as the faithful single-partition window
-    // (W3). A distinct-amount rank-join variant was measured SLOWER here:
-    // SALE_AMOUNTs are mostly unique, so aggregating by amount compresses
-    // nothing and just re-computes the metrics lineage per branch. The
-    // scalable tiering pattern is q_customer_tier_scalable, where the
-    // per-customer aggregation genuinely shrinks the windowed set.
-    val tierWindow = Window.orderBy(col("SALE_AMOUNT").desc)
-    val tiered = metrics
-      .withColumn("percent_rank", percent_rank().over(tierWindow))
+    // Global percent_rank via the DISTRIBUTED two-pass form
+    // ([[graft.ops.Ranks.globalPercentRank]]): bit-identical to the
+    // reference's mandated `percent_rank() OVER (ORDER BY amount DESC)`
+    // but with no single-partition exchange — rank ties collapse into
+    // per-distinct-amount counts, offsets come from a P-value driver
+    // protocol, and the ranks join back. metrics is persisted because
+    // the rank consumes it twice (count shuffle + join probe) and its
+    // lineage (two joins + decimal math) is worth not recomputing.
+    val cached = metrics.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val tiered = graft.ops.Ranks.globalPercentRank(cached, "SALE_AMOUNT",
+        descending = true)
       .withColumn("LOYALTY_TIER",
         when(col("percent_rank") <= 0.2, "Gold")
           .when(col("percent_rank") > 0.2 && col("percent_rank") <= 0.5, "Silver")

@@ -115,6 +115,29 @@ object Dag {
     out.result()
   }
 
+  /** Dynamic task mapping — the analog of Airflow's `.expand` over a
+    * RUNTIME collection (reference `dags/exampledag.py:92-96`: one task
+    * instance per element of a list computed by an upstream task, not
+    * known at DAG-authoring time). Each item becomes its own named task
+    * instance `name[i]` (Airflow's map-index convention) with the full
+    * bounded-retry budget, and instances are ISOLATED: one item's failure
+    * never prevents its siblings from running (Airflow mapped-task
+    * semantics — parallel instances of one logical task). Compose with
+    * [[runTaskGroups]] to get downstream-abort: a later group is skipped
+    * if ANY mapped instance failed. */
+  def expand[A](name: String, items: Seq[A])
+               (body: A => StageResult): Seq[(String, () => StageResult)] =
+    items.zipWithIndex.map { case (item, i) =>
+      s"$name[$i]" -> (() => body(item))
+    }
+
+  /** Run a dynamically-mapped task now: expand `items`, execute all
+    * instances concurrently under `policy`, outcomes in item order. */
+  def mapTasks[A](name: String, items: Seq[A],
+                  policy: RetryPolicy = RetryPolicy())
+                 (body: A => StageResult): Seq[TaskOutcome] =
+    runTaskGroups(Seq(expand(name, items)(body)), policy)
+
   /** The production pipeline's stage groups as named thunks — shared by
     * the fail-fast [[runAll]] and the policy-driven [[runAllWithRetries]].
     * Group structure mirrors the reference DAG exactly

@@ -27,6 +27,18 @@ object ExtensionQueries {
 
   private def docs(s: SparkSession, dir: String) = Entities.read(s, dir, "documents")
   private def emb(s: SparkSession, dir: String) = Entities.read(s, dir, "embeddings")
+
+  /** The embeddings corpus plus [[PlantedDups]] half-scaled companions —
+    * deterministic near-identical pairs (cos ~1.0) that make the
+    * production-point LSH sweep return real rows. See the constant's doc
+    * for why 0.5-scaling is the bit-safe plant. */
+  private def embWithPlanted(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val planted = emb(s, dir).filter(col("vec_id") < PlantedDups)
+      .select((col("vec_id") + PlantedIdOffset).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    e.unionByName(planted)
+  }
   private def li(s: SparkSession, dir: String) = Entities.read(s, dir, "lineitem")
   private def events(s: SparkSession, dir: String) =
     EventStreams.normalizeTs(Entities.read(s, dir, "events"))
@@ -129,6 +141,16 @@ object ExtensionQueries {
   val CosineThresholdProd = 0.9
   val CosineLshTables = 16
   val CosineLshPlanes = 8
+  // planted near-identical companions for the production-point LSH row:
+  // the fixture corpus is CLEAN at cos >= 0.9 (max pair cosine ~0.51), so
+  // without them the oracle row is vacuously empty — any implementation
+  // matches at 0 rows. The first PlantedDups vectors get a HALF-SCALED
+  // copy (id + PlantedIdOffset): same direction, so every hyperplane sign
+  // agrees (bucket collision in ALL tables by construction) and the
+  // verified cosine is ~1.0 >= 0.9 on any fixture; 0.5-scaling is exact
+  // in IEEE float, so engine and oracle fold bit-identical values.
+  val PlantedDups = 8
+  val PlantedIdOffset = 100000L
   val ContamThreshold = 0.5
   val HeavyHitterK = 40
   // 90/5/5 split; the oracle embeds the SAME hex boundaries via
@@ -184,6 +206,24 @@ object ExtensionQueries {
     s"""WITH norms AS (
        |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings)
+       |SELECT vec_i, vec_j, cos FROM (
+       |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
+       |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
+       |WHERE cos >= $threshold ORDER BY vec_i, vec_j""".stripMargin
+
+  /** [[cosineOracleAt]] over the corpus + planted half-scaled companions
+    * (the DuckDB replay of [[embWithPlanted]]). */
+  private def cosineOraclePlanted(threshold: Double): String =
+    s"""WITH emb2 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantedIdOffset AS vec_id,
+       |         [CAST(x * 0.5 AS FLOAT) FOR x IN embedding] AS embedding
+       |  FROM embeddings WHERE vec_id < $PlantedDups),
+       |norms AS (
+       |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM emb2)
        |SELECT vec_i, vec_j, cos FROM (
        |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
        |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
@@ -288,11 +328,12 @@ object ExtensionQueries {
     // the bench row measures the real config instead of the loose-
     // threshold recall demo (that one lives on as a DedupSpec test).
     // The fixture corpus is CLEAN at this threshold (max pair cosine
-    // ≈ 0.51), so the correct — oracle-checked — answer is the empty
-    // sweep; recall on actual near-identical dups is spec-proven with
-    // planted perturbation pairs (DedupSpec).
+    // ≈ 0.51), so [[embWithPlanted]] unions deterministic near-identical
+    // companions — the oracle row returns REAL pairs (one per plant)
+    // instead of a vacuous empty sweep; perturbation-recall is
+    // additionally spec-proven (DedupSpec).
     "q_dedup_cosine_lsh" -> ((s, dir) =>
-      Dedup.cosinePairsLsh(emb(s, dir), "vec_id", "embedding",
+      Dedup.cosinePairsLsh(embWithPlanted(s, dir), "vec_id", "embedding",
         CosineThresholdProd, tables = CosineLshTables,
         planes = CosineLshPlanes).orderBy("vec_i", "vec_j")),
 
@@ -880,8 +921,9 @@ object ExtensionQueries {
          |WHERE cos >= $CosineThreshold ORDER BY vec_i, vec_j""".stripMargin,
 
     // LSH candidates + exact verify at the production operating point ⇒
-    // equals the exact pair set at cos ≥ 0.9 on the fixture corpus
-    "q_dedup_cosine_lsh" -> cosineOracleAt(CosineThresholdProd),
+    // equals the exact pair set at cos ≥ 0.9 on corpus + planted
+    // companions (bucket agreement is exact for same-direction vectors)
+    "q_dedup_cosine_lsh" -> cosineOraclePlanted(CosineThresholdProd),
 
     "q_sim_bruteforce_topk" ->
       s"""WITH norms AS (

@@ -82,16 +82,23 @@ object OperatorQueries {
         |  ON l.l_orderkey = a.l_orderkey AND l.l_linenumber = a.l_linenumber
         |ORDER BY l.l_orderkey, l.l_linenumber, l.l_partkey""".stripMargin),
 
-    // J5 — left-anti (the reference's outer-join + null-filter pattern)
+    // J5 — left-anti (the reference's outer-join + null-filter pattern).
+    // Anti-joined against a FILTERED lineitem side (returned, high
+    // quantity): at sf0.01 every part has some lineitem — an unfiltered
+    // anti-join returns 0 rows and proves nothing. This form yields 283
+    // "never returned in bulk" parts, a non-vacuous oracle row.
     "q_join_anti" -> (
       ((s: SparkSession, dir: String) => {
         val p = part(s, dir)
         val l = li(s, dir)
+          .filter(col("l_returnflag") === "R" && col("l_quantity") > 40)
         p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
           .select("p_partkey", "p_name").orderBy("p_partkey")
       }),
       """SELECT p_partkey, p_name FROM part
-        |WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_partkey = p_partkey
+        |                    AND l_returnflag = 'R' AND l_quantity > 40)
         |ORDER BY p_partkey""".stripMargin),
 
     // left-semi companion (EXISTS)

@@ -114,6 +114,41 @@ class DagSpec extends SparkSpec {
     assert(out.last == Dag.TaskSkipped("later", "boom"))
   }
 
+  test("mapTasks expands a runtime list with per-item isolation + retries") {
+    val attempts = new java.util.concurrent.ConcurrentHashMap[Int, Integer]()
+    val out = Dag.mapTasks("load_shard", Seq(10, 20, 30, 40),
+      Dag.RetryPolicy(retries = 1)) { item =>
+      val n = attempts.merge(item, 1, (a, b) => a + b)
+      // item 20 fails EVERY attempt; item 30 is flaky (succeeds on retry)
+      if (item == 20) sys.error(s"shard $item broken")
+      if (item == 30 && n == 1) sys.error(s"shard $item flaky")
+      Dag.StageResult(s"shard-$item", item.toLong, "mem")
+    }
+    // instance naming follows Airflow's map-index convention, item order kept
+    assert(out.map(_.name) ==
+      Seq("load_shard[0]", "load_shard[1]", "load_shard[2]", "load_shard[3]"))
+    // isolation: the broken item fails after its full budget; every
+    // sibling still ran to completion
+    assert(out(1).isInstanceOf[Dag.TaskFailed])
+    assert(out(1).asInstanceOf[Dag.TaskFailed].attempts == 2)
+    assert(out.patch(1, Nil, 1).forall(_.isInstanceOf[Dag.TaskSucceeded]), s"got $out")
+    assert(out(2).asInstanceOf[Dag.TaskSucceeded].attempts == 2, "flaky retried")
+    assert(attempts.get(20) == 2 && attempts.get(10) == 1)
+  }
+
+  test("a failed mapped instance skips downstream groups via runTaskGroups") {
+    var laterRan = false
+    val out = Dag.runTaskGroups(Seq(
+      Dag.expand("shard", Seq(1, 2)) { i =>
+        if (i == 2) sys.error("bad shard")
+        Dag.StageResult(s"s$i", 1L, "mem")
+      },
+      Seq("publish" -> { () => laterRan = true; Dag.StageResult("publish", 1L, "mem") })),
+      Dag.RetryPolicy(retries = 0))
+    assert(!laterRan, "publish must not run after a mapped-instance failure")
+    assert(out.last == Dag.TaskSkipped("publish", "shard[1]"))
+  }
+
   test("DagTaskException carries task name, attempts, and the real cause") {
     val boom = Dag.runTasks(
       Seq("only" -> (() => sys.error("nope"))), Dag.RetryPolicy(retries = 0))

@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.ops.Ranks
+
+/** [[Ranks.globalPercentRank]] must be BIT-identical to Spark's own
+  * single-partition `percent_rank` window — ties, duplicates, both
+  * directions, and the degenerate single-row frame. */
+class RanksSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def referencePr(df: org.apache.spark.sql.DataFrame, vCol: String,
+                          descending: Boolean) = {
+    val w = Window.orderBy(if (descending) col(vCol).desc else col(vCol).asc)
+    df.withColumn("pr_ref", percent_rank().over(w))
+  }
+
+  private def assertMatches(df: org.apache.spark.sql.DataFrame, vCol: String,
+                            descending: Boolean): Unit = {
+    val got = Ranks.globalPercentRank(df, vCol, descending)
+      .select(col("id"), col("percent_rank"))
+    val want = referencePr(df, vCol, descending).select(col("id"), col("pr_ref"))
+    val diff = got.join(want, "id")
+      .filter(col("percent_rank") =!= col("pr_ref"))
+    assert(diff.count() === 0, diff.collect().mkString("\n"))
+  }
+
+  test("matches window percent_rank on tied + unique values, desc and asc") {
+    // heavy ties (x % 7) so tie runs span the range partitioner's
+    // boundaries if handled naively
+    val df = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") * 37 % 7).cast("double"))
+    assertMatches(df, "v", descending = true)
+    assertMatches(df, "v", descending = false)
+    val uniq = spark.range(0, 500).toDF("id").withColumn("v", col("id") * 1.5)
+    assertMatches(uniq, "v", descending = true)
+  }
+
+  test("single row ranks 0.0 (window convention), empty frame stays empty") {
+    val one = Seq((1L, 9.9)).toDF("id", "v")
+    val pr = Ranks.globalPercentRank(one, "v").select("percent_rank").head().getDouble(0)
+    assert(pr === 0.0)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Ranks.globalPercentRank(empty, "v").count() === 0)
+  }
+
+  test("null values rank last under desc, like the window default") {
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)), (4L, None))
+      .toDF("id", "v")
+    val got = Ranks.globalPercentRank(df, "v", descending = true)
+      .select("id", "percent_rank").as[(Long, Double)].collect().toMap
+    val want = referencePr(df, "v", descending = true)
+      .select("id", "pr_ref").as[(Long, Double)].collect().toMap
+    assert(got === want)
+  }
+
+  test("plan has no single-partition exchange") {
+    val df = spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2.0)
+    val plan = Ranks.globalPercentRank(df, "v")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("SinglePartition"), plan)
+  }
+}
