@@ -19,7 +19,7 @@ import org.apache.spark.sql.functions._
   * copied 1× so every suite query still runs against the output dir.
   *
   * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10]
-  *        [corpusFactor=1] [corpusMode=verbatim|disjoint]
+  *        [corpusFactor=1] [corpusMode=verbatim|disjoint] [embFactor=1]
   *
   * `corpusFactor` > 1 additionally replicates `documents` with shifted
   * doc_ids (sources unchanged — per-source volume grows by the factor),
@@ -33,6 +33,18 @@ import org.apache.spark.sql.functions._
   * while CROSS-replica shingle matches are impossible. Near-dup density
   * stays constant by construction, which is what makes the 1×-vs-N×
   * dedup timing ratio meaningful.
+  *
+  * `embFactor` > 1 replicates `embeddings` with shifted vec_ids and a
+  * per-replica deterministic ±1 diagonal sign pattern on the vector
+  * coordinates (sign of dimension d in replica i = parity of
+  * xxhash64(i·4099 + d)). Both ends of any within-replica pair get the
+  * SAME diagonal D with D² = I, so every WITHIN-replica dot product,
+  * norm, and (signed) cosine is preserved bit-for-bit — per-replica
+  * near-dup structure and density are unchanged. CROSS-replica cosines
+  * between differently-signed replicas decay like a random
+  * half-coordinate sign flip (E[cos] ≈ 0 for generic vectors), so no
+  * new near-dup pairs appear. That is what makes the 1×-vs-N× cosine
+  * dedup / ANN timing ratio meaningful.
   */
 object Replicate {
 
@@ -54,6 +66,7 @@ object Replicate {
     val factor = if (args.length > 2) args(2).toInt else 10
     val corpusFactor = if (args.length > 3) args(3).toInt else 1
     val corpusMode = if (args.length > 4) args(4) else "verbatim"
+    val embFactor = if (args.length > 5) args(5).toInt else 1
     require(corpusMode == "verbatim" || corpusMode == "disjoint",
       s"corpusMode must be verbatim|disjoint, got $corpusMode")
     val spark = SparkSession.builder()
@@ -83,9 +96,17 @@ object Replicate {
                 transform(split(col("text"), " "), tk => concat(tk, lit(s"_r$i")))))
             else shifted
           }.reduce(_ union _)
+        else if (t == "embeddings" && embFactor > 1)
+          (0 until embFactor).map { i =>
+            df.withColumn("vec_id", col("vec_id") + lit(i * ShiftStep))
+              .withColumn("embedding", transform(col("embedding"), (x, d) =>
+                when(pmod(xxhash64(lit(i * 4099L) + d), lit(2)) === 0, x).otherwise(-x)
+                  .cast("float")))
+          }.reduce(_ union _)
         else df
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
-      val f = if (t == "documents") corpusFactor else 1
+      val f = if (t == "documents") corpusFactor
+              else if (t == "embeddings") embFactor else 1
       println(s"[replicate] $t x$f -> $outDir")
     }
     spark.stop()

@@ -477,6 +477,52 @@ object Dedup {
     * low thresholds the candidate set approaches all-pairs, which is
     * intrinsic to the operating point, not the algorithm — the join is
     * still hash-partitioned, not a broadcast nested loop). */
+  /** (tables, planes) for a corpus of `n` vectors at `threshold`, sized so
+    * the candidate join stays NEAR-LINEAR as the corpus grows. A fixed
+    * configuration is quadratic at scale: candidates per table ≈
+    * n²/2^planes, so 30× the corpus in the same 2^8 buckets costs ~900× —
+    * measured on the 30× replica (SCALE.md round 4: 1.8 s → 187 s). The
+    * scale-correct sizing is
+    *
+    *   planes  = ⌈log₂(n / targetOccupancy)⌉   (constant bucket occupancy
+    *             ⇒ per-table candidates ≈ n·occ/2, linear in n), and
+    *   tables  = ⌈ln pMiss / ln(1 − p₁^planes)⌉ with p₁ = 1 − θ/π
+    *             (restores the recall the deeper buckets cost),
+    *
+    * giving total cost O(tables·n·occ) — the classic n^(1+ρ) LSH law with
+    * the occupancy knob explicit. Planes are capped at 30 (bucket ids are
+    * sign bits packed in an Int) and tables at 512 (beyond that the
+    * threshold is too loose for hyperplane LSH to prune — use the exact
+    * mode or raise the threshold). */
+  def lshConfigFor(n: Long, threshold: Double, targetOccupancy: Long = 8L,
+                   pMiss: Double = 1e-4): (Int, Int) = {
+    require(threshold > -1.0 && threshold < 1.0, s"cos threshold in (-1,1): $threshold")
+    require(n > 0 && targetOccupancy > 0 && pMiss > 0 && pMiss < 1)
+    val planes = math.max(2, math.min(30,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
+    val pPlane = 1.0 - math.acos(threshold) / math.Pi
+    val p1 = math.pow(pPlane, planes)
+    val tables =
+      if (p1 >= 1.0) 1
+      else math.max(1, math.min(512,
+        math.ceil(math.log(pMiss) / math.log1p(-p1)).toInt))
+    (tables, planes)
+  }
+
+  /** [[cosinePairsLsh]] with the (tables, planes) sized by [[lshConfigFor]]
+    * from the corpus's actual row count — the form that stays near-linear
+    * as the corpus grows. The sizing pass is ONE count() (a metadata-cheap
+    * aggregate, not a collect of rows); a production sweep that already
+    * knows |corpus| can call [[cosinePairsLsh]] with
+    * `lshConfigFor(n, …)` directly and skip it. */
+  def cosinePairsLshAuto(embeddings: DataFrame, idCol: String, vecCol: String,
+                         threshold: Double = 0.95, targetOccupancy: Long = 8L,
+                         pMiss: Double = 1e-4, dims: Int = 64): DataFrame = {
+    val (tables, planes) = lshConfigFor(embeddings.count(), threshold,
+      targetOccupancy, pMiss)
+    cosinePairsLsh(embeddings, idCol, vecCol, threshold, tables, planes, dims)
+  }
+
   def cosinePairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, tables: Int = 16,
                      planes: Int = 8, dims: Int = 64): DataFrame = {
@@ -517,6 +563,24 @@ object Dedup {
     cosineCrossPairsIndexed(
       buildEmbeddingIndex(corpus, idCol, vecCol, tables, planes, dims),
       batch, idCol, vecCol, threshold)
+
+  /** [[cosineCrossPairsLsh]] with (tables, planes) sized by
+    * [[lshConfigFor]] from the CORPUS row count (the big side — batch
+    * occupancy follows it): the bipartite candidate join stays
+    * |batch|-proportional as the corpus grows instead of quadratic in
+    * occupancy. Production pipelines that persist an [[EmbeddingIndex]]
+    * size it once at build time the same way. */
+  def cosineCrossPairsLshAuto(corpus: DataFrame, batch: DataFrame,
+                              idCol: String, vecCol: String,
+                              threshold: Double = 0.95,
+                              targetOccupancy: Long = 8L,
+                              pMiss: Double = 1e-4,
+                              dims: Int = 64): DataFrame = {
+    val (tables, planes) = lshConfigFor(corpus.count(), threshold,
+      targetOccupancy, pMiss)
+    cosineCrossPairsLsh(corpus, batch, idCol, vecCol, threshold,
+      tables, planes, dims)
+  }
 
   /** The persisted side of incremental EMBEDDING dedup — the analog of
     * [[CorpusIndex]] for the cosine family: the corpus's (id, table,

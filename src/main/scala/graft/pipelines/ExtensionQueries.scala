@@ -39,6 +39,19 @@ object ExtensionQueries {
         transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
     e.unionByName(planted)
   }
+  /** [[embWithPlanted]] variant for the INCREMENTAL (90/10 split) row:
+    * companion ids are `PlantedIdOffset + 10·src + 1` — ≡ 1 (mod 10), so
+    * every companion lands on the BATCH side while its source (src ≢ 1
+    * mod 10, so src=1 is excluded) stays on the corpus side: one real
+    * cross pair per plant at cos ~1.0. */
+  private def embWithPlantedCross(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir).select("vec_id", "embedding")
+    val planted = emb(s, dir)
+      .filter(col("vec_id") < PlantedDups && col("vec_id") % 10 =!= 1)
+      .select((col("vec_id") * 10 + PlantedIdOffset + 1).as("vec_id"),
+        transform(col("embedding"), x => x * lit(0.5f)).as("embedding"))
+    e.unionByName(planted)
+  }
   private def li(s: SparkSession, dir: String) = Entities.read(s, dir, "lineitem")
   private def events(s: SparkSession, dir: String) =
     EventStreams.normalizeTs(Entities.read(s, dir, "events"))
@@ -302,16 +315,19 @@ object ExtensionQueries {
     // (vec_id % 10 == 1) checked against the 90% "existing corpus" with a
     // bipartite (table, bucket) join + exact verify — the realistic
     // incremental shape (small batch vs large standing corpus), so the
-    // join cost is |batch|-proportional rather than half×half. The loose
-    // demo threshold (0.4, 32×2 — P[miss] ≈ 9e-8 at the threshold) is
-    // needed for the fixture to yield cross pairs (its planted
-    // near-identical dups land same-side of the split); the oracle is
-    // the exact bipartite cosine restriction.
+    // join cost is |batch|-proportional rather than half×half. Runs at
+    // the PRODUCTION threshold with auto-sized recall config (the former
+    // loose 0.4/32×2 demo point barely pruned by construction and went
+    // 253× at the 30× replica — SCALE.md round 4; it survives as a
+    // DedupSpec recall case). The fixture is clean at cos >= 0.9, so
+    // planted companions land on the BATCH side of the split
+    // (ids ≡ 1 mod 10) with their sources on the corpus side — the
+    // oracle row returns one real cross pair per plant.
     "q_dedup_cosine_incremental" -> ((s, dir) => {
-      val e = emb(s, dir)
-      Dedup.cosineCrossPairsLsh(
+      val e = embWithPlantedCross(s, dir)
+      Dedup.cosineCrossPairsLshAuto(
         e.filter(col("vec_id") % 10 =!= 1), e.filter(col("vec_id") % 10 === 1),
-        "vec_id", "embedding", CosineThreshold, tables = 32, planes = 2)
+        "vec_id", "embedding", CosineThresholdProd)
         .orderBy("vec_i", "vec_j")
     }),
 
@@ -332,10 +348,15 @@ object ExtensionQueries {
     // companions — the oracle row returns REAL pairs (one per plant)
     // instead of a vacuous empty sweep; perturbation-recall is
     // additionally spec-proven (DedupSpec).
+    // Auto-sized recall config (Dedup.lshConfigFor): planes grow with
+    // log₂|corpus| (constant bucket occupancy ⇒ near-linear candidates),
+    // tables with the recall target. At the sf0.1 fixture size this
+    // resolves to the neighborhood of the hand-tuned 16×8 point; at the
+    // 30× replica it is what keeps the sweep linear instead of the
+    // measured 102× fixed-config blow-up (SCALE.md round 4).
     "q_dedup_cosine_lsh" -> ((s, dir) =>
-      Dedup.cosinePairsLsh(embWithPlanted(s, dir), "vec_id", "embedding",
-        CosineThresholdProd, tables = CosineLshTables,
-        planes = CosineLshPlanes).orderBy("vec_i", "vec_j")),
+      Dedup.cosinePairsLshAuto(embWithPlanted(s, dir), "vec_id", "embedding",
+        CosineThresholdProd).orderBy("vec_i", "vec_j")),
 
     // ── similarity search ────────────────────────────────────────────
     "q_sim_bruteforce_topk" -> ((s, dir) => {
@@ -908,17 +929,25 @@ object ExtensionQueries {
 
     "q_dedup_cosine" -> cosineOracleAt(CosineThreshold),
 
-    // exact bipartite cosine over the 90/10 corpus/batch split — bucketed
-    // candidates + exact verify reproduce it at the demo recall config
+    // exact bipartite cosine over the 90/10 corpus/batch split (corpus +
+    // batch-side planted companions) at the production threshold —
+    // bucketed candidates + exact verify reproduce it; planted pairs sit
+    // at cos ~1.0 (θ=0 ⇒ bucket agreement in every table by construction)
     "q_dedup_cosine_incremental" ->
-      s"""WITH norms AS (
+      s"""WITH emb2 AS (
+         |  SELECT vec_id, embedding FROM embeddings
+         |  UNION ALL
+         |  SELECT vec_id * 10 + $PlantedIdOffset + 1 AS vec_id,
+         |         [CAST(x * 0.5 AS FLOAT) FOR x IN embedding] AS embedding
+         |  FROM embeddings WHERE vec_id < $PlantedDups AND vec_id % 10 <> 1),
+         |norms AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
-         |  FROM embeddings)
+         |  FROM emb2)
          |SELECT vec_i, vec_j, cos FROM (
          |  SELECT a.vec_id AS vec_i, b.vec_id AS vec_j,
          |         ${sqlDot("a.embedding", "b.embedding")} / (a.nrm * b.nrm) AS cos
          |  FROM norms a JOIN norms b ON a.vec_id % 10 <> 1 AND b.vec_id % 10 = 1)
-         |WHERE cos >= $CosineThreshold ORDER BY vec_i, vec_j""".stripMargin,
+         |WHERE cos >= $CosineThresholdProd ORDER BY vec_i, vec_j""".stripMargin,
 
     // LSH candidates + exact verify at the production operating point ⇒
     // equals the exact pair set at cos ≥ 0.9 on corpus + planted

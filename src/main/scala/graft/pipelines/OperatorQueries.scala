@@ -429,5 +429,171 @@ object OperatorQueries {
     "q_ingest_usa_population" -> (
       ((s: SparkSession, dir: String) => Ingestion.usaPopulationSnapshot(s, dir)),
       Ingestion.usaPopulationOracle),
+
+    // P-family — unpivot (wide→long melt). All three measures are DOUBLE
+    // so the melted value column needs no common-type cast.
+    "q_unpivot" -> (
+      ((s: SparkSession, dir: String) =>
+        li(s, dir).unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_discount"), col("l_tax")),
+          "measure", "value")
+          .orderBy("l_orderkey", "l_linenumber", "measure")),
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, measure""".stripMargin),
+
+    // W-family — first_value/last_value/nth_value under a total order with
+    // an explicit full frame (last_value over the default frame would be
+    // the running last — the classic trap; both engines get the full frame).
+    "q_window_value_family" -> (
+      ((s: SparkSession, dir: String) => {
+        val w = Window.partitionBy("o_custkey")
+          .orderBy(col("o_orderdate"), col("o_orderkey"))
+          .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        orders(s, dir)
+          .withColumn("first_price", first("o_totalprice").over(w))
+          .withColumn("last_price", last("o_totalprice").over(w))
+          .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
+          .select("o_custkey", "o_orderkey", "o_totalprice",
+            "first_price", "last_price", "second_price")
+          .orderBy("o_custkey", "o_orderkey")
+      }),
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       FIRST_VALUE(o_totalprice) OVER w AS first_price,
+        |       LAST_VALUE(o_totalprice) OVER w AS last_price,
+        |       NTH_VALUE(o_totalprice, 2) OVER w AS second_price
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY o_custkey, o_orderkey""".stripMargin),
+
+    // W-family — value-RANGE frame over event time: per-user trailing-hour
+    // count + sum. Ordering key is epoch SECONDS (bigint) on both engines
+    // so frame peers agree exactly; the sum is DECIMAL (exact,
+    // order-independent) cast to double only at the edge.
+    "q_window_range_time" -> (
+      ((s: SparkSession, dir: String) => {
+        val e = graft.streaming.EventStreams
+          .normalizeTs(Entities.read(s, dir, "events"))
+          .withColumn("sec", unix_timestamp(col("ts")))
+        val w = Window.partitionBy("user_id").orderBy(col("sec"))
+          .rangeBetween(-3600L, 0L)
+        e.withColumn("n_hour", count(lit(1)).over(w))
+          .withColumn("sum_hour",
+            sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double"))
+          .select("event_id", "user_id", "sec", "n_hour", "sum_hour")
+          .orderBy("event_id")
+      }),
+      """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec,
+        |       COUNT(*) OVER w AS n_hour,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) OVER w AS DOUBLE) AS sum_hour
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY (epoch_ns(ts) // 1000000000)
+        |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin),
+
+    // Record linkage — levenshtein fuzzy match with blocking. The dirty
+    // side drops each name's 5th char (edit distance 1 to its source);
+    // candidates are BLOCKED on nation (never |S|² comparisons — at scale
+    // the block key bounds the candidate set), scored by edit distance,
+    // and resolved to the best match by (distance, key) rank.
+    "q_fuzzy_match" -> (
+      ((s: SparkSession, dir: String) => {
+        val sup = Entities.read(s, dir, "supplier")
+        val dirty = sup.select(
+          col("s_suppkey").as("dirty_id"),
+          concat(substring(col("s_name"), 1, 4), expr("substring(s_name, 6)"))
+            .as("dirty_name"),
+          col("s_nationkey").as("dirty_nation"))
+        val cand = dirty.join(sup, col("dirty_nation") === col("s_nationkey"))
+          .withColumn("dist", levenshtein(col("dirty_name"), col("s_name")))
+          .filter(col("dist") <= 2)
+        val w = Window.partitionBy("dirty_id")
+          .orderBy(col("dist"), col("s_suppkey"))
+        cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("dirty_id"), col("dirty_name"),
+            col("s_suppkey").as("matched_id"), col("s_name").as("matched_name"),
+            col("dist"))
+          .orderBy("dirty_id")
+      }),
+      """WITH dirty AS (
+        |  SELECT s_suppkey AS dirty_id,
+        |         concat(substr(s_name, 1, 4), substr(s_name, 6)) AS dirty_name,
+        |         s_nationkey AS dirty_nation
+        |  FROM supplier),
+        |cand AS (
+        |  SELECT d.dirty_id, d.dirty_name, s.s_suppkey, s.s_name,
+        |         CAST(levenshtein(d.dirty_name, s.s_name) AS INT) AS dist
+        |  FROM dirty d JOIN supplier s ON d.dirty_nation = s.s_nationkey
+        |  WHERE levenshtein(d.dirty_name, s.s_name) <= 2)
+        |SELECT dirty_id, dirty_name, s_suppkey AS matched_id,
+        |       s_name AS matched_name, dist
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
+        |        ORDER BY dist, s_suppkey) AS rn FROM cand)
+        |WHERE rn = 1 ORDER BY dirty_id""".stripMargin),
+
+    // A-family — GROUPING SETS with grouping() markers (arbitrary combos
+    // beyond cube/rollup); SQL surface on a temp view (S6 pattern).
+    "q_grouping_sets" -> (
+      ((s: SparkSession, dir: String) => {
+        li(s, dir).createOrReplaceTempView("lineitem_gs")
+        s.sql(
+          """SELECT l_returnflag, l_linestatus,
+            |       SUM(l_quantity) AS sum_qty,
+            |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+            |       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+            |FROM lineitem_gs
+            |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+            |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin)
+      }),
+      """SELECT l_returnflag, l_linestatus,
+        |       SUM(l_quantity) AS sum_qty,
+        |       CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        |       CAST(GROUPING(l_linestatus) AS INT) AS g_status
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""".stripMargin),
+
+    // J-family — full outer join with rows surviving on BOTH null sides:
+    // the left side keeps only custkeys ≢ 0 (mod 3), so customers with
+    // orders on the dropped keys surface as right-only rows, and
+    // order-less customers as left-only rows.
+    "q_join_full_outer" -> (
+      ((s: SparkSession, dir: String) => {
+        val cust = customer(s, dir).filter(pmod(col("c_custkey"), lit(3)) =!= 0)
+          .select("c_custkey", "c_name")
+        val counts = orders(s, dir).groupBy("o_custkey")
+          .agg(count(lit(1)).as("n_orders"))
+        cust.join(counts, col("c_custkey") === col("o_custkey"), "full_outer")
+          .select(
+            coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
+            col("c_name"), col("n_orders"))
+          .orderBy("custkey")
+      }),
+      """WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
+        |counts AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
+        |SELECT COALESCE(c_custkey, o_custkey) AS custkey, c_name, n_orders
+        |FROM cust FULL OUTER JOIN counts ON c_custkey = o_custkey
+        |ORDER BY custkey""".stripMargin),
+
+    // §2.8 — unionByName with missing columns (schema-evolution append:
+    // the later batch lacks p_type and gets NULLs, by NAME not position).
+    "q_union_by_name" -> (
+      ((s: SparkSession, dir: String) => {
+        val a = part(s, dir).filter(col("p_partkey") <= 1000)
+          .select(col("p_partkey"), col("p_type"), col("p_size"))
+        val b = part(s, dir).filter(col("p_partkey") > 1000)
+          .select(col("p_size"), col("p_partkey")) // reordered + missing p_type
+        a.unionByName(b, allowMissingColumns = true)
+          .orderBy("p_partkey")
+      }),
+      """SELECT p_partkey, p_type, p_size FROM part WHERE p_partkey <= 1000
+        |UNION ALL BY NAME
+        |SELECT p_size, p_partkey FROM part WHERE p_partkey > 1000
+        |ORDER BY p_partkey""".stripMargin),
   )
 }

@@ -274,4 +274,68 @@ class DedupSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out.head.getDouble(2) == 1.0)
   }
+
+  test("lshConfigFor: planes track log2(n) at constant occupancy, tables " +
+       "meet the recall target, and bounds hold") {
+    // occupancy invariant: n / 2^planes stays within [occ/2, occ]
+    for (n <- Seq(100L, 2000L, 60000L, 2000000L, 100000000L)) {
+      val (tables, planes) = Dedup.lshConfigFor(n, 0.9, targetOccupancy = 8L)
+      assert(planes >= 2 && planes <= 30)
+      assert(tables >= 1 && tables <= 512)
+      if (n > 32 && planes < 30)
+        assert(n.toDouble / math.pow(2, planes) <= 8.0 + 1e-9,
+          s"occupancy exceeded at n=$n: planes=$planes")
+      // recall: P[miss] = (1 - p1)^tables <= pMiss (up to the tables cap)
+      val p1 = math.pow(1.0 - math.acos(0.9) / math.Pi, planes)
+      if (tables < 512)
+        assert(math.pow(1.0 - p1, tables) <= 1e-4 * (1 + 1e-9),
+          s"recall target missed at n=$n: tables=$tables planes=$planes")
+    }
+    // deeper corpus => never fewer planes (monotone occupancy control)
+    val deeper = Seq(1000L, 10000L, 100000L, 1000000L)
+      .map(n => Dedup.lshConfigFor(n, 0.9)._2)
+    assert(deeper == deeper.sorted)
+  }
+
+  test("cosinePairsLshAuto keeps full recall on planted near-identical " +
+       "dups (auto-sized config)") {
+    val rng = new scala.util.Random(11)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+    val base = (0L until 60L).map(i => (i, vec()))
+    val dups = base.filter(_._1 % 3 == 0).map { case (i, v) => (1000L + i, perturb(v)) }
+    val e = spark.createDataFrame(base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val auto = Dedup.cosinePairsLshAuto(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size == 20)
+    assert(auto == exact,
+      s"missing=${exact.keySet -- auto.keySet}, extra=${auto.keySet -- exact.keySet}")
+  }
+
+  test("cosineCrossPairsLshAuto equals the exact bipartite restriction " +
+       "on planted cross-side dups") {
+    val rng = new scala.util.Random(13)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+    val corpusRows = (0L until 50L).map(i => (2 * i, vec())) // even ids
+    val batchRows = corpusRows.take(15).map { case (i, v) => (i + 1, perturb(v)) }
+    val corpus = spark.createDataFrame(corpusRows).toDF("vec_id", "embedding")
+    val batch = spark.createDataFrame(batchRows).toDF("vec_id", "embedding")
+    val got = Dedup
+      .cosineCrossPairsLshAuto(corpus, batch, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val all = spark.createDataFrame(corpusRows ++ batchRows).toDF("vec_id", "embedding")
+    val want = Dedup.cosinePairs(all, "vec_id", "embedding", 0.9)
+      .collect().flatMap { r =>
+        val (i, j, c) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+        if (i % 2 == 0 && j % 2 == 1) Some((i, j) -> c)
+        else if (i % 2 == 1 && j % 2 == 0) Some((j, i) -> c)
+        else None
+      }.toMap
+    assert(want.size == 15, s"every planted cross pair qualifies, got ${want.size}")
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet}, extra=${got.keySet -- want.keySet}")
+  }
 }
