@@ -518,14 +518,20 @@ object Dedup {
   def cosinePairsLshAuto(embeddings: DataFrame, idCol: String, vecCol: String,
                          threshold: Double = 0.95, targetOccupancy: Long = 8L,
                          pMiss: Double = 1e-4, dims: Int = 64): DataFrame = {
-    val (tables, planes) = lshConfigFor(embeddings.count(), threshold,
-      targetOccupancy, pMiss)
-    cosinePairsLsh(embeddings, idCol, vecCol, threshold, tables, planes, dims)
+    val n = embeddings.count()
+    val (tables, planes) = lshConfigFor(n, threshold, targetOccupancy, pMiss)
+    // vectors-fit-broadcast heuristic: id + norm + dims floats per row,
+    // capped at 128 MB (a comfortable executor broadcast; beyond it the
+    // shuffled verify join is the right plan)
+    val bcast = n * (dims * 4L + 24L) <= (128L << 20)
+    cosinePairsLsh(embeddings, idCol, vecCol, threshold, tables, planes, dims,
+      broadcastVerify = bcast)
   }
 
   def cosinePairsLsh(embeddings: DataFrame, idCol: String, vecCol: String,
                      threshold: Double = 0.95, tables: Int = 16,
-                     planes: Int = 8, dims: Int = 64): DataFrame = {
+                     planes: Int = 8, dims: Int = 64,
+                     broadcastVerify: Boolean = false): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
     val banded = Similarity
@@ -537,11 +543,23 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"))
       .distinct()
+    // The candidate frame is the BIG side (≈ tables·n·occ/2 pairs); the
+    // vector frame is n rows. When the caller knows the vectors fit a
+    // broadcast (the auto path checks bytes), hinting them broadcast
+    // turns both verify joins into map-side hash joins — the candidate
+    // pairs are never shuffled. At corpus sizes beyond broadcast, the
+    // default shuffled hash join on the 8-byte id is the right plan.
+    def side(cn: String) = {
+      val f = e.select(col("id").as(cn), col("v").as(s"v_$cn"),
+        col("nrm").as(s"nrm_$cn"))
+      if (broadcastVerify) broadcast(f) else f
+    }
     cands
-      .join(e.select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
-      .join(e.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
+      .join(side("vec_i"), "vec_i")
+      .join(side("vec_j"), "vec_j")
       .select(col("vec_i"), col("vec_j"),
-        (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
+        (dot(col("v_vec_i"), col("v_vec_j")) /
+          (col("nrm_vec_i") * col("nrm_vec_j"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
 
@@ -578,8 +596,13 @@ object Dedup {
                               dims: Int = 64): DataFrame = {
     val (tables, planes) = lshConfigFor(corpus.count(), threshold,
       targetOccupancy, pMiss)
-    cosineCrossPairsLsh(corpus, batch, idCol, vecCol, threshold,
-      tables, planes, dims)
+    // same fits-broadcast heuristic as cosinePairsLshAuto, on the batch
+    // (its bucket frame is tables x bigger than the vector frame — the
+    // cap keeps BOTH comfortably under executor broadcast budgets)
+    val bcast = batch.count() * (dims * 4L + 24L) * (tables + 1L) <= (128L << 20)
+    cosineCrossPairsIndexed(
+      buildEmbeddingIndex(corpus, idCol, vecCol, tables, planes, dims),
+      batch, idCol, vecCol, threshold, broadcastBatch = bcast)
   }
 
   /** The persisted side of incremental EMBEDDING dedup — the analog of
@@ -613,21 +636,29 @@ object Dedup {
     * mismatch can't happen by construction. */
   def cosineCrossPairsIndexed(corpus: EmbeddingIndex, batch: DataFrame,
                               idCol: String, vecCol: String,
-                              threshold: Double = 0.95): DataFrame = {
+                              threshold: Double = 0.95,
+                              broadcastBatch: Boolean = false): DataFrame = {
     val b = batch.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
-    val bBuckets = Similarity
+    val bBuckets0 = Similarity
       .lshBuckets(b.select("id", "v"), "v", corpus.tables, corpus.planes, corpus.dims)
       .select("id", "table", "bucket")
+    // batch side is the small one by contract; when the caller confirms it
+    // fits a broadcast, both the bucket probe and its verify join become
+    // map-side — the corpus index is never shuffled for the probe
+    val bBuckets = if (broadcastBatch) broadcast(bBuckets0) else bBuckets0
     val cands = corpus.buckets.as("a")
       .join(bBuckets.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket"))
       .select(col("a.id").as("vec_i"), col("b.id").as("vec_j"))
       .distinct()
+    val bVerify0 = b.select(col("id").as("vec_j"), col("v").as("v_j"),
+      col("nrm").as("nrm_j"))
+    val bVerify = if (broadcastBatch) broadcast(bVerify0) else bVerify0
     cands
       .join(corpus.vectors
         .select(col("id").as("vec_i"), col("v").as("v_i"), col("nrm").as("nrm_i")), "vec_i")
-      .join(b.select(col("id").as("vec_j"), col("v").as("v_j"), col("nrm").as("nrm_j")), "vec_j")
+      .join(bVerify, "vec_j")
       .select(col("vec_i"), col("vec_j"),
         (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
       .filter(col("cos") >= threshold)
