@@ -269,23 +269,40 @@ object Dedup {
             col("a.shash") === col("b.shash") && col("a.id") < col("b.id"))
           .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
           .agg(count(lit(1)).as("c_r"))
-        val rareSizes = capped.groupBy("id").agg(count(lit(1)).as("n_rare"))
+        // one per-doc stats frame (total + rare shingle counts) joined
+        // twice, instead of four separate joins of the PAIR frame — the
+        // pair frame is the big side, so halving its shuffle joins is the
+        // bulk of the cap's fixed premium. Every doc in cRare has ≥ 1
+        // rare shingle, so the inner join never drops a pair.
+        val docStats = sizes
+          .join(capped.groupBy("id").agg(count(lit(1)).as("n_rare")), "id")
         // exact upper bound on the TRUE common count: shared rare + at
         // most every non-rare shingle of the smaller side. J is monotone
         // in common, so filtering on J(upper) keeps every pair the capped
         // contract can report — only provably-below-threshold pairs skip
         // the exact verify.
         val withBounds = cRare
-          .join(sizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_sh", "n_i"), "doc_i")
-          .join(sizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_sh", "n_j"), "doc_j")
-          .join(rareSizes.withColumnRenamed("id", "doc_i").withColumnRenamed("n_rare", "r_i"), "doc_i")
-          .join(rareSizes.withColumnRenamed("id", "doc_j").withColumnRenamed("n_rare", "r_j"), "doc_j")
+          .join(docStats.select(col("id").as("doc_i"),
+            col("n_sh").as("n_i"), col("n_rare").as("r_i")), "doc_i")
+          .join(docStats.select(col("id").as("doc_j"),
+            col("n_sh").as("n_j"), col("n_rare").as("r_j")), "doc_j")
         val ubCommon = col("c_r") +
           least(col("n_i") - col("r_i"), col("n_j") - col("r_j"))
-        val cands = withBounds
+        val plausible = withBounds
           .filter(ubCommon / (col("n_i") + col("n_j") - ubCommon) >= threshold)
-          .select("doc_i", "doc_j")
-        verifyJaccard(cands, index, index, sizes, sizes, threshold)
+        // when BOTH docs are all-rare (r = n_sh), every shared shingle is
+        // rare, so c_r IS the exact common count — emit the exact Jaccard
+        // directly and verify only the residue. On a benign corpus (caps
+        // prune nothing) this skips the whole verify pass losslessly.
+        val allRare = col("r_i") === col("n_i") && col("r_j") === col("n_j")
+        val exactNow = plausible.filter(allRare)
+          .withColumn("jaccard",
+            col("c_r") * lit(1.0) / (col("n_i") + col("n_j") - col("c_r")))
+          .filter(col("jaccard") >= threshold)
+          .select("doc_i", "doc_j", "jaccard")
+        val residue = plausible.filter(!allRare).select("doc_i", "doc_j")
+        exactNow.unionByName(
+          verifyJaccard(residue, index, index, sizes, sizes, threshold))
     }
   }
 
