@@ -71,7 +71,10 @@ object BloomMightContain {
       case f: FilterBytes => java.util.Arrays.equals(bytes, f.bytes)
       case _ => false
     }
-    override def hashCode: Int = java.util.Arrays.hashCode(bytes)
+    // cached: Catalyst hashes expressions repeatedly during
+    // canonicalization / semantic-equality / attribute-map lookups, and a
+    // production filter is hundreds of KB — one pass at construction
+    override val hashCode: Int = java.util.Arrays.hashCode(bytes)
     // keep plan strings readable: never dump hundreds of KB of bytes
     override def toString: String = s"bloom_filter(${bytes.length}B)"
   }

@@ -36,18 +36,21 @@ object Mail {
   }
 
   /** RFC-822-shaped rendering (headers + HTML body) used by the spool.
-    * The body is concatenated AFTER stripMargin: interpolating it into
-    * the margin block would let any body line starting with whitespace
-    * + '|' be truncated at the pipe. */
+    * No field is ever interpolated into a stripMargin block (a value line
+    * starting with whitespace + '|' would be truncated at the pipe), and
+    * header VALUES are folded to a single line: a CR/LF inside a header
+    * value is header injection against the RFC-822 surface, so it is
+    * replaced with a space rather than emitted. The body is raw HTML —
+    * newlines are content there. */
   def render(msg: Message): String = {
-    val headers =
-      s"""From: ${msg.from}
-         |To: ${msg.to.mkString(", ")}
-         |Subject: ${msg.subject}
-         |MIME-Version: 1.0
-         |Content-Type: text/html; charset=utf-8
-         |
-         |""".stripMargin
-    headers + msg.htmlBody + "\n"
+    def h(name: String, value: String): String =
+      s"$name: ${value.replaceAll("[\r\n]+[ \t]*", " ")}"
+    val headers = Seq(
+      h("From", msg.from),
+      h("To", msg.to.mkString(", ")),
+      h("Subject", msg.subject),
+      "MIME-Version: 1.0",
+      "Content-Type: text/html; charset=utf-8")
+    headers.mkString("", "\n", "\n\n") + msg.htmlBody + "\n"
   }
 }

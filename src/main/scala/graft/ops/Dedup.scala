@@ -159,7 +159,13 @@ object Dedup {
     * [[MaxCachedShingleFrames]] frames hot — every consumer of one
     * query's index runs while its frame is in the window — and
     * unpersists the oldest beyond that (worst case: a recomputation on
-    * miss, never a wrong result). [[releaseCaches]] drops them all. */
+    * miss, never a wrong result). [[releaseCaches]] drops them all.
+    * Composition limit, for the same never-wrong reason: a SINGLE lazy
+    * plan composing more than [[MaxCachedShingleFrames]] distinct shingle
+    * indexes before its one action will have its earliest indexes evicted
+    * at build time and recomputed per consumer — widen the window (or
+    * materialize intermediate results) if you genuinely compose 5+ corpora
+    * in one plan. */
   private val shingleCacheWindow =
     new scala.collection.mutable.ArrayDeque[DataFrame]()
   private val MaxCachedShingleFrames = 4

@@ -37,6 +37,16 @@ import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
   * The input is scanned twice (once feeding the count shuffle, once as
   * the join probe) — callers ranking an expensive lineage should persist
   * it first, exactly like any multi-consumer diamond.
+  *
+  * EAGER + SNAPSHOT semantics, by design: step 3's offset protocol runs
+  * two Spark jobs AT CONSTRUCTION time (this is a rank computation, not a
+  * free plan transform), and the offsets are a snapshot of the input as
+  * of that moment. The join probe re-reads the input lazily at action
+  * time, so the input must be stable between construction and action —
+  * the batch contract everywhere in this engine (deterministic fixture
+  * reads; persist the input first if its lineage is not re-runnable).
+  * Values absent from the snapshot would surface as NULL `outCol` via the
+  * left join rather than a wrong rank.
   */
 object Ranks {
 

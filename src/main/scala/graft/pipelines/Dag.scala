@@ -93,6 +93,10 @@ object Dag {
     groups.foreach { group =>
       failed match {
         case Some(up) => group.foreach { case (name, _) => out += TaskSkipped(name, up) }
+        // an EMPTY group is legal — Airflow's .expand over an empty runtime
+        // list yields zero task instances and the DAG proceeds (a
+        // zero-thread pool would throw instead)
+        case None if group.isEmpty => ()
         case None if group.sizeIs == 1 =>
           val (name, body) = group.head
           val r = runOne(name, body, policy)

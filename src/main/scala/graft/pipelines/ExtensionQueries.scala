@@ -151,9 +151,10 @@ object ExtensionQueries {
   // × 8 planes. The bench's LSH row runs HERE — the loose 0.4 threshold
   // with barely-pruning 2-plane buckets is a recall demo, kept as a
   // spec-only test (DedupSpec), not a suite cost.
+  // production LSH rows auto-size their (tables, planes) recall config
+  // from the corpus count (Dedup.lshConfigFor — resolves to ≈27×8 at the
+  // sf0.1 fixture, the neighborhood of the old hand-tuned 16×8 point)
   val CosineThresholdProd = 0.9
-  val CosineLshTables = 16
-  val CosineLshPlanes = 8
   // planted near-identical companions for the production-point LSH row:
   // the fixture corpus is CLEAN at cos >= 0.9 (max pair cosine ~0.51), so
   // without them the oracle row is vacuously empty — any implementation

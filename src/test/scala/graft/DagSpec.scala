@@ -136,6 +136,20 @@ class DagSpec extends SparkSpec {
     assert(attempts.get(20) == 2 && attempts.get(10) == 1)
   }
 
+  test("mapTasks over an EMPTY runtime list yields zero instances and " +
+       "downstream groups still run (Airflow .expand semantics)") {
+    assert(Dag.mapTasks("load_shard", Seq.empty[Int]) { _ =>
+      sys.error("never called")
+    } == Seq.empty)
+    var laterRan = false
+    val out = Dag.runTaskGroups(Seq(
+      Dag.expand("shard", Seq.empty[Int]) { _ => sys.error("never") },
+      Seq("publish" -> { () => laterRan = true; Dag.StageResult("publish", 1L, "mem") })))
+    assert(laterRan, "empty mapped group must not block downstream")
+    assert(out.map(_.name) == Seq("publish"))
+    assert(out.head.isInstanceOf[Dag.TaskSucceeded])
+  }
+
   test("a failed mapped instance skips downstream groups via runTaskGroups") {
     var laterRan = false
     val out = Dag.runTaskGroups(Seq(

@@ -148,6 +148,18 @@ class ReconcileSpec extends SparkSpec {
     assert(text.contains("<h2>body</h2>"))
   }
 
+  test("Mail.render never truncates at pipes and folds header newlines") {
+    // body lines shaped like stripMargin margins must survive verbatim,
+    // and CR/LF smuggled into a header value must NOT become new headers
+    val msg = graft.io.Mail.Message("a@example.invalid", Seq("b@example.invalid"),
+      "status\n  |urgent\r\nBcc: evil@example.invalid",
+      "<pre>\n  |col1|col2|\n  |a   |b   |\n</pre>")
+    val text = graft.io.Mail.render(msg)
+    assert(text.contains("Subject: status |urgent Bcc: evil@example.invalid"))
+    assert(!text.contains("\nBcc:"), "header injection must be folded")
+    assert(text.contains("\n  |col1|col2|\n"), "body pipes survive verbatim")
+  }
+
   test("multi-column composite keys reconcile") {
     val a = Seq((1, "x", "p"), (1, "y", "q")).toDF("k1", "k2", "v")
     val b = Seq((1, "x", "p"), (1, "y", "Z")).toDF("k1", "k2", "v")
