@@ -505,19 +505,15 @@ object OperatorQueries {
       ((s: SparkSession, dir: String) => {
         val sup = Entities.read(s, dir, "supplier")
         val dirty = sup.select(
-          col("s_suppkey").as("dirty_id"),
+          col("s_suppkey"),
           concat(substring(col("s_name"), 1, 4), expr("substring(s_name, 6)"))
-            .as("dirty_name"),
-          col("s_nationkey").as("dirty_nation"))
-        val cand = dirty.join(sup, col("dirty_nation") === col("s_nationkey"))
-          .withColumn("dist", levenshtein(col("dirty_name"), col("s_name")))
-          .filter(col("dist") <= 2)
-        val w = Window.partitionBy("dirty_id")
-          .orderBy(col("dist"), col("s_suppkey"))
-        cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+            .as("s_name"),
+          col("s_nationkey"))
+        graft.ops.Linkage.blockedBestMatch(dirty, sup,
+            "s_nationkey", "s_suppkey", "s_name", maxDist = 2)
           .select(col("dirty_id"), col("dirty_name"),
-            col("s_suppkey").as("matched_id"), col("s_name").as("matched_name"),
-            col("dist"))
+            col("clean_id").as("matched_id"),
+            col("clean_name").as("matched_name"), col("dist"))
           .orderBy("dirty_id")
       }),
       """WITH dirty AS (
@@ -535,6 +531,34 @@ object OperatorQueries {
         |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
         |        ORDER BY dist, s_suppkey) AS rn FROM cand)
         |WHERE rn = 1 ORDER BY dirty_id""".stripMargin),
+
+    // Record linkage — q-gram inverted-index blocking: the SCALABLE
+    // linkage form (block universe = the q-gram space, so block count
+    // grows with the corpus — no fixed-cardinality blocking cliff; see
+    // SCALE.md round 4). Pigeonhole recall: at edit distance ≤ 2 with
+    // q=3, 17-char names share ≥ 17−3+1−2·3 = 9 grams, so the oracle is
+    // the EXACT all-pairs restriction — candidates can't miss.
+    "q_fuzzy_qgram" -> (
+      ((s: SparkSession, dir: String) => {
+        val sup = Entities.read(s, dir, "supplier")
+          .select("s_suppkey", "s_name")
+        val dirty = sup.select(
+          col("s_suppkey"),
+          concat(substring(col("s_name"), 1, 4), expr("substring(s_name, 6)"))
+            .as("s_name"))
+        graft.ops.Linkage.qgramPairs(dirty, sup, "s_suppkey", "s_name",
+            maxDist = 2, q = 3)
+          .orderBy("left_id", "right_id")
+      }),
+      """WITH dirty AS (
+        |  SELECT s_suppkey AS left_id,
+        |         concat(substr(s_name, 1, 4), substr(s_name, 6)) AS dirty_name
+        |  FROM supplier)
+        |SELECT d.left_id, s.s_suppkey AS right_id,
+        |       CAST(levenshtein(d.dirty_name, s.s_name) AS INT) AS dist
+        |FROM dirty d CROSS JOIN supplier s
+        |WHERE levenshtein(d.dirty_name, s.s_name) <= 2
+        |ORDER BY left_id, right_id""".stripMargin),
 
     // A-family — GROUPING SETS with grouping() markers (arbitrary combos
     // beyond cube/rollup); SQL surface on a temp view (S6 pattern).

@@ -1,0 +1,77 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Linkage
+
+/** Fuzzy record linkage: q-gram blocking recall (pigeonhole guarantee),
+  * df-cap contract, and the blocked best-match shape. */
+class LinkageSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def clean = Seq(
+    (1L, "Acme Industrial Supply"),
+    (2L, "Borealis Metalworks Ltd"),
+    (3L, "Cascade Timber Holdings"),
+    (4L, "Dynamo Precision Tools"),
+    (5L, "Evergreen Freight Lines")).toDF("id", "name")
+
+  // one deletion, one substitution, one double-edit, one unrelated
+  private def dirty = Seq(
+    (101L, "Acme Industril Supply"),     // 1 deletion  -> id 1, dist 1
+    (102L, "Borealis Metalworks Ltd"),   // exact       -> id 2, dist 0
+    (103L, "Cascade Timbre Holdingz"),   // 2 edits     -> id 3, dist 2... actually check
+    (104L, "Zenith Unrelated Name")      // no match within 2
+  ).toDF("id", "name")
+
+  test("qgramPairs equals the exact all-pairs restriction (recall holds)") {
+    val got = Linkage.qgramPairs(dirty, clean, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val want = dirty.select(col("id").as("l"), col("name").as("ln"))
+      .crossJoin(clean.select(col("id").as("r"), col("name").as("rn")))
+      .withColumn("d", levenshtein(col("ln"), col("rn")))
+      .filter(col("d") <= 2)
+      .select("l", "r", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(want.nonEmpty, "fixture plants matches")
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet}, extra=${got.keySet -- want.keySet}")
+  }
+
+  test("qgramPairs self-linkage finds planted near-identical names once") {
+    val names = clean.unionByName(
+      clean.filter($"id" === 1).select(($"id" + 100).as("id"),
+        concat(substring($"name", 1, 5), expr("substring(name, 7)")).as("name")))
+    val pairs = Linkage.qgramPairs(names, names, "id", "name", maxDist = 2)
+      .filter($"left_id" < $"right_id").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 101L)))
+  }
+
+  test("df-cap drops only common-gram candidates; rare-gram matches survive") {
+    // 60 decoys sharing the gram-space of a common prefix + 1 real typo
+    // pair with rare grams: cap at 10 kills the decoy grams ("Common
+    // Widget ..." prefix grams have df ~ 61) but every distinctive gram
+    // of the real pair has df 2 — the pair survives, decoy self-matches
+    // (dist 0, shared rare suffix grams) also survive by the same rule.
+    val decoys = (0 until 60).map(i => (200L + i, f"Common Widget Co $i%02d"))
+    val real = Seq((301L, "Quixotic Vellum Traders"))
+    val base = (decoys ++ real).toDF("id", "name")
+    val probe = Seq((401L, "Quixotic Velum Traders")).toDF("id", "name") // 1 del
+    val got = Linkage.qgramPairs(probe, base, "id", "name",
+      maxDist = 2, maxDf = Some(10)).collect()
+    assert(got.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq ==
+      Seq((401L, 301L, 1)))
+  }
+
+  test("blockedBestMatch picks min-(dist, id) per dirty record inside blocks") {
+    val c = Seq((1L, "alpha corp", "E"), (2L, "alpha  corp", "E"),
+      (3L, "alpha corp", "W")).toDF("id", "name", "region")
+    val d = Seq((9L, "alpha corp", "E")).toDF("id", "name", "region")
+    val out = Linkage.blockedBestMatch(d, c, "region", "id", "name", maxDist = 2)
+      .collect()
+    assert(out.length == 1)
+    // ids 1 and 2 both match within the E block; dist 0 beats dist 1,
+    // and the W-block exact copy is never a candidate
+    assert(out.head.getLong(0) == 9L && out.head.getLong(2) == 1L
+      && out.head.getInt(4) == 0)
+  }
+}
