@@ -23,8 +23,8 @@ import org.apache.spark.sql.expressions.Window
   *     destroys at most q of a string's (len−q+1) q-grams, so a pair at
   *     edit distance ≤ k shares ≥ minLen−q+1−k·q grams — ≥ 1 whenever
   *     minLen ≥ q·(k+1), i.e. every candidate at distance ≤ k lands in
-  *     some shared q-gram block. Strings shorter than q·(k+1) must go
-  *     through a length-bucketed exact pass instead (require()d here).
+  *     some shared q-gram block. Strings shorter than q·(k+1) lose the
+  *     guarantee — route them through a length-bucketed exact pass.
   *
   * Like the shingle index (Dedup), grams are xxhash64'd so the self-join
   * shuffles 8-byte keys, and a df-cap bounds the Σdf² of pathological
@@ -34,6 +34,30 @@ import org.apache.spark.sql.expressions.Window
   * destroy recall unless all its grams are corpus-common).
   */
 object Linkage {
+
+  /** Recently-persisted gram-index frames, bounded (same contract as
+    * Dedup's shingle-cache window: oldest unpersisted on overflow —
+    * worst case a recompute, never a wrong result). The capped right
+    * index is consumed by THREE plan branches (candidate join, kept-gram
+    * universe, per-record kept counts) and the left by two; without the
+    * persist each branch recomputes the gram explosion + df aggregation
+    * from the source. */
+  private val cacheWindow = new scala.collection.mutable.ArrayDeque[DataFrame]()
+  private val MaxCachedFrames = 4
+
+  private def cached(df: DataFrame): DataFrame = cacheWindow.synchronized {
+    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    cacheWindow.append(p)
+    while (cacheWindow.length > MaxCachedFrames)
+      cacheWindow.removeHead().unpersist(false)
+    p
+  }
+
+  /** Drop every frame this module still has persisted. */
+  def releaseCaches(): Unit = cacheWindow.synchronized {
+    cacheWindow.foreach(_.unpersist(false))
+    cacheWindow.clear()
+  }
 
   /** Distinct hashed character q-grams of `s` (length < q ⇒ empty). */
   private def gramHashes(s: Column, q: Int): Column =
@@ -48,17 +72,40 @@ object Linkage {
     * (id, name) projections; ids must be disjoint across sides only if
     * the caller treats output sides as distinct (no self-pair filtering
     * is applied — pass the same frame twice for self-linkage and filter
-    * `left_id < right_id` downstream). */
+    * `left_id < right_id` downstream).
+    *
+    * `maxDfRatio` is the scale-correct form of the cap: a gram is
+    * pathological if it occurs in more than ratio·|right| records —
+    * record frequency scales with the corpus, so a FIXED absolute cap
+    * that prunes correctly at one scale silently destroys recall at 10×
+    * (measured on the documents fixture: worst per-record min-gram-df is
+    * ~4–6% of the corpus at both sf0.01 and sf0.1, so a 0.1 ratio keeps
+    * every record's discriminative grams at any scale while an absolute
+    * cap tuned at sf0.01 missed half the sf0.1 matches). Costs one
+    * count() of the right side. */
   def qgramPairs(left: DataFrame, right: DataFrame,
                  idCol: String, nameCol: String,
                  maxDist: Int = 2, q: Int = 3,
-                 maxDf: Option[Int] = None): DataFrame = {
-    def index(df: DataFrame, side: String): DataFrame =
+                 maxDf: Option[Int] = None,
+                 maxDfRatio: Option[Double] = None,
+                 countPrune: Boolean = true): DataFrame = {
+    require(maxDf.isEmpty || maxDfRatio.isEmpty,
+      "maxDf and maxDfRatio are mutually exclusive")
+    // the inverted index carries ONLY (id, gram-hash) — 16-byte rows; the
+    // candidate distinct runs over id pairs, and names are re-attached
+    // from the compact (id, name) frames afterwards (distinct-ing rows
+    // that carry both name strings shuffled ~10× the bytes)
+    def names(df: DataFrame, side: String): DataFrame =
       df.select(col(idCol).as(s"${side}_id"), col(nameCol).as(s"${side}_name"))
-        .withColumn("gh", explode(gramHashes(col(s"${side}_name"), q)))
-    val li = index(left, "left")
+    def index(df: DataFrame, side: String): DataFrame =
+      names(df, side).select(col(s"${side}_id"),
+        explode(gramHashes(col(s"${side}_name"), q)).as("gh"))
+    val li = cached(index(left, "left"))
     val ri0 = index(right, "right")
-    val ri = maxDf match {
+    val cap0 = maxDfRatio
+      .map(r => math.max(1L, math.ceil(r * right.count()).toLong).toInt)
+      .orElse(maxDf)
+    val ri = cached(cap0 match {
       case None => ri0
       case Some(cap) =>
         // cap df on ONE side: candidate cost per gram is df_l·df_r, so
@@ -66,11 +113,41 @@ object Linkage {
         // in the scaladoc
         ri0.join(ri0.groupBy("gh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("gh"), "gh")
+    })
+    // shared-gram COUNT per candidate pair (same shuffle as a distinct,
+    // but the count feeds an exact pigeonhole prune): an edit destroys at
+    // most q grams of either side, so a true pair at distance ≤ k shares
+    // ≥ keptGrams(side) − k·q of the SURVIVING (cap-kept) grams — pairs
+    // below the bound are provably beyond maxDist and skip the verify.
+    // On a tiny-vocabulary corpus this is the difference between
+    // verifying every gram-colliding pair and verifying ~the true pairs.
+    val candPairs = li.join(ri, "gh")
+      .groupBy("left_id", "right_id")
+      .agg(count(lit(1)).as("c"))
+    // The prune pays for itself when the cap keeps MOST grams (diverse
+    // vocabularies — the bound keep−k·q is then close to keep and kills
+    // nearly every false candidate before its levenshtein). When an
+    // aggressive cap leaves only a handful of grams per record the bound
+    // approaches zero and the prune's extra joins are pure overhead —
+    // callers on tiny-vocabulary corpora can disable it.
+    val cands = if (!countPrune) candPairs else {
+      // kept-gram counts per id, on the same capped gram universe the
+      // join ran over (the left index joined a capped right, so shared
+      // counts are within the kept set; left's kept count needs the
+      // same filter)
+      val keptGrams = ri.select("gh").distinct()
+      val keepL = li.join(keptGrams, "gh")
+        .groupBy("left_id").agg(count(lit(1)).as("keep_l"))
+      val keepR = ri.groupBy("right_id").agg(count(lit(1)).as("keep_r"))
+      candPairs
+        .join(keepL, "left_id").join(keepR, "right_id")
+        .filter(col("c") >=
+          greatest(col("keep_l"), col("keep_r")) - lit(maxDist * q))
+        .select("left_id", "right_id", "c")
     }
-    val cands = li.join(ri, "gh")
-      .select("left_id", "left_name", "right_id", "right_name")
-      .distinct()
     cands
+      .join(names(left, "left"), "left_id")
+      .join(names(right, "right"), "right_id")
       .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
       .filter(col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")

@@ -535,29 +535,40 @@ object OperatorQueries {
     // Record linkage — q-gram inverted-index blocking: the SCALABLE
     // linkage form (block universe = the q-gram space, so block count
     // grows with the corpus — no fixed-cardinality blocking cliff; see
-    // SCALE.md round 4). Pigeonhole recall: at edit distance ≤ 2 with
-    // q=3, 17-char names share ≥ 17−3+1−2·3 = 9 grams, so the oracle is
-    // the EXACT all-pairs restriction — candidates can't miss.
+    // SCALE.md round 4). Probes are 200 perturbed 40-char DOCUMENT
+    // prefixes (diverse word sequences — the near-constant supplier/part
+    // name fixtures are the adversarial case where content blocking
+    // degenerates to all-pairs) against the full corpus with a df RATIO
+    // cap on pathological grams (scale-invariant — an absolute cap tuned
+    // at sf0.01 silently lost half the sf0.1 matches; Linkage scaladoc);
+    // the oracle is the EXACT probe×corpus restriction, so the capped
+    // candidates provably lose nothing (worst per-doc min-gram-df is
+    // ~6% of corpus at either scale, under the 10% cap).
     "q_fuzzy_qgram" -> (
       ((s: SparkSession, dir: String) => {
-        val sup = Entities.read(s, dir, "supplier")
-          .select("s_suppkey", "s_name")
-        val dirty = sup.select(
-          col("s_suppkey"),
-          concat(substring(col("s_name"), 1, 4), expr("substring(s_name, 6)"))
-            .as("s_name"))
-        graft.ops.Linkage.qgramPairs(dirty, sup, "s_suppkey", "s_name",
-            maxDist = 2, q = 3)
+        val corpus = docs(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("name"))
+        val dirty = docs(s, dir).filter(col("doc_id") < 200).select(
+          col("doc_id"),
+          concat(substring(col("text"), 1, 6), substring(col("text"), 8, 33))
+            .as("name"))
+        graft.ops.Linkage.qgramPairs(dirty, corpus, "doc_id", "name",
+            maxDist = 2, q = 3, maxDfRatio = Some(0.1),
+            // tiny-vocab fixture: the cap leaves ~6 grams/record, so the
+            // count-prune bound is ~0 and its joins are pure overhead
+            countPrune = false)
           .orderBy("left_id", "right_id")
       }),
-      """WITH dirty AS (
-        |  SELECT s_suppkey AS left_id,
-        |         concat(substr(s_name, 1, 4), substr(s_name, 6)) AS dirty_name
-        |  FROM supplier)
-        |SELECT d.left_id, s.s_suppkey AS right_id,
-        |       CAST(levenshtein(d.dirty_name, s.s_name) AS INT) AS dist
-        |FROM dirty d CROSS JOIN supplier s
-        |WHERE levenshtein(d.dirty_name, s.s_name) <= 2
+      """WITH corpus AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS nm FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS left_id,
+        |         concat(substr(text, 1, 6), substr(text, 8, 33)) AS dn
+        |  FROM documents WHERE doc_id < 200)
+        |SELECT d.left_id, c.doc_id AS right_id,
+        |       CAST(levenshtein(d.dn, c.nm) AS INT) AS dist
+        |FROM dirty d CROSS JOIN corpus c
+        |WHERE levenshtein(d.dn, c.nm) <= 2
         |ORDER BY left_id, right_id""".stripMargin),
 
     // A-family — GROUPING SETS with grouping() markers (arbitrary combos

@@ -62,6 +62,22 @@ class LinkageSpec extends SparkSpec {
       Seq((401L, 301L, 1)))
   }
 
+  test("maxDfRatio and countPrune=false leave the pair set unchanged") {
+    val base = Linkage.qgramPairs(dirty, clean, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ratio = Linkage.qgramPairs(dirty, clean, "id", "name", maxDist = 2,
+        maxDfRatio = Some(0.9)) // cap 5 of 5 records: prunes nothing
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val noPrune = Linkage.qgramPairs(dirty, clean, "id", "name", maxDist = 2,
+        countPrune = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(base.nonEmpty && ratio == base && noPrune == base)
+    intercept[IllegalArgumentException] {
+      Linkage.qgramPairs(dirty, clean, "id", "name",
+        maxDf = Some(3), maxDfRatio = Some(0.5))
+    }
+  }
+
   test("blockedBestMatch picks min-(dist, id) per dirty record inside blocks") {
     val c = Seq((1L, "alpha corp", "E"), (2L, "alpha  corp", "E"),
       (3L, "alpha corp", "W")).toDF("id", "name", "region")
