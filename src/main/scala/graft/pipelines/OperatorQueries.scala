@@ -615,6 +615,62 @@ object OperatorQueries {
         |FROM cust FULL OUTER JOIN counts ON c_custkey = o_custkey
         |ORDER BY custkey""".stripMargin),
 
+    // J-family — NULL-SAFE equality join (<=> / IS NOT DISTINCT FROM):
+    // NULL keys match each other instead of vanishing — the semantics
+    // reconciliation needs when the join key itself is nullable. Key
+    // subsets are bounded by ABSOLUTE key values so the null×null block
+    // stays small at any scale factor.
+    "q_join_null_safe" -> (
+      ((s: SparkSession, dir: String) => {
+        val cust = customer(s, dir).filter(col("c_custkey") <= 1000)
+          .select(col("c_custkey"),
+            when(pmod(col("c_custkey"), lit(5)) === 0, lit(null))
+              .otherwise(col("c_nationkey")).as("c_nk"))
+        val supp = Entities.read(s, dir, "supplier")
+          .filter(col("s_suppkey") <= 100)
+          .select(col("s_suppkey"),
+            when(pmod(col("s_suppkey"), lit(5)) === 0, lit(null))
+              .otherwise(col("s_nationkey")).as("s_nk"))
+        cust.join(supp, col("c_nk") <=> col("s_nk"))
+          .select("c_custkey", "s_suppkey", "c_nk")
+          .orderBy("c_custkey", "s_suppkey")
+      }),
+      """WITH cust AS (
+        |  SELECT c_custkey,
+        |         CASE WHEN c_custkey % 5 = 0 THEN NULL ELSE c_nationkey END AS c_nk
+        |  FROM customer WHERE c_custkey <= 1000),
+        |supp AS (
+        |  SELECT s_suppkey,
+        |         CASE WHEN s_suppkey % 5 = 0 THEN NULL ELSE s_nationkey END AS s_nk
+        |  FROM supplier WHERE s_suppkey <= 100)
+        |SELECT c_custkey, s_suppkey, c_nk
+        |FROM cust JOIN supp ON c_nk IS NOT DISTINCT FROM s_nk
+        |ORDER BY c_custkey, s_suppkey""".stripMargin),
+
+    // E7-family — explode_outer: rows with EMPTY arrays survive with a
+    // NULL element (plain explode silently drops them — the classic
+    // row-loss trap in token pipelines). The oracle emulates outer
+    // semantics by unnesting a NULL-padded list.
+    "q_explode_outer" -> (
+      ((s: SparkSession, dir: String) => {
+        val toks = split(col("text"), " ")
+        docs(s, dir)
+          .select(col("doc_id"),
+            when(pmod(col("doc_id"), lit(7)) === 0, array())
+              .otherwise(slice(toks, 1, 3)).as("arr"))
+          .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
+          .orderBy("doc_id", "tok")
+      }),
+      """WITH arrs AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 0 THEN []
+        |              ELSE list_slice(string_split(text, ' '), 1, 3) END AS arr
+        |  FROM documents)
+        |SELECT doc_id,
+        |       unnest(CASE WHEN len(arr) = 0 THEN [CAST(NULL AS VARCHAR)]
+        |                   ELSE arr END) AS tok
+        |FROM arrs ORDER BY doc_id, tok""".stripMargin),
+
     // §2.8 — unionByName with missing columns (schema-evolution append:
     // the later batch lacks p_type and gets NULLs, by NAME not position).
     "q_union_by_name" -> (
