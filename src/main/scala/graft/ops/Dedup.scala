@@ -100,8 +100,14 @@ object Dedup {
                       maxIters: Int = 25): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
-    val edges = pairs.select(col("doc_i").as("src"), col("doc_j").as("dst"))
-      .union(pairs.select(col("doc_j").as("src"), col("doc_i").as("dst")))
+    // both orientations from ONE evaluation of the pairs plan: a union of
+    // two selects would evaluate the (potentially expensive — a whole
+    // jaccard/LSH sweep) pairs lineage once per branch inside the same
+    // materialization job; exploding a 2-element struct array scans it once
+    val edges = pairs.select(explode(array(
+        struct(col("doc_i").as("src"), col("doc_j").as("dst")),
+        struct(col("doc_j").as("src"), col("doc_i").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // generation 0 — checkpointed like every later generation so the
     // loop body never references a deep upstream plan
