@@ -456,8 +456,13 @@ object Dedup {
   def simhashPairs(docs: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     require(maxHamming <= 3, "4-chunk banding guarantees recall only for hamming <= 3")
+    // persisted (bounded window): the banded self-join broadcasts one side,
+    // so without the persist the 64-bit token-vote signature is computed
+    // over the corpus once per join side
     val sigs = docs.select(col(idCol).as("id"),
       graft.functions.SimHash64.simhash64(col(textCol)).as("sig"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerShingleCache(sigs)
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("v"))
@@ -563,9 +568,14 @@ object Dedup {
                      broadcastVerify: Boolean = false): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
+    // persisted (bounded window): the bucket self-join evaluates its child
+    // once per side (no ReusedExchange across a broadcast build), and the
+    // hyperplane projection is tables·planes·dims work per vector
     val banded = Similarity
       .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
       .select("id", "table", "bucket")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerShingleCache(banded)
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
