@@ -348,7 +348,13 @@ object Dedup {
   /** LSH candidate pairs: band the signature array, bucket-join within
     * bands. Returns distinct (doc_i, doc_j) candidates. */
   def lshCandidates(signatures: DataFrame): DataFrame = {
+    // persisted (bounded window): the self-join evaluates its child once
+    // per side, and the child embeds the 128-hash MinHashSketch
+    // aggregation over the exploded index — the expensive stage of the
+    // whole sweep (the plan showed it running once per join side)
     val banded = bandedBuckets(signatures)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    registerShingleCache(banded)
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
