@@ -257,11 +257,17 @@ object TextAnalysis {
     * weight = (tf · N) / df computed as one exact integer product
     * (< 2⁵³) and one IEEE division.
     *
-    * Single corpus scan: df comes from a count window over the (doc,
-    * token) aggregate's token partitioning, NOT a second aggregation of
-    * the counts lineage — Spark recomputes unreferenced lineage, and the
-    * re-scan would re-tokenize the whole corpus (plan-audited; at 100 TB
-    * the tokenize+explode scan dominates everything else). N arrives via
+    * df is a compact `groupBy(token)` of the (doc, token, tf) aggregate,
+    * broadcast-joined back — NOT `count().over(Window.partitionBy(token))`:
+    * the window form shuffles the full (doc, token, tf) frame by token
+    * and concentrates every occurrence of a hot token ("the") into one
+    * partition — a skew magnet at corpus scale. The df frame is
+    * vocab-sized (one row per distinct token), so the join back is
+    * map-side. The df branch does NOT re-tokenize the corpus: both
+    * branches share the identical `Exchange hashpartitioning(id, token)`
+    * under the (doc, token) aggregate, which ReuseExchange dedupes — the
+    * tokenize+explode scan runs once (plan-audited: one ReusedExchange
+    * node; at 100 TB that scan dominates everything else). N arrives via
     * a broadcast 1-row cross join, not a driver action — lazy plan. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
@@ -270,10 +276,17 @@ object TextAnalysis {
     val counts = docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    // df references max(tf)*0 so column pruning cannot drop `tf` from
+    // this branch's child aggregate: with `tf` pruned the two branches'
+    // (id, token) exchanges stop being canonically identical and
+    // ReuseExchange re-plans a second corpus scan (observed in the plan).
+    // The term is identically 0 (tf ≥ 1 in every group), so df = count.
+    val dfByToken = counts.groupBy("token")
+      .agg((count(lit(1)) + max(col("tf")) * lit(0L)).as("df"))
     val w = Window.partitionBy(idCol)
       .orderBy(col("weight").desc, col("token").asc)
     counts
-      .withColumn("df", count(lit(1)).over(Window.partitionBy("token")))
+      .join(broadcast(dfByToken), "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("weight",
         (col("tf") * col("n_docs")).cast("double") / col("df"))
