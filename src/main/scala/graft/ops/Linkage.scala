@@ -153,10 +153,39 @@ object Linkage {
       .select("left_id", "right_id", "dist")
   }
 
+  /** Best clean match per dirty record (min distance, then min clean id)
+    * over [[qgramPairs]] candidates — the scale-safe composition of the
+    * classic best-match shape: blocking cardinality grows with the
+    * corpus, so no fixed-cardinality cliff (the benched linkage row uses
+    * this; [[blockedBestMatch]] keeps the equi-block form for callers
+    * whose key genuinely grows with the data). */
+  def qgramBestMatch(dirty: DataFrame, clean: DataFrame,
+                     idCol: String, nameCol: String,
+                     maxDist: Int = 2, q: Int = 3,
+                     maxDf: Option[Int] = None,
+                     maxDfRatio: Option[Double] = None,
+                     countPrune: Boolean = true): DataFrame = {
+    val pairs = qgramPairs(dirty, clean, idCol, nameCol,
+      maxDist, q, maxDf, maxDfRatio, countPrune)
+    val w = Window.partitionBy("left_id").orderBy(col("dist"), col("right_id"))
+    pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .join(dirty.select(col(idCol).as("left_id"), col(nameCol).as("dirty_name")),
+        "left_id")
+      .join(clean.select(col(idCol).as("right_id"), col(nameCol).as("matched_name")),
+        "right_id")
+      .select(col("left_id").as("dirty_id"), col("dirty_name"),
+        col("right_id").as("matched_id"), col("matched_name"), col("dist"))
+  }
+
   /** The classic linkage shape: for every dirty record, the best clean
     * match (min distance, then min clean id) within an equi-join block.
     * `dirty` must carry (idCol → dirty_id rename applied here) and the
-    * block column; candidates never exceed the block join. */
+    * block column; candidates never exceed the block join.
+    *
+    * SCALE WARNING (measured, SCALE.md round 4): with a FIXED-cardinality
+    * block key (nation: 25 values) within-block candidates grow
+    * quadratically — 11× wall at 30× the rows. Use only when the key's
+    * cardinality grows with the data; otherwise [[qgramBestMatch]]. */
   def blockedBestMatch(dirty: DataFrame, clean: DataFrame,
                        blockCol: String, idCol: String, nameCol: String,
                        maxDist: Int = 2): DataFrame = {

@@ -496,40 +496,46 @@ object OperatorQueries {
         |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin),
 
-    // Record linkage — levenshtein fuzzy match with blocking. The dirty
-    // side drops each name's 5th char (edit distance 1 to its source);
-    // candidates are BLOCKED on nation (never |S|² comparisons — at scale
-    // the block key bounds the candidate set), scored by edit distance,
-    // and resolved to the best match by (distance, key) rank.
+    // Record linkage — best clean match per dirty record over q-gram
+    // inverted-index blocking (the SCALE-SAFE best-match form: blocking
+    // cardinality grows with the corpus). Previously benched the
+    // fixed-cardinality nation block, whose within-block candidates grow
+    // quadratically (measured 11× wall at 30× — SCALE.md round 4); the
+    // equi-block form stays available as Linkage.blockedBestMatch with
+    // its cliff documented and LinkageSpec-covered, but no benched query
+    // embeds it. Probes are 200 doubly-perturbed 40-char document
+    // prefixes (distance 2: two dropped chars) resolved to their best
+    // corpus match by (distance, id) rank; the oracle is the exact
+    // probe×corpus restriction.
     "q_fuzzy_match" -> (
       ((s: SparkSession, dir: String) => {
-        val sup = Entities.read(s, dir, "supplier")
-        val dirty = sup.select(
-          col("s_suppkey"),
-          concat(substring(col("s_name"), 1, 4), expr("substring(s_name, 6)"))
-            .as("s_name"),
-          col("s_nationkey"))
-        graft.ops.Linkage.blockedBestMatch(dirty, sup,
-            "s_nationkey", "s_suppkey", "s_name", maxDist = 2)
-          .select(col("dirty_id"), col("dirty_name"),
-            col("clean_id").as("matched_id"),
-            col("clean_name").as("matched_name"), col("dist"))
+        val corpus = docs(s, dir)
+          .select(col("doc_id"), substring(col("text"), 1, 40).as("name"))
+        val dirty = docs(s, dir)
+          .filter(col("doc_id") >= 200 && col("doc_id") < 400).select(
+            col("doc_id"),
+            concat(substring(col("text"), 1, 10), substring(col("text"), 12, 14),
+              substring(col("text"), 27, 14)).as("name"))
+        graft.ops.Linkage.qgramBestMatch(dirty, corpus, "doc_id", "name",
+            maxDist = 2, q = 3, maxDfRatio = Some(0.1), countPrune = false)
           .orderBy("dirty_id")
       }),
-      """WITH dirty AS (
-        |  SELECT s_suppkey AS dirty_id,
-        |         concat(substr(s_name, 1, 4), substr(s_name, 6)) AS dirty_name,
-        |         s_nationkey AS dirty_nation
-        |  FROM supplier),
+      """WITH corpus AS (
+        |  SELECT doc_id, substr(text, 1, 40) AS nm FROM documents),
+        |dirty AS (
+        |  SELECT doc_id AS did,
+        |         concat(substr(text, 1, 10), substr(text, 12, 14),
+        |                substr(text, 27, 14)) AS dn
+        |  FROM documents WHERE doc_id >= 200 AND doc_id < 400),
         |cand AS (
-        |  SELECT d.dirty_id, d.dirty_name, s.s_suppkey, s.s_name,
-        |         CAST(levenshtein(d.dirty_name, s.s_name) AS INT) AS dist
-        |  FROM dirty d JOIN supplier s ON d.dirty_nation = s.s_nationkey
-        |  WHERE levenshtein(d.dirty_name, s.s_name) <= 2)
-        |SELECT dirty_id, dirty_name, s_suppkey AS matched_id,
-        |       s_name AS matched_name, dist
-        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY dirty_id
-        |        ORDER BY dist, s_suppkey) AS rn FROM cand)
+        |  SELECT d.did, d.dn, c.doc_id, c.nm,
+        |         CAST(levenshtein(d.dn, c.nm) AS INT) AS dist
+        |  FROM dirty d CROSS JOIN corpus c
+        |  WHERE levenshtein(d.dn, c.nm) <= 2)
+        |SELECT did AS dirty_id, dn AS dirty_name, doc_id AS matched_id,
+        |       nm AS matched_name, dist
+        |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY did
+        |        ORDER BY dist, doc_id) AS rn FROM cand)
         |WHERE rn = 1 ORDER BY dirty_id""".stripMargin),
 
     // Record linkage — q-gram inverted-index blocking: the SCALABLE

@@ -78,6 +78,22 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("qgramBestMatch resolves each dirty record to min-(dist, id)") {
+    // two clean rows tie at dist 1 from the probe: the lower id wins
+    val c = Seq((1L, "alpha corporation"), (2L, "alpho corporation"),
+      (7L, "alphaa corporation")).toDF("id", "name")
+    val d = Seq((9L, "alpha corporationn")).toDF("id", "name")
+    val out = Linkage.qgramBestMatch(d, c, "id", "name", maxDist = 2).collect()
+    assert(out.length == 1)
+    assert(out.head.getLong(0) == 9L && out.head.getLong(2) == 1L
+      && out.head.getInt(4) == 1)
+    // unmatched dirty records produce no row (same contract as the
+    // blocked form): probe beyond maxDist everywhere
+    val none = Linkage.qgramBestMatch(
+      Seq((10L, "zzz qqq vvv")).toDF("id", "name"), c, "id", "name").collect()
+    assert(none.isEmpty)
+  }
+
   test("blockedBestMatch picks min-(dist, id) per dirty record inside blocks") {
     val c = Seq((1L, "alpha corp", "E"), (2L, "alpha  corp", "E"),
       (3L, "alpha corp", "W")).toDF("id", "name", "region")
