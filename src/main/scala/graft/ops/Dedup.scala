@@ -318,6 +318,65 @@ object Dedup {
     }
   }
 
+  /** [[jaccardPairs]] with the df-cap engaged ADAPTIVELY: one cheap probe
+    * aggregation over the (persisted) shingle index projects the
+    * candidate-join volume, and the cap + bound-prune machinery is paid
+    * only when that volume actually threatens.
+    *
+    * Why: the cap is insurance — measured ~2× fixed premium on a benign
+    * disjoint-vocabulary corpus (extra df join + stats joins) vs a 6–19×
+    * payback when common shingles make Σdf² explode. Candidate generation
+    * produces Σ df·(df−1)/2 ≈ Σdf²/2 rows uncapped; under the cap exactly
+    * the shingles with df ≤ cap contribute, i.e. Σ_{df≤cap} df²/2 — the
+    * probe computes BOTH volumes exactly from one df aggregation and
+    * engages the cap only when the uncapped volume exceeds `engageFactor`
+    * × the capped one (default 4: the cap must delete ≥ 3/4 of the
+    * candidate volume to be worth its premium — measured on the verbatim
+    * ×10 corpus the ratio is 58, on disjoint-vocabulary replicas exactly
+    * 1.0, so the decision is not borderline). A loose bound like cap·Σdf
+    * is NOT used: it over-estimates the capped cost by orders of
+    * magnitude precisely on the corpora where the cap wins. Sums are
+    * taken as doubles: they are projections for a branch decision, and
+    * Σdf² can overflow a long on a corpus where the decision is most
+    * needed.
+    *
+    * EAGER — the probe runs one Spark job at call time (the same contract
+    * as [[lshConfigFor]]-driven auto-sizing: a data-dependent plan CHOICE
+    * cannot be made lazily). The probe walks the compact persisted index
+    * (id + 8-byte hashes), not the corpus text; the chosen branch then
+    * reuses that same cached index frame. */
+  def jaccardPairsAdaptive(docs: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.8,
+                           cap: Int = 50,
+                           engageFactor: Double = 4.0): DataFrame =
+    jaccardPairs(docs, idCol, textCol, n, threshold,
+      maxDf = if (jaccardCapEngages(docs, idCol, textCol, n, cap, engageFactor))
+        Some(cap) else None)
+
+  /** The probe behind [[jaccardPairsAdaptive]] (exposed for specs/tools):
+    * true when the exact uncapped candidate volume Σdf²/2 exceeds
+    * `engageFactor` × the exact capped volume Σ_{df≤cap} df²/2.
+    * One Spark job over the compact index. */
+  private[graft] def jaccardCapEngages(docs: DataFrame, idCol: String,
+                                       textCol: String, n: Int, cap: Int,
+                                       engageFactor: Double): Boolean = {
+    val (index, _) = shingleIndex(docs, idCol, textCol, n)
+    // plain aggregation, deliberately NOT persisted: only the engaged
+    // (rare) branch could reuse the df frame, and paying a cache write on
+    // the common benign path costs more than the engaged branch's one
+    // re-aggregation of the already-cached index saves. The probe's side
+    // effect of materializing the shingle cache BEFORE the self-join is
+    // itself a measured win (the join's two sides otherwise race the
+    // cold cache and compute the index twice).
+    val stats = index.groupBy("shash").agg(count(lit(1)).as("df"))
+      .agg(sum((col("df") * col("df")).cast("double")).as("sum_df2"),
+        sum(when(col("df") <= cap, (col("df") * col("df")).cast("double"))
+          .otherwise(0.0)).as("sum_df2_capped"))
+      .head()
+    if (stats.isNullAt(0)) false // empty corpus: nothing to cap
+    else stats.getDouble(0) > engageFactor * math.max(stats.getDouble(1), 1.0)
+  }
+
   /** Number of minhash functions / LSH bands (rows per band = hashes/bands). */
   val NumHashes = 128
   val NumBands = 32

@@ -276,6 +276,15 @@ object ExtensionQueries {
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold,
         maxDf = Some(50)).orderBy("doc_i", "doc_j")),
 
+    // the adaptive mode: a one-job probe over the shingle index projects
+    // the candidate-join volume and engages the cap only when Σdf²/2
+    // exceeds 4×(cap·Σdf) — on this benign fixture it stays uncapped
+    // (no insurance premium), on a common-shingle corpus it pays the cap
+    // and keeps the measured 19× win; either branch shares this oracle
+    "q_dedup_jaccard_adaptive" -> ((s, dir) =>
+      Dedup.jaccardPairsAdaptive(docs(s, dir), "doc_id", "text", 3,
+        JaccardThreshold, cap = 50).orderBy("doc_i", "doc_j")),
+
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
@@ -858,6 +867,7 @@ object ExtensionQueries {
     // capped candidate generation + exact verify ⇒ exact pair set (see
     // the query comment); the oracle is the uncapped exact computation
     "q_dedup_jaccard_capped" -> jaccardOracle(JaccardThreshold),
+    "q_dedup_jaccard_adaptive" -> jaccardOracle(JaccardThreshold),
 
     "q_dedup_survivors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

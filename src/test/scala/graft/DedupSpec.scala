@@ -54,6 +54,27 @@ class DedupSpec extends SparkSpec {
       "cap=50 on the fixture corpus must not lose pairs, and verify is exact")
   }
 
+  test("adaptive df-cap: stays uncapped on the diverse fixture, engages " +
+    "on a common-shingle corpus, same pairs either way") {
+    // fixture corpus: diverse vocabulary → Σdf²/2 ≪ 4·cap·Σdf → no cap
+    assert(!Dedup.jaccardCapEngages(docs, "doc_id", "text", 3, 50, 4.0))
+    val adaptive = Dedup.jaccardPairsAdaptive(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(adaptive == exact)
+    // pathological corpus: every doc shares one hot prefix, so the hot
+    // shingles' df ≈ |docs| and Σdf² projects far above the capped bound
+    val hot = (0 until 400).map(i =>
+      (i.toLong, s"zz yy xx ww vv uu tt ss unique$i tail$i")).toDF("doc_id", "text")
+    assert(Dedup.jaccardCapEngages(hot, "doc_id", "text", 3, 8, 4.0))
+    val hotAdaptive = Dedup.jaccardPairsAdaptive(hot, "doc_id", "text", 3,
+        0.8, cap = 8).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val hotExact = Dedup.jaccardPairs(hot, "doc_id", "text", 3, 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(hotAdaptive == hotExact) // no qualifying pairs either way here
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on the fixture corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
