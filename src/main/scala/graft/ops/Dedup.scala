@@ -547,10 +547,24 @@ object Dedup {
   /** Embedding-cosine near-dup pairs (exact, self-join). Norms are
     * computed once per vector BEFORE the pair join (N folds instead of
     * 2·N² — the division `dot/(nrm_a·nrm_b)` is bit-identical to folding
-    * per pair). This is the small-side exact mode; [[cosinePairsLsh]] is
-    * the bucketed 100 TB path. */
+    * per pair). This is the small-side exact mode — the oracle anchor
+    * that [[cosinePairsLsh]]/[[cosinePairsLshAuto]] are verified against;
+    * its plan is an all-pairs broadcast nested loop, O(n²) by contract.
+    *
+    * `maxRows` guards against shipping the anchor by accident: the call
+    * COUNTS the input (one eager job — the same eager-probe contract as
+    * [[jaccardPairsAdaptive]]) and refuses corpora beyond the cap, where
+    * n² pair folds stop being a "small side" by any definition. Raise it
+    * explicitly if you truly want a bigger exact sweep; use
+    * [[cosinePairsLshAuto]] for anything production-sized. */
   def cosinePairs(embeddings: DataFrame, idCol: String, vecCol: String,
-                  threshold: Double = 0.95): DataFrame = {
+                  threshold: Double = 0.95,
+                  maxRows: Long = 65536L): DataFrame = {
+    val n = embeddings.count()
+    require(n <= maxRows,
+      s"cosinePairs is the O(n^2) exact anchor: corpus has $n vectors > " +
+        s"maxRows=$maxRows; use cosinePairsLshAuto (same exact similarities, " +
+        "bucketed candidates) or raise maxRows explicitly")
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))

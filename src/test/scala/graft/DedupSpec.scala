@@ -75,6 +75,17 @@ class DedupSpec extends SparkSpec {
     assert(hotAdaptive == hotExact) // no qualifying pairs either way here
   }
 
+  test("cosinePairs refuses corpora beyond maxRows (anchor guard)") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val ex = intercept[IllegalArgumentException] {
+      Dedup.cosinePairs(e, "vec_id", "embedding", 0.95, maxRows = 10L)
+    }
+    assert(ex.getMessage.contains("cosinePairsLshAuto"))
+    // raising the cap explicitly still works
+    assert(Dedup.cosinePairs(e.limit(20), "vec_id", "embedding", -0.99,
+      maxRows = 20L).count() === 20L * 19 / 2)
+  }
+
   test("minhashLshPairs equals exact jaccardPairs on the fixture corpus") {
     val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 3, 0.8)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
