@@ -172,27 +172,23 @@ object Dedup {
     * at build time and recomputed per consumer — widen the window (or
     * materialize intermediate results) if you genuinely compose 5+ corpora
     * in one plan. */
-  private val shingleCacheWindow =
-    new scala.collection.mutable.ArrayDeque[DataFrame]()
   private val MaxCachedShingleFrames = 4
+  private[graft] val shingleCacheWindow = new CacheWindows(MaxCachedShingleFrames)
 
-  private def registerShingleCache(df: DataFrame): Unit =
-    shingleCacheWindow.synchronized {
-      shingleCacheWindow.append(df)
-      while (shingleCacheWindow.length > MaxCachedShingleFrames)
-        shingleCacheWindow.removeHead().unpersist(blocking = false)
-    }
+  private def registerShingleCache(df: DataFrame): DataFrame =
+    shingleCacheWindow.add(df)
 
-  /** Unpersist every shingle frame this object still holds — call when a
-    * long-lived session is done with a dedup workload. */
-  def releaseCaches(): Unit = shingleCacheWindow.synchronized {
-    shingleCacheWindow.foreach(_.unpersist(blocking = false))
-    shingleCacheWindow.clear()
-  }
+  /** Unpersist every shingle frame this object still holds (all
+    * sessions) — call when a long-lived JVM is done with dedup work. */
+  def releaseCaches(): Unit = shingleCacheWindow.releaseAll()
+
+  /** Unpersist only the frames registered by `spark`'s window —
+    * concurrent pipelines in other sessions keep theirs. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    shingleCacheWindow.release(spark)
 
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): (DataFrame, DataFrame) = {
-    import org.apache.spark.storage.StorageLevel
     // Persisted: every consumer walks the index ≥2× (self-join sides,
     // sizes, verify) and the capped-jaccard path up to 9× — without the
     // cache each walk re-tokenizes and re-hashes the corpus text, which
@@ -201,10 +197,8 @@ object Dedup {
     // evictable/spillable under pressure and recomputed on miss — the
     // same posture as [[Reconcile.diff]]'s source/target cache.
     // Residency across calls is bounded by [[registerShingleCache]].
-    val withSh = docs.select(col(idCol).as("id"),
-      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("sh"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    registerShingleCache(withSh)
+    val withSh = registerShingleCache(docs.select(col(idCol).as("id"),
+      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("sh")))
     val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
     val index = withSh.select(col("id"), explode(col("sh")).as("shash"))
     (index, sizes)

@@ -35,29 +35,24 @@ import org.apache.spark.sql.expressions.Window
   */
 object Linkage {
 
-  /** Recently-persisted gram-index frames, bounded (same contract as
-    * Dedup's shingle-cache window: oldest unpersisted on overflow —
-    * worst case a recompute, never a wrong result). The capped right
-    * index is consumed by THREE plan branches (candidate join, kept-gram
+  /** Recently-persisted gram-index frames, bounded and session-keyed
+    * ([[CacheWindows]]: oldest unpersisted on overflow — worst case a
+    * recompute, never a wrong result; concurrent pipelines in separate
+    * sessions keep separate eviction budgets). The capped right index is
+    * consumed by THREE plan branches (candidate join, kept-gram
     * universe, per-record kept counts) and the left by two; without the
     * persist each branch recomputes the gram explosion + df aggregation
     * from the source. */
-  private val cacheWindow = new scala.collection.mutable.ArrayDeque[DataFrame]()
-  private val MaxCachedFrames = 4
+  private[graft] val cacheWindow = new CacheWindows(4)
 
-  private def cached(df: DataFrame): DataFrame = cacheWindow.synchronized {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cacheWindow.append(p)
-    while (cacheWindow.length > MaxCachedFrames)
-      cacheWindow.removeHead().unpersist(false)
-    p
-  }
+  private def cached(df: DataFrame): DataFrame = cacheWindow.add(df)
 
-  /** Drop every frame this module still has persisted. */
-  def releaseCaches(): Unit = cacheWindow.synchronized {
-    cacheWindow.foreach(_.unpersist(false))
-    cacheWindow.clear()
-  }
+  /** Drop every frame this module still has persisted (all sessions). */
+  def releaseCaches(): Unit = cacheWindow.releaseAll()
+
+  /** Drop only the frames registered by `spark`'s window. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    cacheWindow.release(spark)
 
   /** Distinct hashed character q-grams of `s` (length < q ⇒ empty). */
   private def gramHashes(s: Column, q: Int): Column =

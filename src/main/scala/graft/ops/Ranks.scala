@@ -64,26 +64,20 @@ import org.apache.spark.sql.functions._
   */
 object Ranks {
 
-  /** Recently-persisted bucketed rank frames, bounded (same contract as
-    * the Dedup/Linkage cache windows: oldest unpersisted on overflow —
-    * worst case a recompute, never a wrong result WITHIN one action,
-    * since an in-flight action holds its own reference to the frame). */
-  private val cacheWindow = new scala.collection.mutable.ArrayDeque[DataFrame]()
-  private val MaxCachedFrames = 4
+  /** Recently-persisted bucketed rank frames, bounded and session-keyed
+    * ([[CacheWindows]]: oldest unpersisted on overflow — worst case a
+    * recompute, never a wrong result WITHIN one action, since an
+    * in-flight action holds its own reference to the frame). */
+  private[graft] val cacheWindow = new CacheWindows(4)
 
-  private def cached(df: DataFrame): DataFrame = cacheWindow.synchronized {
-    val p = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    cacheWindow.append(p)
-    while (cacheWindow.length > MaxCachedFrames)
-      cacheWindow.removeHead().unpersist(false)
-    p
-  }
+  private def cached(df: DataFrame): DataFrame = cacheWindow.add(df)
 
-  /** Drop every frame this module still has persisted. */
-  def releaseCaches(): Unit = cacheWindow.synchronized {
-    cacheWindow.foreach(_.unpersist(false))
-    cacheWindow.clear()
-  }
+  /** Drop every frame this module still has persisted (all sessions). */
+  def releaseCaches(): Unit = cacheWindow.releaseAll()
+
+  /** Drop only the frames registered by `spark`'s window. */
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+    cacheWindow.release(spark)
 
   /** Append `outCol` = global percent_rank of `valueCol` (descending by
     * default, matching "top fraction" tiering semantics). */
