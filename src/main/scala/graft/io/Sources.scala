@@ -76,7 +76,31 @@ object Sources {
     glob.fold(r)(g => r.option("pathGlobFilter", g)).load(path)
   }
 
-  /** S4 — whole-table JDBC source (reference `dags/utils.py:115-129`). */
+  /** S4 — whole-table JDBC source (reference `dags/utils.py:115-129`).
+    *
+    * DIALECT DELTA (documented because this sandbox can only prove JDBC
+    * against embedded Derby — no egress, no Postgres jar — while the
+    * reference's surface is Postgres): Spark routes per-database type
+    * mapping through its `JdbcDialect` registry keyed by the URL, so the
+    * CODE here is identical for both; what changes underneath, and what a
+    * Postgres deployment should expect vs the Derby-proven behavior:
+    *   - writes: `StringType` maps to TEXT on Postgres vs CLOB on Derby;
+    *     `BooleanType` to BOOLEAN vs SMALLINT-like emulation; unlimited
+    *     `DecimalType` defaults differ (Postgres NUMERIC is unconstrained,
+    *     Derby caps precision at 31 — a decimal(38,x) frame that writes
+    *     on Postgres fails on Derby, which is why the JdbcSpec fixtures
+    *     stay within (31, x)).
+    *   - reads: Postgres TEXT/VARCHAR both surface as `StringType` (no
+    *     width), TIMESTAMPTZ surfaces as `TimestampType` shifted to
+    *     session UTC, and `bytea` as `BinaryType`; Derby has no TZ-aware
+    *     timestamp so that path is untested here.
+    *   - identifiers: both dialects double-quote, but Postgres folds
+    *     UNQUOTED identifiers to lower-case while Derby folds UPPER —
+    *     mixed-case `dbtable` strings that work on one may need quoting
+    *     on the other (this library passes table strings through
+    *     verbatim).
+    * The partitioned/subquery readers below inherit the same dialect
+    * handling unchanged. */
   def jdbcTable(spark: SparkSession, url: String, table: String,
                 props: Map[String, String]): DataFrame = {
     val r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
