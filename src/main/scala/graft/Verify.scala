@@ -19,8 +19,20 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     // Dev-only subset filter, mirroring Bench (full run when unset — the
-    // driver never sets it).
+    // driver never sets it). LOUD when active, plus an on-disk sentinel:
+    // a leaked env var must not let a narrowed dump read as a clean full
+    // run (absent outputs would look like a smaller green suite).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    only.foreach { names =>
+      val skipped = SparkEntry.queries.size - names.size
+      System.err.println(
+        s"[verify] *** SPARK_GRAFT_ONLY ACTIVE: dumping ${names.size} of " +
+          s"${SparkEntry.queries.size} queries ($skipped SKIPPED) — " +
+          "NOT a full verification run ***")
+      Files.writeString(Paths.get(s"$outDir/_PARTIAL_RUN"),
+        s"SPARK_GRAFT_ONLY=${names.toSeq.sorted.mkString(",")}\n" +
+          s"skipped=$skipped\n")
+    }
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>

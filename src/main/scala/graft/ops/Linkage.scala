@@ -23,8 +23,10 @@ import org.apache.spark.sql.expressions.Window
   *     destroys at most q of a string's (len−q+1) q-grams, so a pair at
   *     edit distance ≤ k shares ≥ minLen−q+1−k·q grams — ≥ 1 whenever
   *     minLen ≥ q·(k+1), i.e. every candidate at distance ≤ k lands in
-  *     some shared q-gram block. Strings shorter than q·(k+1) lose the
-  *     guarantee — route them through a length-bucketed exact pass.
+  *     some shared q-gram block. GRAMLESS strings (length < q) are
+  *     routed through an exact length-banded pass inside [[qgramPairs]],
+  *     so they pair correctly; lengths in [q, q·(k+1)) keep their grams
+  *     but not the full pigeonhole guarantee.
   *
   * Like the shingle index (Dedup), grams are xxhash64'd so the self-join
   * shuffles 8-byte keys, and a df-cap bounds the Σdf² of pathological
@@ -140,12 +142,36 @@ object Linkage {
           greatest(col("keep_l"), col("keep_r")) - lit(maxDist * q))
         .select("left_id", "right_id", "c")
     }
-    cands
+    val gramPairs = cands
       .join(names(left, "left"), "left_id")
       .join(names(right, "right"), "right_id")
       .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
       .filter(col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")
+    // exact pass for GRAMLESS strings (length < q ⇒ zero q-grams ⇒
+    // invisible to the inverted index — two identical 2-char names would
+    // otherwise never pair). Any partner of a gramless string has length
+    // ≤ len + maxDist, so both sides filter to that sliver and equi-join
+    // on a length band (left explodes its ±maxDist lengths — no
+    // nested-loop join); requiring one gramless side keeps this disjoint
+    // from the gram path, so the union never double-counts. Cost on a
+    // corpus with no short strings: two empty-after-filter scans.
+    // Lengths in [q, q·(maxDist+1)) keep their grams but not the full
+    // pigeonhole guarantee — that documented soft zone is unchanged.
+    val shortLeft = names(left, "left")
+      .filter(length(col("left_name")) < q + maxDist)
+    val shortRight = names(right, "right")
+      .filter(length(col("right_name")) < q + maxDist)
+    val shortPairs = shortLeft
+      .withColumn("__lb", explode(sequence(
+        greatest(length(col("left_name")) - maxDist, lit(0)),
+        length(col("left_name")) + maxDist)))
+      .join(shortRight.withColumn("__lb", length(col("right_name"))), "__lb")
+      .filter(length(col("left_name")) < q || length(col("right_name")) < q)
+      .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
+      .filter(col("dist") <= maxDist)
+      .select("left_id", "right_id", "dist")
+    gramPairs.unionByName(shortPairs)
   }
 
   /** Best clean match per dirty record (min distance, then min clean id)

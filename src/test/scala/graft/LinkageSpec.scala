@@ -78,6 +78,25 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("gramless short strings pair via the exact length-banded pass") {
+    // strings below q=3 chars have zero q-grams; the inverted index is
+    // blind to them — the advice case: two identical 2-char names must
+    // pair at distance 0
+    val l = Seq((1L, "ab"), (2L, "x"), (3L, "abc")).toDF("id", "name")
+    val r = Seq((10L, "ab"), (11L, "abc"), (12L, "abcd"), (13L, "xz"),
+      (14L, "zzzzzz")).toDF("id", "name")
+    val got = Linkage.qgramPairs(l, r, "id", "name", maxDist = 2)
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    val want = l.select(col("id").as("li"), col("name").as("ln"))
+      .crossJoin(r.select(col("id").as("ri"), col("name").as("rn")))
+      .withColumn("d", levenshtein(col("ln"), col("rn")))
+      .filter(col("d") <= 2).select("li", "ri", "d")
+      .collect().map(x => (x.getLong(0), x.getLong(1)) -> x.getInt(2)).toMap
+    assert(got((1L, 10L)) == 0, "identical 2-char names pair at distance 0")
+    assert(got == want,
+      s"missing=${want.keySet -- got.keySet}, extra=${got.keySet -- want.keySet}")
+  }
+
   test("qgramBestMatch resolves each dirty record to min-(dist, id)") {
     // two clean rows tie at dist 1 from the probe: the lower id wins
     val c = Seq((1L, "alpha corporation"), (2L, "alpho corporation"),
