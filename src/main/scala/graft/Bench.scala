@@ -22,8 +22,20 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
-    // a failed query records -1.0 — NEVER a near-zero "fast" timing
-    def onePass(): Map[String, Double] = queries.map { case (name, fn) =>
+    // a failed query records -1.0 — NEVER a near-zero "fast" timing.
+    // Each pass starts from COLD graft cache windows: operators persist
+    // working frames (shingle/gram indexes, rank buckets) and the query
+    // layer persists small results before their presentational sort
+    // (ResultSort) — without the release, pass 2 of a wrapped query would
+    // read its final ANSWER out of pass 1's cache and min-of-N would
+    // measure a cache hit instead of the query. Within a pass, caches
+    // behave exactly as they would for a user running the suite once.
+    def onePass(): Map[String, Double] = {
+      graft.ops.Dedup.releaseCaches()
+      graft.ops.Linkage.releaseCaches()
+      graft.ops.Ranks.releaseCaches()
+      graft.pipelines.ResultSort.releaseCaches()
+      queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       val ok =
         try {
@@ -37,7 +49,8 @@ object Bench {
             false
         }
       name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
-    }.toMap
+      }.toMap
+    }
     val passes = (1 to runs).map(_ => onePass())
     val best = queries.map { case (name, _) =>
       val ok = passes.map(_(name)).filter(_ >= 0)

@@ -59,14 +59,23 @@ object PlanGate {
   }
 
   def violations(plan: SparkPlan): Seq[String] = {
+    // Unwrap AQE first: under AQE an InMemoryRelation's cachedPlan is an
+    // AdaptiveSparkPlanExec, which is a LEAF for collect/transform — the
+    // real plan hangs off inputPlan, and without this unwrap everything
+    // cached behind a persist() (ResultSort, operator cache windows)
+    // would silently escape the gate.
+    val p = plan match {
+      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case other => other
+    }
     // recurse into cached subtrees — InMemoryRelation.cachedPlan is not a
     // child of the consumer plan, so a funnel hidden behind a persist()
     // would otherwise escape the gate
-    val cachedViolations = plan.collect {
+    val cachedViolations = p.collect {
       case s: org.apache.spark.sql.execution.columnar.InMemoryTableScanExec =>
         violations(s.relation.cachedPlan)
     }.flatten
-    direct(plan) ++ cachedViolations
+    direct(p) ++ cachedViolations
   }
 
   private def direct(plan: SparkPlan): Seq[String] = plan.collect {

@@ -80,13 +80,29 @@ object Dedup {
     * label paths halve per round and convergence needs O(log n) rounds
     * even on chain-shaped components, not O(diameter). Each round is two
     * shuffle joins over the previous generation, and each generation is
-    * `localCheckpoint`ed at the RDD level: the lineage is TRUNCATED every
+    * checkpointed at the RDD level: the lineage is TRUNCATED every
     * round (plan size stays constant — a persist-only loop would embed
     * the prior plan twice per round and grow the tree 2^rounds, stalling
     * the driver's analyzer on deep components), while the RDD handle lets
     * the superseded generation's blocks be explicitly `unpersist`ed, so
     * block-manager residency is still bounded at TWO label generations +
-    * the edge set for the whole run. The fixpoint is unique (elementwise
+    * the edge set for the whole run.
+    *
+    * Checkpoint durability — pick by deployment:
+    *   - `checkpointDir = None` (default): `localCheckpoint`, executor
+    *     storage only. Fastest, right for local mode and short loops;
+    *     losing an executor mid-loop loses non-replicated generation
+    *     blocks WITH their truncated lineage, failing the job (rerun it).
+    *   - `checkpointDir = Some(dir)`: reliable `RDD.checkpoint` into
+    *     `dir` (HDFS/object store via the Hadoop FS API). Each
+    *     generation is persisted, then written to `dir` at its
+    *     materializing action (the persist keeps that from recomputing
+    *     the generation); an executor loss now recovers from the
+    *     checkpoint files, the 100 TB posture. Files for this run stay
+    *     under `dir` until the caller removes them (Spark only
+    *     self-cleans with `spark.cleaner.referenceTracking.cleanCheckpoints`).
+    *
+    * The fixpoint is unique (elementwise
     * min over a lattice), so the result is deterministic regardless of
     * execution order — which is what lets a SQL oracle replay it with a
     * recursive transitive closure.
@@ -97,9 +113,11 @@ object Dedup {
     * final left join — at a realistic dup rate the per-round volume is
     * |near-dup docs|, orders of magnitude below |corpus|. */
   def nearDupClusters(docs: DataFrame, pairs: DataFrame, idCol: String,
-                      maxIters: Int = 25): DataFrame = {
+                      maxIters: Int = 25,
+                      checkpointDir: Option[String] = None): DataFrame = {
     import org.apache.spark.storage.StorageLevel
     val spark = docs.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
     // both orientations from ONE evaluation of the pairs plan: a union of
     // two selects would evaluate the (potentially expensive — a whole
     // jaccard/LSH sweep) pairs lineage once per branch inside the same
@@ -114,7 +132,13 @@ object Dedup {
     def checkpointGen(df: DataFrame)
         : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
       val rdd = df.rdd // external rows: tiny (id, [old,] label) tuples
-      rdd.localCheckpoint()
+      if (checkpointDir.isDefined) {
+        // reliable mode: persist BEFORE checkpoint — the checkpoint write
+        // re-reads the RDD at the materializing action, and without the
+        // persist that re-read recomputes the whole generation
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
       (spark.createDataFrame(rdd, df.schema), rdd)
     }
     // both directions are in `edges`, so src alone covers every touched id
@@ -248,6 +272,16 @@ object Dedup {
                    n: Int = 3, threshold: Double = 0.8,
                    maxDf: Option[Int] = None): DataFrame = {
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
+    jaccardPairsFromIndex(index, sizes, threshold, maxDf)
+  }
+
+  /** Pair generation + verify over an already-built (index, sizes) pair —
+    * the shared tail of [[jaccardPairs]] and [[jaccardPairsAdaptive]], so
+    * the adaptive path builds (and registers in the cache window) its
+    * shingle index exactly ONCE for both the probe and the chosen branch. */
+  private def jaccardPairsFromIndex(index: DataFrame, sizes: DataFrame,
+                                    threshold: Double,
+                                    maxDf: Option[Int]): DataFrame = {
     maxDf match {
       case None =>
         val common = index.as("a")
@@ -342,19 +376,32 @@ object Dedup {
   def jaccardPairsAdaptive(docs: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.8,
                            cap: Int = 50,
-                           engageFactor: Double = 4.0): DataFrame =
-    jaccardPairs(docs, idCol, textCol, n, threshold,
-      maxDf = if (jaccardCapEngages(docs, idCol, textCol, n, cap, engageFactor))
-        Some(cap) else None)
+                           engageFactor: Double = 4.0): DataFrame = {
+    // ONE index build shared by the probe and the chosen branch: building
+    // it per-step registered two aliases of the same plan-keyed cache
+    // entry in the window (burning 2 of the session's slots, and evicting
+    // either alias unpersisted the entry the other relied on)
+    val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
+    jaccardPairsFromIndex(index, sizes, threshold,
+      maxDf = if (capEngagesOnIndex(index, cap, engageFactor)) Some(cap)
+        else None)
+  }
 
   /** The probe behind [[jaccardPairsAdaptive]] (exposed for specs/tools):
     * true when the exact uncapped candidate volume Σdf²/2 exceeds
     * `engageFactor` × the exact capped volume Σ_{df≤cap} df²/2.
-    * One Spark job over the compact index. */
+    * One Spark job over the compact index. Standalone form — builds (and
+    * window-registers) its own index; [[jaccardPairsAdaptive]] instead
+    * probes the single index it already built. */
   private[graft] def jaccardCapEngages(docs: DataFrame, idCol: String,
                                        textCol: String, n: Int, cap: Int,
                                        engageFactor: Double): Boolean = {
     val (index, _) = shingleIndex(docs, idCol, textCol, n)
+    capEngagesOnIndex(index, cap, engageFactor)
+  }
+
+  private def capEngagesOnIndex(index: DataFrame, cap: Int,
+                                engageFactor: Double): Boolean = {
     // plain aggregation, deliberately NOT persisted: only the engaged
     // (rare) branch could reuse the df frame, and paying a cache write on
     // the common benign path costs more than the engaged branch's one
@@ -405,9 +452,7 @@ object Dedup {
     // per side, and the child embeds the 128-hash MinHashSketch
     // aggregation over the exploded index — the expensive stage of the
     // whole sweep (the plan showed it running once per join side)
-    val banded = bandedBuckets(signatures)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerShingleCache(banded)
+    val banded = registerShingleCache(bandedBuckets(signatures))
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -518,10 +563,8 @@ object Dedup {
     // persisted (bounded window): the banded self-join broadcasts one side,
     // so without the persist the 64-bit token-vote signature is computed
     // over the corpus once per join side
-    val sigs = docs.select(col(idCol).as("id"),
-      graft.functions.SimHash64.simhash64(col(textCol)).as("sig"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerShingleCache(sigs)
+    val sigs = registerShingleCache(docs.select(col(idCol).as("id"),
+      graft.functions.SimHash64.simhash64(col(textCol)).as("sig")))
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("v"))
@@ -644,11 +687,9 @@ object Dedup {
     // persisted (bounded window): the bucket self-join evaluates its child
     // once per side (no ReusedExchange across a broadcast build), and the
     // hyperplane projection is tables·planes·dims work per vector
-    val banded = Similarity
+    val banded = registerShingleCache(Similarity
       .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
-      .select("id", "table", "bucket")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    registerShingleCache(banded)
+      .select("id", "table", "bucket"))
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

@@ -80,6 +80,20 @@ object Linkage {
     * every record's discriminative grams at any scale while an absolute
     * cap tuned at sf0.01 missed half the sf0.1 matches). Costs one
     * count() of the right side. */
+  /** (id, name) projection with side-prefixed column names. The inverted
+    * index carries ONLY (id, gram-hash) — 16-byte rows; the candidate
+    * distinct runs over id pairs, and names are re-attached from the
+    * compact (id, name) frames afterwards (distinct-ing rows that carry
+    * both name strings shuffled ~10× the bytes). */
+  private def sideNames(df: DataFrame, side: String,
+                        idCol: String, nameCol: String): DataFrame =
+    df.select(col(idCol).as(s"${side}_id"), col(nameCol).as(s"${side}_name"))
+
+  private def sideIndex(df: DataFrame, side: String,
+                        idCol: String, nameCol: String, q: Int): DataFrame =
+    sideNames(df, side, idCol, nameCol).select(col(s"${side}_id"),
+      explode(gramHashes(col(s"${side}_name"), q)).as("gh"))
+
   def qgramPairs(left: DataFrame, right: DataFrame,
                  idCol: String, nameCol: String,
                  maxDist: Int = 2, q: Int = 3,
@@ -88,29 +102,41 @@ object Linkage {
                  countPrune: Boolean = true): DataFrame = {
     require(maxDf.isEmpty || maxDfRatio.isEmpty,
       "maxDf and maxDfRatio are mutually exclusive")
-    // the inverted index carries ONLY (id, gram-hash) — 16-byte rows; the
-    // candidate distinct runs over id pairs, and names are re-attached
-    // from the compact (id, name) frames afterwards (distinct-ing rows
-    // that carry both name strings shuffled ~10× the bytes)
-    def names(df: DataFrame, side: String): DataFrame =
-      df.select(col(idCol).as(s"${side}_id"), col(nameCol).as(s"${side}_name"))
-    def index(df: DataFrame, side: String): DataFrame =
-      names(df, side).select(col(s"${side}_id"),
-        explode(gramHashes(col(s"${side}_name"), q)).as("gh"))
-    val li = cached(index(left, "left"))
-    val ri0 = index(right, "right")
+    val li = cached(sideIndex(left, "left", idCol, nameCol, q))
+    val ri0 = sideIndex(right, "right", idCol, nameCol, q)
     val cap0 = maxDfRatio
       .map(r => math.max(1L, math.ceil(r * right.count()).toLong).toInt)
       .orElse(maxDf)
-    val ri = cached(cap0 match {
+    val ri = cached(cappedRight(ri0, cap0))
+    pairsFromIndexes(li, ri, left, right, idCol, nameCol,
+      maxDist, q, countPrune)
+  }
+
+  /** The right index restricted to grams with df ≤ cap (identity when no
+    * cap): candidate cost per gram is df_l·df_r, so bounding ONE side
+    * bounds the product; recall contract as in the object scaladoc. */
+  private def cappedRight(ri0: DataFrame, cap0: Option[Int]): DataFrame =
+    cap0 match {
       case None => ri0
       case Some(cap) =>
-        // cap df on ONE side: candidate cost per gram is df_l·df_r, so
-        // bounding the right side bounds the product; recall contract as
-        // in the scaladoc
         ri0.join(ri0.groupBy("gh").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("gh"), "gh")
-    })
+    }
+
+  /** Candidate generation + exact verify over already-built gram
+    * indexes — the shared tail of [[qgramPairs]] and
+    * [[qgramPairsAdaptive]]. BOTH `li` and `ri` (already capped if the
+    * caller wants a cap) must be cache-registered by the caller, exactly
+    * once each — registering an alias of an already-registered plan
+    * burns a window slot and lets one alias's eviction unpersist the
+    * entry the other relies on. */
+  private def pairsFromIndexes(li: DataFrame, ri: DataFrame,
+                               left: DataFrame, right: DataFrame,
+                               idCol: String, nameCol: String,
+                               maxDist: Int, q: Int,
+                               countPrune: Boolean): DataFrame = {
+    def names(df: DataFrame, side: String): DataFrame =
+      sideNames(df, side, idCol, nameCol)
     // shared-gram COUNT per candidate pair (same shuffle as a distinct,
     // but the count feeds an exact pigeonhole prune): an edit destroys at
     // most q grams of either side, so a true pair at distance ≤ k shares
@@ -174,6 +200,86 @@ object Linkage {
     gramPairs.unionByName(shortPairs)
   }
 
+  /** Exact candidate volumes, uncapped and capped: Σ_g df_l(g)·df_r(g)
+    * and Σ_{g: df_r(g) ≤ cap} df_l(g)·df_r(g) — the number of
+    * (left, right) gram co-occurrences the candidate join would generate
+    * without / with the df cap. One Spark job over the two vocab-sized
+    * df aggregates (the indexes are already cache-registered, so the
+    * probe doubles as the eager pre-materialization that spares the
+    * candidate join from racing a cold cache — the same measured win as
+    * [[Dedup.jaccardPairsAdaptive]]'s probe). Doubles: the volumes are a
+    * branch decision, and Σdf_l·df_r can overflow a long exactly on the
+    * corpora where the decision matters. */
+  private def qgramVolumes(li: DataFrame, ri0: DataFrame,
+                           cap: Int): (Double, Double) = {
+    val dfl = li.groupBy("gh").agg(count(lit(1)).cast("double").as("df_l"))
+    val dfr = ri0.groupBy("gh").agg(count(lit(1)).cast("double").as("df_r"))
+    val row = dfl.join(dfr, "gh")
+      .agg(sum(col("df_l") * col("df_r")).as("vol"),
+        sum(when(col("df_r") <= cap, col("df_l") * col("df_r"))
+          .otherwise(0.0)).as("vol_capped"))
+      .head()
+    if (row.isNullAt(0)) (0.0, 0.0) else (row.getDouble(0), row.getDouble(1))
+  }
+
+  /** [[qgramPairs]] with the df cap engaged ADAPTIVELY, by the same
+    * criterion as [[Dedup.jaccardPairsAdaptive]]: one probe job computes
+    * the EXACT candidate volumes with and without the cap, and the cap
+    * machinery (df filter join + the capped-index cache) is paid only
+    * when it deletes at least 1−1/`engageFactor` of the volume. The
+    * round-6 measurement that forced this criterion: an absolute
+    * small-volume threshold is wrong in BOTH directions — on the
+    * tiny-vocab documents fixture the cap wins at every scale (sf0.01:
+    * capped 0.9 s vs uncapped 1.9 s; sf0.1: 3.6 s vs 4.7 s, cap deletes
+    * ~90% of the volume), while on a diverse-vocabulary corpus the cap
+    * deletes ~nothing at ANY volume and its stages are pure tax. Savings,
+    * not size, is the signal. The probe needs `right.count()` for the
+    * ratio cap either way, and its side effect of materializing both
+    * index caches before the candidate join is itself the measured
+    * engaged-path win (0.88 s vs 1.14 s direct-capped at sf0.01).
+    *
+    * Recall: the uncapped branch is the FULL pigeonhole contract — a
+    * superset of the capped branch's recall, so flipping branches can
+    * only add true pairs, never lose one. `countPrune` applies to
+    * whichever branch runs (its payback condition — cap keeps most
+    * grams — is the engaged branch's diverse-vocab case, and on the
+    * uncapped branch every gram is kept, the best case for the bound). */
+  def qgramPairsAdaptive(left: DataFrame, right: DataFrame,
+                         idCol: String, nameCol: String,
+                         maxDist: Int = 2, q: Int = 3,
+                         maxDfRatio: Double = 0.1,
+                         engageFactor: Double = 4.0,
+                         countPrune: Boolean = true): DataFrame = {
+    // ONE index build per side, shared by the probe and the chosen branch
+    val li = cached(sideIndex(left, "left", idCol, nameCol, q))
+    val ri0 = cached(sideIndex(right, "right", idCol, nameCol, q))
+    val cap = math.max(1L, math.ceil(maxDfRatio * right.count()).toLong).toInt
+    val (vol, volCapped) = qgramVolumes(li, ri0, cap)
+    if (vol <= engageFactor * math.max(volCapped, 1.0))
+      pairsFromIndexes(li, ri0, left, right, idCol, nameCol,
+        maxDist, q, countPrune)
+    else {
+      // engaged: the capped index is a THIRD window entry (raw right +
+      // capped right) — the raw cache feeds the cap's own df aggregation
+      // and filter join, which the probe already materialized it for
+      val ri = cached(cappedRight(ri0, Some(cap)))
+      pairsFromIndexes(li, ri, left, right, idCol, nameCol,
+        maxDist, q, countPrune)
+    }
+  }
+
+  /** [[qgramBestMatch]] over [[qgramPairsAdaptive]] candidates — the
+    * benched linkage entry: the cap is paid exactly when the probe
+    * measures it deleting candidate volume, at any scale. */
+  def qgramBestMatchAdaptive(dirty: DataFrame, clean: DataFrame,
+                             idCol: String, nameCol: String,
+                             maxDist: Int = 2, q: Int = 3,
+                             maxDfRatio: Double = 0.1,
+                             engageFactor: Double = 4.0,
+                             countPrune: Boolean = true): DataFrame =
+    bestOf(qgramPairsAdaptive(dirty, clean, idCol, nameCol, maxDist, q,
+      maxDfRatio, engageFactor, countPrune), dirty, clean, idCol, nameCol)
+
   /** Best clean match per dirty record (min distance, then min clean id)
     * over [[qgramPairs]] candidates — the scale-safe composition of the
     * classic best-match shape: blocking cardinality grows with the
@@ -185,9 +291,14 @@ object Linkage {
                      maxDist: Int = 2, q: Int = 3,
                      maxDf: Option[Int] = None,
                      maxDfRatio: Option[Double] = None,
-                     countPrune: Boolean = true): DataFrame = {
-    val pairs = qgramPairs(dirty, clean, idCol, nameCol,
-      maxDist, q, maxDf, maxDfRatio, countPrune)
+                     countPrune: Boolean = true): DataFrame =
+    bestOf(qgramPairs(dirty, clean, idCol, nameCol,
+      maxDist, q, maxDf, maxDfRatio, countPrune), dirty, clean, idCol, nameCol)
+
+  /** Shared best-match selection: min (dist, clean id) per dirty record,
+    * names re-attached from the compact (id, name) frames. */
+  private def bestOf(pairs: DataFrame, dirty: DataFrame, clean: DataFrame,
+                     idCol: String, nameCol: String): DataFrame = {
     val w = Window.partitionBy("left_id").orderBy(col("dist"), col("right_id"))
     pairs.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
       .join(dirty.select(col(idCol).as("left_id"), col(nameCol).as("dirty_name")),

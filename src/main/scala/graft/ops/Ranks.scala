@@ -20,23 +20,24 @@ import org.apache.spark.sql.functions._
   *
   *   1. `groupBy(value).count()` — one map-side-combined shuffle; output
   *      is (value, cnt), two columns regardless of input width.
-  *   2. `repartitionByRange(value).sortWithinPartitions` — a range
-  *      shuffle of the compact frame; equal values collapse into one row
-  *      in step 1, so a run of ties can never straddle a partition
-  *      boundary (the failure mode of naive rank-with-offset schemes).
-  *      The EXPLICIT partition count makes this a REPARTITION_BY_NUM
-  *      shuffle, which AQE never coalesces. The bucketed frame is
-  *      PERSISTED because `spark_partition_id()` over a range exchange
-  *      is only branch-consistent if the exchange is materialized once:
-  *      each physical Exchange instance SAMPLES its own range boundaries
-  *      (from nondeterministically-ordered shuffle reads), so the two
-  *      consumers below (totals and the running-sum window), if planned
-  *      as separate exchanges, can bucket the same value differently and
-  *      corrupt every rank near a boundary — observed as mart tier flips
-  *      clustered exactly at the 0.2/0.5 percent_rank cut lines. The
-  *      persist pins ONE subtree instance (one sampled partitioner) for
-  *      both branches; exchange reuse alone is an optimization, not a
-  *      guarantee.
+  *   2. Split the compact frame into `parts` ORDER-CONTIGUOUS buckets by
+  *      a DETERMINISTIC boundary array computed in-plan: the sample is
+  *      the `32 × parts` distinct values with the smallest
+  *      `(xxhash64(v), v)` — a total, data-independent order, so the
+  *      sampled SET is a pure function of the value set (a distributed
+  *      top-k, single-partition merge bounded by k — a compact protocol,
+  *      not row data). Evenly-strided elements of the sorted sample are
+  *      the boundaries; `bucket(v)` = number of boundaries before `v` in
+  *      sort order. Because the bucket id is a deterministic expression
+  *      over (v, boundaries) — not `spark_partition_id()` over a range
+  *      exchange, whose every physical instance SAMPLES its own
+  *      boundaries — the two consumers below agree on the bucketing EVEN
+  *      IF the frame is recomputed: cache eviction or release can cost a
+  *      recompute, never a wrong result (the round-5 form persisted a
+  *      range exchange precisely because its partition ids were not
+  *      recompute-stable; the persist below is purely a performance
+  *      choice and its eviction is safe). Equal values collapsed in
+  *      step 1, so a tie run can never straddle a bucket boundary.
   *   3. Per-bucket totals collapse into ONE row carrying the sorted
   *      (pid, tot) array — a global aggregate, so its single-partition
   *      exchange moves at most `parts` compact rows (a bounded protocol,
@@ -53,7 +54,15 @@ import org.apache.spark.sql.functions._
   * value is BIT-IDENTICAL to Spark's `percent_rank` window: same rank
   * definition, same `(rank-1)/(n-1)` double division (0.0 when n ≤ 1),
   * same null ordering (nulls last under DESC, first under ASC — Spark's
-  * window defaults).
+  * window defaults; nulls share the edge bucket and the in-bucket sort
+  * places them).
+  *
+  * Bucket balance: the hash-min sample is uniform over distinct values
+  * (xxhash64 is effectively a random permutation), so expected bucket
+  * width is |distinct|/parts with the usual sample-quantile variance —
+  * the same guarantee class as Spark's own RangePartitioner sample. A
+  * skewed bucket degrades parallelism of one window partition, never
+  * correctness.
   *
   * The input is scanned twice (once feeding the count shuffle, once as
   * the join probe) — callers ranking an expensive lineage should persist
@@ -65,9 +74,10 @@ import org.apache.spark.sql.functions._
 object Ranks {
 
   /** Recently-persisted bucketed rank frames, bounded and session-keyed
-    * ([[CacheWindows]]: oldest unpersisted on overflow — worst case a
-    * recompute, never a wrong result WITHIN one action, since an
-    * in-flight action holds its own reference to the frame). */
+    * ([[CacheWindows]]: oldest unpersisted on overflow). Since round 6 the
+    * bucket ids are deterministic expressions (scaladoc step 2), so
+    * eviction or release here is never a wrong result — worst case the
+    * compact frame and its boundary sample are recomputed, bit-identically. */
   private[graft] val cacheWindow = new CacheWindows(4)
 
   private def cached(df: DataFrame): DataFrame = cacheWindow.add(df)
@@ -79,21 +89,64 @@ object Ranks {
   def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
     cacheWindow.release(spark)
 
+  /** Boundary sample size multiplier: 32 sampled values per target bucket
+    * (the same magnitude RangePartitioner uses per partition). */
+  private val SamplePerBucket = 32
+
   /** Append `outCol` = global percent_rank of `valueCol` (descending by
     * default, matching "top fraction" tiering semantics). */
   def globalPercentRank(df: DataFrame, valueCol: String,
                         descending: Boolean = true,
                         outCol: String = "percent_rank"): DataFrame = {
     val spark = df.sparkSession
-    val parts = spark.conf.get("spark.sql.shuffle.partitions", "32").toInt
+    val parts = math.max(
+      spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
     val compact = df.groupBy(col(valueCol).as("__rank_v"))
       .agg(count(lit(1)).as("__rank_cnt"))
     val sortKey = if (descending) col("__rank_v").desc else col("__rank_v").asc
-    // persisted: ONE materialization of the range exchange, so both
-    // consumers below see the same sampled boundaries (scaladoc step 2)
-    val bucketed = cached(compact.repartitionByRange(parts, sortKey)
-      .sortWithinPartitions(sortKey)
-      .withColumn("__rank_pid", spark_partition_id()))
+
+    // Deterministic boundary array (scaladoc step 2): hash-min top-k
+    // sample of the distinct non-null values, sorted, strided down to
+    // ≤ parts-1 boundaries. Every operator here is a pure function of
+    // the value SET (sort_array canonicalizes collect_list's order; the
+    // top-k order (xxhash64(v), v) is total, so ties cannot flip the
+    // sampled set) — a recompute reproduces it bit-identically.
+    val sampled = compact.select(col("__rank_v"))
+      .where(col("__rank_v").isNotNull)
+      .orderBy(xxhash64(col("__rank_v")).asc, col("__rank_v").asc)
+      .limit(SamplePerBucket * parts)
+    val bnds = sampled
+      .agg(sort_array(collect_list(col("__rank_v"))).as("__rank_s"))
+      .select(
+        when(size(col("__rank_s")) === 0, slice(col("__rank_s"), 1, 0))
+          .otherwise(array_distinct(transform(
+            sequence(lit(1), lit(math.max(parts - 1, 1))),
+            i => element_at(col("__rank_s"),
+              greatest(lit(1L),
+                floor(i * size(col("__rank_s")) / lit(parts))).cast("int")))))
+          .as("__rank_bnds"))
+
+    // bucket(v): count of boundaries strictly before v in sort order.
+    // Monotone non-decreasing along sortKey, deterministic. Nulls take
+    // the edge bucket their ordering demands (desc → last, asc → first);
+    // sharing it with extreme values is fine — the in-bucket window sort
+    // separates them.
+    val bucket =
+      if (descending)
+        when(col("__rank_v").isNull, size(col("__rank_bnds")))
+          .otherwise(size(filter(col("__rank_bnds"), b => b > col("__rank_v"))))
+      else
+        when(col("__rank_v").isNull, lit(0))
+          .otherwise(size(filter(col("__rank_bnds"), b => b < col("__rank_v"))))
+
+    // persisted for PERFORMANCE only (one evaluation of the count shuffle
+    // + boundary sample feeds both consumers); a recompute after eviction
+    // re-derives identical bucket ids — see scaladoc step 2.
+    val bucketed = cached(compact
+      .crossJoin(broadcast(bnds))
+      .withColumn("__rank_pid", bucket)
+      .drop("__rank_bnds")
+      .repartition(parts, col("__rank_pid")))
 
     // one row: the sorted (pid, tot) array — ≤ `parts` structs
     val totals = bucketed.groupBy("__rank_pid")

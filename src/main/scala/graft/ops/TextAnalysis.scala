@@ -262,8 +262,14 @@ object TextAnalysis {
     * the window form shuffles the full (doc, token, tf) frame by token
     * and concentrates every occurrence of a hot token ("the") into one
     * partition — a skew magnet at corpus scale. The df frame is
-    * vocab-sized (one row per distinct token), so the join back is
-    * map-side. The df branch does NOT re-tokenize the corpus: both
+    * vocab-sized (one row per distinct token) and carries NO broadcast
+    * hint: a 100 TB corpus's vocabulary (typos, ids, numerics) can run to
+    * billions of tokens, where a forced broadcast would exceed driver
+    * memory and Spark's broadcast limit — the planner (AQE) picks BHJ
+    * when the vocab measures small and a token-partitioned shuffle join
+    * otherwise, and the skew fix never depended on the hint (the groupBy
+    * removed the hot-token window). The df branch does NOT re-tokenize
+    * the corpus: both
     * branches share the identical `Exchange hashpartitioning(id, token)`
     * under the (doc, token) aggregate, which ReuseExchange dedupes — the
     * tokenize+explode scan runs once (plan-audited: one ReusedExchange
@@ -286,7 +292,7 @@ object TextAnalysis {
     val w = Window.partitionBy(idCol)
       .orderBy(col("weight").desc, col("token").asc)
     counts
-      .join(broadcast(dfByToken), "token")
+      .join(dfByToken, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("weight",
         (col("tf") * col("n_docs")).cast("double") / col("df"))

@@ -264,8 +264,9 @@ object ExtensionQueries {
       Dedup.exactByKey(docs(s, dir), Seq("text"), "doc_id").orderBy("keep_id")),
 
     "q_dedup_jaccard" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
-        .orderBy("doc_i", "doc_j")),
+      ResultSort.sortedSmall(
+        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold),
+        col("doc_i"), col("doc_j"))),
 
     // the df-capped 100 TB mode, sharing the exact oracle: candidate
     // generation skips shingles with df > 50, the verify is exact over the
@@ -273,17 +274,20 @@ object ExtensionQueries {
     // exceeds the cap — near-dups at J ≥ 0.8 share their (mostly rare)
     // shingles, so the cap provably loses nothing here (spec-checked too)
     "q_dedup_jaccard_capped" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold,
-        maxDf = Some(50)).orderBy("doc_i", "doc_j")),
+      ResultSort.sortedSmall(
+        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold,
+          maxDf = Some(50)), col("doc_i"), col("doc_j"))),
 
     // the adaptive mode: a one-job probe over the shingle index projects
-    // the candidate-join volume and engages the cap only when Σdf²/2
-    // exceeds 4×(cap·Σdf) — on this benign fixture it stays uncapped
+    // the candidate-join volume and engages the cap only when the exact
+    // uncapped volume Σdf²/2 exceeds 4× the exact capped volume
+    // Σ_{df≤cap}df²/2 — on this benign fixture it stays uncapped
     // (no insurance premium), on a common-shingle corpus it pays the cap
     // and keeps the measured 19× win; either branch shares this oracle
     "q_dedup_jaccard_adaptive" -> ((s, dir) =>
-      Dedup.jaccardPairsAdaptive(docs(s, dir), "doc_id", "text", 3,
-        JaccardThreshold, cap = 50).orderBy("doc_i", "doc_j")),
+      ResultSort.sortedSmall(
+        Dedup.jaccardPairsAdaptive(docs(s, dir), "doc_id", "text", 3,
+          JaccardThreshold, cap = 50), col("doc_i"), col("doc_j"))),
 
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
@@ -291,9 +295,10 @@ object ExtensionQueries {
 
     "q_dedup_filtered" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.removeNearDups(d,
-        Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
-        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")
+      ResultSort.sortedSmall(
+        Dedup.removeNearDups(d,
+          Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
+          .select("doc_id", "lang", "source", "n_chars"), col("doc_id"))
     }),
 
     // transitive clustering of the near-dup graph (connected components):
@@ -307,18 +312,18 @@ object ExtensionQueries {
     }),
 
     "q_dedup_minhash_lsh" -> ((s, dir) =>
-      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold)
-        .orderBy("doc_i", "doc_j")),
+      ResultSort.sortedSmall(
+        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3,
+          JaccardThreshold), col("doc_i"), col("doc_j"))),
 
     // incremental ingestion dedup: the odd-id "new batch" checked against
     // the even-id "existing corpus" with a bipartite banded join — the
     // |batch|-proportional form that replaces corpus re-pairing at 100 TB
     "q_dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      Dedup.minhashLshCrossPairs(
+      ResultSort.sortedSmall(Dedup.minhashLshCrossPairs(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", 3, JaccardThreshold)
-        .orderBy("doc_i", "doc_j")
+        "doc_id", "text", 3, JaccardThreshold), col("doc_i"), col("doc_j"))
     }),
 
     // the embedding-side incremental form: a 10% "new batch"
@@ -335,19 +340,20 @@ object ExtensionQueries {
     // oracle row returns one real cross pair per plant.
     "q_dedup_cosine_incremental" -> ((s, dir) => {
       val e = embWithPlantedCross(s, dir)
-      Dedup.cosineCrossPairsLshAuto(
+      ResultSort.sortedSmall(Dedup.cosineCrossPairsLshAuto(
         e.filter(col("vec_id") % 10 =!= 1), e.filter(col("vec_id") % 10 === 1),
-        "vec_id", "embedding", CosineThresholdProd)
-        .orderBy("vec_i", "vec_j")
+        "vec_id", "embedding", CosineThresholdProd), col("vec_i"), col("vec_j"))
     }),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3)
-        .orderBy("doc_i", "doc_j")),
+      ResultSort.sortedSmall(
+        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3),
+        col("doc_i"), col("doc_j"))),
 
     "q_dedup_cosine" -> ((s, dir) =>
-      Dedup.cosinePairs(emb(s, dir), "vec_id", "embedding", CosineThreshold)
-        .orderBy("vec_i", "vec_j")),
+      ResultSort.sortedSmall(
+        Dedup.cosinePairs(emb(s, dir), "vec_id", "embedding", CosineThreshold),
+        col("vec_i"), col("vec_j"))),
 
     // the bucketed scale path at its PRODUCTION operating point: tight
     // threshold (0.9), 16 tables × 8 planes — buckets actually prune, so
@@ -365,8 +371,9 @@ object ExtensionQueries {
     // 30× replica it is what keeps the sweep linear instead of the
     // measured 102× fixed-config blow-up (SCALE.md round 4).
     "q_dedup_cosine_lsh" -> ((s, dir) =>
-      Dedup.cosinePairsLshAuto(embWithPlanted(s, dir), "vec_id", "embedding",
-        CosineThresholdProd).orderBy("vec_i", "vec_j")),
+      ResultSort.sortedSmall(
+        Dedup.cosinePairsLshAuto(embWithPlanted(s, dir), "vec_id", "embedding",
+          CosineThresholdProd), col("vec_i"), col("vec_j"))),
 
     // ── similarity search ────────────────────────────────────────────
     "q_sim_bruteforce_topk" -> ((s, dir) => {
@@ -588,22 +595,21 @@ object ExtensionQueries {
     // shared-shingle fraction of the EVAL doc's shingles
     "q_contam_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
-      Contamination.containmentPairs(
+      ResultSort.sortedSmall(Contamination.containmentPairs(
         d.filter(col("doc_id") % ContamEvalMod =!= 0),
         d.filter(col("doc_id") % ContamEvalMod === 0),
-        "doc_id", "text", 3, ContamThreshold)
-        .orderBy("eval_id", "train_id")
+        "doc_id", "text", 3, ContamThreshold),
+        col("eval_id"), col("train_id"))
     }),
 
     "q_contam_summary" -> ((s, dir) => {
       val d = docs(s, dir)
       val eval = d.filter(col("doc_id") % ContamEvalMod === 0)
-      Contamination.evalSummary(eval,
+      ResultSort.sortedSmall(Contamination.evalSummary(eval,
         Contamination.containmentPairs(
           d.filter(col("doc_id") % ContamEvalMod =!= 0), eval,
           "doc_id", "text", 3, ContamThreshold),
-        "doc_id")
-        .orderBy("eval_id")
+        "doc_id"), col("eval_id"))
     }),
 
     // ── token-budget sequence packing ────────────────────────────────

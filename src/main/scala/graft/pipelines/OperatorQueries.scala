@@ -516,9 +516,15 @@ object OperatorQueries {
             col("doc_id"),
             concat(substring(col("text"), 1, 10), substring(col("text"), 12, 14),
               substring(col("text"), 27, 14)).as("name"))
-        graft.ops.Linkage.qgramBestMatch(dirty, corpus, "doc_id", "name",
-            maxDist = 2, q = 3, maxDfRatio = Some(0.1), countPrune = false)
-          .orderBy("dirty_id")
+        // adaptive: a one-job probe measures the cap's candidate-volume
+        // savings and pays the cap stages only when they delete ≥ 3/4 of
+        // the volume — on this tiny-vocab fixture the cap wins at every
+        // scale (measured: the probe's cache pre-materialization makes
+        // engaged-adaptive faster than even the direct capped call)
+        ResultSort.sortedSmall(
+          graft.ops.Linkage.qgramBestMatchAdaptive(dirty, corpus, "doc_id",
+            "name", maxDist = 2, q = 3, maxDfRatio = 0.1, countPrune = false),
+          col("dirty_id"))
       }),
       """WITH corpus AS (
         |  SELECT doc_id, substr(text, 1, 40) AS nm FROM documents),
@@ -558,12 +564,16 @@ object OperatorQueries {
           col("doc_id"),
           concat(substring(col("text"), 1, 6), substring(col("text"), 8, 33))
             .as("name"))
-        graft.ops.Linkage.qgramPairs(dirty, corpus, "doc_id", "name",
-            maxDist = 2, q = 3, maxDfRatio = Some(0.1),
-            // tiny-vocab fixture: the cap leaves ~6 grams/record, so the
-            // count-prune bound is ~0 and its joins are pure overhead
-            countPrune = false)
-          .orderBy("left_id", "right_id")
+        // adaptive: the probe engages the ratio cap exactly when it
+        // measures the cap deleting candidate volume — here the cap
+        // deletes ~90% at every scale, so the capped branch runs with
+        // both index caches pre-materialized (tiny-vocab fixture: the
+        // cap leaves ~6 grams/record, so the count-prune bound is ~0 and
+        // its joins are pure overhead — countPrune stays off)
+        ResultSort.sortedSmall(
+          graft.ops.Linkage.qgramPairsAdaptive(dirty, corpus, "doc_id", "name",
+            maxDist = 2, q = 3, maxDfRatio = 0.1, countPrune = false),
+          col("left_id"), col("right_id"))
       }),
       """WITH corpus AS (
         |  SELECT doc_id, substr(text, 1, 40) AS nm FROM documents),

@@ -139,6 +139,30 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("nearDupClusters reliable-checkpoint mode (checkpointDir set) " +
+       "matches the localCheckpoint default") {
+    // the 100 TB posture: RDD.checkpoint into a real directory, so an
+    // executor loss mid-loop recovers from files instead of failing the
+    // job (the localCheckpoint default documents that failure mode)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    try {
+      val d = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L)).toDF("doc_id")
+      val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
+        .toDF("doc_i", "doc_j")
+      val out = Dedup.nearDupClusters(d, pairs, "doc_id",
+          checkpointDir = Some(dir))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(out == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 5L -> 1L,
+        10L -> 10L, 11L -> 10L, 20L -> 20L))
+      // the loop really checkpointed reliably: generation files exist
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
+      assert(wrote, s"no rdd-* checkpoint dirs under $dir")
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("nearDupClusters converges on a 300-node chain in logarithmic " +
        "rounds with constant-size plans (lineage truncated per round)") {
     // a worst-case diameter component: pointer jumping needs ~log2(300)≈9

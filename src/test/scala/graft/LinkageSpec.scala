@@ -78,6 +78,35 @@ class LinkageSpec extends SparkSpec {
     }
   }
 
+  test("qgramPairsAdaptive: both branches equal the exact all-pairs " +
+       "restriction on the fixture") {
+    val want = dirty.select(col("id").as("l"), col("name").as("ln"))
+      .crossJoin(clean.select(col("id").as("r"), col("name").as("rn")))
+      .withColumn("d", levenshtein(col("ln"), col("rn")))
+      .filter(col("d") <= 2).select("l", "r", "d")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // forced fast path: an astronomically-high engage factor keeps the
+    // cap off regardless of measured savings
+    val fast = Linkage.qgramPairsAdaptive(dirty, clean, "id", "name",
+        maxDist = 2, engageFactor = 1e18)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    // forced engage: engageFactor = 0 sends even this fixture down the
+    // ratio-capped path (cap 0.9·5 ⇒ prunes nothing here)
+    val engaged = Linkage.qgramPairsAdaptive(dirty, clean, "id", "name",
+        maxDist = 2, maxDfRatio = 0.9, engageFactor = 0.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(want.nonEmpty && fast == want && engaged == want)
+  }
+
+  test("qgramBestMatchAdaptive matches qgramBestMatch on the fixture") {
+    val base = Linkage.qgramBestMatch(dirty, clean, "id", "name", maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    val adaptive = Linkage.qgramBestMatchAdaptive(dirty, clean, "id", "name",
+        maxDist = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getInt(4))).toSet
+    assert(base.nonEmpty && adaptive == base)
+  }
+
   test("gramless short strings pair via the exact length-banded pass") {
     // strings below q=3 chars have zero q-grams; the inverted index is
     // blind to them — the advice case: two identical 2-char names must
