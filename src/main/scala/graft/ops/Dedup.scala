@@ -278,7 +278,34 @@ object Dedup {
   /** Pair generation + verify over an already-built (index, sizes) pair —
     * the shared tail of [[jaccardPairs]] and [[jaccardPairsAdaptive]], so
     * the adaptive path builds (and registers in the cache window) its
-    * shingle index exactly ONCE for both the probe and the chosen branch. */
+    * shingle index exactly ONCE for both the probe and the chosen branch.
+    *
+    * WHY THE SELF-JOIN'S EXCHANGE IS NOT REUSED (the executed plan shows
+    * two `Generate` nodes over the same shingle lineage): a Spark 4.1
+    * limitation, root-caused in round 6. Under AQE each scan of a cached
+    * relation becomes a `TableCacheQueryStageExec`, and unlike
+    * `ExchangeQueryStageExec` that class does NOT override
+    * `doCanonicalize()` — it canonicalizes with its stage id and raw plan
+    * reference intact, so two cache-scan stages over the SAME
+    * `InMemoryRelation` never compare canonically equal and every
+    * exchange above a cached subtree misses AQE's stage cache. Minimal
+    * bisect in `tools/MiniReuseProbe`: reuse fires in the AQE-off and
+    * uncached combos, never in AQE+cache — no plan shape on our side can
+    * change it. The formalized mitigation is the adaptive probe's EAGER
+    * PRE-MATERIALIZATION of the compact cache before the self-join
+    * (NOTES_r5: without it the join's two sides race the cold cache and
+    * each computes the index — the BlockManager lock convoy): both
+    * Generate instances then read warm cached blocks, which costs far
+    * less than either exchange. The obvious alternative — cache the
+    * index REPARTITIONED by `shash` so every consumer reads it
+    * pre-partitioned and no exchange is planned at all — was built and
+    * REJECTED on a pinned same-window A/B: the extra shuffle + columnar
+    * cache build of the full exploded index costs more than the planned
+    * exchanges save wherever the cap actually engages (v10 verbatim
+    * capped: 6.4 s plain vs 10.8 s partitioned, min of 3 each; x100
+    * disjoint FORCED-capped: 114 s vs 104 s, but adaptive never chooses
+    * capped there; x100 uncapped regressed 30 s → 94 s). Numbers in
+    * NOTES_r6.md. */
   private def jaccardPairsFromIndex(index: DataFrame, sizes: DataFrame,
                                     threshold: Double,
                                     maxDf: Option[Int]): DataFrame = {
@@ -380,7 +407,9 @@ object Dedup {
     // ONE index build shared by the probe and the chosen branch: building
     // it per-step registered two aliases of the same plan-keyed cache
     // entry in the window (burning 2 of the session's slots, and evicting
-    // either alias unpersisted the entry the other relied on)
+    // either alias unpersisted the entry the other relied on). The probe
+    // aggregates the compact cache, which doubles as the eager
+    // pre-materialization the uncapped self-join needs (NOTES_r5).
     val (index, sizes) = shingleIndex(docs, idCol, textCol, n)
     jaccardPairsFromIndex(index, sizes, threshold,
       maxDf = if (capEngagesOnIndex(index, cap, engageFactor)) Some(cap)

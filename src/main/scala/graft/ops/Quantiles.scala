@@ -97,21 +97,41 @@ object Quantiles {
   private def selectManyKth(df: DataFrame, valueCol: String, ks: Seq[Long],
                             initLo: Long, initHi: Long, n: Long,
                             bins: Int): Map[Long, Long] = {
-    val spark = df.sparkSession
-    import spark.implicits._
     ks.foreach { k =>
       require(k >= 1, s"k must be >= 1, got $k")
       require(k <= n, s"k=$k exceeds count=$n")
     }
+    selectManyFromState(df, valueCol,
+      ks.distinct.map(k => k -> ((initLo, initHi, k))).toMap, bins)
+  }
+
+  /** The refinement loop over EXPLICIT per-rank state — each entry is
+    * `rank -> (lo, hi, kk)` asserting "the global `rank`-th value is the
+    * `kk`-th smallest of the values in [lo, hi]". [[selectManyKth]] seeds
+    * every rank with the full range; [[exactQuantilesSeeded]] seeds each
+    * rank with a sketch-narrowed bracket. Ranges spanning both signs are
+    * split at zero first (one shared broadcast-join count job) so
+    * `(hi - lo)` and `(v - lo)` can't overflow. */
+  private def selectManyFromState(df: DataFrame, valueCol: String,
+                                  state0: Map[Long, (Long, Long, Long)],
+                                  bins: Int): Map[Long, Long] = {
+    val spark = df.sparkSession
+    import spark.implicits._
     val v = col(valueCol).cast("long")
-    // per-rank state: remaining range and in-range rank
-    // (a range spanning both signs can overflow (hi-lo) and (v-lo):
-    // split at zero first with one shared count job)
-    var state = ks.distinct.map(k => k -> (initLo, initHi, k)).toMap
-    if (initLo < 0 && initHi > 0) {
-      val nNeg = df.filter(v >= initLo && v < 0).count()
-      state = state.map { case (k, (lo, hi, kk)) =>
-        k -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
+    var state = state0
+    val straddling = state.filter { case (_, (lo, hi, _)) => lo < 0 && hi > 0 }
+    if (straddling.nonEmpty) {
+      val negRanges = straddling.map { case (k, (lo, _, _)) => (k, lo) }
+        .toSeq.toDF("qk", "nlo")
+      val negCounts = df.select(v.as("__v")).filter(col("__v") < 0)
+        .join(broadcast(negRanges), col("__v") >= col("nlo"))
+        .groupBy("qk").agg(count(lit(1)).as("c"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      state = state.map {
+        case (k, (lo, hi, kk)) if lo < 0 && hi > 0 =>
+          val nNeg = negCounts.getOrElse(k, 0L)
+          k -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
+        case other => other
       }
     }
     while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
@@ -153,6 +173,98 @@ object Quantiles {
     val ks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
     val selected = selectManyKth(df, valueCol, ks, lo, hi, n, bins = 1024)
     qs.zip(ks).map { case (q, k) => q -> selected(k) }
+  }
+
+  /** [[exactQuantiles]] accelerated by a one-pass GK sketch — SAME exact
+    * result, fewer scans on wide-range columns.
+    *
+    * The plain refinement needs ⌈log₁₀₂₄(range)⌉ full-column passes — up
+    * to 7 when the value range spans 64 bits (ids, hashes, timestamps in
+    * nanos). This variant first runs Spark's `approxQuantile`
+    * (Greenwald–Khanna, deterministic rank guarantee: the value returned
+    * for quantile φ has exact rank within ±ε·n of φ·n) at φ = q ∓ 2ε to
+    * BRACKET each target value, then verifies the bracket with one exact
+    * counting job and runs the refinement inside it — usually a 1-pass
+    * range. Correctness never rests on the sketch: a bracket the count
+    * job disproves (or NaN from an all-null projection) falls back to the
+    * full range for that rank, so the output is bit-identical to
+    * [[exactQuantiles]] in every case.
+    *
+    * Job count: 1 bounds + 1 sketch + 1 bracket-verify + ~1 refinement
+    * vs 1 bounds + up-to-7 refinements — worth it exactly when the range
+    * is wide and the cluster is large (each pass is a full scan); for
+    * narrow ranges (e.g. document lengths, ≤ 2 passes) the constant-factor
+    * difference is noise. The doubles inside the sketch cannot break
+    * exactness above 2⁵³ either — bracket endpoints are widened by one ulp
+    * before use. */
+  def exactQuantilesSeeded(df: DataFrame, valueCol: String, qs: Seq[Double],
+                           relativeError: Double = 0.01,
+                           bins: Int = 1024): Seq[(Double, Long)] = {
+    require(relativeError > 0 && relativeError < 0.25,
+      s"relativeError out of (0, 0.25): $relativeError")
+    qs.foreach(q => require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val (lo, hi, n) = bounds(df, valueCol)
+    val ks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
+    val ksDistinct = ks.distinct
+    val qByK = qs.zip(ks).toMap.map(_.swap) // any representative q per rank
+
+    // one GK pass brackets every rank: sketch at φ = q ∓ 2ε, so the
+    // bracket endpoints' true ranks sit at least ε·n beyond the target
+    // on each side (clamped at the extremes to the exact global bounds)
+    val v = col(valueCol).cast("long")
+    val probes = ksDistinct.flatMap { k =>
+      val q = qByK(k)
+      Seq(math.max(0.0, q - 2 * relativeError),
+        math.min(1.0, q + 2 * relativeError))
+    }
+    val sketch = df.select(v.cast("double").as("__d"))
+      .stat.approxQuantile("__d", probes.toArray, relativeError)
+    val brackets = ksDistinct.zipWithIndex.map { case (k, i) =>
+      k -> ((bracketLong(sketch(2 * i), lo, hi, up = false),
+        bracketLong(sketch(2 * i + 1), lo, hi, up = true)))
+    }.toMap
+
+    // one exact job verifies every bracket: below = #{v < blo},
+    // inRange = #{blo ≤ v ≤ bhi}; the global k-th value lies in the
+    // bracket iff 1 ≤ k − below ≤ inRange, and then it is the
+    // (k − below)-th smallest there
+    val ranges = brackets.toSeq.map { case (k, (blo, bhi)) => (k, blo, bhi) }
+      .toDF("qk", "blo", "bhi")
+    val cnts = df.select(v.as("__v")).join(broadcast(ranges),
+        col("__v") <= col("bhi"))
+      .groupBy("qk").agg(
+        sum(when(col("__v") < col("blo"), 1L).otherwise(0L)).as("below"),
+        sum(when(col("__v") >= col("blo"), 1L).otherwise(0L)).as("inRange"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+
+    val state = ksDistinct.map { k =>
+      val (blo, bhi) = brackets(k)
+      val (below, inRange) = cnts.getOrElse(k, (0L, 0L))
+      val kk = k - below
+      if (kk >= 1 && kk <= inRange) k -> ((blo, bhi, kk))
+      else k -> ((lo, hi, k)) // sketch bracket disproved: exact fallback
+    }.toMap
+    val selected = selectManyFromState(df, valueCol, state, bins)
+    qs.zip(ks).map { case (q, k) => q -> selected(k) }
+  }
+
+  /** Clamp a sketch double to a widened long bound inside [lo, hi]:
+    * ±one ulp of padding absorbs the double's representation error (a
+    * long above 2⁵³ rounds by up to 1024 when cast), then floor/ceil
+    * keeps the bracket a superset. NaN (all-null projection) falls to
+    * the exact global bound. */
+  private def bracketLong(d: Double, lo: Long, hi: Long, up: Boolean): Long = {
+    if (d.isNaN) { if (up) hi else lo }
+    else {
+      val pad = math.max(1.0, math.ulp(d))
+      val x = if (up) d + pad else d - pad
+      if (x >= hi.toDouble) hi
+      else if (x <= lo.toDouble) lo
+      else if (up) math.ceil(x).toLong
+      else math.floor(x).toLong
+    }
   }
 
   /** Exact per-group quantile at rank ⌈q·n_g⌉ — the scalable form of a

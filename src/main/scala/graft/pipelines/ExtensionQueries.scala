@@ -678,6 +678,21 @@ object ExtensionQueries {
         .orderBy("metric")
     }),
 
+    // the sketch-SEEDED exact selection: a one-pass GK sketch brackets
+    // each target value, one counting job verifies the bracket, and the
+    // refinement runs inside it — bit-identical output (this entry shares
+    // the exact rank-definition oracle below), fewer full scans on
+    // wide-range columns; an invalid bracket falls back to the full
+    // range, so the sketch can speed up but never corrupt
+    "q_text_length_quantiles_seeded" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Quantiles
+        .exactQuantilesSeeded(docs(s, dir), "n_chars", Seq(0.50, 0.90, 0.99))
+        .map { case (q, v) => (f"p${(q * 100).toInt}%02d", v) }
+        .toDF("metric", "value")
+        .orderBy("metric")
+    }),
+
     // quantile-threshold sweep: keep docs at or above the corpus median
     // length — the Quantiles selection composed as a filter cutoff (the
     // scalar is computed by distributed selection, never a global sort)
@@ -1399,6 +1414,22 @@ object ExtensionQueries {
     // percentile-disc semantics at rank ⌈q·n⌉ — both engines evaluate the
     // same IEEE ceil(q*n), so the rank is identical
     "q_text_length_quantiles" ->
+      """WITH s AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
+        |           FROM documents),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT * FROM (
+        |  SELECT 'p50' AS metric, s.n_chars AS value FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'p90', s.n_chars FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.90 * n) AS BIGINT))
+        |  UNION ALL
+        |  SELECT 'p99', s.n_chars FROM s, n
+        |  WHERE rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)))
+        |ORDER BY metric""".stripMargin,
+
+    // the seeded path must be BIT-IDENTICAL to the exact one — same oracle
+    "q_text_length_quantiles_seeded" ->
       """WITH s AS (SELECT n_chars, ROW_NUMBER() OVER (ORDER BY n_chars) AS rn
         |           FROM documents),
         |n AS (SELECT COUNT(*) AS n FROM documents)

@@ -34,6 +34,43 @@ class QuantilesSpec extends SparkSpec {
       }
   }
 
+  test("seeded selection is bit-identical to exact on the fixture") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val qs = Seq(0.5, 0.9, 0.99)
+    assert(Quantiles.exactQuantilesSeeded(docs, "n_chars", qs) ===
+      Quantiles.exactQuantiles(docs, "n_chars", qs))
+  }
+
+  test("seeded selection survives pathological data: signs, dups, extremes") {
+    // values straddling zero (the overflow split), heavy duplicates, and
+    // both 64-bit extremes — the bracket-widening and saturation paths
+    val vals = Seq(Long.MinValue, -7L, -7L, -7L, 0L, 0L, 3L, 3L, 3L, 3L,
+      999999999999L, Long.MaxValue, Long.MaxValue)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val qs = Seq(0.05, 0.25, 0.5, 0.75, 1.0)
+    Quantiles.exactQuantilesSeeded(df, "v", qs, relativeError = 0.05)
+      .foreach { case (q, v) =>
+        val k = math.max(1L, math.ceil(q * vals.length).toLong).toInt
+        assert(v === sorted(k - 1), s"q=$q")
+      }
+  }
+
+  test("seeded selection stays exact at clamped extremes and coarse sketch error") {
+    // near-maximal relativeError on a tiny frame: probe quantiles clamp at
+    // 0 and 1 and brackets get wide — exactness must not depend on the
+    // sketch being any good (the bracket-verify job re-anchors every rank)
+    val vals = (1L to 50L) ++ Seq(-1000000L, 1000000L)
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val qs = Seq(0.02, 0.5, 0.98)
+    Quantiles.exactQuantilesSeeded(df, "v", qs, relativeError = 0.2)
+      .foreach { case (q, v) =>
+        val k = math.max(1L, math.ceil(q * vals.length).toLong).toInt
+        assert(v === sorted(k - 1), s"q=$q")
+      }
+  }
+
   test("groupedExactQuantile reproduces per-group rank medians exactly") {
     // groups of very different sizes, duplicates, negatives, and a NULL
     // group key; compare against a driver-side rank computation
