@@ -6,10 +6,14 @@ import org.apache.spark.sql.functions._
 /** Dev tool: time the q-gram linkage variants on the q_fuzzy_qgram
   * fixture — old direct-capped path vs adaptive (fast / engaged branch)
   * vs plain uncapped — to pick the adaptive `smallVolume` threshold from
-  * measurement. args: [sfDir]. */
+  * measurement. args: [sfDir [variantSubstrings [runs]]] — variants is a
+  * comma-list matched by substring against the tags below (default:
+  * all), runs per variant (default 3). */
 object LinkTime {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"
+    val only = if (args.length > 1) args(1).split(",").toSeq else Nil
+    val runs = if (args.length > 2) args(2).toInt else 3
     val spark = SparkSession.builder()
       .master("local[32]")
       .config("spark.sql.shuffle.partitions", 32)
@@ -23,7 +27,8 @@ object LinkTime {
       col("doc_id"),
       concat(substring(col("text"), 1, 6), substring(col("text"), 8, 33)).as("name"))
     def time(tag: String)(f: => DataFrame): Unit = {
-      (1 to 3).foreach { i =>
+      if (only.nonEmpty && !only.exists(tag.contains)) return
+      (1 to runs).foreach { i =>
         graft.ops.Linkage.releaseCaches()
         val t0 = System.nanoTime()
         val n = f.count()
@@ -53,7 +58,8 @@ object LinkTime {
         .orderBy("left_id", "right_id")
     }
     // the bench harness's exact action: noop sink, no cache release
-    (1 to 3).foreach { i =>
+    if (only.isEmpty || only.exists("bench-shape".contains))
+    (1 to runs).foreach { i =>
       val t0 = System.nanoTime()
       graft.ops.Linkage.qgramPairsAdaptive(dirty, corpus, "doc_id", "name",
         maxDist = 2, q = 3, maxDfRatio = 0.1, countPrune = false)

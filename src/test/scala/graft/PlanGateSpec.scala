@@ -38,4 +38,46 @@ class PlanGateSpec extends SparkSpec {
           PlanGate.staticPlan(df).toString.linesIterator.take(60).mkString("\n"))
     }
   }
+
+  test("plan gate: frames REGISTERED in module cache windows are gate-clean") {
+    // The per-query gate recurses into InMemoryRelations it can reach from
+    // the query's own plan — but a module can also persist intermediate
+    // frames whose build plan is only reachable through its cache-window
+    // handle (e.g. an index registered, consumed, and later evicted). Run
+    // one representative pipeline per module, then gate EVERY frame its
+    // window currently holds for this session.
+    import org.apache.spark.sql.functions._
+    graft.ops.Dedup.releaseCaches()
+    graft.ops.Linkage.releaseCaches()
+    graft.ops.Ranks.releaseCaches()
+    graft.pipelines.ResultSort.releaseCaches()
+    val docs = spark.read.parquet(s"$gateSf/documents.parquet")
+    graft.ops.Dedup.jaccardPairsAdaptive(docs, "doc_id", "text", 3, 0.8,
+      cap = 50).count()
+    val corpus = docs.select(col("doc_id"),
+      substring(col("text"), 1, 40).as("name"))
+    val dirty = docs.filter(col("doc_id") < 50).select(col("doc_id"),
+      concat(substring(col("text"), 1, 6),
+        substring(col("text"), 8, 33)).as("name"))
+    graft.ops.Linkage.qgramBestMatchAdaptive(dirty, corpus,
+      "doc_id", "name").count()
+    graft.ops.Ranks.globalPercentRank(docs, "n_chars").count()
+    graft.pipelines.ResultSort.sortedSmall(
+      docs.select("doc_id", "n_chars"), col("doc_id")).count()
+    val windows = Map(
+      "dedup" -> graft.ops.Dedup.shingleCacheWindow,
+      "linkage" -> graft.ops.Linkage.cacheWindow,
+      "ranks" -> graft.ops.Ranks.cacheWindow,
+      "resultsort" -> graft.pipelines.ResultSort.window)
+    var checked = 0
+    for ((mod, w) <- windows; (df, i) <- w.registered(spark).zipWithIndex) {
+      val vs = PlanGate.violations(df)
+      assert(vs.isEmpty,
+        s"$mod window frame $i violations: ${vs.mkString(", ")}\n" +
+          PlanGate.staticPlan(df).toString.linesIterator.take(40).mkString("\n"))
+      checked += 1
+    }
+    assert(checked >= 4, s"expected every module window populated, gated $checked")
+    windows.values.foreach(_.release(spark))
+  }
 }
