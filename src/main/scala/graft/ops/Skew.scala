@@ -7,6 +7,21 @@ import org.apache.spark.sql.functions._
   * when AQE's skew-join split isn't available or isn't enough (e.g. a
   * single key holding >50% of a 100 TB fact table).
   *
+  * WHEN AQE ALREADY HANDLES IT (measured, SkewSpec "AQE splits a skewed
+  * bare join..."): a skewed sort-merge/shuffled-hash join whose output
+  * feeds no operator that needs the join's hash partitioning in the SAME
+  * stage — AQE's `OptimizeSkewedJoin` splits the oversized partition and
+  * replicates the matching side, and manual salting is pure overhead.
+  * WHEN IT CANNOT: (a) the join feeds a same-stage aggregation/window on
+  * the join key — splitting the partition would break the downstream
+  * distribution requirement, so AQE leaves it whole (asserted in the same
+  * spec: no `skew=true` flag appears); (b) the skew is in an AGGREGATION
+  * key, not a join — partial aggregation absorbs algebraic aggs
+  * map-side, but non-algebraic state (collect_list, exact distinct per
+  * key) still funnels; (c) broadcast joins — no shuffle to split, and no
+  * skew problem either. For (a)/(b) this module (or a two-phase salted
+  * aggregation) is the fix. SCALE.md "Round 6" has the decision table.
+  *
   * `saltedJoin(big, small, keys, n)` is semantically IDENTICAL to
   * `big.join(small, keys, "inner")` (proven against the DuckDB oracle in
   * `q_join_salted`): the big side gets a deterministic salt in [0, n),
