@@ -171,7 +171,8 @@ object Linkage {
     val gramPairs = cands
       .join(names(left, "left"), "left_id")
       .join(names(right, "right"), "right_id")
-      .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
+      .withColumn("dist", graft.functions.BandedLevenshtein
+        .bandedLevenshtein(col("left_name"), col("right_name"), maxDist))
       .filter(col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")
     // exact pass for GRAMLESS strings (length < q ⇒ zero q-grams ⇒
@@ -194,7 +195,8 @@ object Linkage {
         length(col("left_name")) + maxDist)))
       .join(shortRight.withColumn("__lb", length(col("right_name"))), "__lb")
       .filter(length(col("left_name")) < q || length(col("right_name")) < q)
-      .withColumn("dist", levenshtein(col("left_name"), col("right_name")))
+      .withColumn("dist", graft.functions.BandedLevenshtein
+        .bandedLevenshtein(col("left_name"), col("right_name"), maxDist))
       .filter(col("dist") <= maxDist)
       .select("left_id", "right_id", "dist")
     gramPairs.unionByName(shortPairs)
@@ -326,7 +328,8 @@ object Linkage {
     val c = clean.select(col(idCol).as("clean_id"),
       col(nameCol).as("clean_name"), col(blockCol).as("__blk"))
     val cand = d.join(c, "__blk")
-      .withColumn("dist", levenshtein(col("dirty_name"), col("clean_name")))
+      .withColumn("dist", graft.functions.BandedLevenshtein
+        .bandedLevenshtein(col("dirty_name"), col("clean_name"), maxDist))
       .filter(col("dist") <= maxDist)
     val w = Window.partitionBy("dirty_id").orderBy(col("dist"), col("clean_id"))
     cand.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
