@@ -56,6 +56,66 @@ object Dedup {
     df.join(keep, Seq(idCol), "left_semi")
   }
 
+  /** Exact SHARED-PASSAGE detection — pairs of documents containing an
+    * identical character run of at least `window` chars, with the count
+    * of shared anchored windows (the "repeated passage / boilerplate"
+    * dedup signal from training-data practice, where near-dup metrics
+    * like Jaccard miss a long quote embedded in otherwise-different
+    * documents).
+    *
+    * The scale problem is alignment: hashing windows at a fixed stride
+    * compares offset-dependent positions, so the same passage at
+    * different offsets in two documents never lines up (and stride 1 is
+    * |text| rows per doc — not shippable). Content-defined anchoring
+    * fixes it: a window starting at position i is an ANCHOR iff
+    * `md5(text[i, i+anchorGram))` starts with `anchorSel` — a predicate
+    * of the CONTENT, not the offset, so a passage produces the same
+    * anchors wherever it sits. Expected anchor density is
+    * 16^-|anchorSel| per position (1/16 at the default); a shared
+    * passage of length L ≥ window is detected unless NONE of its
+    * L − window + 1 window starts anchors — probability (15/16)^(L−w+1),
+    * i.e. ~0.1% missed at L = window + 100. Exact-duplicate documents
+    * always share all anchors. (The winnowing scheme would make the
+    * guarantee deterministic at ≥ window + 15 — this CDC form is the
+    * standard simpler trade and keeps the operator one expression.)
+    *
+    * Candidates join on the full window STRING (not its hash), so a
+    * reported pair is exact by construction — no verify pass. 100 TB
+    * posture: the join key is a 50-char window anchored at ~1/16 density,
+    * so shuffle volume is ~3× the corpus bytes; a boilerplate window
+    * shared by millions of docs is the same quadratic df magnet as a hot
+    * shingle — `maxDf` caps it with the jaccard family's contract (a
+    * pair is missed only if EVERY shared window exceeds the cap; for
+    * passage detection rare windows are the signal, so the cap is
+    * near-lossless). Output: (doc_i, doc_j, shared_passages), doc_i <
+    * doc_j. */
+  def passagePairs(docs: DataFrame, idCol: String, textCol: String,
+                   window: Int = 50, anchorGram: Int = 8,
+                   anchorSel: String = "0",
+                   maxDf: Option[Int] = None): DataFrame = {
+    require(window >= anchorGram, "window must cover the anchor gram")
+    val t = col(textCol)
+    val winArr = when(length(t) >= window,
+      array_distinct(filter(
+        transform(sequence(lit(1), length(t) - window + 1),
+          i => t.substr(i, lit(window))),
+        w => substring(md5(substring(w, 1, anchorGram)), 1, anchorSel.length)
+          === anchorSel)))
+      .otherwise(array().cast("array<string>"))
+    val wins0 = docs.select(col(idCol).as("id"), explode(winArr).as("win"))
+    val wins = maxDf match {
+      case None => wins0
+      case Some(cap) =>
+        wins0.join(wins0.groupBy("win").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("win"), "win")
+    }
+    wins.as("a")
+      .join(wins.as("b"),
+        col("a.win") === col("b.win") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+      .agg(count(lit(1)).as("shared_passages"))
+  }
+
   /** Greedy near-dup removal: given (doc_i, doc_j, …) near-dup pairs
     * (any of [[jaccardPairs]] / [[minhashLshPairs]] / [[simhashPairs]] /
     * [[cosinePairs]] with ids ordered doc_i < doc_j), drop every row that

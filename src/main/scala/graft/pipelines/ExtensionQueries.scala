@@ -289,6 +289,16 @@ object ExtensionQueries {
         Dedup.jaccardPairsAdaptive(docs(s, dir), "doc_id", "text", 3,
           JaccardThreshold, cap = 50), col("doc_i"), col("doc_j"))),
 
+    // exact shared-passage detection via content-defined anchoring: a
+    // window is an anchor iff md5 of its leading 8 chars starts with '0'
+    // (a predicate of content, not offset — the same passage anchors
+    // identically wherever it sits), and candidates join on the full
+    // window string so every reported pair is exact with no verify pass
+    "q_dedup_passages" -> ((s, dir) =>
+      ResultSort.sortedSmall(
+        Dedup.passagePairs(docs(s, dir), "doc_id", "text", window = 50),
+        col("doc_i"), col("doc_j"))),
+
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
@@ -889,6 +899,21 @@ object ExtensionQueries {
     // the query comment); the oracle is the uncapped exact computation
     "q_dedup_jaccard_capped" -> jaccardOracle(JaccardThreshold),
     "q_dedup_jaccard_adaptive" -> jaccardOracle(JaccardThreshold),
+
+    // both engines compute md5 as lowercase hex and 1-based substring,
+    // so the content-defined anchor predicate is cross-engine identical
+    "q_dedup_passages" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) - 50 + 2))::INT AS i
+        |  FROM documents WHERE length(text) >= 50),
+        |wins AS (
+        |  SELECT DISTINCT doc_id, substring(text, i, 50) AS win
+        |  FROM pos
+        |  WHERE substring(md5(substring(text, i, 8)), 1, 1) = '0')
+        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |       count(*) AS shared_passages
+        |FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_survivors" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

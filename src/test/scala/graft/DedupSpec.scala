@@ -394,4 +394,35 @@ class DedupSpec extends SparkSpec {
     assert(got == want,
       s"missing=${want.keySet -- got.keySet}, extra=${got.keySet -- want.keySet}")
   }
+
+  test("passagePairs finds offset-shifted passages; df cap drops boilerplate") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // deterministically-ANCHORED passages: search for an 8-char leading
+    // gram whose md5 starts with '0' (the anchor predicate), so the test
+    // never depends on the 1/16 anchor density being lucky
+    def anchoredGram(prefix: String): String =
+      Iterator.from(0).map(i => f"$prefix$i%06d8".take(8))
+        .find(g => md5hex(g).startsWith("0")).get
+    val passage = anchoredGram("P") + ("shared-passage-content-" * 5).take(112)
+    val boiler = anchoredGram("B") + ("boilerplate-footer-text-" * 5).take(112)
+    val docs = (Seq(
+      1L -> (s"first-document-unique-lead-in $passage"),
+      2L -> (s"a second very different beginning here $passage and a tail")) ++
+      (3L to 6L).map(i => i -> s"doc-number-$i-own-intro $boiler"))
+      .toDF("doc_id", "text")
+    // uncapped: the planted pair AND all boilerplate pairs
+    val all = graft.ops.Dedup.passagePairs(docs, "doc_id", "text", window = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(all.contains((1L, 2L)), s"planted pair missing from $all")
+    assert((3L to 6L).combinations(2).forall(p => all.contains((p(0), p(1)))),
+      s"boilerplate pairs missing from $all")
+    // df cap 3: the boilerplate windows (df = 4) are pruned, the planted
+    // passage (df = 2) survives — rare windows are the signal
+    val capped = graft.ops.Dedup.passagePairs(docs, "doc_id", "text",
+      window = 50, maxDf = Some(3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(capped == Set((1L, 2L)), s"expected only the planted pair, got $capped")
+  }
 }
