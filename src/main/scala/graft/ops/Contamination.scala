@@ -27,6 +27,24 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  private def index(docs: DataFrame, side: String, idCol: String,
+                    textCol: String, n: Int) = docs.select(
+    col(idCol).as(s"${side}_id"),
+    explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+      .as("shash"))
+
+  private def sizes(eval: DataFrame, idCol: String, textCol: String, n: Int) =
+    eval.select(col(idCol).as("eval_id"),
+      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
+        .as("n_eval"))
+
+  private def score(common: DataFrame, evalSizes: DataFrame,
+                    threshold: Double) =
+    common.join(evalSizes, "eval_id")
+      .withColumn("containment", col("common") * lit(1.0) / col("n_eval"))
+      .filter(col("containment") >= threshold)
+      .select("eval_id", "train_id", "containment")
+
   /** (eval_id, train_id, containment) for every cross pair with
     * containment ≥ threshold. Shingle hashing/distinctness matches
     * [[Dedup.jaccardPairs]] (xxhash64'd word n-grams — 8-byte shuffle
@@ -36,15 +54,9 @@ object Contamination {
                        textCol: String, n: Int = 3,
                        threshold: Double = 0.5,
                        maxDf: Option[Int] = None): DataFrame = {
-    def index(docs: DataFrame, side: String) = docs.select(
-      col(idCol).as(s"${side}_id"),
-      explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
-        .as("shash"))
-    val evalIdx = index(eval, "eval")
-    val trainIdx = index(train, "train")
-    val evalSizes = eval.select(col(idCol).as("eval_id"),
-      size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
-        .as("n_eval"))
+    val evalIdx = index(eval, "eval", idCol, textCol, n)
+    val trainIdx = index(train, "train", idCol, textCol, n)
+    val evalSizes = sizes(eval, idCol, textCol, n)
     val common = maxDf match {
       case None =>
         evalIdx.join(trainIdx, "shash")
@@ -65,10 +77,52 @@ object Contamination {
             col("c.train_id").as("train_id"))
           .agg(count(lit(1)).as("common"))
     }
-    common.join(evalSizes, "eval_id")
-      .withColumn("containment", col("common") * lit(1.0) / col("n_eval"))
-      .filter(col("containment") >= threshold)
-      .select("eval_id", "train_id", "containment")
+    score(common, evalSizes, threshold)
+  }
+
+  /** [[containmentPairs]] with the train-side index BLOOM-REDUCED at the
+    * scan — the decontamination shape that actually fits a 100 TB corpus.
+    *
+    * The exact form shuffles EVERY training shingle into the bipartite
+    * join even though almost none match (eval sets are benchmarks — a few
+    * million shingles against trillions). Here a Bloom filter of the eval
+    * side's distinct shingle hashes (built by [[BloomJoin.buildFilter]],
+    * sized honestly by one small count job over the eval side) rides into
+    * the train-side scan via [[graft.functions.BloomMightContain]]:
+    * definite non-members — the overwhelming majority — drop BEFORE the
+    * exchange, so train-side shuffle volume falls from |corpus shingles|
+    * to |true matches| + fpp·|corpus shingles|.
+    *
+    * The result row-for-row EQUALS `containmentPairs(maxDf = None)`: a
+    * Bloom filter has no false negatives, and a false positive's shingle
+    * hash does not exist on the eval side of the equi-join, so every FP
+    * dies in the exact join it was admitted to — fpp tunes shuffle
+    * volume, never output. (`ContaminationSpec` asserts the equivalence
+    * at fpp = 0.5, where false positives are guaranteed.)
+    *
+    * Sizing: pass `expectedShingles` when the eval suite's shingle count
+    * is known (it usually is — benchmarks are fixed artifacts) and the
+    * build is a single treeAggregate job. Left at None, one
+    * approx_count_distinct job (±2%, padded 1.25×) sizes it — the filter
+    * is built over the RAW eval index either way, since duplicate inserts
+    * are idempotent and a distinct() here would cost the very shuffle the
+    * sketch exists to avoid. Undersizing degrades fpp, never rows. */
+  def containmentPairsBloom(train: DataFrame, eval: DataFrame, idCol: String,
+                            textCol: String, n: Int = 3,
+                            threshold: Double = 0.5,
+                            fpp: Double = 0.01,
+                            expectedShingles: Option[Long] = None): DataFrame = {
+    val evalIdx = index(eval, "eval", idCol, textCol, n)
+    val expected = math.max(expectedShingles.getOrElse(
+      (evalIdx.agg(approx_count_distinct(col("shash")).as("d"))
+        .head.getLong(0) * 1.25).toLong), 1L)
+    val bytes = BloomJoin.buildFilter(evalIdx.select("shash"), "shash",
+      expected, fpp)
+    val trainIdx = index(train, "train", idCol, textCol, n)
+      .filter(graft.functions.BloomMightContain.mightContain(col("shash"), bytes))
+    val common = evalIdx.join(trainIdx, "shash")
+      .groupBy("eval_id", "train_id").agg(count(lit(1)).as("common"))
+    score(common, sizes(eval, idCol, textCol, n), threshold)
   }
 
   /** Per-eval-document verdict: the worst (max-containment) offending

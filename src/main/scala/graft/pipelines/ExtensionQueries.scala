@@ -612,6 +612,19 @@ object ExtensionQueries {
         col("eval_id"), col("train_id"))
     }),
 
+    // the 100 TB decontamination shape: a Bloom filter of the eval
+    // shingle set drops definite non-member train shingles BEFORE the
+    // exchange; FPs die in the exact join, so the rows equal
+    // q_contam_pairs exactly and the two share one oracle
+    "q_contam_bloom" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ResultSort.sortedSmall(Contamination.containmentPairsBloom(
+        d.filter(col("doc_id") % ContamEvalMod =!= 0),
+        d.filter(col("doc_id") % ContamEvalMod === 0),
+        "doc_id", "text", 3, ContamThreshold),
+        col("eval_id"), col("train_id"))
+    }),
+
     "q_contam_summary" -> ((s, dir) => {
       val d = docs(s, dir)
       val eval = d.filter(col("doc_id") % ContamEvalMod === 0)
@@ -1311,6 +1324,12 @@ object ExtensionQueries {
          |FROM r ORDER BY doc_id""".stripMargin,
 
     "q_contam_pairs" ->
+      s"""WITH ${contamCtes(ContamEvalMod, ContamThreshold)}
+         |SELECT eval_id, train_id, containment FROM cpairs
+         |ORDER BY eval_id, train_id""".stripMargin,
+
+    // bloom reduction is invisible in the output by construction
+    "q_contam_bloom" ->
       s"""WITH ${contamCtes(ContamEvalMod, ContamThreshold)}
          |SELECT eval_id, train_id, containment FROM cpairs
          |ORDER BY eval_id, train_id""".stripMargin,

@@ -55,6 +55,22 @@ class ContaminationSpec extends SparkSpec {
       "a contaminated pair shares rare shingles, so the cap loses nothing here")
   }
 
+  test("bloom-reduced pairs equal the exact pairs even at fpp 0.5") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val eval = docs.filter($"doc_id" % 7 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = key(Contamination
+      .containmentPairs(train, eval, "doc_id", "text", 3, 0.5))
+    // fpp 0.5 guarantees false positives reach the verify join; the
+    // output must not change — fpp tunes shuffle volume, never rows
+    val bloom = key(Contamination
+      .containmentPairsBloom(train, eval, "doc_id", "text", 3, 0.5, fpp = 0.5))
+    assert(exact.nonEmpty)
+    assert(bloom == exact)
+  }
+
   test("ties on containment break to the smaller train id") {
     val train = Seq(
       (20L, "alpha beta gamma delta"),
