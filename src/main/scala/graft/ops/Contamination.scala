@@ -106,23 +106,42 @@ object Contamination {
     * approx_count_distinct job (±2%, padded 1.25×) sizes it — the filter
     * is built over the RAW eval index either way, since duplicate inserts
     * are idempotent and a distinct() here would cost the very shuffle the
-    * sketch exists to avoid. Undersizing degrades fpp, never rows. */
+    * sketch exists to avoid. Undersizing degrades fpp, never rows.
+    * Callers gating many batches against ONE eval suite (the streaming
+    * ingestion gate) prebuild the sketch once with [[evalFilterBytes]]
+    * and pass it as `filterBytes` — no per-call build jobs at all. */
   def containmentPairsBloom(train: DataFrame, eval: DataFrame, idCol: String,
                             textCol: String, n: Int = 3,
                             threshold: Double = 0.5,
                             fpp: Double = 0.01,
-                            expectedShingles: Option[Long] = None): DataFrame = {
+                            expectedShingles: Option[Long] = None,
+                            filterBytes: Option[Array[Byte]] = None): DataFrame = {
     val evalIdx = index(eval, "eval", idCol, textCol, n)
-    val expected = math.max(expectedShingles.getOrElse(
-      (evalIdx.agg(approx_count_distinct(col("shash")).as("d"))
-        .head.getLong(0) * 1.25).toLong), 1L)
-    val bytes = BloomJoin.buildFilter(evalIdx.select("shash"), "shash",
-      expected, fpp)
+    val bytes = filterBytes.getOrElse {
+      val expected = math.max(expectedShingles.getOrElse(
+        (evalIdx.agg(approx_count_distinct(col("shash")).as("d"))
+          .head.getLong(0) * 1.25).toLong), 1L)
+      BloomJoin.buildFilter(evalIdx.select("shash"), "shash", expected, fpp)
+    }
     val trainIdx = index(train, "train", idCol, textCol, n)
       .filter(graft.functions.BloomMightContain.mightContain(col("shash"), bytes))
     val common = evalIdx.join(trainIdx, "shash")
       .groupBy("eval_id", "train_id").agg(count(lit(1)).as("common"))
     score(common, sizes(eval, idCol, textCol, n), threshold)
+  }
+
+  /** Serialized Bloom sketch of `eval`'s shingle hashes, for reuse across
+    * many [[containmentPairsBloom]] calls against one fixed eval suite
+    * (the streaming gate's shape: build once at stream start, probe every
+    * micro-batch). Sizing as in [[containmentPairsBloom]]. */
+  def evalFilterBytes(eval: DataFrame, idCol: String, textCol: String,
+                      n: Int = 3, fpp: Double = 0.01,
+                      expectedShingles: Option[Long] = None): Array[Byte] = {
+    val evalIdx = index(eval, "eval", idCol, textCol, n)
+    val expected = math.max(expectedShingles.getOrElse(
+      (evalIdx.agg(approx_count_distinct(col("shash")).as("d"))
+        .head.getLong(0) * 1.25).toLong), 1L)
+    BloomJoin.buildFilter(evalIdx.select("shash"), "shash", expected, fpp)
   }
 
   /** Per-eval-document verdict: the worst (max-containment) offending

@@ -60,6 +60,35 @@ object CorpusStreams {
     stream.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** Drop stream documents CONTAMINATED by a fixed eval suite — the
+    * "never train on the benchmark" ingestion gate, the streaming face of
+    * [[graft.ops.Contamination.containmentPairs]]: a document is dropped
+    * when its shingles cover ≥ `threshold` of ANY eval doc's shingles.
+    *
+    * Same `foreachBatch` contract as [[dedupAgainstEmbeddings]] (the
+    * containment groupBy and the anti join's stream-derived right side
+    * rule out a direct streaming plan; per-micro-batch batch semantics is
+    * how ingest gates run anyway). Per-batch cost is |batch|-proportional:
+    * the eval side is a fixed artifact, and with `evalBloom` (prebuild
+    * ONCE at stream start via
+    * [[graft.ops.Contamination.evalFilterBytes]]) each batch's
+    * non-matching shingles — the overwhelming majority — drop at the scan
+    * with zero per-batch build jobs. Bloom or not, the surviving rows are
+    * identical (FPs die in the exact containment join). */
+  def contaminationGate(stream: DataFrame, eval: DataFrame, idCol: String,
+                        textCol: String = "text", n: Int = 3,
+                        threshold: Double = 0.5,
+                        evalBloom: Option[Array[Byte]] = None): DataFrame = {
+    val pairs = evalBloom match {
+      case Some(bytes) => graft.ops.Contamination.containmentPairsBloom(
+        stream, eval, idCol, textCol, n, threshold, filterBytes = Some(bytes))
+      case None => graft.ops.Contamination.containmentPairs(
+        stream, eval, idCol, textCol, n, threshold)
+    }
+    stream.join(pairs.select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
+  }
+
   /** Stateless streaming quality gate: the same fused corpus-filter
     * predicates (length floor, quality score, repetition cap, PII-free)
     * applied per micro-batch row — no state, no watermark needed. */

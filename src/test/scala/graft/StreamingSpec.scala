@@ -233,6 +233,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("contaminationGate drops benchmark-quoting docs per micro-batch") {
+    val eval = Seq((100L, "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "text")
+    val incoming = Seq(
+      (1L, "alpha beta gamma delta epsilon and more"), // quotes the eval doc
+      (2L, "totally unrelated words in this one here"),
+      (3L, "alpha beta gamma but then it diverges"),   // below threshold
+      (4L, "another clean document with fresh content"))
+    // batch contract, bloom and exact agreeing
+    val batchIn = incoming.toDF("doc_id", "text")
+    val bloomBytes = graft.ops.Contamination
+      .evalFilterBytes(eval, "doc_id", "text", 3)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val exact = ids(graft.streaming.CorpusStreams
+      .contaminationGate(batchIn, eval, "doc_id", "text", 3, 0.5))
+    assert(exact == Seq(2L, 3L, 4L), "only the quoting doc is dropped")
+    assert(ids(graft.streaming.CorpusStreams.contaminationGate(
+      batchIn, eval, "doc_id", "text", 3, 0.5, Some(bloomBytes))) == exact)
+    // streaming path: two micro-batches through foreachBatch with the
+    // sketch prebuilt ONCE (the stream-start contract)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.CorpusStreams
+          .contaminationGate(b, eval, "doc_id", "text", 3, 0.5, Some(bloomBytes))
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData(incoming.take(2): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*); q.processAllAvailable()
+      assert(got.sorted.toSeq == exact,
+        "per-micro-batch gating equals the one-shot batch gate")
+    } finally q.stop()
+  }
+
   test("file readStream over the fixture parquet reaches the same counts") {
     // FileStreamSource wants a directory: stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
