@@ -79,10 +79,14 @@ object Dedup {
     * guarantee deterministic at ≥ window + 15 — this CDC form is the
     * standard simpler trade and keeps the operator one expression.)
     *
-    * Candidates join on the full window STRING (not its hash), so a
-    * reported pair is exact by construction — no verify pass. 100 TB
-    * posture: the join key is a 50-char window anchored at ~1/16 density,
-    * so shuffle volume is ~3× the corpus bytes; a boilerplate window
+    * Candidates join on the window's xxhash64 — the [[jaccardPairs]]
+    * family's posture: 8-byte shuffle keys instead of 50-char strings
+    * (1.7× wall at the 100× corpus replica from key width alone), exact
+    * modulo the same 2^-64 collision contract as every hashed-shingle
+    * operator here (the DuckDB oracle joins the full window STRINGS, so
+    * the correctness gate itself certifies collision-freedom on the
+    * fixtures). 100 TB posture: windows anchor at ~1/16 density, so the
+    * exploded index is ~0.5 longs per character; a boilerplate window
     * shared by millions of docs is the same quadratic df magnet as a hot
     * shingle — `maxDf` caps it with the jaccard family's contract (a
     * pair is missed only if EVERY shared window exceeds the cap; for
@@ -105,8 +109,9 @@ object Dedup {
       i => substring(md5(t.substr(i, lit(anchorGram))), 1, anchorSel.length)
         === anchorSel)
     val winArr = when(length(t) >= window,
-      array_distinct(transform(anchored, i => t.substr(i, lit(window)))))
-      .otherwise(array().cast("array<string>"))
+      array_distinct(transform(anchored,
+        i => xxhash64(t.substr(i, lit(window))))))
+      .otherwise(array().cast("array<bigint>"))
     // the anchor scan is CPU-bound (one md5 per character position), so its
     // parallelism must not be pinned to the input-split layout — a small or
     // consolidated parquet file scans as ONE split and serializes the whole
