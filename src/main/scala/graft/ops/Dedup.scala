@@ -97,6 +97,25 @@ object Dedup {
                    window: Int = 50, anchorGram: Int = 8,
                    anchorSel: String = "0",
                    maxDf: Option[Int] = None): DataFrame = {
+    val wins0 = passageWins(docs, idCol, textCol, window, anchorGram, anchorSel)
+    val wins = maxDf match {
+      case None => wins0
+      case Some(cap) =>
+        wins0.join(wins0.groupBy("win").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= cap).select("win"), "win")
+    }
+    wins.as("a")
+      .join(wins.as("b"),
+        col("a.win") === col("b.win") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
+      .agg(count(lit(1)).as("shared_passages"))
+  }
+
+  /** The anchored-window-hash index (id, win) shared by [[passagePairs]]
+    * and the cross-batch forms — all extraction mechanics live here. */
+  private def passageWins(docs: DataFrame, idCol: String, textCol: String,
+                          window: Int, anchorGram: Int,
+                          anchorSel: String): DataFrame = {
     require(window >= anchorGram, "window must cover the anchor gram")
     val t = col(textCol)
     // anchor POSITIONS first, then materialize windows only there: the
@@ -122,17 +141,60 @@ object Dedup {
     val parts = math.max(
       docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "32").toInt,
       docs.rdd.getNumPartitions)
-    val wins0 = docs.repartition(parts, col(idCol))
+    docs.repartition(parts, col(idCol))
       .select(col(idCol).as("id"), explode(winArr).as("win"))
-    val wins = maxDf match {
-      case None => wins0
+  }
+
+  /** Prebuilt passage window index — the corpus side of the incremental
+    * form, built once ([[buildPassageIndex]]), persisted by the caller,
+    * appended per accepted batch. Carries its anchoring parameters so a
+    * batch can never be extracted with mismatched ones. */
+  final case class PassageIndex(wins: DataFrame, window: Int,
+                                anchorGram: Int, anchorSel: String)
+
+  def buildPassageIndex(docs: DataFrame, idCol: String, textCol: String,
+                        window: Int = 50, anchorGram: Int = 8,
+                        anchorSel: String = "0"): PassageIndex =
+    PassageIndex(passageWins(docs, idCol, textCol, window, anchorGram,
+      anchorSel), window, anchorGram, anchorSel)
+
+  /** Incremental (cross-batch) shared-passage detection — a new ingestion
+    * batch checked against the existing corpus WITHOUT re-pairing the
+    * corpus against itself, the same bipartite posture as
+    * [[minhashLshCrossPairs]]: candidates join corpus windows × batch
+    * windows on the 8-byte window hash, so per-batch work is
+    * |batch|-proportional plus the corpus index scan (which the
+    * production path persists via [[buildPassageIndex]] /
+    * [[passageCrossPairsIndexed]]). `maxDf` caps the CORPUS-side window
+    * frequency — the growing side, where boilerplate df explodes; a pair
+    * is missed only if every shared window is corpus-boilerplate above
+    * the cap. Output (doc_i = corpus id, doc_j = batch id,
+    * shared_passages); id sets disjoint by contract. */
+  def passageCrossPairs(corpus: DataFrame, batch: DataFrame, idCol: String,
+                        textCol: String, window: Int = 50,
+                        anchorGram: Int = 8, anchorSel: String = "0",
+                        maxDf: Option[Int] = None): DataFrame =
+    passageCrossPairsIndexed(
+      buildPassageIndex(corpus, idCol, textCol, window, anchorGram, anchorSel),
+      batch, idCol, textCol, maxDf)
+
+  /** [[passageCrossPairs]] against a prebuilt (typically persisted)
+    * [[PassageIndex]] — the per-batch incremental form. The batch is
+    * extracted with the INDEX's anchoring (mismatched windows can't
+    * happen by construction). */
+  def passageCrossPairsIndexed(corpus: PassageIndex, batch: DataFrame,
+                               idCol: String, textCol: String,
+                               maxDf: Option[Int] = None): DataFrame = {
+    val corpusWins = maxDf match {
+      case None => corpus.wins
       case Some(cap) =>
-        wins0.join(wins0.groupBy("win").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("win"), "win")
+        corpus.wins.join(
+          corpus.wins.groupBy("win").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= cap).select("win"), "win")
     }
-    wins.as("a")
-      .join(wins.as("b"),
-        col("a.win") === col("b.win") && col("a.id") < col("b.id"))
+    val batchWins = passageWins(batch, idCol, textCol, corpus.window,
+      corpus.anchorGram, corpus.anchorSel)
+    corpusWins.as("a").join(batchWins.as("b"), col("a.win") === col("b.win"))
       .groupBy(col("a.id").as("doc_i"), col("b.id").as("doc_j"))
       .agg(count(lit(1)).as("shared_passages"))
   }

@@ -299,6 +299,15 @@ object ExtensionQueries {
         Dedup.passagePairs(docs(s, dir), "doc_id", "text", window = 50),
         col("doc_i"), col("doc_j"))),
 
+    // incremental passage detection: the even-id "corpus" never re-pairs
+    // against itself — only corpus × batch window-hash candidates
+    "q_dedup_passages_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ResultSort.sortedSmall(Dedup.passageCrossPairs(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", window = 50), col("doc_i"), col("doc_j"))
+    }),
+
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
@@ -926,6 +935,21 @@ object ExtensionQueries {
         |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
         |       count(*) AS shared_passages
         |FROM wins a JOIN wins b ON a.win = b.win AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // bipartite form of the q_dedup_passages oracle on the %2 split
+    "q_dedup_passages_incremental" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, unnest(range(1, length(text) - 50 + 2))::INT AS i
+        |  FROM documents WHERE length(text) >= 50),
+        |wins AS (
+        |  SELECT DISTINCT doc_id, substring(text, i, 50) AS win
+        |  FROM pos
+        |  WHERE substring(md5(substring(text, i, 8)), 1, 1) = '0')
+        |SELECT a.doc_id AS doc_i, b.doc_id AS doc_j,
+        |       count(*) AS shared_passages
+        |FROM wins a JOIN wins b ON a.win = b.win
+        |WHERE a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_survivors" ->

@@ -424,5 +424,28 @@ class DedupSpec extends SparkSpec {
       window = 50, maxDf = Some(3))
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(capped == Set((1L, 2L)), s"expected only the planted pair, got $capped")
+
+    // cross-batch form: corpus (1,3,4) × batch (2,5,6) — only the planted
+    // corpus×batch pair and boilerplate pairs crossing the split appear,
+    // never corpus-internal ones; indexed ≡ inline
+    val corpus = docs.filter(col("doc_id").isin(1L, 3L, 4L))
+    val batch = docs.filter(col("doc_id").isin(2L, 5L, 6L))
+    val cross = graft.ops.Dedup.passageCrossPairs(corpus, batch,
+      "doc_id", "text", window = 50)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cross == Set((1L, 2L), (3L, 5L), (3L, 6L), (4L, 5L), (4L, 6L)),
+      s"bipartite pairs only, got $cross")
+    val idx = graft.ops.Dedup.buildPassageIndex(corpus, "doc_id", "text",
+      window = 50)
+    val viaIndex = graft.ops.Dedup
+      .passageCrossPairsIndexed(idx, batch, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaIndex == cross)
+    // corpus-side df cap 1: boilerplate (corpus df = 2 via docs 3,4) is
+    // pruned, the planted passage (corpus df = 1) survives
+    val crossCapped = graft.ops.Dedup.passageCrossPairsIndexed(idx, batch,
+      "doc_id", "text", maxDf = Some(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(crossCapped == Set((1L, 2L)), s"expected planted only, got $crossCapped")
   }
 }
