@@ -89,6 +89,29 @@ object CorpusStreams {
       Seq(idCol), "left_anti")
   }
 
+  /** Drop stream documents sharing at least `minShared` anchored passage
+    * windows with the static corpus — the streaming face of
+    * [[graft.ops.Dedup.passageCrossPairsIndexed]], catching the long
+    * verbatim quote / boilerplate reuse that the fingerprint gate
+    * ([[dedupAgainstCorpus]], whole-text only) and the semantic gate miss.
+    *
+    * Same `foreachBatch` contract as the other index-backed gates: the
+    * corpus side is a [[graft.ops.Dedup.PassageIndex]] built once,
+    * persisted, appended per accepted batch; each micro-batch extracts
+    * its own window hashes statelessly and anti-joins away the flagged
+    * ids — |batch|-proportional work. `maxDf` prunes corpus-boilerplate
+    * windows exactly as in the batch form. */
+  def passageGate(stream: DataFrame, corpus: graft.ops.Dedup.PassageIndex,
+                  idCol: String, textCol: String = "text",
+                  minShared: Long = 1L,
+                  maxDf: Option[Int] = None): DataFrame = {
+    val flagged = graft.ops.Dedup
+      .passageCrossPairsIndexed(corpus, stream, idCol, textCol, maxDf)
+      .filter(col("shared_passages") >= minShared)
+      .select(col("doc_j").as(idCol)).distinct()
+    stream.join(flagged, Seq(idCol), "left_anti")
+  }
+
   /** Stateless streaming quality gate: the same fused corpus-filter
     * predicates (length floor, quality score, repetition cap, PII-free)
     * applied per micro-batch row — no state, no watermark needed. */

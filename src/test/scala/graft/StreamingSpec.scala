@@ -272,6 +272,49 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("passageGate drops stream docs quoting corpus passages per micro-batch") {
+    import java.security.MessageDigest
+    def md5hex(s: String): String = MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def anchoredGram(prefix: String): String =
+      Iterator.from(0).map(i => f"$prefix$i%06d8".take(8))
+        .find(g => md5hex(g).startsWith("0")).get
+    val passage = anchoredGram("S") + ("stream-quoted-passage-" * 5).take(112)
+    val corpus = Seq((100L, s"corpus doc carrying $passage inside"))
+      .toDF("doc_id", "text")
+    val idx = graft.ops.Dedup.buildPassageIndex(corpus, "doc_id", "text",
+      window = 50)
+    val incoming = Seq(
+      (1L, s"intro then $passage then outro"),          // quotes the corpus
+      (2L, "nothing shared with the corpus in this document at all here"),
+      (3L, s"another quoting doc $passage differently placed"),
+      (4L, "clean again completely fresh content for the fourth document"))
+    // batch contract
+    val batchIn = incoming.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    val expected = ids(graft.streaming.CorpusStreams
+      .passageGate(batchIn, idx, "doc_id", "text"))
+    assert(expected == Seq(2L, 4L), "quoting docs dropped")
+    // streaming path through foreachBatch, two micro-batches
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.CorpusStreams
+          .passageGate(b, idx, "doc_id", "text")
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData(incoming.take(2): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*); q.processAllAvailable()
+      assert(got.sorted.toSeq == expected,
+        "per-micro-batch gating equals the one-shot batch gate")
+    } finally q.stop()
+  }
+
   test("file readStream over the fixture parquet reaches the same counts") {
     // FileStreamSource wants a directory: stage the fixture file into one
     val dir = java.nio.file.Files.createTempDirectory("graft_stream_").toString
