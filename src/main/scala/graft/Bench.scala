@@ -34,6 +34,7 @@ object Bench {
       graft.ops.Dedup.releaseCaches()
       graft.ops.Linkage.releaseCaches()
       graft.ops.Ranks.releaseCaches()
+      graft.ops.SemanticDedup.releaseCaches()
       graft.pipelines.ResultSort.releaseCaches()
       queries.map { case (name, fn) =>
       val t0 = System.nanoTime()

@@ -89,8 +89,12 @@ object Similarity {
       .select("query_id", "nn_id", "cos", "rk")
   }
 
-  /** Nearest cell per corpus vector — one broadcast pass. */
-  private def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
+  /** Nearest cell per corpus vector — one broadcast pass. The
+    * `max(struct(cos, cid))` aggregate has a map-side partial, so the
+    * crossJoin's |corpus|·k intermediate rows combine back to |corpus|
+    * rows inside their input partitions before anything shuffles.
+    * Shared with [[SemanticDedup]] (same assignment, different tail). */
+  private[graft] def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
     val cellCos = Dedup.dot(col("nn_vec"), col("c_vec")) /
       (col("nn_nrm") * col("c_nrm"))
     c.crossJoin(broadcast(cents))
@@ -106,7 +110,7 @@ object Similarity {
     * are computed in DECIMAL (exact, aggregation-order-independent) then
     * cast to double, so refinement is bit-deterministic across runs and
     * cluster layouts. Empty cells drop out naturally. */
-  private def refineCentroids(assigned: DataFrame): DataFrame = {
+  private[graft] def refineCentroids(assigned: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     assigned
       .select(col("cid"), posexplode(col("nn_vec")).as(Seq("pos", "v")))

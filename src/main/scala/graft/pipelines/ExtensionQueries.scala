@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Entities
-import graft.ops.{Contamination, Dedup, Multimodal, Packing, Similarity, TextAnalysis}
+import graft.ops.{Contamination, Dedup, Multimodal, Packing, SemanticDedup, Similarity, TextAnalysis}
 import graft.streaming.EventStreams
 
 /** Training-data-pipeline extension queries (BASELINE.json north star,
@@ -244,6 +244,40 @@ object ExtensionQueries {
        |  FROM norms a JOIN norms b ON a.vec_id < b.vec_id)
        |WHERE cos >= $threshold ORDER BY vec_i, vec_j""".stripMargin
 
+  /** SemDeDup replay CTEs ending in `assigned` (argmax cell per vector,
+    * tie-break cid DESC mirroring Spark's `max(struct(cos, cid))`) and
+    * `spairs` (within-cell pairs at ≥ `threshold`) — the DuckDB mirror of
+    * [[SemanticDedup.assignClusters]]/[[SemanticDedup.semanticPairs]]
+    * with `iters = 0` over [[embWithPlanted]]. */
+  private def semanticCtes(threshold: Double, k: Int): String =
+    s"""emb2 AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + $PlantedIdOffset AS vec_id,
+       |         [CAST(x * 0.5 AS FLOAT) FOR x IN embedding] AS embedding
+       |  FROM embeddings WHERE vec_id < $PlantedDups),
+       |norms AS (
+       |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM emb2),
+       |cents AS (SELECT vec_id AS cid, embedding AS c_vec, nrm AS c_nrm
+       |          FROM norms WHERE vec_id < $k),
+       |assigned AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT n.vec_id, t.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY n.vec_id
+       |             ORDER BY ${sqlDot("n.embedding", "t.c_vec")} / (n.nrm * t.c_nrm) DESC,
+       |                      t.cid DESC) AS rn
+       |    FROM norms n CROSS JOIN cents t)
+       |  WHERE rn = 1),
+       |spairs AS (
+       |  SELECT cid, vec_i, vec_j, cos FROM (
+       |    SELECT a.cid, a.vec_id AS vec_i, b.vec_id AS vec_j,
+       |           ${sqlDot("x.embedding", "y.embedding")} / (x.nrm * y.nrm) AS cos
+       |    FROM assigned a JOIN assigned b ON a.cid = b.cid AND a.vec_id < b.vec_id
+       |    JOIN norms x ON x.vec_id = a.vec_id
+       |    JOIN norms y ON y.vec_id = b.vec_id)
+       |  WHERE cos >= $threshold)""".stripMargin
+
   /** The LSH hyperplane signs as literal VALUES rows `(tbl, pl, [±1.0…])`
     * — the exact same deterministic splitmix64 signs
     * [[Similarity.lshBuckets]] folds against, re-emitted for DuckDB. */
@@ -393,6 +427,27 @@ object ExtensionQueries {
       ResultSort.sortedSmall(
         Dedup.cosinePairsLshAuto(embWithPlanted(s, dir), "vec_id", "embedding",
           CosineThresholdProd), col("vec_i"), col("vec_j"))),
+
+    // SemDeDup (cluster-then-dedup): k-means cells bound the pair sweep
+    // to cluster-mates — Σ n_c² instead of n². iters=0 keeps the whole
+    // dataflow (seeded centroids, argmax assignment, within-cell cosine)
+    // SQL-replayable; k-means refinement is spec-verified determinism.
+    // Planted half-scaled companions share their source's direction ⇒
+    // identical centroid cosines ⇒ same argmax cell: every planted pair
+    // is structurally recalled, so the oracle rows are real pairs.
+    "q_dedup_semantic" -> ((s, dir) =>
+      ResultSort.sortedSmall(
+        SemanticDedup.semanticPairs(embWithPlanted(s, dir), "vec_id",
+          "embedding", CosineThresholdProd, IvfCentroids),
+        col("vec_i"), col("vec_j"))),
+
+    // greedy keep-lowest-id survivors under the within-cell neighbor
+    // relation (dominated-by-any-smaller-id — order-free, one anti-join)
+    "q_dedup_semantic_survivors" -> ((s, dir) =>
+      ResultSort.sortedSmall(
+        SemanticDedup.semanticSurvivors(embWithPlanted(s, dir), "vec_id",
+          "embedding", CosineThresholdProd, IvfCentroids),
+        col("vec_id"))),
 
     // ── similarity search ────────────────────────────────────────────
     "q_sim_bruteforce_topk" -> ((s, dir) => {
@@ -1047,6 +1102,17 @@ object ExtensionQueries {
     // equals the exact pair set at cos ≥ 0.9 on corpus + planted
     // companions (bucket agreement is exact for same-direction vectors)
     "q_dedup_cosine_lsh" -> cosineOraclePlanted(CosineThresholdProd),
+
+    "q_dedup_semantic" ->
+      s"""WITH ${semanticCtes(CosineThresholdProd, IvfCentroids)}
+         |SELECT cid, vec_i, vec_j, cos FROM spairs
+         |ORDER BY vec_i, vec_j""".stripMargin,
+
+    "q_dedup_semantic_survivors" ->
+      s"""WITH ${semanticCtes(CosineThresholdProd, IvfCentroids)}
+         |SELECT a.vec_id, a.cid FROM assigned a
+         |WHERE NOT EXISTS (SELECT 1 FROM spairs p WHERE p.vec_j = a.vec_id)
+         |ORDER BY a.vec_id""".stripMargin,
 
     "q_sim_bruteforce_topk" ->
       s"""WITH norms AS (

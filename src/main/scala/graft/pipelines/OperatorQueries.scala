@@ -687,6 +687,78 @@ object OperatorQueries {
         |                   ELSE arr END) AS tok
         |FROM arrs ORDER BY doc_id, tok""".stripMargin),
 
+    // SCD2 merge (graft.ops.Scd): versioned dimension history under an
+    // update batch with all four row classes — changed (close + reopen),
+    // unchanged (identical attrs — no-op), untouched (absent from the
+    // batch), and brand-new keys — plus a closed-history slice that must
+    // pass through the merge untouched. The dimension and batch both
+    // derive deterministically from the supplier fixture.
+    "q_scd2_merge" -> (
+      ((s: SparkSession, dir: String) => {
+        val sup = Entities.read(s, dir, "supplier")
+        val dim = sup.select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+            to_date(lit("2024-01-01")).as("valid_from"),
+            to_date(lit("9999-12-31")).as("valid_to"),
+            lit(true).as("is_current"))
+          .unionByName(sup.filter(col("s_suppkey") % 5 === 0)
+            .select(col("s_suppkey"), col("s_name"),
+              (col("s_acctbal") - 50.0).as("s_acctbal"),
+              to_date(lit("2023-01-01")).as("valid_from"),
+              to_date(lit("2024-01-01")).as("valid_to"),
+              lit(false).as("is_current")))
+        val upd = sup.filter(col("s_suppkey") % 3 === 0)
+            .select(col("s_suppkey"), col("s_name"),
+              (col("s_acctbal") + 100.0).as("s_acctbal"))
+          .unionByName(sup.filter(col("s_suppkey") % 3 === 1)
+            .select(col("s_suppkey"), col("s_name"), col("s_acctbal")))
+          .unionByName(sup.filter(col("s_suppkey") % 10 === 0)
+            .select((col("s_suppkey") + 100000L).as("s_suppkey"),
+              col("s_name"), col("s_acctbal")))
+        graft.ops.Scd.scd2Merge(dim, upd, Seq("s_suppkey"),
+            Seq("s_name", "s_acctbal"), "2024-06-15")
+          .orderBy("s_suppkey", "valid_from", "is_current")
+      }),
+      """WITH dim AS (
+        |  SELECT s_suppkey, s_name, s_acctbal,
+        |         DATE '2024-01-01' AS valid_from,
+        |         DATE '9999-12-31' AS valid_to, TRUE AS is_current
+        |  FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_acctbal - 50.0,
+        |         DATE '2023-01-01', DATE '2024-01-01', FALSE
+        |  FROM supplier WHERE s_suppkey % 5 = 0),
+        |upd AS (
+        |  SELECT s_suppkey, s_name, s_acctbal + 100.0 AS s_acctbal
+        |  FROM supplier WHERE s_suppkey % 3 = 0
+        |  UNION ALL
+        |  SELECT s_suppkey, s_name, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 3 = 1
+        |  UNION ALL
+        |  SELECT s_suppkey + 100000, s_name, s_acctbal
+        |  FROM supplier WHERE s_suppkey % 10 = 0),
+        |cur AS (SELECT * FROM dim WHERE is_current),
+        |hist AS (SELECT * FROM dim WHERE NOT is_current),
+        |j AS (SELECT c.s_suppkey AS ck, c.s_name AS cn, c.s_acctbal AS cb,
+        |             c.valid_from AS vf,
+        |             u.s_suppkey AS uk, u.s_name AS un, u.s_acctbal AS ub
+        |      FROM cur c FULL OUTER JOIN upd u ON c.s_suppkey = u.s_suppkey),
+        |merged AS (
+        |  SELECT * FROM hist
+        |  UNION ALL
+        |  SELECT ck, cn, cb, vf, DATE '9999-12-31', TRUE FROM j
+        |  WHERE ck IS NOT NULL AND (uk IS NULL OR
+        |        (un IS NOT DISTINCT FROM cn AND ub IS NOT DISTINCT FROM cb))
+        |  UNION ALL
+        |  SELECT ck, cn, cb, vf, DATE '2024-06-15', FALSE FROM j
+        |  WHERE ck IS NOT NULL AND uk IS NOT NULL AND
+        |        (un IS DISTINCT FROM cn OR ub IS DISTINCT FROM cb)
+        |  UNION ALL
+        |  SELECT uk, un, ub, DATE '2024-06-15', DATE '9999-12-31', TRUE FROM j
+        |  WHERE uk IS NOT NULL AND (ck IS NULL OR
+        |        un IS DISTINCT FROM cn OR ub IS DISTINCT FROM cb))
+        |SELECT s_suppkey, s_name, s_acctbal, valid_from, valid_to, is_current
+        |FROM merged ORDER BY s_suppkey, valid_from, is_current""".stripMargin),
+
     // §2.8 — unionByName with missing columns (schema-evolution append:
     // the later batch lacks p_type and gets NULLs, by NAME not position).
     "q_union_by_name" -> (

@@ -19,13 +19,20 @@ class PlanGateSpec extends SparkSpec {
 
   /** Deliberate, documented exceptions — each is a broadcast nested loop
     * whose broadcast side is a small frame by CONTRACT (not provable from
-    * the plan): ANN query sets and IVF centroid lists, and the exact
-    * cosine all-pairs oracle anchor (guarded by a row-count cap at
-    * construction; `cosinePairsLshAuto` is the scale path). */
+    * the plan): ANN query sets, IVF/SemDeDup centroid lists (k rows by
+    * construction — the argmax assignment fans every vector out against
+    * the broadcast centroids, counted once per scan of the cached
+    * assignment: twice for the pair self-join, thrice for survivors'
+    * extra anti-join probe), and the exact cosine all-pairs oracle
+    * anchor (guarded by a row-count cap at construction;
+    * `cosinePairsLshAuto` is the scale path). */
   private val allow: Map[String, Seq[String]] = Map(
     "q_dedup_cosine"       -> Seq("broadcast-nested-loop"),
     "q_sim_bruteforce_topk" -> Seq("broadcast-nested-loop"),
-    "q_sim_ivf_topk"       -> Seq("broadcast-nested-loop", "broadcast-nested-loop")
+    "q_sim_ivf_topk"       -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    "q_dedup_semantic"     -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    "q_dedup_semantic_survivors" -> Seq("broadcast-nested-loop",
+      "broadcast-nested-loop", "broadcast-nested-loop")
   )
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
