@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-trained n-gram language-model scoring — the perplexity-style
+  * quality signal of CCNet-like pipelines, re-expressed so the score is
+  * BIT-EXACT across engines: the per-bigram log-likelihood log2
+  * P(w2|w1) = log2 c(w1 w2) − log2 c(w1) is floored to integer BITS via
+  * binary-string length (`length(bin(c)) − 1` = floor(log2 c) — exact
+  * integer arithmetic in any engine, no libm, no float summation
+  * order), and a document's score is the SUM of those integer bits.
+  * Monotone-equivalent to a coarsely-quantized mean log-likelihood:
+  * rank documents by `ll_bits / n_bigrams` and the low tail is exactly
+  * the "surprising under the corpus LM" tail perplexity filtering
+  * drops. `uniq_bigrams` (corpus-singleton bigrams) is the companion
+  * novelty count.
+  *
+  * The model is trained ON the scored corpus itself (the CCNet
+  * self-scoring shape), so every document bigram has count ≥ 1 and no
+  * smoothing constant enters the contract. To score against a foreign
+  * reference corpus, train counts there and left-join with a floor
+  * count — the unseen-bigram penalty becomes `-bits(c(w1))`.
+  *
+  * Scale: two corpus-bounded count aggregations (vocabulary and bigram
+  * vocabulary — df-bounded, far smaller than the corpus) and two
+  * equi-joins that hash-partition on the token/bigram string. No
+  * window, no driver-side state, no forced broadcast (the planner
+  * broadcasts the count sides when they measure small — cf. the
+  * tfidfTopTerms lesson: a forced hint is a hard failure on a
+  * billion-row vocabulary). For 100 TB corpora the join keys can be
+  * xxhash64-compressed to 8 bytes under the jaccard family's
+  * collision contract; the string form keeps the oracle byte-exact.
+  */
+object LanguageModel {
+
+  /** Per-document integer-bit bigram LM scores. Output columns:
+    * `idCol`, `n_bigrams`, `ll_bits` (Σ floor(log2 c(w1w2)) −
+    * floor(log2 c(w1)), ≤ 0), `uniq_bigrams` (corpus-singleton
+    * bigram instances). Documents with < 2 tokens score (0, 0, 0). */
+  def bigramBitScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+
+    // (doc, first token, bigram string) — one row per consecutive pair
+    val bi = toks
+      .select(col(idCol), explode(
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => struct(
+              element_at(col("__tk"), i + 1).as("w1"),
+              concat_ws(" ", element_at(col("__tk"), i + 1),
+                element_at(col("__tk"), i + 2)).as("bg"))))
+          .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("__e"))
+      .select(col(idCol), col("__e.w1").as("w1"), col("__e.bg").as("bg"))
+
+    val uni = toks.select(explode(col("__tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val big = bi.groupBy("bg").agg(count(lit(1)).as("cb"))
+
+    val bits = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
+    val scored = bi
+      .join(uni, bi("w1") === uni("tok"))
+      .join(big, "bg")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((bits(col("cb")) - bits(col("cu"))).cast("long")).as("ll_bits"),
+        sum(when(col("cb") === 1, 1L).otherwise(0L)).as("uniq_bigrams"))
+
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll_bits"), lit(0L)).as("ll_bits"),
+        coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"))
+  }
+}

@@ -664,6 +664,15 @@ object ExtensionQueries {
         length(TextAnalysis.redactPii(col("text"))).as("n_chars_redacted"))
         .orderBy("doc_id")),
 
+    // corpus-LM perplexity-style scoring, bit-exact across engines: the
+    // per-bigram log-likelihood is floored to integer BITS (binary-string
+    // length, no libm) and summed — rank by ll_bits/n_bigrams and the low
+    // tail is the "surprising under the corpus LM" tail CCNet-style
+    // filters drop
+    "q_text_lm_score" -> ((s, dir) =>
+      graft.ops.LanguageModel.bigramBitScores(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // ── train/eval contamination (decontamination sweep) ─────────────
     // eval slice = doc_id % 7 == 0, train = the rest; containment =
     // shared-shingle fraction of the EVAL doc's shingles
@@ -1226,6 +1235,26 @@ object ExtensionQueries {
          |  CAST(len([t FOR t IN string_split(text, ' ') IF t <> '']) AS INT) AS n_ws_tokens,
          |  CAST(len(regexp_extract_all(text, '${TextAnalysis.BpeishPattern}')) AS INT) AS n_bpe_tokens
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // integer-bit LM score: floor(log2 c) = length(bin(c)) - 1 in both
+    // engines — exact integer arithmetic, so the sums are order-free
+    "q_text_lm_score" ->
+      """WITH toks AS (SELECT doc_id,
+        |  [t FOR t IN string_split(text, ' ') IF t <> ''] AS tk FROM documents),
+        |bi AS (SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+        |       FROM (SELECT doc_id, tk,
+        |             unnest(generate_series(1, len(tk)-1)) AS i FROM toks)),
+        |uni AS (SELECT tok, COUNT(*) AS cu
+        |        FROM (SELECT unnest(tk) AS tok FROM toks) GROUP BY 1),
+        |bc AS (SELECT bg, COUNT(*) AS cb FROM bi GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |          CAST(SUM((length(bin(cb)) - 1) - (length(bin(cu)) - 1)) AS BIGINT) AS ll_bits,
+        |          CAST(SUM(CASE WHEN cb = 1 THEN 1 ELSE 0 END) AS BIGINT) AS uniq_bigrams
+        |       FROM bi JOIN uni ON bi.w1 = uni.tok JOIN bc USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(ll_bits, 0) AS ll_bits,
+        |       COALESCE(uniq_bigrams, 0) AS uniq_bigrams
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY doc_id""".stripMargin,
 
     "q_text_langid" ->
       s"""WITH toks AS (SELECT doc_id,

@@ -234,6 +234,26 @@ object OperatorQueries {
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin),
 
+    // O3 at scale — exact top-k per group through the bounded-heap
+    // TopKRows aggregate (map-side partial top-k; the shuffle carries at
+    // most k rows per group per map partition) instead of the window
+    // row_number form that shuffles and sorts the full input. Total
+    // order (acctbal DESC, custkey ASC) ⇒ deterministic, and the oracle
+    // is the window definition itself.
+    "q_topk_agg" -> (
+      ((s: SparkSession, dir: String) =>
+        graft.ops.TopK.topKPerGroup(customer(s, dir), Seq("c_nationkey"),
+          Seq(graft.ops.TopK.ordDescDouble(col("c_acctbal")),
+            graft.ops.TopK.ordAsc(col("c_custkey"))),
+          Seq("c_custkey", "c_name", "c_acctbal"), 3)
+          .orderBy("c_nationkey", "rk")),
+      """SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal FROM (
+        |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
+        |         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
+        |              ORDER BY c_acctbal DESC, c_custkey) AS INT) AS rk
+        |  FROM customer) t WHERE rk <= 3
+        |ORDER BY c_nationkey, rk""".stripMargin),
+
     // Set operations (engine capability beyond the reference's surface)
     "q_set_union" -> (
       ((s: SparkSession, dir: String) => {
