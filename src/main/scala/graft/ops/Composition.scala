@@ -105,6 +105,46 @@ object Composition {
       assigned.fold(lit(splits.head._1))(_.otherwise(lit(splits.last._1))))
   }
 
+  /** Deterministic downsample to a TARGET class mix (the domain-
+    * reweighting step of training-data composition: "make the kept
+    * corpus 40% en / 15% each of the rest"). The kept total is the
+    * LARGEST achievable under the target proportions — the scarcest
+    * class relative to its target share caps it (m_total =
+    * min_c floor(n_c·den/w_c)), every class then keeps
+    * m_c = floor(w_c·m_total/den) docs in expectation — and membership
+    * is a pure per-row function of (id, seed): a doc is kept iff its
+    * 32-bit md5 hash clears the class's rational threshold
+    * h·n_c < m_c·2³², ALL integer arithmetic (exact in any engine; kept
+    * counts approximate m_c within binomial hash noise, like every
+    * hash-threshold sampler here).
+    *
+    * Classes absent from `targetWeights` are dropped; target classes
+    * absent from the corpus are ignored (the mix is over present
+    * classes). Scale: one tiny per-class count aggregate, a scalar min,
+    * and a broadcast of the |classes|-row threshold frame onto the scan
+    * — no window, no global sort. The h·n_c product bounds n_c < 2³¹
+    * rows per class; beyond that, widen the comparison to DECIMAL(38,0)
+    * on both engines. */
+  def reweightToTarget(docs: DataFrame, idCol: String, classCol: String,
+                       targetWeights: Seq[(String, Long)],
+                       seed: Long = 42L): DataFrame = {
+    require(targetWeights.nonEmpty && targetWeights.forall(_._2 > 0L),
+      s"target weights must be positive, got $targetWeights")
+    val den = targetWeights.map(_._2).sum
+    val spark = docs.sparkSession
+    val w = spark.createDataFrame(targetWeights).toDF("__cls", "__wt")
+    val cnt = docs.groupBy(col(classCol).as("__cls")).agg(count(lit(1)).as("__n"))
+    val j = cnt.join(w, "__cls")
+    val mt = j.agg(min(expr(s"__n * $den div __wt")).as("__m_total"))
+    // |classes| rows × 1 row — the compact-producer broadcast shape
+    val th = j.crossJoin(broadcast(mt))
+      .select(col("__cls"), col("__n"), expr(s"__wt * __m_total div $den").as("__m"))
+    val h = conv(substring(shuffleKey(col(idCol), seed), 1, 8), 16, 10).cast("long")
+    docs.join(broadcast(th), col(classCol) === col("__cls"))
+      .filter(h * col("__n") < col("__m") * lit(4294967296L))
+      .drop("__cls", "__n", "__m")
+  }
+
   /** Source-interleaved training order: docs rank pseudorandomly WITHIN
     * their source, and the global order is (rank, source) — a round-robin
     * through sources, so a contiguous training window mixes sources

@@ -171,6 +171,12 @@ object ExtensionQueries {
   // Composition.splitBounds, so both engines compare identical literals
   val CorpusSplits = Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
 
+  /** Target language mix for the reweighting query: en-heavy corpus
+    * rebalanced to 40/15/15/15/15 (weights sum to 100 = the rational
+    * denominator shared with the oracle). */
+  val ReweightTarget = Seq("en" -> 40L, "de" -> 15L, "es" -> 15L,
+    "fr" -> 15L, "zh" -> 15L)
+
   // the corpus-quality metric CTEs + predicate, shared by the filter
   // oracle and the end-to-end curated oracle (one source of truth for
   // the DuckDB replay of CorpusStreams.qualityGate)
@@ -574,6 +580,14 @@ object ExtensionQueries {
       graft.ops.Composition.splitAssign(docs(s, dir), "doc_id",
         CorpusSplits, 42L)
         .select("doc_id", "split").orderBy("doc_id")),
+
+    // domain reweighting: deterministic downsample to the target language
+    // mix — kept total is the max achievable under the proportions, and
+    // membership is a per-row integer-threshold function of (id, seed)
+    "q_corpus_reweight" -> ((s, dir) =>
+      graft.ops.Composition.reweightToTarget(docs(s, dir), "doc_id", "lang",
+        ReweightTarget, 42L)
+        .select("doc_id", "lang").orderBy("doc_id")),
 
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
@@ -1354,6 +1368,23 @@ object ExtensionQueries {
          |       WHEN md5(CAST(doc_id AS VARCHAR) || ':42') < '${bounds(1)}' THEN 'val'
          |       ELSE 'test' END AS split
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    // the engine's integer-threshold chain replayed literally: den = 100,
+    // m_total = min floor(n·den/w), m = floor(w·m_total/den), keep iff
+    // h32·n < m·2^32 — `div`/`//` agree on positive integers
+    "q_corpus_reweight" -> {
+      val vals = ReweightTarget.map { case (c, w) => s"('$c', $w)" }.mkString(", ")
+      val den = ReweightTarget.map(_._2).sum
+      s"""WITH w AS (SELECT * FROM (VALUES $vals) AS t(cls, wt)),
+         |cnt AS (SELECT lang AS cls, COUNT(*) AS n FROM documents GROUP BY 1),
+         |j AS (SELECT cls, wt, n FROM cnt JOIN w USING (cls)),
+         |mt AS (SELECT MIN(n * $den // wt) AS m_total FROM j),
+         |th AS (SELECT cls, n, wt * m_total // $den AS m FROM j CROSS JOIN mt)
+         |SELECT doc_id, lang FROM documents d JOIN th ON d.lang = th.cls
+         |WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 8)) AS BIGINT) * n
+         |      < m * 4294967296
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_text_normalize" ->

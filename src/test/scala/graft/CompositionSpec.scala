@@ -76,6 +76,31 @@ class CompositionSpec extends SparkSpec {
     assert(fromHalf == fromFull, "a doc's split depends on its id alone")
   }
 
+  test("reweightToTarget hits the target mix within hash noise, is " +
+       "partition-invariant, and drops unlisted classes") {
+    val target = Seq("en" -> 40L, "de" -> 30L, "es" -> 30L)
+    val kept = Composition.reweightToTarget(docs, "doc_id", "lang", target)
+    val counts = kept.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // unlisted langs are gone
+    assert(counts.keySet.subsetOf(target.map(_._1).toSet))
+    // proportions approximate the target: each class within ±20% relative
+    val n = counts.values.sum.toDouble
+    target.foreach { case (cls, w) =>
+      val got = counts.getOrElse(cls, 0L) / n
+      val want = w.toDouble / target.map(_._2).sum
+      assert(math.abs(got - want) < want * 0.2,
+        s"$cls share $got vs target $want ($counts)")
+    }
+    // never keeps more than the class has; membership is per-row stable
+    val perLang = docs.groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    counts.foreach { case (cls, c) => assert(c <= perLang(cls)) }
+    val again = Composition.reweightToTarget(docs.repartition(7), "doc_id",
+      "lang", target).select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(again == kept.select("doc_id").collect().map(_.getLong(0)).toSet)
+  }
+
   test("interleaved ranks are a within-source permutation") {
     val out = Composition.interleaved(docs, "doc_id", "source")
     val bySource = out.select("source", "interleave_rank")
