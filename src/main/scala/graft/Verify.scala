@@ -11,8 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
-      // events fixture stores ts as parquet TIMESTAMP(NANOS): read as
-      // long nanos (EventStreams.normalizeTs converts to micros)
+      // fixture-flavor tolerance: a TIMESTAMP(NANOS) events fixture reads
+      // as long nanos (EventStreams.normalizeTs converts to micros); the
+      // current naive-micros fixture reads as TIMESTAMP_NTZ and needs
+      // neither conf nor conversion
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

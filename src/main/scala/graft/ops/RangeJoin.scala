@@ -26,7 +26,13 @@ object RangeJoin {
                       binSeconds: Long, rightPrefix: String = "range_"): DataFrame = {
     require(binSeconds > 0, "bin width must be positive")
     val binMicros = binSeconds * 1000000L
-    def binOf(c: Column): Column = (unix_micros(c) / binMicros).cast("long")
+    // unix_micros rejects TIMESTAMP_NTZ (the naive-parquet fixture read);
+    // cast through TIMESTAMP first — value-preserving under the UTC
+    // session timezone every graft entry point pins, and the bin id only
+    // needs to be one consistent monotone map applied to both sides (the
+    // exact range filter below re-checks the original values).
+    def binOf(c: Column): Column =
+      (unix_micros(c.cast("timestamp")) / binMicros).cast("long")
 
     val p = points.withColumn("__bin", binOf(col(pointCol)))
     val i0 = intervals.columns.filterNot(keys.contains)

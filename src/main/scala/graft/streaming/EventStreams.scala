@@ -28,17 +28,33 @@ object EventStreams {
   /** File-based stream over a directory of parquet event files. The
     * schema is taken from a batch read of the same directory (streaming
     * sources require one up front), then [[normalizeTs]] repairs the
-    * fixture's TIMESTAMP(NANOS) column. */
-  def readStream(spark: SparkSession, dir: String): DataFrame =
-    normalizeTs(spark.readStream.schema(spark.read.parquet(dir).schema)
+    * fixture's `ts` column. Event-time watermarks reject TIMESTAMP_NTZ
+    * (`EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE`), so a naive-timestamp
+    * fixture is additionally cast to TIMESTAMP here — value-preserving
+    * under the UTC session timezone every graft entry point pins. */
+  def readStream(spark: SparkSession, dir: String): DataFrame = {
+    val s = normalizeTs(spark.readStream.schema(spark.read.parquet(dir).schema)
       .option("maxFilesPerTrigger", 1).parquet(dir))
+    s.schema("ts").dataType match {
+      case TimestampNTZType => s.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => s
+    }
+  }
 
-  /** The events fixture stores `ts` as parquet TIMESTAMP(NANOS), which
-    * Spark's reader rejects unless `spark.sql.legacy.parquet.nanosAsLong`
-    * is set (it is, in Verify/Bench/tests) — the column then arrives as
-    * LongType nanos. Truncating division to micros matches DuckDB's
-    * nanos→micros read exactly (`div` truncates toward zero; epochs are
-    * positive). No-op when `ts` is already a timestamp. */
+  /** Normalizes the fixture's `ts` column across the parquet flavors the
+    * driver has shipped:
+    *   - TIMESTAMP(NANOS) read as LongType nanos (requires
+    *     `spark.sql.legacy.parquet.nanosAsLong`, set in every graft
+    *     session builder): truncating `div` to micros matches DuckDB's
+    *     nanos→micros read exactly (`div` truncates toward zero; epochs
+    *     are positive).
+    *   - TIMESTAMP(MICROS, isAdjustedToUTC=false), i.e. TIMESTAMP_NTZ:
+    *     kept as-is. Batch operators (window, session_window, date
+    *     functions, range windows) all accept NTZ, and writing NTZ back
+    *     out produces naive parquet — exactly what the DuckDB oracle
+    *     computes from the same naive inputs, so result hashes match
+    *     without any timezone assumption.
+    *   - TIMESTAMP (LTZ): already normalized, no-op. */
   def normalizeTs(events: DataFrame): DataFrame =
     events.schema("ts").dataType match {
       case LongType =>

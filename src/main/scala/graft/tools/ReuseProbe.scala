@@ -14,6 +14,7 @@ object ReuseProbe {
     val builder = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", "local[4]"))
       .config("spark.sql.shuffle.partitions", 32)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
     // extra confs via env, e.g. SPARK_GRAFT_CONF="spark.sql.autoBroadcastJoinThreshold=-1;..."

@@ -36,8 +36,8 @@ class RangeJoinSpec extends SparkSpec {
   }
 
   test("bin width does not change results, only candidate counts") {
-    val e = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val e = graft.streaming.EventStreams.normalizeTs(
+        spark.read.parquet(s"$sf/events.parquet"))
       .select("event_id", "user_id", "ts")
     val iv = e.withColumnRenamed("event_id", "iid")
       .withColumn("end_ts", expr("ts + INTERVAL 30 MINUTES"))
