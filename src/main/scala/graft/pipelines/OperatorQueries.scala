@@ -254,6 +254,20 @@ object OperatorQueries {
         |  FROM customer) t WHERE rk <= 3
         |ORDER BY c_nationkey, rk""".stripMargin),
 
+    // Layout — the Morton z-key graft.ops.Layout clusters table writes
+    // by (data-skipping for 2-d box predicates; LayoutSpec measures the
+    // partition pruning). The oracle is the bit interleave spelled out
+    // as one explicit SQL term per bit.
+    "q_zorder_key" -> (
+      ((s: SparkSession, dir: String) =>
+        Entities.read(s, dir, "events")
+          .select(col("event_id"), col("user_id"),
+            graft.ops.Layout.zkey(col("event_id"), col("user_id")).as("zkey"))
+          .orderBy("event_id")),
+      s"""SELECT event_id, user_id,
+         |  ${graft.functions.InterleaveBits.oracleSql("event_id", "user_id")} AS zkey
+         |FROM events ORDER BY event_id""".stripMargin),
+
     // Set operations (engine capability beyond the reference's surface)
     "q_set_union" -> (
       ((s: SparkSession, dir: String) => {
