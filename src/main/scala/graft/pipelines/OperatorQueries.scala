@@ -254,6 +254,32 @@ object OperatorQueries {
         |  FROM customer) t WHERE rk <= 3
         |ORDER BY c_nationkey, rk""".stripMargin),
 
+    // Incremental aggregate maintenance — three "daily" batches folded
+    // into a compact per-key state (count/exact-decimal-sum/min/max),
+    // published; the oracle is the FULL-table aggregate, so the check
+    // proves the incremental path is bit-identical to a from-scratch
+    // recompute (history never rescanned — see graft.ops.IncrementalAgg).
+    "q_incr_agg" -> (
+      ((s: SparkSession, dir: String) => {
+        import graft.ops.IncrementalAgg
+        val o = orders(s, dir)
+        val keys = Seq("o_orderpriority")
+        val batches = (0 until 3).map(d => o.filter(col("o_orderkey") % 3 === d))
+        val state = batches.drop(1).foldLeft(
+          IncrementalAgg.initState(batches.head, keys, "o_totalprice")) {
+          (st, b) => IncrementalAgg.merge(st, b, keys, "o_totalprice")
+        }
+        IncrementalAgg.publish(state, keys)
+          .withColumn("sum_v", col("sum_v").cast("double"))
+          .orderBy("o_orderpriority")
+      }),
+      """SELECT o_orderpriority, COUNT(*) AS n_rows,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
+        |       MIN(o_totalprice) AS min_v, MAX(o_totalprice) AS max_v,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE)
+        |         / CAST(COUNT(*) AS DOUBLE) AS avg_v
+        |FROM orders GROUP BY 1 ORDER BY 1""".stripMargin),
+
     // Layout — the Morton z-key graft.ops.Layout clusters table writes
     // by (data-skipping for 2-d box predicates; LayoutSpec measures the
     // partition pruning). The oracle is the bit interleave spelled out
