@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group feature scaling for training-data pipelines — normalize a
+  * numeric signal WITHIN each stratum (language, source, shard) so
+  * downstream filters/curricula compare like with like.
+  *
+  * Both forms are built from exact per-group statistics, so the scaled
+  * value is a deterministic pure function of the input set — Spark and
+  * DuckDB produce bit-identical doubles (one IEEE division of exactly
+  * representable operands; no float accumulation anywhere):
+  *
+  *   - [[robustScale]]: (v − median) / (p75 − p25), the outlier-immune
+  *     standardization. Mean/stddev z-scores are deliberately NOT
+  *     offered on doubles: a distributed float sum is
+  *     accumulation-order-dependent, so the result would differ run to
+  *     run at 1000 executors — median/IQR over integral values is both
+  *     more robust and exactly reproducible. Quantiles come from
+  *     [[Quantiles.groupedExactQuantile]] (bin-refinement protocol, ≤7
+  *     aggregation rounds over ALL groups at once, no per-group window
+  *     sort — the 100 TB-safe shape).
+  *   - [[minMaxScale]]: (v − min) / (max − min), one map-side-combined
+  *     aggregate for the per-group extrema.
+  *
+  * Group statistics frames are key-cardinality sized and broadcast to
+  * the fact side — no shuffle of the scaled table.
+  */
+object Scaling {
+
+  /** Adds `robust_z` = (value − p50) / (p75 − p25), per group; NULL when
+    * the IQR is zero (degenerate group). Value column must be integral
+    * (the exact-quantile contract). */
+  def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    def q(p: Double, name: String) =
+      Quantiles.groupedExactQuantile(df, groupCol, valueCol, p)
+        .withColumnRenamed("value", name)
+    val stats = q(0.25, "p25").join(q(0.50, "p50"), groupCol)
+      .join(q(0.75, "p75"), groupCol)
+    val iqr = col("p75") - col("p25")
+    df.join(broadcast(stats), groupCol)
+      .withColumn("robust_z",
+        when(iqr === 0, lit(null).cast("double"))
+          .otherwise((col(valueCol) - col("p50")).cast("double") / iqr.cast("double")))
+      .drop("p25", "p50", "p75")
+  }
+
+  /** Adds `minmax` = (v − min) / (max − min) in [0, 1], per group; NULL
+    * when the group is constant. Works for any numeric column — the
+    * extrema are exact order statistics, not accumulations. */
+  def minMaxScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val stats = df.groupBy(groupCol)
+      .agg(min(col(valueCol)).as("__lo"), max(col(valueCol)).as("__hi"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("minmax",
+        when(col("__hi") === col("__lo"), lit(null).cast("double"))
+          .otherwise((col(valueCol) - col("__lo")).cast("double") /
+            (col("__hi") - col("__lo")).cast("double")))
+      .drop("__lo", "__hi")
+  }
+}

@@ -295,6 +295,20 @@ object ExtensionQueries {
     }).mkString(",\n")
 
   val queries: Map[String, Q] = Map(
+    // ── per-group feature scaling ────────────────────────────────────
+    // robust z = (v − median)/IQR from EXACT grouped quantiles (no
+    // per-group window sort; mean/stddev z is deliberately absent —
+    // float sums are accumulation-order-dependent at 1000 executors)
+    "q_scale_robust" -> ((s, dir) =>
+      graft.ops.Scaling.robustScale(docs(s, dir), "lang", "n_chars")
+        .select("doc_id", "lang", "n_chars", "robust_z")
+        .orderBy("doc_id")),
+
+    "q_scale_minmax" -> ((s, dir) =>
+      graft.ops.Scaling.minMaxScale(events(s, dir), "event_type", "value")
+        .select("event_id", "event_type", "value", "minmax")
+        .orderBy("event_id")),
+
     // ── deduplication ────────────────────────────────────────────────
     "q_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactRows(li(s, dir).select("l_returnflag", "l_linestatus"))
@@ -973,6 +987,37 @@ object ExtensionQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    // rank definition mirrors Quantiles.groupedExactQuantile:
+    // k = GREATEST(1, ceil(q·n_g)), lower value on ties
+    "q_scale_robust" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |                  COUNT(*) OVER (PARTITION BY lang) AS n
+        |           FROM documents),
+        |q AS (SELECT lang,
+        |             MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.25 * n) AS BIGINT))
+        |                      THEN n_chars END) AS p25,
+        |             MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.50 * n) AS BIGINT))
+        |                      THEN n_chars END) AS p50,
+        |             MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.75 * n) AS BIGINT))
+        |                      THEN n_chars END) AS p75
+        |      FROM s GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       CASE WHEN q.p75 - q.p25 = 0 THEN NULL
+        |            ELSE CAST(d.n_chars - q.p50 AS DOUBLE)
+        |                 / CAST(q.p75 - q.p25 AS DOUBLE) END AS robust_z
+        |FROM documents d JOIN q ON d.lang = q.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_scale_minmax" ->
+      """WITH m AS (SELECT event_type, MIN(value) AS lo, MAX(value) AS hi
+        |           FROM events GROUP BY event_type)
+        |SELECT e.event_id, e.event_type, e.value,
+        |       CASE WHEN m.hi = m.lo THEN NULL
+        |            ELSE (e.value - m.lo) / (m.hi - m.lo) END AS minmax
+        |FROM events e JOIN m ON e.event_type = m.event_type
+        |ORDER BY e.event_id""".stripMargin,
+
     "q_dedup_exact_rows" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY 1, 2""".stripMargin,
