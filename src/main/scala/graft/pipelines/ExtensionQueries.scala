@@ -309,6 +309,12 @@ object ExtensionQueries {
         .select("event_id", "event_type", "value", "minmax")
         .orderBy("event_id")),
 
+    // ── dataset profiling ────────────────────────────────────────────
+    "q_profile_documents" -> ((s, dir) =>
+      graft.ops.Profile.profile(docs(s, dir),
+        Seq("doc_id", "lang", "source", "n_chars"))
+        .orderBy("col_name")),
+
     // ── deduplication ────────────────────────────────────────────────
     "q_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactRows(li(s, dir).select("l_returnflag", "l_linestatus"))
@@ -1017,6 +1023,9 @@ object ExtensionQueries {
         |            ELSE (e.value - m.lo) / (m.hi - m.lo) END AS minmax
         |FROM events e JOIN m ON e.event_type = m.event_type
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_profile_documents" -> graft.ops.Profile.oracleSql("documents",
+      Seq("doc_id", "lang", "source", "n_chars")),
 
     "q_dedup_exact_rows" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
