@@ -309,6 +309,24 @@ object ExtensionQueries {
         .select("event_id", "event_type", "value", "minmax")
         .orderBy("event_id")),
 
+    // ── behavioral analytics over the event stream ───────────────────
+    // ordered funnel: min step-k time strictly after the user's step-k−1
+    // time; one filtered aggregate + user-key join per step, no per-user
+    // window sort
+    "q_funnel_users" -> ((s, dir) =>
+      graft.ops.Funnel.funnelTimes(events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    "q_funnel_summary" -> ((s, dir) =>
+      graft.ops.Funnel.funnelSummary(events(s, dir), "user_id", "event_type",
+        "ts", Seq("view", "click", "purchase"))
+        .orderBy("stage")),
+
+    "q_cohort_retention" -> ((s, dir) =>
+      graft.ops.Cohort.retention(events(s, dir), "user_id", "ts")
+        .orderBy("cohort_day", "day_offset")),
+
     // ── dataset profiling ────────────────────────────────────────────
     "q_profile_documents" -> ((s, dir) =>
       graft.ops.Profile.profile(docs(s, dir),
@@ -1026,6 +1044,45 @@ object ExtensionQueries {
 
     "q_profile_documents" -> graft.ops.Profile.oracleSql("documents",
       Seq("doc_id", "lang", "source", "n_chars")),
+
+    "q_funnel_users" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1)
+        |SELECT s1.user_id, s1.t_1, s2.t_2, s3.t_3
+        |FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+        |        LEFT JOIN s3 ON s1.user_id = s3.user_id
+        |ORDER BY s1.user_id""".stripMargin,
+
+    "q_funnel_summary" ->
+      """WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
+        |            WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+        |       JOIN s1 ON e.user_id = s1.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s1.t_1 GROUP BY 1),
+        |s3 AS (SELECT e.user_id, MIN(e.ts) AS t_3 FROM events e
+        |       JOIN s2 ON e.user_id = s2.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s2.t_2 GROUP BY 1)
+        |SELECT 1 AS stage, 'view' AS step, (SELECT COUNT(*) FROM s1) AS n_users
+        |UNION ALL
+        |SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+        |UNION ALL
+        |SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+        |ORDER BY stage""".stripMargin,
+
+    "q_cohort_retention" ->
+      """WITH f AS (SELECT user_id, CAST(MIN(ts) AS DATE) AS cohort_day
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT e.user_id, f.cohort_day,
+        |             CAST(CAST(e.ts AS DATE) - f.cohort_day AS BIGINT) AS day_offset
+        |      FROM events e JOIN f ON e.user_id = f.user_id)
+        |SELECT cohort_day, day_offset, COUNT(*) AS n_users
+        |FROM a GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
 
     "q_dedup_exact_rows" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
