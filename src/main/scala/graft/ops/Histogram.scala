@@ -1,0 +1,64 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Equi-width histograms — the profiling companion to [[Profile]] and
+  * [[Quantiles]]: one map-side-combined aggregation keyed by bin id, so
+  * the shuffle carries at most `bins` rows per partition regardless of
+  * input size. Bin edges are taken from the caller (or one (min, max)
+  * scan via [[histogramAuto]]) and computed with integer arithmetic on
+  * integral columns, so bin assignment is exact and engine-portable —
+  * no float-boundary flicker between Spark and the differential oracle.
+  */
+object Histogram {
+
+  /** Histogram of an integral column over [lo, hi] with `bins` equal
+    * integer-width bins (the last bin absorbs the remainder up to and
+    * including `hi`; values outside [lo, hi] are dropped). Returns
+    * (bin, bin_lo, bin_hi inclusive, n) sorted by bin; empty bins are
+    * present with n = 0 — a fixed-cardinality sequence literal, not a
+    * scan artifact. */
+  def histogram(df: DataFrame, valueCol: String, lo: Long, hi: Long,
+                bins: Int): DataFrame = {
+    require(bins > 0, "bins must be positive")
+    require(hi >= lo, s"empty range [$lo, $hi]")
+    // ceil width so bins*width covers the range; exact long arithmetic
+    val width = math.max(1L, (hi - lo) / bins + (if ((hi - lo) % bins == 0) 0L else 1L))
+    val v = col(valueCol).cast("long")
+    val counted = df.filter(v >= lo && v <= hi)
+      .withColumn("bin", least(floor((v - lo) / width), lit(bins - 1L)).cast("long"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+    val spark = df.sparkSession
+    val allBins = spark.range(bins).select(col("id").as("bin"))
+    allBins.join(counted, Seq("bin"), "left")
+      .select(col("bin"),
+        (lit(lo) + col("bin") * width).as("bin_lo"),
+        least(lit(hi), lit(lo) + (col("bin") + 1) * width - 1).as("bin_hi"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** [[histogram]] with edges from one (min, max) scan of the column. */
+  def histogramAuto(df: DataFrame, valueCol: String, bins: Int): DataFrame = {
+    val r = df.agg(min(col(valueCol).cast("long")),
+      max(col(valueCol).cast("long"))).first()
+    require(!r.isNullAt(0), s"$valueCol has no non-null values")
+    histogram(df, valueCol, r.getLong(0), r.getLong(1), bins)
+  }
+
+  /** DuckDB-equivalent SQL for the differential oracle (same exact
+    * integer bin arithmetic, empty bins materialized from a sequence). */
+  def oracleSql(table: String, valueCol: String, lo: Long, hi: Long,
+                bins: Int): String = {
+    val width = math.max(1L, (hi - lo) / bins + (if ((hi - lo) % bins == 0) 0L else 1L))
+    s"""WITH b AS (SELECT UNNEST(range(0, $bins)) AS bin),
+       |c AS (SELECT LEAST(CAST(FLOOR((CAST($valueCol AS BIGINT) - $lo) / $width) AS BIGINT),
+       |             ${bins - 1}) AS bin, COUNT(*) AS n
+       |      FROM $table
+       |      WHERE CAST($valueCol AS BIGINT) BETWEEN $lo AND $hi GROUP BY 1)
+       |SELECT b.bin, $lo + b.bin * $width AS bin_lo,
+       |       LEAST($hi, $lo + (b.bin + 1) * $width - 1) AS bin_hi,
+       |       COALESCE(c.n, 0) AS n
+       |FROM b LEFT JOIN c ON b.bin = c.bin ORDER BY b.bin""".stripMargin
+  }
+}

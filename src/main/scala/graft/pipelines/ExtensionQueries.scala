@@ -333,6 +333,10 @@ object ExtensionQueries {
         Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy("col_name")),
 
+    "q_histogram_chars" -> ((s, dir) =>
+      graft.ops.Histogram.histogram(docs(s, dir), "n_chars", 0L, 1023L, 16)
+        .orderBy("bin")),
+
     // ── deduplication ────────────────────────────────────────────────
     "q_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactRows(li(s, dir).select("l_returnflag", "l_linestatus"))
@@ -1044,6 +1048,9 @@ object ExtensionQueries {
 
     "q_profile_documents" -> graft.ops.Profile.oracleSql("documents",
       Seq("doc_id", "lang", "source", "n_chars")),
+
+    "q_histogram_chars" -> graft.ops.Histogram.oracleSql(
+      "documents", "n_chars", 0L, 1023L, 16),
 
     "q_funnel_users" ->
       """WITH s1 AS (SELECT user_id, MIN(ts) AS t_1 FROM events
