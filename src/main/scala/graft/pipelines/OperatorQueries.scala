@@ -254,6 +254,32 @@ object OperatorQueries {
         |  FROM customer) t WHERE rk <= 3
         |ORDER BY c_nationkey, rk""".stripMargin),
 
+    // Keyed MERGE (upsert): staging rows replace matched target keys,
+    // insert unmatched ones, untouched target keys carry through — one
+    // full-outer join, no window (graft.ops.Merge)
+    "q_merge_upsert" -> (
+      ((s: SparkSession, dir: String) => {
+        val t = customer(s, dir).select("c_custkey", "c_name", "c_acctbal")
+        val u = customer(s, dir).filter(col("c_custkey") % 7 === 0)
+          .select(col("c_custkey"), col("c_name"),
+            (col("c_acctbal") + 1000).as("c_acctbal"))
+          .unionByName(customer(s, dir).filter(col("c_custkey") < 50)
+            .select((col("c_custkey") + 1000000).as("c_custkey"),
+              col("c_name"), col("c_acctbal")))
+        graft.ops.Merge.upsert(t, u, Seq("c_custkey")).orderBy("c_custkey")
+      }),
+      """WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+        |u AS (SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
+        |      FROM customer WHERE c_custkey % 7 = 0
+        |      UNION ALL
+        |      SELECT c_custkey + 1000000, c_name, c_acctbal
+        |      FROM customer WHERE c_custkey < 50)
+        |SELECT COALESCE(u.c_custkey, t.c_custkey) AS c_custkey,
+        |       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_name ELSE t.c_name END AS c_name,
+        |       CASE WHEN u.c_custkey IS NOT NULL THEN u.c_acctbal ELSE t.c_acctbal END AS c_acctbal
+        |FROM t FULL OUTER JOIN u ON t.c_custkey = u.c_custkey
+        |ORDER BY c_custkey""".stripMargin),
+
     // Incremental aggregate maintenance — three "daily" batches folded
     // into a compact per-key state (count/exact-decimal-sum/min/max),
     // published; the oracle is the FULL-table aggregate, so the check
