@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.plans.physical.SinglePartition
 import org.apache.spark.sql.execution._
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 import org.apache.spark.sql.execution.aggregate.{HashAggregateExec, ObjectHashAggregateExec, SortAggregateExec}
-import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.execution.exchange.{EnsureRequirements, ShuffleExchangeExec}
 import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
 
 /** Static plan-quality gate over the physical plan of a query.
@@ -35,9 +35,16 @@ import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, Cartes
 object PlanGate {
 
   /** The pre-AQE physical plan — the static shape the planner committed
-    * to; AQE can only improve on it at runtime (BHJ conversion, coalesce). */
+    * to; AQE can only improve on it at runtime (BHJ conversion, coalesce).
+    *
+    * `AdaptiveSparkPlanExec.inputPlan` predates the stage-preparation
+    * rules, so the distribution-mandated exchanges (including every
+    * `Exchange SinglePartition` this gate exists to catch) are NOT in it
+    * yet — re-apply [[EnsureRequirements]] to see the shape that will
+    * actually execute. Without this the gate silently inspected a plan
+    * with no requirement-inserted shuffles at all. */
   def staticPlan(df: DataFrame): SparkPlan = df.queryExecution.executedPlan match {
-    case a: AdaptiveSparkPlanExec => a.inputPlan
+    case a: AdaptiveSparkPlanExec => EnsureRequirements()(a.inputPlan)
     case p => p
   }
 
@@ -65,7 +72,7 @@ object PlanGate {
     // cached behind a persist() (ResultSort, operator cache windows)
     // would silently escape the gate.
     val p = plan match {
-      case a: AdaptiveSparkPlanExec => a.inputPlan
+      case a: AdaptiveSparkPlanExec => EnsureRequirements()(a.inputPlan)
       case other => other
     }
     // recurse into cached subtrees — InMemoryRelation.cachedPlan is not a

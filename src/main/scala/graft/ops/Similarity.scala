@@ -67,24 +67,34 @@ object Similarity {
 
   /** LSH-bucketed ANN top-k: candidates = corpus rows sharing any
     * (table, bucket) with the query, exact-cosine reranked. Recall is
-    * probabilistic — measured against [[bruteForceTopK]] in the spec. */
+    * probabilistic — measured against [[bruteForceTopK]] in the spec.
+    *
+    * The exact cosine is computed per bucket collision, BEFORE the
+    * candidate-dedup exchange: a pair colliding in several tables scores
+    * bit-identically each time (the dot folds sequentially), so
+    * `max(cos)` over `(query_id, nn_id)` is deterministic and the dedup
+    * shuffle carries two ids and a double (~24 B/row) instead of the
+    * 512+ B embedding payloads a `distinct()` over vectors would hash,
+    * compare, and move. At a 100 TB corpus that exchange is the dominant
+    * shuffle of the ANN path — its width is the whole game. The map-side
+    * partial of the aggregate also collapses same-partition duplicates
+    * before anything hits the wire. */
   def lshTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
               vecCol: String, k: Int = 5, tables: Int = 8, planes: Int = 8,
               dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val cb = lshBuckets(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec")),
-      "nn_vec", tables, planes, dims)
-    val qb = lshBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec")),
-      "q_vec", tables, planes, dims)
-    val cands = cb.join(qb, Seq("table", "bucket"))
+    val cb = lshBuckets(corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+      Dedup.l2norm(col(vecCol)).as("nn_nrm")), "nn_vec", tables, planes, dims)
+    val qb = lshBuckets(queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Dedup.l2norm(col(vecCol)).as("q_nrm")), "q_vec", tables, planes, dims)
+    val scored = cb.join(qb, Seq("table", "bucket"))
       .filter(col("nn_id") =!= col("query_id"))
-      .select("query_id", "q_vec", "nn_id", "nn_vec")
-      .distinct()
+      .select(col("query_id"), col("nn_id"),
+        (Dedup.dot(col("q_vec"), col("nn_vec")) /
+          (col("q_nrm") * col("nn_nrm"))).as("cos"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos").desc, col("nn_id").asc)
-    cands.select(col("query_id"), col("nn_id"),
-      (Dedup.dot(col("q_vec"), col("nn_vec")) /
-        (Dedup.l2norm(col("q_vec")) * Dedup.l2norm(col("nn_vec")))).as("cos"))
+    scored.groupBy("query_id", "nn_id").agg(max(col("cos")).as("cos"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "nn_id", "cos", "rk")
   }

@@ -545,10 +545,11 @@ object ExtensionQueries {
 
     // Scalable variant of the customer report's global percent_rank
     // tiering (SURVEY.md §4 anti-pattern 3): aggregate per customer
-    // FIRST, then rank |customers| rows instead of |sales| rows in the
-    // single-partition window.
+    // FIRST (|customers| rows, not |sales|), then rank with the
+    // distributed two-pass protocol ([[graft.ops.Ranks.globalPercentRank]],
+    // bit-identical to `percent_rank() OVER (ORDER BY …)`) — no
+    // single-partition window anywhere in the plan, at any cardinality.
     "q_customer_tier_scalable" -> ((s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       import graft.model.Entities.{dec, decD, decQ}
       val sales = Entities.sales(s, dir)
         .filter(col("ORDER_STATUS").isin("Delivered", "Shipped"))
@@ -561,9 +562,8 @@ object ExtensionQueries {
       val perCustomer = amounts.groupBy("CUSTOMER_ID")
         .agg(sum("amt").as("total_dec"))
         .join(Entities.customers(s, dir), Seq("CUSTOMER_ID"), "inner")
-      val w = Window.orderBy(col("total_dec").desc)
-      perCustomer
-        .withColumn("pr", percent_rank().over(w))
+      graft.ops.Ranks.globalPercentRank(perCustomer, "total_dec",
+          descending = true, outCol = "pr")
         .select(col("CUSTOMER_ID"), col("NAME").as("CUSTOMER_NAME"),
           col("total_dec").cast("double").as("TOTAL_SALES"),
           when(col("pr") <= 0.2, "Gold")

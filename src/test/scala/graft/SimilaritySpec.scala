@@ -72,6 +72,37 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1)
   }
 
+  test("lshTopK candidate-dedup exchange carries ids + score, not vectors") {
+    import org.apache.spark.sql.catalyst.expressions.Attribute
+    import org.apache.spark.sql.catalyst.plans.physical.HashPartitioning
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    // At spec scale the query side broadcasts and a single input partition
+    // satisfies every distribution, so no exchange materializes; force the
+    // multi-executor shape (shuffle join, >1 partition) the 100 TB plan has.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", -1)
+    try {
+      val plan = PlanGate.staticPlan(
+        Similarity.lshTopK(emb.repartition(8), queries.repartition(4),
+          "vec_id", "embedding", 5))
+      val dedup = plan.collect { case e: ShuffleExchangeExec => e }.filter { e =>
+        e.outputPartitioning match {
+          case h: HashPartitioning =>
+            h.expressions.collect { case a: Attribute => a.name }.toSet ==
+              Set("query_id", "nn_id")
+          case _ => false
+        }
+      }
+      assert(dedup.nonEmpty, "expected a (query_id, nn_id) candidate-dedup exchange")
+      dedup.foreach { e =>
+        val arrays = e.output.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"dedup exchange must not move embedding payloads: ${arrays.map(_.name).mkString(",")}")
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("lshBuckets emits one row per (row, table)") {
     val b = Similarity.lshBuckets(emb.limit(10), "embedding", tables = 4)
     assert(b.count() == 40)
