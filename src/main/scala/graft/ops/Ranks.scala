@@ -93,11 +93,14 @@ object Ranks {
     * (the same magnitude RangePartitioner uses per partition). */
   private val SamplePerBucket = 32
 
-  /** Append `outCol` = global percent_rank of `valueCol` (descending by
-    * default, matching "top fraction" tiering semantics). */
-  def globalPercentRank(df: DataFrame, valueCol: String,
-                        descending: Boolean = true,
-                        outCol: String = "percent_rank"): DataFrame = {
+  /** The compact (distinct value → percent_rank) frame the protocol
+    * computes before anything touches row data: columns `__rank_v`,
+    * `__rank_pr`. Both public forms are tails over this — the join-back
+    * ([[globalPercentRank]]) when every row needs its rank, the
+    * broadcast-boundary form ([[tiersByPercentRank]]) when only
+    * threshold-crossing matters. */
+  private def distinctValueRanks(df: DataFrame, valueCol: String,
+                                 descending: Boolean): DataFrame = {
     val spark = df.sparkSession
     val parts = math.max(
       spark.conf.get("spark.sql.shuffle.partitions", "32").toInt, 1)
@@ -158,7 +161,7 @@ object Ranks {
     val w = Window.partitionBy("__rank_pid").orderBy(sortKey)
       .rowsBetween(Window.unboundedPreceding, -1)
 
-    val ranks = bucketed
+    bucketed
       .withColumn("__rank_in", coalesce(sum("__rank_cnt").over(w), lit(0L)))
       .crossJoin(broadcast(totals))
       .withColumn("__rank_off", aggregate(
@@ -166,11 +169,77 @@ object Ranks {
         lit(0L), (acc, x) => acc + x("tot")))
       .withColumn("__rank_n", aggregate(
         col("__rank_arr"), lit(0L), (acc, x) => acc + x("tot")))
-      .withColumn(outCol,
+      .withColumn("__rank_pr",
         when(col("__rank_n") <= 1L, lit(0.0)).otherwise(
           (col("__rank_off") + col("__rank_in")).cast("double") /
             (col("__rank_n") - 1L).cast("double")))
-      .select(col("__rank_v"), col(outCol))
+      .select(col("__rank_v"), col("__rank_pr"))
+  }
+
+  /** Append `outCol` = global percent_rank of `valueCol` (descending by
+    * default, matching "top fraction" tiering semantics). */
+  def globalPercentRank(df: DataFrame, valueCol: String,
+                        descending: Boolean = true,
+                        outCol: String = "percent_rank"): DataFrame = {
+    val ranks = distinctValueRanks(df, valueCol, descending)
+      .withColumnRenamed("__rank_pr", outCol)
     df.join(ranks, col(valueCol) <=> col("__rank_v"), "left").drop("__rank_v")
+  }
+
+  /** Label every row by which percent-rank threshold band its `valueCol`
+    * falls in — `labels(i)` for the FIRST `thresholds(i)` with
+    * `percent_rank(value) <= thresholds(i)`, else `labels.last`
+    * (`labels.size == thresholds.size + 1`; thresholds ascending).
+    * Bit-identical to tiering on [[globalPercentRank]]'s output, but the
+    * execution never joins ranks back to rows: percent_rank is monotone
+    * in the value, so band membership collapses to comparing the value
+    * against ONE BOUNDARY VALUE per threshold — the most extreme value
+    * (min under descending, max under ascending) whose rank clears the
+    * threshold, aggregated off the compact distinct-value frame and
+    * broadcast as a single row. Row-side cost is a broadcast cross join
+    * plus a when-chain: ZERO row-data shuffle, where the join-back form
+    * re-keys the whole input on the value column. At 100 TB that makes
+    * tiering as cheap as any map-side projection. Nulls (which the value
+    * comparisons would mislabel as the `otherwise` band) get their band
+    * from the null run's own percent_rank, carried alongside the
+    * boundaries — under DESC nulls rank last (Bronze-ish), under ASC
+    * first, exactly the window convention. */
+  def tiersByPercentRank(df: DataFrame, valueCol: String,
+                         thresholds: Seq[Double], labels: Seq[String],
+                         descending: Boolean = true,
+                         outCol: String = "tier"): DataFrame = {
+    require(thresholds.nonEmpty && labels.size == thresholds.size + 1,
+      s"need labels.size == thresholds.size + 1, got ${thresholds.size} " +
+        s"thresholds / ${labels.size} labels")
+    require(thresholds == thresholds.sorted,
+      s"thresholds must ascend, got $thresholds")
+    val ranks = distinctValueRanks(df, valueCol, descending)
+    val boundaryAggs = thresholds.zipWithIndex.map { case (t, i) =>
+      val eligible = when(col("__rank_pr") <= t, col("__rank_v"))
+      (if (descending) min(eligible) else max(eligible)).as(s"__tier_b$i")
+    }
+    val nullPr = max(when(col("__rank_v").isNull, col("__rank_pr")))
+      .as("__tier_null_pr")
+    val bounds = ranks.agg(boundaryAggs.head, (boundaryAggs.tail :+ nullPr): _*)
+
+    val valueBand = thresholds.indices.tail.foldLeft {
+      val c0 = if (descending) col(valueCol) >= col("__tier_b0")
+               else col(valueCol) <= col("__tier_b0")
+      when(c0, labels(0))
+    } { (chain, i) =>
+      val ci = if (descending) col(valueCol) >= col(s"__tier_b$i")
+               else col(valueCol) <= col(s"__tier_b$i")
+      chain.when(ci, labels(i))
+    }.otherwise(labels.last)
+    val nullBand = thresholds.indices.tail.foldLeft(
+      when(col("__tier_null_pr") <= thresholds(0), labels(0))
+    ) { (chain, i) =>
+      chain.when(col("__tier_null_pr") <= thresholds(i), labels(i))
+    }.otherwise(labels.last)
+
+    df.crossJoin(broadcast(bounds))
+      .withColumn(outCol,
+        when(col(valueCol).isNull, nullBand).otherwise(valueBand))
+      .drop(thresholds.indices.map(i => s"__tier_b$i") :+ "__tier_null_pr": _*)
   }
 }

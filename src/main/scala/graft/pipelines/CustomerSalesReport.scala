@@ -26,9 +26,10 @@ import graft.model.Entities.{dec, decD, decQ}
   * Scale note: the reference's global `percent_rank` window
   * (`Window.orderBy(...)` with no partition) is single-partition by
   * semantics (SURVEY.md §4 anti-pattern 3). The SEMANTICS are kept
-  * bit-for-bit, but the execution is the distributed two-pass rank
-  * ([[graft.ops.Ranks.globalPercentRank]]) — no single-partition
-  * exchange anywhere in this mart's plan. The per-customer
+  * bit-for-bit, but the execution is the distributed rank protocol's
+  * broadcast-boundary form ([[graft.ops.Ranks.tiersByPercentRank]]) —
+  * no single-partition exchange anywhere in this mart's plan, and no
+  * row-data shuffle for the tiering at all. The per-customer
   * pre-aggregated tiering variant also ships (q_customer_tier_scalable).
   */
 object CustomerSalesReport {
@@ -73,14 +74,14 @@ object CustomerSalesReport {
       .withColumn("LOAD_TSTMP",
         lit(java.sql.Timestamp.valueOf(Entities.LoadTstmpLit)))
 
-    // Global percent_rank via the DISTRIBUTED two-pass form
-    // ([[graft.ops.Ranks.globalPercentRank]]): bit-identical to the
+    // Global percent_rank tiering via the DISTRIBUTED rank protocol
+    // ([[graft.ops.Ranks.tiersByPercentRank]]): bit-identical to the
     // reference's mandated `percent_rank() OVER (ORDER BY amount DESC)`
-    // but with no single-partition exchange — rank ties collapse into
-    // per-distinct-amount counts, offsets come from a P-value driver
-    // protocol, and the ranks join back. metrics is persisted because
-    // the rank consumes it twice (count shuffle + join probe) and its
-    // lineage (two joins + decimal math) is worth not recomputing.
+    // tiers but with no single-partition exchange — rank ties collapse
+    // into per-distinct-amount counts and only boundary VALUES come back
+    // (broadcast). metrics is persisted because the protocol's compact
+    // frame and the row side both consume it and its lineage (two joins
+    // + decimal math) is worth not recomputing.
     // Cache residency note: Spark's CacheManager keys entries by
     // CANONICALIZED PLAN, so repeated apply() calls over the same dir
     // share ONE entry (re-persist is a no-op; measured — an explicit
@@ -88,12 +89,15 @@ object CustomerSalesReport {
     // ~2.5×'d the mart). Residency is bounded by #distinct dirs per
     // session, evictable under memory pressure either way.
     val cached = metrics.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val tiered = graft.ops.Ranks.globalPercentRank(cached, "SALE_AMOUNT",
-        descending = true)
-      .withColumn("LOYALTY_TIER",
-        when(col("percent_rank") <= 0.2, "Gold")
-          .when(col("percent_rank") > 0.2 && col("percent_rank") <= 0.5, "Silver")
-          .otherwise("Bronze"))
+    // Band membership only needs the rank protocol's boundary VALUES
+    // (broadcast, one row) — not a per-row rank join. Bit-identical to
+    // `percent_rank() <= 0.2 / <= 0.5` tiering (RanksSpec), with zero
+    // row-data shuffle where the join-back form re-keyed the whole mart
+    // on SALE_AMOUNT (measured ~1 s off this query at sf0.1; at 100 TB
+    // it removes the mart's only row-scale value-keyed exchange).
+    val tiered = graft.ops.Ranks.tiersByPercentRank(cached, "SALE_AMOUNT",
+      thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
+      descending = true, outCol = "LOYALTY_TIER")
 
     // SALE_ID alone is not unique in the fixture (lineitem's composite key
     // has collisions), so the tiebreak chain extends to PRODUCT_ID/QUANTITY
@@ -104,7 +108,7 @@ object CustomerSalesReport {
     tiered
       .withColumn("rn", row_number().over(perCustomer))
       .withColumn("TOP_PERFORMER", when(col("rn") === 1, "Yes").otherwise("No"))
-      .drop("rn", "percent_rank")
+      .drop("rn")
       .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
         "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
         "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",

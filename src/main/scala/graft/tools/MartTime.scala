@@ -1,0 +1,112 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** One-off measurement harness for the mart presentational-sort question:
+  * times each stage of the customer mart tail in a single warmed JVM so
+  * plan-shape choices are made on numbers, not guesses. Diagnostic only —
+  * not part of the library surface.
+  */
+object MartTime {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder()
+      .master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark.read.parquet(s"$sfDir/lineitem.parquet").count()
+
+    def time(name: String)(f: => DataFrame): Unit = {
+      val t0 = System.nanoTime()
+      f.write.mode("overwrite").format("noop").save()
+      println(f"[marttime] $name%-44s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    }
+
+    def release(): Unit = {
+      graft.ops.Ranks.releaseCaches()
+      graft.pipelines.ResultSort.releaseCaches()
+      spark.sharedState.cacheManager.clearCache()
+    }
+
+    import graft.model.Entities
+    import Entities.{dec, decD, decQ}
+
+    // replica of the mart's stages (kept in lockstep with
+    // CustomerSalesReport.apply; diagnostic duplication is deliberate)
+    def metrics(): DataFrame = {
+      val sales = Entities.sales(spark, sfDir)
+        .select("SALE_ID", "SALE_DATE", "QUANTITY", "CUSTOMER_ID",
+          "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT")
+      val products = Entities.products(spark, sfDir)
+        .select("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "SELLING_PRICE")
+      val customers = Entities.customers(spark, sfDir)
+      val filtered = sales.filter(col("ORDER_STATUS").isin("Delivered", "Shipped"))
+      val withProducts = filtered
+        .join(broadcast(products), Seq("PRODUCT_ID"), "left")
+        .select("SALE_ID", "SALE_DATE", "QUANTITY", "SELLING_PRICE",
+          "CUSTOMER_ID", "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT",
+          "PRODUCT_NAME", "CATEGORY")
+      val allData = withProducts
+        .join(customers, Seq("CUSTOMER_ID"), "inner")
+        .select(col("SALE_ID"), col("SALE_DATE"), col("QUANTITY"),
+          col("SELLING_PRICE"), col("CUSTOMER_ID"), col("PRODUCT_ID"),
+          col("DISCOUNT"), col("PRODUCT_NAME"), col("CATEGORY"),
+          col("NAME").as("CUSTOMER_NAME"), col("CITY"))
+      val dayDt = java.sql.Date.valueOf(Entities.DayDtLit)
+      allData
+        .withColumn("DAY_DT", lit(dayDt))
+        .withColumn("SALE_DATE", date_sub(lit(dayDt), 1))
+        .withColumn("SALE_MONTH", month(col("SALE_DATE")))
+        .withColumn("SALE_YEAR", year(col("SALE_DATE")))
+        .withColumn("PRICE",
+          col("SELLING_PRICE").cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("double"))
+        .withColumn("SALE_AMOUNT",
+          round(decQ(col("QUANTITY")) * dec(col("SELLING_PRICE")) *
+            (lit(100).cast(Entities.DiscDec) - decD(col("DISCOUNT"))) *
+            lit(new java.math.BigDecimal("0.01")), 2).cast("double"))
+        .withColumn("LOAD_TSTMP",
+          lit(java.sql.Timestamp.valueOf(Entities.LoadTstmpLit)))
+    }
+
+    def flagged(m: DataFrame): DataFrame = {
+      val tiered = graft.ops.Ranks.tiersByPercentRank(m, "SALE_AMOUNT",
+        thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
+        descending = true, outCol = "LOYALTY_TIER")
+      val perCustomer = Window.partitionBy("CUSTOMER_ID")
+        .orderBy(col("SALE_AMOUNT").desc, col("SALE_ID").asc,
+          col("PRODUCT_ID").asc, col("QUANTITY").asc)
+      tiered
+        .withColumn("rn", row_number().over(perCustomer))
+        .withColumn("TOP_PERFORMER", when(col("rn") === 1, "Yes").otherwise("No"))
+        .drop("rn")
+        .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
+          "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
+          "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
+          "LOAD_TSTMP")
+    }
+
+    val reps = sys.env.getOrElse("MARTTIME_REPS", "4").toInt
+    // bench discipline: Ranks/ResultSort released per rep, CacheManager
+    // (the mart's metrics persist) left warm after rep 1 — matches a
+    // bench pass ≥ 2, whose min the suite records
+    for (r <- 1 to reps) {
+      println(s"--- rep $r (bench discipline) ---")
+      graft.ops.Ranks.releaseCaches()
+      graft.pipelines.ResultSort.releaseCaches()
+      time("full customer_sales_report") {
+        graft.pipelines.CustomerSalesReport(spark, sfDir)
+      }
+      val m = metrics() // plan-keyed: aliases the mart's live cache entry
+      time("  metrics re-read (cache hit?)")(m)
+      time("  tail-no-sort")(flagged(m))
+      time("  tail+orderBy")(flagged(m).orderBy("SALE_ID"))
+    }
+    spark.stop()
+  }
+}

@@ -55,6 +55,72 @@ class RanksSpec extends SparkSpec {
     assert(got === want)
   }
 
+  private def referenceTiers(df: org.apache.spark.sql.DataFrame, vCol: String,
+                             descending: Boolean) =
+    referencePr(df, vCol, descending)
+      .withColumn("tier_ref",
+        when(col("pr_ref") <= 0.2, "Gold")
+          .when(col("pr_ref") <= 0.5, "Silver")
+          .otherwise("Bronze"))
+
+  private def assertTiersMatch(df: org.apache.spark.sql.DataFrame, vCol: String,
+                               descending: Boolean): Unit = {
+    val got = Ranks.tiersByPercentRank(df, vCol, Seq(0.2, 0.5),
+        Seq("Gold", "Silver", "Bronze"), descending)
+      .select(col("id"), col("tier"))
+    val want = referenceTiers(df, vCol, descending).select(col("id"), col("tier_ref"))
+    val diff = got.join(want, "id").filter(col("tier") =!= col("tier_ref"))
+    assert(diff.count() === 0, diff.collect().mkString("\n"))
+  }
+
+  test("tiersByPercentRank matches window-percent_rank tiering, ties, both directions") {
+    val tied = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") * 37 % 7).cast("double"))
+    assertTiersMatch(tied, "v", descending = true)
+    assertTiersMatch(tied, "v", descending = false)
+    val uniq = spark.range(0, 500).toDF("id").withColumn("v", col("id") * 1.5)
+    assertTiersMatch(uniq, "v", descending = true)
+    assertTiersMatch(uniq, "v", descending = false)
+  }
+
+  test("tiersByPercentRank nulls take the null run's own rank band") {
+    // desc: nulls rank LAST → Bronze; asc: nulls rank FIRST → Gold —
+    // exactly what tiering over the reference window produces
+    val df = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)), (4L, None),
+      (5L, Some(3.0)), (6L, Some(2.0)), (7L, Some(4.0)), (8L, Some(0.5)),
+      (9L, Some(6.0)), (10L, Some(7.0))).toDF("id", "v")
+    assertTiersMatch(df, "v", descending = true)
+    assertTiersMatch(df, "v", descending = false)
+  }
+
+  test("tiersByPercentRank degenerate frames: single row is first band, all-null works") {
+    val one = Seq((1L, 9.9)).toDF("id", "v")
+    assert(Ranks.tiersByPercentRank(one, "v", Seq(0.2, 0.5),
+      Seq("Gold", "Silver", "Bronze")).select("tier").head().getString(0) === "Gold")
+    val allNull = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "v")
+    assertTiersMatch(allNull, "v", descending = true)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Ranks.tiersByPercentRank(empty, "v", Seq(0.2, 0.5),
+      Seq("Gold", "Silver", "Bronze")).count() === 0)
+  }
+
+  test("tiersByPercentRank construction runs zero jobs and passes the plan gate") {
+    val sc = spark.sparkContext
+    val group = s"tiers-lazy-${System.nanoTime()}"
+    sc.setJobGroup(group, "tiersByPercentRank construction", false)
+    val df = spark.range(0, 1000).toDF("id").withColumn("v", col("id") * 2.0)
+    val out = Ranks.tiersByPercentRank(df, "v", Seq(0.2, 0.5),
+      Seq("Gold", "Silver", "Bronze"))
+    out.queryExecution.executedPlan
+    sc.clearJobGroup()
+    Thread.sleep(300)
+    assert(sc.statusTracker.getJobIdsForGroup(group).isEmpty,
+      "construction must not run jobs")
+    assert(PlanGate.violations(out).isEmpty,
+      PlanGate.violations(out).mkString(", "))
+    assert(out.count() === 1000)
+  }
+
   test("plan passes the plan gate (no single-partition funnel over row data)") {
     // the one-row totals aggregate legitimately uses a single-partition
     // exchange over its global-agg partial (≤ shuffle.partitions compact
