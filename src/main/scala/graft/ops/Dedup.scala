@@ -469,7 +469,19 @@ object Dedup {
       case Some(cap) =>
         val rare = index.groupBy("shash").agg(count(lit(1)).as("df"))
           .filter(col("df") <= cap).select("shash")
-        val capped = index.join(rare, "shash")
+        // The rare-restricted index has THREE consumers (both self-join
+        // sides + the per-doc rare counts), and each re-derivation costs a
+        // full index scan + df-join shuffle — with the Spark 4.1
+        // cache-scan canonicalization miss (scaladoc above) none of those
+        // exchanges reuse. Persist the COMPACT (shash, id) frame once and
+        // materialize it eagerly, for the same reason the adaptive probe
+        // pre-materializes the shingle cache: a cold cache raced by the
+        // self-join's two sides is computed twice (NOTES_r5 lock convoy).
+        // Measured at sf0.1 (JaccardTime, warm JVM): forced-cap 2.7 s →
+        // ~1.9 s. Registered in the bounded shingle window — evictable,
+        // recompute-safe.
+        val capped = registerShingleCache(index.join(rare, "shash"))
+        capped.count()
         // count shared RARE shingles per pair directly (map-side-combined
         // aggregation, like the uncapped path — no distinct-then-rejoin:
         // materializing every co-occurring pair for the full verify made
