@@ -130,6 +130,41 @@ object Contamination {
     score(common, sizes(eval, idCol, textCol, n), threshold)
   }
 
+  /** [[containmentPairsBloom]] with the sketch engaged ADAPTIVELY — the
+    * same insurance discipline as [[Dedup.jaccardPairsAdaptive]]: pay a
+    * cheap probe, buy the reduction machinery only where it pays.
+    *
+    * The Bloom build costs two extra walks of the eval side (the sizing
+    * `approx_count_distinct` and the `treeAggregate` build), each
+    * re-shingling eval text. That amortizes only on the fixed-eval
+    * geometry the sketch exists for — a small benchmark suite against a
+    * corpus orders of magnitude larger (SCALE.md: 2× win at x30/x100
+    * fixed-eval, a measured LOSS at the balanced sf0.1 split). The probe
+    * compares ROW counts (`df.count()` — parquet-metadata cheap, never a
+    * text scan; document-count ratio is the right proxy because both
+    * sides shingle the same way) and engages the sketch only when the
+    * train side outnumbers eval by ≥ `engageFactor`. A caller holding a
+    * prebuilt `filterBytes` skips the probe entirely — the sketch is
+    * free, so it always rides.
+    *
+    * EAGER (two count jobs at call time) — a data-dependent plan choice,
+    * like every adaptive form here. Either branch returns row-identical
+    * results ([[containmentPairsBloom]]'s no-false-negatives argument),
+    * so the choice is invisible to correctness. */
+  def containmentPairsBloomAdaptive(train: DataFrame, eval: DataFrame,
+                                    idCol: String, textCol: String,
+                                    n: Int = 3, threshold: Double = 0.5,
+                                    fpp: Double = 0.01,
+                                    engageFactor: Double = 24.0,
+                                    expectedShingles: Option[Long] = None,
+                                    filterBytes: Option[Array[Byte]] = None): DataFrame =
+    if (filterBytes.isDefined ||
+        train.count() >= engageFactor * math.max(eval.count(), 1L))
+      containmentPairsBloom(train, eval, idCol, textCol, n, threshold, fpp,
+        expectedShingles, filterBytes)
+    else
+      containmentPairs(train, eval, idCol, textCol, n, threshold)
+
   /** Serialized Bloom sketch of `eval`'s shingle hashes, for reuse across
     * many [[containmentPairsBloom]] calls against one fixed eval suite
     * (the streaming gate's shape: build once at stream start, probe every

