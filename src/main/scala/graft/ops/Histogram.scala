@@ -26,8 +26,13 @@ object Histogram {
     // ceil width so bins*width covers the range; exact long arithmetic
     val width = math.max(1L, (hi - lo) / bins + (if ((hi - lo) % bins == 0) 0L else 1L))
     val v = col(valueCol).cast("long")
+    // `div`, not `/`: Spark's `/` on longs is DOUBLE division, whose
+    // floor misassigns bins once |v - lo| exceeds 2^53. div is exact
+    // long arithmetic at any magnitude (v >= lo holds post-filter, so
+    // truncation == floor).
+    val binRaw = expr(s"(CAST(`$valueCol` AS BIGINT) - ${lo}L) div ${width}L")
     val counted = df.filter(v >= lo && v <= hi)
-      .withColumn("bin", least(floor((v - lo) / width), lit(bins - 1L)).cast("long"))
+      .withColumn("bin", least(binRaw, lit(bins - 1L)).cast("long"))
       .groupBy("bin").agg(count(lit(1)).as("n"))
     val spark = df.sparkSession
     val allBins = spark.range(bins).select(col("id").as("bin"))
@@ -52,7 +57,7 @@ object Histogram {
                 bins: Int): String = {
     val width = math.max(1L, (hi - lo) / bins + (if ((hi - lo) % bins == 0) 0L else 1L))
     s"""WITH b AS (SELECT UNNEST(range(0, $bins)) AS bin),
-       |c AS (SELECT LEAST(CAST(FLOOR((CAST($valueCol AS BIGINT) - $lo) / $width) AS BIGINT),
+       |c AS (SELECT LEAST((CAST($valueCol AS BIGINT) - $lo) // $width,
        |             ${bins - 1}) AS bin, COUNT(*) AS n
        |      FROM $table
        |      WHERE CAST($valueCol AS BIGINT) BETWEEN $lo AND $hi GROUP BY 1)

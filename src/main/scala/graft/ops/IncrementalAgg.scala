@@ -25,8 +25,17 @@ import org.apache.spark.sql.types.DecimalType
   */
 object IncrementalAgg {
 
-  /** Exact sum type for the maintained state. */
+  /** Per-row cast type: fixes the scale (4) input values are rounded to
+    * before summing. */
   val SumDec: DecimalType = DecimalType(18, 4)
+
+  /** Accumulated-state sum type — MAX precision, because the state is
+    * the thing that grows without bound on an append-only fact table: a
+    * (18,4) running sum caps at ~1e14 and, under Spark's default
+    * non-ANSI mode, overflow SILENTLY nulls sum_v/avg_v rather than
+    * failing. (38,4) holds ~1e34 — beyond any plausible fact volume —
+    * and costs nothing at publish, where the value is cast once. */
+  val StateDec: DecimalType = DecimalType(38, 4)
 
   /** Partial-aggregate state of one batch: one row per key with
     * (n_rows, sum_v, min_v, max_v). */
@@ -34,7 +43,7 @@ object IncrementalAgg {
     batch.groupBy(keys.map(col): _*)
       .agg(
         count(lit(1)).as("n_rows"),
-        sum(col(valueCol).cast(SumDec)).as("sum_v"),
+        sum(col(valueCol).cast(SumDec)).cast(StateDec).as("sum_v"),
         min(col(valueCol)).as("min_v"),
         max(col(valueCol)).as("max_v"))
 
@@ -51,7 +60,7 @@ object IncrementalAgg {
       .groupBy(keys.map(col): _*)
       .agg(
         sum(col("n_rows")).as("n_rows"),
-        sum(col("sum_v")).cast(SumDec).as("sum_v"),
+        sum(col("sum_v")).cast(StateDec).as("sum_v"),
         min(col("min_v")).as("min_v"),
         max(col("max_v")).as("max_v"))
 

@@ -35,6 +35,16 @@ object Merge {
     require(target.columns.sorted.sameElements(updates.columns.sorted),
       s"schema mismatch: target ${target.columns.mkString(",")} vs " +
         s"updates ${updates.columns.mkString(",")}")
+    // names alone are not a schema: a type-mismatched updates frame
+    // would otherwise slip past and the when/otherwise payload pick
+    // silently widens to a common type (or fails late in analysis)
+    // instead of erroring here, at the operator boundary
+    val tTypes = target.schema.map(f => f.name -> f.dataType).toMap
+    val typeDiffs = updates.schema
+      .filter(f => tTypes(f.name) != f.dataType)
+      .map(f => s"${f.name}: target ${tTypes(f.name).simpleString} vs " +
+        s"updates ${f.dataType.simpleString}")
+    require(typeDiffs.isEmpty, s"column type mismatch: ${typeDiffs.mkString("; ")}")
     val payload = target.columns.filterNot(keys.contains).toSeq
     val t = payload.foldLeft(target) { (df, c) => df.withColumnRenamed(c, s"__t_$c") }
     // a NULL payload can't distinguish sides; the updates-side key

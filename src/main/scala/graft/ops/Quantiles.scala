@@ -285,77 +285,105 @@ object Quantiles {
     *
     * Returns (groupCol [original type], value LONG), one row per group. */
   def groupedExactQuantile(df: DataFrame, groupCol: String, valueCol: String,
-                           q: Double, bins: Int = 1024): DataFrame = {
-    require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q")
+                           q: Double, bins: Int = 1024): DataFrame =
+    groupedExactQuantiles(df, groupCol, valueCol, Seq("value" -> q), bins)
+
+  /** Multiple exact per-group quantiles in ONE shared protocol — the
+    * same bounds scan, the same sign-split job, and refinement rounds
+    * that cover every still-active (group, rank) pair in one
+    * map-side-combined aggregation each. Three separate
+    * [[groupedExactQuantile]] calls cost three full protocols over the
+    * input; this costs one protocol with a slightly wider histogram key
+    * — the [[Scaling.robustScale]] shape (p25/p50/p75) at a third of the
+    * passes. `rankSpecs` maps output column name → quantile in (0, 1].
+    * Returns one row per group: (groupCol [original type], <name> LONG
+    * per rank). */
+  def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                            rankSpecs: Seq[(String, Double)],
+                            bins: Int = 1024): DataFrame = {
+    require(rankSpecs.nonEmpty, "need at least one rank")
+    rankSpecs.foreach { case (name, q) =>
+      require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $name=$q") }
+    require(rankSpecs.map(_._1).distinct.size == rankSpecs.size,
+      s"duplicate rank names in ${rankSpecs.map(_._1)}")
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
     val v = col(valueCol).cast("long")
     val g = col(groupCol)
 
     val boundsRows = df.groupBy(g.as("__g"))
       .agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).collect()
     // groups with only NULL values have no quantile; drop them like
-    // exactKth's require, but per-group and non-fatal
-    var state: Map[Any, (Long, Long, Long)] = boundsRows.iterator
+    // exactKth's require, but per-group and non-fatal. State is keyed by
+    // (group value, rank name) — each rank refines its own range.
+    var state: Map[(Any, String), (Long, Long, Long)] = boundsRows.iterator
       .filter(r => !r.isNullAt(1) && r.getLong(3) > 0)
-      .map { r =>
-        val k = math.max(1L, math.ceil(q * r.getLong(3)).toLong)
-        r.get(0) -> ((r.getLong(1), r.getLong(2), k))
+      .flatMap { r =>
+        rankSpecs.map { case (name, q) =>
+          val k = math.max(1L, math.ceil(q * r.getLong(3)).toLong)
+          (r.get(0), name) -> ((r.getLong(1), r.getLong(2), k))
+        }
       }.toMap
     val effBins = math.max(16, math.min(bins, (1 << 20) / math.max(1, state.size)))
 
     // a range spanning both signs can overflow (hi-lo) and (v-lo): split
-    // the affected groups at zero with ONE shared count job
+    // the affected (group, rank) ranges at zero with ONE shared count job
     if (state.values.exists { case (lo, hi, _) => lo < 0 && hi > 0 }) {
       val negCounts = df.filter(v < 0).groupBy(g.as("__g"))
         .agg(count(lit(1)).as("c")).collect()
         .map(r => r.get(0) -> r.getLong(1)).toMap
       state = state.map {
-        case (gv, (lo, hi, kk)) if lo < 0 && hi > 0 =>
+        case (key @ (gv, _), (lo, hi, kk)) if lo < 0 && hi > 0 =>
           val nNeg = negCounts.getOrElse(gv, 0L)
-          gv -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
+          key -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
         case other => other
       }
     }
 
     val groupField = df.select(g).schema.head.copy(name = "__g")
     val rangeSchema = StructType(Seq(groupField,
+      StructField("__rank", StringType),
       StructField("__lo", LongType), StructField("__hi", LongType),
       StructField("__width", LongType)))
     while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
       val active = state.filter { case (_, (lo, hi, _)) => lo < hi }
-      val rangeRows = active.map { case (gv, (lo, hi, _)) =>
-        Row(gv, lo, hi, math.max(1L, (hi - lo) / effBins + 1L))
+      val rangeRows = active.map { case ((gv, name), (lo, hi, _)) =>
+        Row(gv, name, lo, hi, math.max(1L, (hi - lo) / effBins + 1L))
       }.toSeq
       val ranges = spark.createDataFrame(
         spark.sparkContext.parallelize(rangeRows, 1), rangeSchema)
-      // null-safe group equi-join keeps the NULL-key group refining too
+      // null-safe group equi-join keeps the NULL-key group refining too;
+      // a row lands in every rank's still-active range it intersects
+      // (ranks of one group overlap early and diverge as they converge)
       val hists = df.select(g.as("__gv"), v.as("__v"))
         .join(broadcast(ranges), col("__gv") <=> col("__g") &&
           col("__v") >= col("__lo") && col("__v") <= col("__hi"))
-        .groupBy(col("__g"), expr("(__v - __lo) div __width").as("b"))
+        .groupBy(col("__g"), col("__rank"), expr("(__v - __lo) div __width").as("b"))
         .agg(count(lit(1)).as("c"))
         .collect()
-        .groupBy(_.get(0))
-        .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1))
+        .groupBy(r => (r.get(0), r.getString(1)))
+        .view.mapValues(_.map(r => r.getLong(2) -> r.getLong(3)).sortBy(_._1))
         .toMap
       state = state.map {
-        case (gv, s @ (lo, hi, _)) if lo >= hi => gv -> s
-        case (gv, (lo, hi, kk)) =>
+        case (key, s @ (lo, hi, _)) if lo >= hi => key -> s
+        case (key, (lo, hi, kk)) =>
           val width = math.max(1L, (hi - lo) / effBins + 1L)
-          val hist = hists(gv)
+          val hist = hists(key)
           var cum = 0L
           var i = 0
           while (cum + hist(i)._2 < kk) { cum += hist(i)._2; i += 1 }
           val newLo = lo + hist(i)._1 * width
-          gv -> ((newLo, math.min(hi, satAdd(newLo, width - 1)), kk - cum))
+          key -> ((newLo, math.min(hi, satAdd(newLo, width - 1)), kk - cum))
       }
     }
 
-    val outSchema = StructType(Seq(groupField.copy(name = groupCol),
-      StructField("value", LongType, nullable = false)))
-    val outRows = state.map { case (gv, (lo, _, _)) => Row(gv, lo) }.toSeq
+    val outSchema = StructType(groupField.copy(name = groupCol) +:
+      rankSpecs.map { case (name, _) =>
+        StructField(name, LongType, nullable = false) })
+    val outRows = state.keys.map(_._1).toSeq.distinct.map { gv =>
+      Row.fromSeq(gv +: rankSpecs.map { case (name, _) => state((gv, name))._1 })
+    }
     spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
   }
 

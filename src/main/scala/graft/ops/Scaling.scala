@@ -17,10 +17,10 @@ import org.apache.spark.sql.functions._
   *     offered on doubles: a distributed float sum is
   *     accumulation-order-dependent, so the result would differ run to
   *     run at 1000 executors — median/IQR over integral values is both
-  *     more robust and exactly reproducible. Quantiles come from
-  *     [[Quantiles.groupedExactQuantile]] (bin-refinement protocol, ≤7
-  *     aggregation rounds over ALL groups at once, no per-group window
-  *     sort — the 100 TB-safe shape).
+  *     more robust and exactly reproducible. All three quantiles come
+  *     from ONE [[Quantiles.groupedExactQuantiles]] protocol
+  *     (bin-refinement, ≤7 aggregation rounds over ALL groups and ranks
+  *     at once, no per-group window sort — the 100 TB-safe shape).
   *   - [[minMaxScale]]: (v − min) / (max − min), one map-side-combined
   *     aggregate for the per-group extrema.
   *
@@ -33,11 +33,11 @@ object Scaling {
     * the IQR is zero (degenerate group). Value column must be integral
     * (the exact-quantile contract). */
   def robustScale(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
-    def q(p: Double, name: String) =
-      Quantiles.groupedExactQuantile(df, groupCol, valueCol, p)
-        .withColumnRenamed("value", name)
-    val stats = q(0.25, "p25").join(q(0.50, "p50"), groupCol)
-      .join(q(0.75, "p75"), groupCol)
+    // ONE shared refinement protocol for all three ranks
+    // ([[Quantiles.groupedExactQuantiles]]) — three independent calls
+    // would triple the multi-round aggregation cost over the full input
+    val stats = Quantiles.groupedExactQuantiles(df, groupCol, valueCol,
+      Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75))
     val iqr = col("p75") - col("p25")
     df.join(broadcast(stats), groupCol)
       .withColumn("robust_z",

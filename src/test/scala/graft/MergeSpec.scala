@@ -44,6 +44,16 @@ class MergeSpec extends SparkSpec {
     }
   }
 
+  test("column TYPE mismatch is rejected up front, not silently widened") {
+    // same names, but v is string — without the type check the
+    // when/otherwise payload pick would widen to a common type
+    val bad = Seq((1L, "x", "9.9")).toDF("k", "name", "v")
+    val e = intercept[IllegalArgumentException] {
+      Merge.upsert(target, bad, Seq("k"))
+    }
+    assert(e.getMessage.contains("type mismatch"))
+  }
+
   test("upsert is idempotent: re-applying the same batch changes nothing") {
     val updates = Seq((2L, "b2", 22.0), (9L, "i", 90.0)).toDF("k", "name", "v")
     val once = Merge.upsert(target, updates, Seq("k"))

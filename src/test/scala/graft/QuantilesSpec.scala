@@ -99,6 +99,37 @@ class QuantilesSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("groupedExactQuantiles: one shared protocol equals three separate calls") {
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 2000).map { i =>
+      val g = if (i % 5 == 0) null else s"g${i % 5}"
+      val v = if (g == "g1") rng.nextLong() % 900L - 450L
+              else math.abs(rng.nextLong() % 4000L)
+      (g, v)
+    }
+    val df = rows.toDF("grp", "v")
+    val multi = Quantiles.groupedExactQuantiles(df, "grp", "v",
+        Seq("p25" -> 0.25, "p50" -> 0.50, "p75" -> 0.75), bins = 8)
+      .collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    def single(q: Double) = Quantiles.groupedExactQuantile(df, "grp", "v", q, bins = 8)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val (s25, s50, s75) = (single(0.25), single(0.50), single(0.75))
+    assert(multi.keySet == s50.keySet)
+    multi.foreach { case (g, (p25, p50, p75)) =>
+      assert((p25, p50, p75) === ((s25(g), s50(g), s75(g))), s"group $g")
+    }
+    // and against a driver-side rank computation
+    val want = rows.groupBy(_._1).map { case (g, vs) =>
+      val sorted = vs.map(_._2).sorted
+      def at(q: Double) =
+        sorted(math.max(1L, math.ceil(q * sorted.length).toLong).toInt - 1)
+      g -> ((at(0.25), at(0.5), at(0.75)))
+    }
+    assert(multi == want)
+  }
+
   test("groupedExactQuantileDouble reproduces per-group double medians") {
     val rng = new scala.util.Random(5)
     val rows = (1 to 1500).map { i =>
