@@ -23,14 +23,27 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+  /** `approxDistinct = true` swaps the exact COUNT(DISTINCT)s for
+    * HLL++ (`approx_count_distinct`, relative standard deviation `rsd`):
+    * the Expand — which replicates every input row once per profiled
+    * column, the one part of this plan that hurts on a wide 100 TB
+    * table — disappears, leaving a single one-pass aggregation. All
+    * other stats stay exact; only n_distinct becomes an estimate
+    * (deterministic for a fixed dataset, so regression tests can still
+    * pin it). */
+  def profile(df: DataFrame, cols: Seq[String],
+              approxDistinct: Boolean = false,
+              rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
     val structs: Seq[Column] = cols.map { c =>
+      val distinct =
+        if (approxDistinct) approx_count_distinct(col(c), rsd)
+        else countDistinct(col(c))
       struct(
         lit(c).as("col_name"),
         count(lit(1)).as("n_rows"),
         (count(lit(1)) - count(col(c))).as("n_null"),
-        countDistinct(col(c)).as("n_distinct"),
+        distinct.as("n_distinct"),
         min(col(c)).cast("string").as("min_s"),
         max(col(c)).cast("string").as("max_s")).as(s"__$c")
     }

@@ -36,4 +36,34 @@ class ProfileSpec extends SparkSpec {
     val out = Profile.profile(docs, Seq("doc_id", "lang", "source", "n_chars"))
     assert(out.count() == 4)
   }
+
+  test("approxDistinct: estimates inside the rsd bound, no Expand in the plan") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val cols = Seq("doc_id", "lang", "n_chars")
+    val exact = Profile.profile(docs, cols)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val rsd = 0.05
+    val approx = Profile.profile(docs, cols, approxDistinct = true, rsd = rsd)
+      .collect().map(r => r.getString(0) -> r).toMap
+    cols.foreach { c =>
+      val (e, a) = (exact(c), approx(c))
+      // everything except n_distinct stays exact
+      assert(a.getAs[Long]("n_rows") == e.getAs[Long]("n_rows"))
+      assert(a.getAs[Long]("n_null") == e.getAs[Long]("n_null"))
+      assert(a.getAs[String]("min_s") == e.getAs[String]("min_s"))
+      assert(a.getAs[String]("max_s") == e.getAs[String]("max_s"))
+      // HLL++ estimate within 4*rsd of exact (±2 rsd covers ~95%; 4 is
+      // a deterministic-fixture margin, the sketch is seedless-stable)
+      val (ed, ad) = (e.getAs[Long]("n_distinct").toDouble,
+        a.getAs[Long]("n_distinct").toDouble)
+      assert(math.abs(ad - ed) <= math.max(1.0, 4 * rsd * ed),
+        s"$c: approx $ad vs exact $ed")
+    }
+    // the point of the opt-in: the one-pass plan has NO Expand node
+    val plan = Profile.profile(docs, cols, approxDistinct = true)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), "approx profile must not plan an Expand")
+    assert(Profile.profile(docs, cols).queryExecution.executedPlan
+      .toString.contains("Expand"), "exact multi-distinct profile plans Expand")
+  }
 }
