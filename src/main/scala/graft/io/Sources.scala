@@ -179,4 +179,48 @@ object Sources {
     conf.foreach { case (k, v) =>
       spark.sparkContext.hadoopConfiguration.set(k, v)
     }
+
+  /** Worked [[configureFs]] map for `s3a://` buckets — the public Hadoop
+    * S3A connector settings (hadoop-aws + aws-sdk on the classpath at
+    * deploy time; none of this resolves in the zero-egress sandbox, and
+    * IoSpec only asserts key/URI plumbing). Static keys omitted: modern
+    * Hadoop maps the `s3a` scheme to `S3AFileSystem` by itself.
+    *
+    * Prefer leaving `accessKey`/`secretKey` at None in real deployments —
+    * the connector's default credential chain (env vars, instance
+    * profile, STS) then applies; explicit keys are for private endpoints
+    * (the MinIO/on-prem case, where `endpoint` + `pathStyleAccess` are
+    * usually needed too). */
+  def s3aConf(accessKey: Option[String] = None,
+              secretKey: Option[String] = None,
+              endpoint: Option[String] = None,
+              pathStyleAccess: Boolean = false,
+              extra: Map[String, String] = Map.empty): Map[String, String] =
+    accessKey.map("fs.s3a.access.key" -> _).toMap ++
+      secretKey.map("fs.s3a.secret.key" -> _).toMap ++
+      endpoint.map("fs.s3a.endpoint" -> _).toMap ++
+      (if (pathStyleAccess) Map("fs.s3a.path.style.access" -> "true")
+       else Map.empty) ++ extra
+
+  /** Worked [[configureFs]] map for `gs://` buckets — the public GCS
+    * connector settings (gcs-connector shaded jar on the classpath at
+    * deploy time). Unlike s3a, the `gs` scheme has no built-in mapping,
+    * so the impl keys must be set explicitly. `jsonKeyfile` = None uses
+    * application-default credentials (the GCE/GKE metadata server —
+    * what the reference's Airflow deployment relies on for its
+    * `gs://meta-morph-flow` reads, `Rest-API/main.py:42-56`). */
+  def gcsConf(jsonKeyfile: Option[String] = None,
+              projectId: Option[String] = None,
+              extra: Map[String, String] = Map.empty): Map[String, String] =
+    Map(
+      "fs.gs.impl" -> "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem",
+      "fs.AbstractFileSystem.gs.impl" ->
+        "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFS") ++
+      projectId.map("fs.gs.project.id" -> _).toMap ++
+      (jsonKeyfile match {
+        case Some(path) => Map(
+          "google.cloud.auth.service.account.enable" -> "true",
+          "google.cloud.auth.service.account.json.keyfile" -> path)
+        case None => Map("google.cloud.auth.service.account.enable" -> "true")
+      }) ++ extra
 }

@@ -94,6 +94,42 @@ class IoSpec extends SparkSpec {
       _.getName.endsWith(".parquet")))
   }
 
+  test("object-store seam: worked s3a/gcs connector maps wire through configureFs " +
+    "and scheme URIs parse end to end (no jars, no egress)") {
+    // the production move, minus the connector jars this sandbox cannot
+    // have: the PUBLIC Hadoop settings land in hadoopConfiguration via
+    // the same pass-through the RamFs spec proves resolves schemes
+    Sources.configureFs(spark, Sources.s3aConf(
+      accessKey = Some("AKIA-EXAMPLE"), secretKey = Some("not-a-real-secret"),
+      endpoint = Some("http://minio.local:9000"), pathStyleAccess = true))
+    Sources.configureFs(spark, Sources.gcsConf(
+      jsonKeyfile = Some("/etc/secrets/sa.json"), projectId = Some("demo-proj")))
+    val hc = spark.sparkContext.hadoopConfiguration
+    assert(hc.get("fs.s3a.access.key") == "AKIA-EXAMPLE")
+    assert(hc.get("fs.s3a.endpoint") == "http://minio.local:9000")
+    assert(hc.get("fs.s3a.path.style.access") == "true")
+    assert(hc.get("fs.gs.impl") ==
+      "com.google.cloud.hadoop.fs.gcs.GoogleHadoopFileSystem")
+    assert(hc.get("google.cloud.auth.service.account.json.keyfile") ==
+      "/etc/secrets/sa.json")
+    // default-credential-chain forms carry no secrets at all
+    assert(!Sources.s3aConf().keys.exists(_.contains("key")))
+    assert(!Sources.gcsConf().contains("google.cloud.auth.service.account.json.keyfile"))
+
+    // dated-path + Hadoop Path handling over both schemes: bucket is the
+    // URI authority, the convention's relative layout survives, and
+    // nothing touches a FileSystem (no connector jars here)
+    val day = java.time.LocalDate.of(2025, 3, 10)
+    Seq("s3a://prod-lake", "gs://meta-morph-flow").foreach { bucket =>
+      val p = Sources.datedPath(bucket, "sales", day)
+      assert(p == s"$bucket/20250310/sales_20250310.csv")
+      val hp = new org.apache.hadoop.fs.Path(p)
+      assert(hp.toUri.getScheme == bucket.takeWhile(_ != ':'))
+      assert(hp.toUri.getAuthority == bucket.dropWhile(_ != '/').drop(2))
+      assert(hp.toUri.getPath == "/20250310/sales_20250310.csv")
+    }
+  }
+
   test("S8 + snapshot: raw overwrite + legacy append ledger") {
     val d = Files.createTempDirectory("graft_snap").toString
     val day1 = Seq((1, "a")).toDF("id", "v")
