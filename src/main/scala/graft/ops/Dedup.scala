@@ -711,6 +711,45 @@ object Dedup {
     minhashLshCrossPairsIndexed(buildCorpusIndex(corpus, idCol, textCol, n),
       batch, idCol, textCol, threshold)
 
+  /** Persist a [[CorpusIndex]] as BUCKETED parquet tables (SMB layout,
+    * [[graft.io.Sinks.bucketed]]): `<prefix>_index` and `<prefix>_sizes`
+    * bucket+sort by `id`, `<prefix>_banded` by `(band, bucket)` — each
+    * table pre-partitioned by exactly the key its per-batch join probes,
+    * plus a one-row `<prefix>_meta` carrying the shingle width.
+    *
+    * Why disk, not cache: the in-session [[CorpusIndex]] already avoids
+    * recompute, but (a) it dies with the session while a production
+    * corpus index is probed by MANY ingestion runs, and (b) Spark 4.1
+    * AQE never reuses exchanges above cached subtrees
+    * ([[jaccardPairsFromIndex]] scaladoc), so every batch re-shuffles
+    * the corpus side of each join. A bucketed table sidesteps both: the
+    * corpus side is born partitioned on disk — scans carry bucket
+    * metadata, so the banded join and both verify joins plan NO corpus-
+    * side exchange (only the |batch|-sized side shuffles, which is the
+    * whole point of incremental dedup). Choose `buckets` ≈ the corpus's
+    * healthy partition count at target scale; A/B at sf0.1 in SCALE.md. */
+  def persistCorpusIndex(ci: CorpusIndex, prefix: String,
+                         buckets: Int = 32): Unit = {
+    val spark = ci.index.sparkSession
+    graft.io.Sinks.bucketed(ci.index, s"${prefix}_index", buckets, Seq("id"))
+    graft.io.Sinks.bucketed(ci.sizes, s"${prefix}_sizes", buckets, Seq("id"))
+    graft.io.Sinks.bucketed(ci.banded, s"${prefix}_banded", buckets,
+      Seq("band", "bucket"))
+    import spark.implicits._
+    Seq(ci.n).toDF("n").write.mode("overwrite")
+      .format("parquet").saveAsTable(s"${prefix}_meta")
+  }
+
+  /** Reopen a [[persistCorpusIndex]] layout. The returned frames are
+    * catalog tables, so joins against them see the bucket spec. */
+  def loadCorpusIndex(spark: org.apache.spark.sql.SparkSession,
+                      prefix: String): CorpusIndex =
+    CorpusIndex(
+      spark.table(s"${prefix}_index"),
+      spark.table(s"${prefix}_sizes"),
+      spark.table(s"${prefix}_banded"),
+      spark.table(s"${prefix}_meta").head().getInt(0))
+
   /** [[minhashLshCrossPairs]] against a prebuilt (typically persisted)
     * [[CorpusIndex]] — the per-batch incremental form. The batch is
     * shingled with the INDEX's `n` (mismatched widths can't happen by

@@ -5,8 +5,47 @@ import graft.io.Sinks
 
 /** The co-located-join story: two tables bucketed by the join key join
   * with NO shuffle exchange — the 100 TB posture for the fact⋈fact
-  * backbone (lineitem⋈orders). */
+  * backbone (lineitem⋈orders) and for the persisted incremental-dedup
+  * corpus index. */
 class BucketingSpec extends SparkSpec {
+
+  test("persisted bucketed CorpusIndex: same pairs, corpus side never shuffles") {
+    import graft.ops.Dedup
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val inline = Dedup.buildCorpusIndex(corpus, "doc_id", "text", 3)
+    Dedup.persistCorpusIndex(inline, "graft_ci_spec", buckets = 8)
+    try {
+      val loaded = Dedup.loadCorpusIndex(spark, "graft_ci_spec")
+      assert(loaded.n === 3)
+      // row-identical pairs through the persisted layout
+      def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val viaDisk = key(Dedup.minhashLshCrossPairsIndexed(loaded, batch,
+        "doc_id", "text", 0.8))
+      val viaInline = key(Dedup.minhashLshCrossPairsIndexed(inline, batch,
+        "doc_id", "text", 0.8))
+      assert(viaDisk == viaInline && viaDisk.nonEmpty)
+      // the incremental join's corpus side reads bucket metadata: with
+      // broadcast off, the (band, bucket) join plans ONE exchange — the
+      // batch side — where the unbucketed form needs both
+      val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      try {
+        val batchBanded = Dedup.buildCorpusIndex(batch, "doc_id", "text", 3).banded
+        def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+          "Exchange".r.findAllIn(df.queryExecution.executedPlan.toString).size
+        val bucketedJoin = loaded.banded.as("a").join(batchBanded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        val inlineJoin = inline.banded.as("a").join(batchBanded.as("b"),
+          col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket"))
+        assert(exchanges(bucketedJoin) < exchanges(inlineJoin),
+          "bucketed corpus side must drop its exchange")
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    } finally Seq("index", "sizes", "banded", "meta").foreach(s =>
+      spark.sql(s"DROP TABLE IF EXISTS graft_ci_spec_$s"))
+  }
 
   test("same-bucketed tables join without a shuffle exchange") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
