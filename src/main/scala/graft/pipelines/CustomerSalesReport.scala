@@ -105,15 +105,22 @@ object CustomerSalesReport {
     val perCustomer = Window.partitionBy("CUSTOMER_ID")
       .orderBy(col("SALE_AMOUNT").desc, col("SALE_ID").asc,
         col("PRODUCT_ID").asc, col("QUANTITY").asc)
-    tiered
-      .withColumn("rn", row_number().over(perCustomer))
-      .withColumn("TOP_PERFORMER", when(col("rn") === 1, "Yes").otherwise("No"))
-      .drop("rn")
-      .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
-        "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
-        "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
-        "LOAD_TSTMP")
-      .orderBy("SALE_ID")
+    // ResultSort: the final sort's range exchange samples its child, so
+    // a bare orderBy evaluates the tail twice per action — tolerable
+    // while the metrics cache is warm, but under a full-suite JVM's
+    // memory pressure an evicted cache makes both evaluations full
+    // rebuilds. Persisting the 40k-row result bounds the tail at ONE
+    // evaluation regardless of upstream cache residency.
+    ResultSort.sortedSmall(
+      tiered
+        .withColumn("rn", row_number().over(perCustomer))
+        .withColumn("TOP_PERFORMER", when(col("rn") === 1, "Yes").otherwise("No"))
+        .drop("rn")
+        .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
+          "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
+          "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
+          "LOAD_TSTMP"),
+      col("SALE_ID"))
   }
 
   val oracle: String = Entities.sqlCtes + """

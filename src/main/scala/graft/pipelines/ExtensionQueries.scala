@@ -545,10 +545,13 @@ object ExtensionQueries {
 
     // Scalable variant of the customer report's global percent_rank
     // tiering (SURVEY.md §4 anti-pattern 3): aggregate per customer
-    // FIRST (|customers| rows, not |sales|), then rank with the
-    // distributed two-pass protocol ([[graft.ops.Ranks.globalPercentRank]],
-    // bit-identical to `percent_rank() OVER (ORDER BY …)`) — no
-    // single-partition window anywhere in the plan, at any cardinality.
+    // FIRST (|customers| rows, not |sales|), then band with the rank
+    // protocol's broadcast-boundary form
+    // ([[graft.ops.Ranks.tiersByPercentRank]], bit-identical to tiering
+    // on `percent_rank() OVER (ORDER BY …)`) — no single-partition
+    // window and no row-data shuffle anywhere in the plan, at any
+    // cardinality. ResultSort bounds the tail at one evaluation under
+    // the presentational sort.
     "q_customer_tier_scalable" -> ((s, dir) => {
       import graft.model.Entities.{dec, decD, decQ}
       val sales = Entities.sales(s, dir)
@@ -559,17 +562,22 @@ object ExtensionQueries {
           round(decQ(col("QUANTITY")) * dec(col("SELLING_PRICE")) *
             (lit(100).cast(Entities.DiscDec) - decD(col("DISCOUNT"))) *
             lit(new java.math.BigDecimal("0.01")), 2).as("amt"))
+      // persisted: the rank protocol's compact side and the row side both
+      // consume this |customers|-sized frame, and its lineage is the full
+      // sales scan+agg — same diamond-persist rationale as the mart's
+      // metrics cache (plan-keyed, shared across calls, evictable)
       val perCustomer = amounts.groupBy("CUSTOMER_ID")
         .agg(sum("amt").as("total_dec"))
         .join(Entities.customers(s, dir), Seq("CUSTOMER_ID"), "inner")
-      graft.ops.Ranks.globalPercentRank(perCustomer, "total_dec",
-          descending = true, outCol = "pr")
-        .select(col("CUSTOMER_ID"), col("NAME").as("CUSTOMER_NAME"),
-          col("total_dec").cast("double").as("TOTAL_SALES"),
-          when(col("pr") <= 0.2, "Gold")
-            .when(col("pr") > 0.2 && col("pr") <= 0.5, "Silver")
-            .otherwise("Bronze").as("LOYALTY_TIER"))
-        .orderBy("CUSTOMER_ID")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      ResultSort.sortedSmall(
+        graft.ops.Ranks.tiersByPercentRank(perCustomer, "total_dec",
+            thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
+            descending = true, outCol = "LOYALTY_TIER")
+          .select(col("CUSTOMER_ID"), col("NAME").as("CUSTOMER_NAME"),
+            col("total_dec").cast("double").as("TOTAL_SALES"),
+            col("LOYALTY_TIER")),
+        col("CUSTOMER_ID"))
     }),
 
     // Deterministic sampling (reproducible corpus subsetting)
