@@ -64,6 +64,37 @@ object Sampling {
       .drop("__skey", "__rn")
   }
 
+  /** Weighted sampling without replacement — the Efraimidis–Spirakis
+    * exponential-race scheme (public algorithm, "Weighted random
+    * sampling with a reservoir", IPL 2006): keep the `k` rows with the
+    * SMALLEST priority `-ln(u)/w`, i.e. the first k arrivals of
+    * independent Exponential(w) clocks — heavier rows win
+    * proportionally more often. The quality-weighted subsetting
+    * primitive of data recipes ("sample 1M docs ∝ quality^α": pass the
+    * powered score as the weight).
+    *
+    * Deterministic like every sampler here: `u` derives from the row's
+    * md5 key — the first 13 hex digits as an integer h ∈ [0, 2⁵²), then
+    * `u = (h + 0.5) / 2⁵²` ∈ (0, 1), in which the add and the
+    * power-of-two divide are EXACT IEEE steps, so `u` is bit-identical
+    * on any engine; ln is the only libm step and the priority column is
+    * internal (dropped from output). Rows with weight ≤ 0 never
+    * qualify. Scale shape: `orderBy(...).limit(k)` plans a distributed
+    * TakeOrdered (per-partition top-k, bounded merge) — no
+    * single-partition sort at any input size. */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: String, k: Int,
+                     seed: Long = 42L): DataFrame = {
+    require(k >= 0, "k >= 0")
+    val h52 = conv(substring(Composition.shuffleKey(col(idCol), seed), 1, 13),
+      16, 10).cast("long")
+    val u = (h52.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    df.filter(col(weightCol) > 0)
+      .withColumn("__wpri", -log(u) / col(weightCol).cast("double"))
+      .orderBy(col("__wpri"))
+      .limit(k)
+      .drop("__wpri")
+  }
+
   /** Deterministic corpus mixing by UP-sampling: repeat each row
     * `repeats(stratum)` times (default `default`), tagged with a
     * `copy_idx` — the "N epochs of source X" mixture weighting every

@@ -601,6 +601,16 @@ object ExtensionQueries {
         Map("src0" -> 3, "src1" -> 2))
         .orderBy("doc_id", "copy_idx")),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis race):
+    // 120 docs ∝ n_chars, deterministic in (doc_id, seed) — the
+    // quality-weighted subsetting primitive; oracle replays the exact
+    // priority formula (md5-derived exact uniform, one ln, one divide)
+    "q_sample_weighted" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id",
+        "n_chars", 120, 42L)
+        .orderBy("doc_id")),
+
     // ── corpus composition (training-order prep; ops/Composition) ────
     // reproducible pseudorandom training order: every doc tagged with its
     // engine-portable md5 order key; a writer realizes the total order
@@ -1468,6 +1478,15 @@ object ExtensionQueries {
         |             WHEN source = 'src1' THEN 2 ELSE 1 END AS r
         |      FROM documents)
         |ORDER BY doc_id, copy_idx""".stripMargin,
+
+    "q_sample_weighted" ->
+      """SELECT doc_id, lang, n_chars FROM (
+        |  SELECT doc_id, lang, n_chars,
+        |         -ln((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':42'), 1, 13)) AS BIGINT) + 0.5)
+        |             / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS pri
+        |  FROM documents WHERE n_chars > 0
+        |  ORDER BY pri LIMIT 120)
+        |ORDER BY doc_id""".stripMargin,
 
     // corpus composition: the md5("<id>:<seed>") order key is computed
     // identically on both engines — the whole point of choosing it

@@ -62,4 +62,29 @@ class SamplingSpec extends SparkSpec {
     val first = out.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
     assert(again == first, "membership independent of physical layout")
   }
+
+  test("weightedSample: deterministic, layout-invariant, weight-monotone, edge cases") {
+    import spark.implicits._
+    // two weight classes: ids 0-199 weight 1, ids 200-399 weight 10 —
+    // the heavy class must dominate a half-size sample (P(heavy beats
+    // light) = 10/11 pairwise in the exponential race)
+    val df = (0L until 400L).map(i => (i, if (i < 200) 1L else 10L))
+      .toDF("id", "w")
+    val picked = Sampling.weightedSample(df, "id", "w", 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(picked.size == 200)
+    val heavy = picked.count(_ >= 200)
+    assert(heavy > 140, s"heavy class underrepresented: $heavy/200")
+    // same rows regardless of physical layout
+    val again = Sampling.weightedSample(df.repartition(17), "id", "w", 200)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(again == picked)
+    // k >= eligible rows returns all eligible; weight <= 0 never qualifies
+    val withZero = df.withColumn("w",
+      when(col("id") < 10, lit(0L)).otherwise(col("w")))
+    val all = Sampling.weightedSample(withZero, "id", "w", 1000)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(all.size == 390 && !all.exists(_ < 10))
+    assert(Sampling.weightedSample(df, "id", "w", 0).count() == 0)
+  }
 }
