@@ -152,4 +152,29 @@ class PropertySpec extends SparkSpec {
       }
     })
   }
+
+  test("property: tiersByPercentRank equals window-percent_rank banding") {
+    // random values with deliberate tie mass and occasional nulls, both
+    // directions — the boundary form must match the window form row-for-row
+    val gen = for {
+      n <- Gen.choose(1, 30)
+      vs <- Gen.listOfN(n, Gen.frequency(
+        8 -> Gen.choose(-5, 5).map(v => Option(v.toDouble)),
+        1 -> Gen.const(Option.empty[Double])))
+      desc <- Gen.oneOf(true, false)
+    } yield (vs.zipWithIndex.map { case (v, i) => (i.toLong, v) }, desc)
+    check("tiers", Prop.forAll(gen) { case (rows, desc) =>
+      val df = rows.toDF("id", "v")
+      val got = graft.ops.Ranks.tiersByPercentRank(df, "v", Seq(0.2, 0.5),
+          Seq("Gold", "Silver", "Bronze"), desc)
+        .select("id", "tier").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(if (desc) col("v").desc else col("v").asc)
+      val want = df.withColumn("pr", percent_rank().over(w))
+        .withColumn("t", when(col("pr") <= 0.2, "Gold")
+          .when(col("pr") <= 0.5, "Silver").otherwise("Bronze"))
+        .select("id", "t").collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      got == want
+    })
+  }
 }
