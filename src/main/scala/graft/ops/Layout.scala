@@ -47,6 +47,44 @@ object Layout {
                     files: Int): Unit =
     zorder(df, xCol, yCol, files).write.mode("overwrite").parquet(path)
 
+  /** Result of a [[compactFiles]] rewrite: what was on disk before and
+    * the file count the rewrite targeted. */
+  final case class CompactionStats(filesBefore: Int, bytesBefore: Long,
+                                   filesAfter: Int)
+
+  /** Rewrite a parquet directory into ~`targetBytes`-sized files — the
+    * small-files compaction every long-lived 100 TB table eventually
+    * needs (streaming sinks and fine-grained partition writes leave
+    * thousands of KB-scale files; each costs an open/footer-read per
+    * scan task and a NameNode/object-store listing entry).
+    *
+    * File count is sized from the INPUT's on-disk bytes (footer-cheap
+    * FileSystem listing — no data pass): same codec in and out, so
+    * input bytes approximate output bytes. The rewrite is one
+    * round-robin `repartition(n)` — even file sizes, no key skew by
+    * construction — and content is preserved row-for-row (order is
+    * not, which parquet does not promise anyway). Use
+    * [[writeZOrdered]] instead when the rewrite should ALSO cluster
+    * for data skipping; this op is the layout-neutral form.
+    */
+  def compactFiles(spark: org.apache.spark.sql.SparkSession, inPath: String,
+                   outPath: String,
+                   targetBytes: Long = 128L << 20): CompactionStats = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    require(new org.apache.hadoop.fs.Path(inPath).toUri.getPath !=
+      new org.apache.hadoop.fs.Path(outPath).toUri.getPath,
+      "in-place compaction is not atomic — write to a new path, then swap")
+    val p = new org.apache.hadoop.fs.Path(inPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val files = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    val bytes = files.map(_.getLen).sum
+    val n = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+    spark.read.parquet(inPath).repartition(n)
+      .write.mode("overwrite").parquet(outPath)
+    CompactionStats(files.length, bytes, n)
+  }
+
   /** Per-partition (min, max) ranges of `cols` — the in-plan analog of
     * parquet footer stats, used to MEASURE a layout's skipping power:
     * a box predicate can skip every partition whose ranges don't

@@ -46,6 +46,30 @@ object Scaling {
       .drop("p25", "p50", "p75")
   }
 
+  /** Winsorize: clip `valueCol` into its per-group [pLo, pHi] exact
+    * quantile band — the standard outlier-taming step before
+    * sum/mean-driven downstream stats (token budgets, length-weighted
+    * sampling) where one pathological document would otherwise dominate.
+    * Adds `clipped` (the clamped value, same type as the input) and
+    * `was_clipped` (1 when the row moved). Pure order statistics and
+    * comparisons — no arithmetic at all — so the output is
+    * bit-deterministic for any input type the exact-quantile contract
+    * admits (integral values). Same scale posture as [[robustScale]]:
+    * one shared multi-rank refinement protocol, broadcast stats,
+    * no shuffle of the fact side. */
+  def winsorize(df: DataFrame, groupCol: String, valueCol: String,
+                pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo < pHi, s"pLo ($pLo) must be below pHi ($pHi)")
+    val stats = Quantiles.groupedExactQuantiles(df, groupCol, valueCol,
+      Seq("__lo" -> pLo, "__hi" -> pHi))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("clipped",
+        least(greatest(col(valueCol), col("__lo")), col("__hi")))
+      .withColumn("was_clipped",
+        when(col("clipped") === col(valueCol), 0).otherwise(1))
+      .drop("__lo", "__hi")
+  }
+
   /** Adds `minmax` = (v − min) / (max − min) in [0, 1], per group; NULL
     * when the group is constant. Works for any numeric column — the
     * extrema are exact order statistics, not accumulations. */

@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Regular-grid time-series resampling with gap semantics — the batch
+  * analog of a metrics pipeline's "align irregular events to a fixed
+  * cadence" step (no reference counterpart; extension surface alongside
+  * [[graft.streaming.EventStreams]], which covers the event-time window
+  * family the reference lacks entirely).
+  *
+  * [[resampleLocf]] buckets events to a calendar step, scaffolds every
+  * key's [first, last] bucket range densely, marks the empty buckets,
+  * and carries the last observed bucket aggregate forward (LOCF). The
+  * leading bucket of every key is its first OBSERVED bucket, so the
+  * carry-forward column is never null.
+  *
+  * Determinism: bucket values are exact `DECIMAL(12,2)` sums (the
+  * events-family convention — double SUM order-dependence would break
+  * the hash oracle), and LOCF rides a `rowsBetween` running frame over
+  * the per-key total order on `bucket`.
+  *
+  * Scale posture: everything is keyed by `keyCol` — the bucket
+  * aggregation shuffles once on (key, bucket) with map-side partial
+  * aggregation, the span frame is one row per key, the dense scaffold
+  * is generated DISTRIBUTED (per-key `sequence` explode — never a
+  * driver-side calendar), and the scaffold join + LOCF window re-use
+  * the (key)-hash layout. No global sort, no single-partition window,
+  * no driver materialization. Scaffold volume is bounded by
+  * span/step per key; pick `step` so that bound stays sane (a key
+  * spanning 10 years at `minute` grain is 5.2M rows — caller's dial).
+  */
+object TimeSeries {
+
+  private val Steps = Set("minute", "hour", "day", "week", "month")
+
+  /** Resample `df` onto a dense per-key `step` grid over each key's
+    * observed [min, max] bucket span.
+    *
+    * Output columns: `keyCol`, `bucket` (timestamp, grid-aligned),
+    * `is_gap` (1 when no event landed in the bucket), `n_events`,
+    * `bucket_value` (exact decimal sum of `valCol`, null on gaps) and
+    * `locf_value` (last non-null `bucket_value` at or before this
+    * bucket).
+    */
+  def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
+                   valCol: String, step: String = "hour"): DataFrame = {
+    require(Steps.contains(step), s"step must be one of $Steps, got '$step'")
+    val bucketed = df
+      .select(col(keyCol), date_trunc(step, col(tsCol)).as("bucket"),
+        col(valCol).cast(DecimalType(12, 2)).as("v"))
+      .groupBy(col(keyCol), col("bucket"))
+      .agg(count(lit(1)).as("n_events"), sum(col("v")).as("bucket_value"))
+    // one row per key — tiny next to the input, and the ONLY extra pass
+    val span = bucketed.groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("lo"), max(col("bucket")).as("hi"))
+    // dense grid, generated where the key lives (month steps are
+    // calendar intervals, so the grid comes from sequence(), not math)
+    val scaffold = span.select(col(keyCol),
+      explode(sequence(col("lo"), col("hi"), expr(s"interval 1 $step")))
+        .as("bucket"))
+    val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    scaffold.join(bucketed, Seq(keyCol, "bucket"), "left")
+      .withColumn("is_gap", when(col("n_events").isNull, 1).otherwise(0))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("locf_value",
+        last(col("bucket_value"), ignoreNulls = true).over(w))
+      .select(col(keyCol), col("bucket"), col("is_gap"), col("n_events"),
+        col("bucket_value"), col("locf_value"))
+  }
+
+  /** Gap report per key: bucket span, observed/empty bucket counts and
+    * the longest empty run — the data-freshness summary a pipeline
+    * alerts on. Derived from [[resampleLocf]]'s grid, so the same scale
+    * posture; output is one row per key. The longest run falls out of
+    * the gaps-and-islands trick: `bucket_idx - running_gap_count` is
+    * constant within a consecutive gap run.
+    *
+    * Single-pass shape: the grid is consumed ONCE — non-gap rows keep a
+    * null run id (one collapsed group per key), so a (key, run) rollup
+    * followed by a key rollup yields every statistic without a diamond
+    * join re-evaluating the grid. Both rollups are satisfied by the
+    * window's existing key-hash layout (clustering on a subset of the
+    * group keys) — no exchange after the window. */
+  def gapSummary(df: DataFrame, keyCol: String, tsCol: String,
+                 valCol: String, step: String = "hour"): DataFrame = {
+    val grid = resampleLocf(df, keyCol, tsCol, valCol, step)
+    val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
+    val runs = grid
+      .withColumn("idx", row_number().over(w))
+      .withColumn("gap_run",
+        when(col("is_gap") === 1,
+          col("idx") - sum(col("is_gap")).over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow))))
+    runs.groupBy(col(keyCol), col("gap_run"))
+      .agg(count(lit(1)).as("cnt"),
+        min(col("bucket")).as("min_b"), max(col("bucket")).as("max_b"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("cnt")).as("n_buckets"),
+        coalesce(sum(when(col("gap_run").isNotNull, col("cnt"))), lit(0L))
+          .as("n_gaps"),
+        min(col("min_b")).as("first_bucket"),
+        max(col("max_b")).as("last_bucket"),
+        coalesce(max(when(col("gap_run").isNotNull, col("cnt"))), lit(0L))
+          .as("longest_gap_run"))
+  }
+}

@@ -309,6 +309,13 @@ object ExtensionQueries {
         .select("event_id", "event_type", "value", "minmax")
         .orderBy("event_id")),
 
+    // winsorization: clip per-lang lengths into the exact [p05, p95]
+    // band — order statistics + comparisons only, no arithmetic
+    "q_scale_winsorized" -> ((s, dir) =>
+      graft.ops.Scaling.winsorize(docs(s, dir), "lang", "n_chars", 0.05, 0.95)
+        .select("doc_id", "lang", "n_chars", "clipped", "was_clipped")
+        .orderBy("doc_id")),
+
     // ── behavioral analytics over the event stream ───────────────────
     // ordered funnel: min step-k time strictly after the user's step-k−1
     // time; one filtered aggregate + user-key join per step, no per-user
@@ -969,6 +976,24 @@ object ExtensionQueries {
         .toDF().orderBy("user_id")
     }),
 
+    // regular-grid resample + LOCF gap fill: dense per-user hour grid
+    // over each user's observed span, empty buckets flagged and carried
+    // forward. Decimal bucket sums (exact) surface as doubles only at
+    // the query edge, same discipline as q_events_windowed.
+    "q_events_gapfill_locf" -> ((s, dir) =>
+      graft.ops.TimeSeries
+        .resampleLocf(events(s, dir), "user_id", "ts", "value", "hour")
+        .withColumn("bucket_value", col("bucket_value").cast("double"))
+        .withColumn("locf_value", col("locf_value").cast("double"))
+        .orderBy("user_id", "bucket")),
+
+    // per-key freshness report off the same grid: bucket counts, gap
+    // counts and the longest consecutive empty run (gaps-and-islands)
+    "q_events_gap_summary" -> ((s, dir) =>
+      graft.ops.TimeSeries
+        .gapSummary(events(s, dir), "user_id", "ts", "value", "hour")
+        .orderBy("user_id")),
+
     // As-of join (union-window form; DuckDB's native ASOF JOIN is the
     // oracle): each event joined to the user's latest strictly-earlier
     // event.
@@ -1056,6 +1081,24 @@ object ExtensionQueries {
         |       CASE WHEN q.p75 - q.p25 = 0 THEN NULL
         |            ELSE CAST(d.n_chars - q.p50 AS DOUBLE)
         |                 / CAST(q.p75 - q.p25 AS DOUBLE) END AS robust_z
+        |FROM documents d JOIN q ON d.lang = q.lang
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q_scale_winsorized" ->
+      """WITH s AS (SELECT lang, n_chars,
+        |                  ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars) AS rn,
+        |                  COUNT(*) OVER (PARTITION BY lang) AS n
+        |           FROM documents),
+        |q AS (SELECT lang,
+        |             MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.05 * n) AS BIGINT))
+        |                      THEN n_chars END) AS lo,
+        |             MAX(CASE WHEN rn = GREATEST(1, CAST(ceil(0.95 * n) AS BIGINT))
+        |                      THEN n_chars END) AS hi
+        |      FROM s GROUP BY lang)
+        |SELECT d.doc_id, d.lang, d.n_chars,
+        |       LEAST(GREATEST(d.n_chars, q.lo), q.hi) AS clipped,
+        |       CASE WHEN LEAST(GREATEST(d.n_chars, q.lo), q.hi) = d.n_chars
+        |            THEN 0 ELSE 1 END AS was_clipped
         |FROM documents d JOIN q ON d.lang = q.lang
         |ORDER BY d.doc_id""".stripMargin,
 
@@ -1753,6 +1796,72 @@ object ExtensionQueries {
         |  SELECT 'p99', s.value FROM s, n
         |  WHERE rn = GREATEST(1, CAST(ceil(0.99 * n) AS BIGINT)))
         |ORDER BY metric""".stripMargin,
+
+    // the TimeSeries grid CTE (shared by both gap queries): hour buckets,
+    // exact decimal sums, dense per-user generate_series scaffold
+    "q_events_gapfill_locf" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |         COUNT(*) AS n_events,
+        |         SUM(CAST(value AS DECIMAL(12,2))) AS bucket_value
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+        |), scaffold AS (
+        |  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span
+        |), grid AS (
+        |  SELECT s.user_id, s.bucket,
+        |         CASE WHEN b.n_events IS NULL THEN 1 ELSE 0 END AS is_gap,
+        |         COALESCE(b.n_events, 0) AS n_events,
+        |         b.bucket_value
+        |  FROM scaffold s LEFT JOIN b
+        |    ON s.user_id = b.user_id AND s.bucket = b.bucket
+        |)
+        |SELECT user_id, bucket, is_gap, n_events,
+        |       CAST(bucket_value AS DOUBLE) AS bucket_value,
+        |       CAST(LAST_VALUE(bucket_value IGNORE NULLS) OVER (
+        |            PARTITION BY user_id ORDER BY bucket
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |         AS locf_value
+        |FROM grid ORDER BY user_id, bucket""".stripMargin,
+
+    "q_events_gap_summary" ->
+      """WITH b AS (
+        |  SELECT user_id, date_trunc('hour', ts) AS bucket,
+        |         COUNT(*) AS n_events
+        |  FROM events GROUP BY 1, 2
+        |), span AS (
+        |  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
+        |), scaffold AS (
+        |  SELECT user_id, UNNEST(generate_series(lo, hi, INTERVAL 1 HOUR)) AS bucket
+        |  FROM span
+        |), grid AS (
+        |  SELECT s.user_id, s.bucket,
+        |         CASE WHEN b.n_events IS NULL THEN 1 ELSE 0 END AS is_gap
+        |  FROM scaffold s LEFT JOIN b
+        |    ON s.user_id = b.user_id AND s.bucket = b.bucket
+        |), idx AS (
+        |  SELECT user_id, bucket, is_gap,
+        |         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY bucket) AS rn,
+        |         SUM(is_gap) OVER (PARTITION BY user_id ORDER BY bucket
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS gaps_so_far
+        |  FROM grid
+        |), runs AS (
+        |  SELECT user_id, rn - gaps_so_far AS gap_run, COUNT(*) AS run_len
+        |  FROM idx WHERE is_gap = 1 GROUP BY 1, 2
+        |), per_key AS (
+        |  SELECT user_id, COUNT(*) AS n_buckets,
+        |         CAST(SUM(is_gap) AS BIGINT) AS n_gaps,
+        |         MIN(bucket) AS first_bucket, MAX(bucket) AS last_bucket
+        |  FROM grid GROUP BY 1
+        |)
+        |SELECT p.user_id, p.n_buckets, p.n_gaps, p.first_bucket, p.last_bucket,
+        |       COALESCE(r.longest, 0) AS longest_gap_run
+        |FROM per_key p
+        |LEFT JOIN (SELECT user_id, MAX(run_len) AS longest FROM runs GROUP BY 1) r
+        |  ON p.user_id = r.user_id
+        |ORDER BY p.user_id""".stripMargin,
 
     // percentile-disc semantics at rank ⌈q·n⌉ — both engines evaluate the
     // same IEEE ceil(q*n), so the rank is identical

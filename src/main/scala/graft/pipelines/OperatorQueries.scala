@@ -157,6 +157,50 @@ object OperatorQueries {
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
 
+    // Flagship star-schema rollup (TPC-H Q5 shape): the fact table joins
+    // the orders dimension on its key, then walks customer → nation →
+    // region. Spark-first plan: nation and region are BROADCAST
+    // explicitly (tiny, always), customer/orders ride AQE (broadcast at
+    // test scale, shuffle-hash at 100 TB where customer outgrows the
+    // threshold — exactly the knob AQE owns). Revenue is an exact
+    // decimal sum: DOUBLE SUM order-dependence would break the hash
+    // oracle and decimal keeps the map-side partial aggregation exact.
+    "q_star_revenue" -> (
+      ((s: SparkSession, dir: String) => {
+        val l = li(s, dir).filter(col("l_returnflag") =!= "A")
+          .select("l_orderkey", "l_extendedprice", "l_discount")
+        val o = orders(s, dir).filter(col("o_orderstatus") =!= "P")
+          .select("o_orderkey", "o_custkey")
+        val c = customer(s, dir).select("c_custkey", "c_nationkey")
+        val n = Entities.read(s, dir, "nation")
+          .select("n_nationkey", "n_name", "n_regionkey")
+        val r = Entities.read(s, dir, "region")
+        l.join(o, l("l_orderkey") === o("o_orderkey"))
+          .join(c, o("o_custkey") === c("c_custkey"))
+          .join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+          .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+          .groupBy(col("r_name"), col("n_name"))
+          .agg(
+            sum(col("l_extendedprice").cast(DecimalType(12, 4)) *
+              (lit(new java.math.BigDecimal("1.0000")) -
+                col("l_discount").cast(DecimalType(8, 4))))
+              .cast("double").as("revenue"),
+            count(lit(1)).as("n_lines"))
+          .orderBy("r_name", "n_name")
+      }),
+      """SELECT r_name, n_name,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
+        |                (CAST(1.0000 AS DECIMAL(8,4)) - CAST(l_discount AS DECIMAL(8,4))))
+        |            AS DOUBLE) AS revenue,
+        |       COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders   ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation   ON c_nationkey = n_nationkey
+        |JOIN region   ON n_regionkey = r_regionkey
+        |WHERE l_returnflag <> 'A' AND o_orderstatus <> 'P'
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin),
+
     "q_pivot" -> (
       ((s: SparkSession, dir: String) =>
         li(s, dir).groupBy("l_returnflag")

@@ -80,4 +80,50 @@ class LayoutSpec extends SparkSpec {
     assert(ranges.length == 8)
     assert(ranges.map(_.getAs[Long]("n_rows")).sum == 4096L)
   }
+
+  test("compactFiles merges a small-files directory, preserving content") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString
+    val in = s"$dir/in"
+    val out = s"$dir/out"
+    val df = spark.range(10000).select(col("id"), (col("id") % 97).as("m"))
+    df.repartition(40).write.parquet(in)
+
+    val stats = Layout.compactFiles(spark, in, out, targetBytes = 1L << 30)
+    assert(stats.filesBefore == 40)
+    assert(stats.bytesBefore > 0)
+    assert(stats.filesAfter == 1)
+
+    val fs = new org.apache.hadoop.fs.Path(out)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val outFiles = fs.listStatus(new org.apache.hadoop.fs.Path(out))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+    assert(outFiles.length == 1)
+
+    val before = df.collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    val after = spark.read.parquet(out)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(after.sameElements(before))
+  }
+
+  test("compactFiles sizes the file count from input bytes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact2").toString
+    val in = s"$dir/in"
+    spark.range(20000).select(col("id"), md5(col("id").cast("string")).as("h"))
+      .repartition(20).write.parquet(in)
+    val p = new org.apache.hadoop.fs.Path(in)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.listStatus(p)
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(_.getLen).sum
+    val target = bytes / 4 + 1 // expect ~4 output files
+    val stats = Layout.compactFiles(spark, in, s"$dir/out", target)
+    assert(stats.filesAfter == ((bytes + target - 1) / target).toInt)
+    assert(spark.read.parquet(s"$dir/out").count() == 20000L)
+  }
+
+  test("compactFiles refuses an in-place rewrite") {
+    intercept[IllegalArgumentException] {
+      Layout.compactFiles(spark, "/tmp/same-path", "/tmp/same-path")
+    }
+  }
 }

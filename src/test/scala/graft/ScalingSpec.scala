@@ -55,4 +55,28 @@ class ScalingSpec extends SparkSpec {
     val rs = Scaling.robustScale(df, "g", "v")
     assert(rs.filter(col("g") === "a" && col("robust_z").isNotNull).count() == 0)
   }
+
+  test("winsorize clips to the per-group percentile-disc band") {
+    // group of 1..20: p05 rank = ceil(0.05*20) = 1 -> lo = 1;
+    // p95 rank = ceil(0.95*20) = 19 -> hi = 19. Only v=20 clips.
+    val df = (1L to 20L).map(v => ("g", v)).toDF("g", "v")
+    val out = Scaling.winsorize(df, "g", "v", 0.05, 0.95)
+      .orderBy("v").collect()
+    assert(out.map(_.getAs[Long]("clipped")).toSeq ==
+      ((1L to 19L) :+ 19L))
+    assert(out.map(_.getAs[Int]("was_clipped")).sum == 1)
+  }
+
+  test("winsorize on the documents fixture: band respected, interior untouched") {
+    val out = Scaling.winsorize(docs, "lang", "n_chars", 0.10, 0.90)
+    // clipped values sit inside [per-group min clipped, max clipped]
+    val viol = out.filter(
+      (col("was_clipped") === 0 && col("clipped") =!= col("n_chars")) ||
+      (col("was_clipped") === 1 && col("clipped") === col("n_chars")))
+    assert(viol.count() == 0)
+    // clipping at [0.10, 0.90] must move at most ~20% of each group
+    val frac = out.groupBy("lang")
+      .agg((sum("was_clipped") / count(lit(1))).as("f")).collect()
+    frac.foreach(r => assert(r.getDouble(1) <= 0.21, r.toString))
+  }
 }
