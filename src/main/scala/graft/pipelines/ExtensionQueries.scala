@@ -959,6 +959,11 @@ object ExtensionQueries {
         .withColumn("total_value", col("total_value").cast("double"))
         .orderBy("window_start", "event_type")),
 
+    "q_events_sliding" -> ((s, dir) =>
+      EventStreams.slidingStats(events(s, dir))
+        .withColumn("total_value", col("total_value").cast("double"))
+        .orderBy("window_start", "event_type")),
+
     "q_events_sessionize" -> ((s, dir) =>
       EventStreams.sessionStats(events(s, dir))
         .withColumn("total_value", col("total_value").cast("double"))
@@ -1929,6 +1934,22 @@ object ExtensionQueries {
         |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value,
         |       MIN(value) AS min_value, MAX(value) AS max_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // sliding windows: each event replicated into its len/slide = 2
+    // covering hour-aligned starts (same epoch alignment as Spark's
+    // window(ts, len, slide))
+    "q_events_sliding" ->
+      """WITH e AS (
+        |  SELECT event_type, value,
+        |         UNNEST(generate_series(date_trunc('hour', ts) - INTERVAL 1 HOUR,
+        |                                date_trunc('hour', ts), INTERVAL 1 HOUR))
+        |           AS window_start
+        |  FROM events
+        |)
+        |SELECT window_start, window_start + INTERVAL 2 HOUR AS window_end,
+        |       event_type, COUNT(*) AS n_events,
+        |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS total_value
+        |FROM e GROUP BY 1, 2, 3 ORDER BY 1, 3""".stripMargin,
 
     // gaps-and-islands mirror of session_window: a session breaks only
     // when the gap to the previous event EXCEEDS 30 min (Spark merges an

@@ -904,5 +904,52 @@ object OperatorQueries {
         |UNION ALL BY NAME
         |SELECT p_size, p_partkey FROM part WHERE p_partkey > 1000
         |ORDER BY p_partkey""".stripMargin),
+
+    // Q-family generalization — declarative expectation suite: all four
+    // row-local rules fuse into ONE aggregation pass; uniqueness is one
+    // keyed agg; referential integrity one anti-join. Counts only.
+    "q_quality_expectations" -> (
+      ((s: SparkSession, dir: String) => {
+        import graft.ops.Expectations._
+        check(li(s, dir), Seq(
+          NotNull("orderkey_not_null", "l_orderkey"),
+          InRange("discount_range", "l_discount", 0.0, 0.05),
+          InSet("returnflag_domain", "l_returnflag", Seq("A", "N")),
+          Matches("status_format", "l_linestatus", "[FO]"),
+          Unique("pk_unique", Seq("l_orderkey", "l_linenumber")),
+          RefIntegrity("partkey_ref", "l_partkey", part(s, dir), "p_partkey")))
+          .orderBy("rule")
+      }),
+      """WITH t AS (
+        |  SELECT COUNT(*) AS total,
+        |    CAST(SUM(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS v_nn,
+        |    CAST(SUM(CASE WHEN l_discount IS NOT NULL
+        |                   AND (l_discount < 0.0 OR l_discount > 0.05)
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_rng,
+        |    CAST(SUM(CASE WHEN l_returnflag IS NOT NULL
+        |                   AND l_returnflag NOT IN ('A','N')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_set,
+        |    CAST(SUM(CASE WHEN l_linestatus IS NOT NULL
+        |                   AND NOT regexp_full_match(l_linestatus, '[FO]')
+        |             THEN 1 ELSE 0 END) AS BIGINT) AS v_re
+        |  FROM lineitem),
+        |u AS (
+        |  SELECT CAST(COALESCE(SUM(CASE WHEN cnt > 1 THEN cnt - 1 END), 0) AS BIGINT) AS v,
+        |         CAST(COALESCE(SUM(cnt), 0) AS BIGINT) AS checked
+        |  FROM (SELECT COUNT(*) AS cnt FROM lineitem
+        |        GROUP BY l_orderkey, l_linenumber)),
+        |rf AS (
+        |  SELECT (SELECT COUNT(*) FROM lineitem l
+        |          WHERE l.l_partkey IS NOT NULL AND NOT EXISTS
+        |            (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS v,
+        |         (SELECT COUNT(*) FROM lineitem WHERE l_partkey IS NOT NULL) AS checked)
+        |SELECT * FROM (
+        |  SELECT 'orderkey_not_null' AS rule, v_nn AS violations, total AS checked FROM t
+        |  UNION ALL SELECT 'discount_range', v_rng, total FROM t
+        |  UNION ALL SELECT 'returnflag_domain', v_set, total FROM t
+        |  UNION ALL SELECT 'status_format', v_re, total FROM t
+        |  UNION ALL SELECT 'pk_unique', v, checked FROM u
+        |  UNION ALL SELECT 'partkey_ref', v, checked FROM rf)
+        |ORDER BY rule""".stripMargin),
   )
 }

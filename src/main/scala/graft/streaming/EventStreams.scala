@@ -81,6 +81,24 @@ object EventStreams {
         col("n_events"), col("total_value"), col("min_value"), col("max_value"))
   }
 
+  /** Sliding-window stats per event type: each event contributes to
+    * `len/slide` overlapping windows (Spark's `window(ts, len, slide)`
+    * replicates rows into every covering window before the aggregation
+    * — the state-store shape streaming needs; the same plan runs in
+    * batch). Same exactness discipline as [[tumblingStats]]. Watermark
+    * bounds streaming state to the windows still open. */
+  def slidingStats(events: DataFrame, windowLen: String = "2 hours",
+                   slide: String = "1 hour",
+                   watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => events.withWatermark("ts", w)).getOrElse(events)
+    src.groupBy(window(col("ts"), windowLen, slide).as("w"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(12, 2))).as("total_value"))
+      .select(col("w.start").as("window_start"), col("w.end").as("window_end"),
+        col("event_type"), col("n_events"), col("total_value"))
+  }
+
   /** Gap-based sessionization per user via the native `session_window`
     * operator (batch + streaming; Spark merges events closer than `gap`
     * into one window [first_ts, last_ts + gap)). */

@@ -40,6 +40,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("slidingStats replicates each event into len/slide windows, batch == streaming") {
+    val data = Seq(
+      ev(1, "2024-01-01 10:05:00"), ev(2, "2024-01-01 11:10:00"),
+      ev(3, "2024-01-01 11:40:00", typ = "view"))
+    // batch: event at 10:05 covers windows starting 09:00 and 10:00
+    val batch = EventStreams.slidingStats(data.toDF(), "2 hours", "1 hour")
+      .select("window_start", "event_type", "n_events").collect()
+      .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+    assert(batch == Set(
+      (ts("2024-01-01 09:00:00"), "click", 1L),
+      (ts("2024-01-01 10:00:00"), "click", 2L),
+      (ts("2024-01-01 11:00:00"), "click", 1L),
+      (ts("2024-01-01 10:00:00"), "view", 1L),
+      (ts("2024-01-01 11:00:00"), "view", 1L)))
+
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.slidingStats(mem.toDF(), "2 hours", "1 hour",
+      Some("30 minutes"))
+      .writeStream.format("memory").queryName("sliding_test")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      mem.addData(data.take(2): _*); q.processAllAvailable()
+      mem.addData(data.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("sliding_test")
+        .select("window_start", "event_type", "n_events").collect()
+        .map(r => (r.getTimestamp(0), r.getString(1), r.getLong(2))).toSet
+      assert(streamed == batch)
+    } finally q.stop()
+  }
+
   test("sessionStats merges events within the gap, batch == streaming") {
     val data = Seq(
       ev(1, "2024-01-01 10:00:00"), ev(2, "2024-01-01 10:10:00"),
