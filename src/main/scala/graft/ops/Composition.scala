@@ -161,4 +161,125 @@ object Composition {
       .withColumn("interleave_rank", row_number().over(w))
       .drop("__skey")
   }
+
+  /** Per-group TOP-p MASS thresholds — the nucleus-sampling analog for
+    * corpus curation: for each group, the largest weight value w* such
+    * that the rows with weight ≥ w* carry at least p = pNum/pDen of the
+    * group's total weight mass. "Keep the highest-quality docs making up
+    * 80% of each source's token mass" is this with weight = quality- or
+    * token-count.
+    *
+    * The obvious per-group `sum() over (order by weight desc)` cumsum
+    * window puts a web-scale source in ONE task — the straggler/OOM this
+    * form exists to avoid. Instead this runs the [[Quantiles]]-style
+    * distributed refinement with MASS in place of count: each round is
+    * one map-side-combined aggregation histogramming the surviving
+    * weight range and summing WEIGHT per bucket, the driver walks
+    * buckets top-down to find where the remaining need lands, and the
+    * range shrinks ~binsᵏ until one value remains. Driver state is
+    * O(groups); rows never leave the cluster. Ties collapse honestly
+    * (the threshold is a VALUE — all rows at w* are kept together;
+    * splitting them needs a global row numbering).
+    *
+    * Exactness: need = ⌈total·pNum/pDen⌉ in pure long arithmetic
+    * ((total·pNum + pDen − 1) div pDen — exact while total·pNum < 2⁶³,
+    * i.e. ~9·10¹⁸ total mass units), bucket walks over exact long mass
+    * sums. Weights must be non-negative integers; NULL weights are
+    * ignored; all-NULL groups drop.
+    *
+    * Returns one row per group: (groupCol, threshold, need, total). */
+  def topMassThresholds(df: DataFrame, groupCol: String, weightCol: String,
+                        pNum: Long, pDen: Long, bins: Int = 1024): DataFrame = {
+    require(pNum >= 1 && pDen >= pNum,
+      s"need 0 < pNum/pDen <= 1, got $pNum/$pDen")
+    val spark = df.sparkSession
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    val v = col(weightCol).cast("long")
+    val g = col(groupCol)
+
+    val boundsRows = df.groupBy(g.as("__g"))
+      .agg(min(v).as("lo"), max(v).as("hi"), sum(v).as("total")).collect()
+    boundsRows.foreach { r =>
+      if (!r.isNullAt(1))
+        require(r.getLong(1) >= 0L,
+          s"negative weight in group ${r.get(0)}: mass semantics need >= 0")
+    }
+    // state: group -> (lo, hi, need) asserting "w* is in [lo, hi] and the
+    // rows with weight >= w* inside [lo, hi] must carry >= need mass"
+    var state: Map[Any, (Long, Long, Long)] = boundsRows.iterator
+      .filter(r => !r.isNullAt(1))
+      .map { r =>
+        val total = r.getLong(3)
+        val need = (total * pNum + pDen - 1L) / pDen
+        r.get(0) -> ((r.getLong(1), r.getLong(2), need))
+      }.toMap
+    val totals = boundsRows.iterator.filter(r => !r.isNullAt(1))
+      .map(r => r.get(0) -> r.getLong(3)).toMap
+    val effBins = math.max(16, math.min(bins, (1 << 20) / math.max(1, state.size)))
+
+    val groupField = df.select(g).schema.head.copy(name = "__g")
+    val rangeSchema = StructType(Seq(groupField,
+      StructField("__lo", LongType), StructField("__hi", LongType),
+      StructField("__width", LongType)))
+    while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
+      val active = state.filter { case (_, (lo, hi, _)) => lo < hi }
+      val rangeRows = active.map { case (gv, (lo, hi, _)) =>
+        Row(gv, lo, hi, math.max(1L, (hi - lo) / effBins + 1L))
+      }.toSeq
+      val ranges = spark.createDataFrame(
+        spark.sparkContext.parallelize(rangeRows, 1), rangeSchema)
+      val hists = df.select(g.as("__gv"), v.as("__v"))
+        .join(broadcast(ranges), col("__gv") <=> col("__g") &&
+          col("__v") >= col("__lo") && col("__v") <= col("__hi"))
+        .groupBy(col("__g"), expr("(__v - __lo) div __width").as("b"))
+        .agg(sum("__v").as("m"))
+        .collect()
+        .groupBy(r => r.get(0))
+        .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2))
+          .sortBy(-_._1)) // walk buckets TOP-down
+        .toMap
+      state = state.map {
+        case (key, s @ (lo, hi, _)) if lo >= hi => key -> s
+        case (key, (lo, hi, need)) =>
+          val width = math.max(1L, (hi - lo) / effBins + 1L)
+          val hist = hists(key)
+          var cum = 0L
+          var i = 0
+          while (cum + hist(i)._2 < need) { cum += hist(i)._2; i += 1 }
+          val b = hist(i)._1
+          val newLo = lo + b * width
+          // saturating upper bound: a range abutting Long.MaxValue must
+          // not wrap (same guard as Quantiles.satAdd; lo >= 0 here, so
+          // no sign-split is needed)
+          val rawHi = newLo + width - 1L
+          val newHi = math.min(hi, if (rawHi < newLo) Long.MaxValue else rawHi)
+          key -> ((newLo, newHi, need - cum))
+      }
+    }
+
+    val outSchema = StructType(groupField.copy(name = groupCol) +:
+      Seq(StructField("threshold", LongType, nullable = false),
+        StructField("need", LongType, nullable = false),
+        StructField("total", LongType, nullable = false)))
+    val outRows = state.toSeq.map { case (gv, (lo, _, _)) =>
+      val total = totals(gv)
+      Row(gv, lo, (total * pNum + pDen - 1L) / pDen, total)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
+  }
+
+  /** Rows carrying the top p = pNum/pDen of each group's weight mass:
+    * broadcast the [[topMassThresholds]] frame (group-cardinality) and
+    * keep rows with weight ≥ threshold — a map-only filter on the fact
+    * side, no window, no row-data shuffle. Adds the group's `threshold`
+    * column. */
+  def selectTopMass(df: DataFrame, groupCol: String, weightCol: String,
+                    pNum: Long, pDen: Long): DataFrame = {
+    val th = topMassThresholds(df, groupCol, weightCol, pNum, pDen)
+      .select(col(groupCol).as("__g"), col("threshold"))
+    df.join(broadcast(th), col(groupCol) <=> col("__g"))
+      .filter(col(weightCol).cast("long") >= col("threshold"))
+      .drop("__g")
+  }
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Distribution-drift monitoring between two dataset slices — the
+  * guardrail a training-data pipeline runs between corpus versions,
+  * train/validation splits, or yesterday's and today's ingest: bin both
+  * sides on a SHARED integer grid, compare per-bin mass, and summarize
+  * as total variation distance. The usual PSI/KL forms need logarithms
+  * (not bit-reproducible across engines) and explode on empty bins; TVD
+  * = ½·Σ|p_i − q_i| is bounded, symmetric, defined everywhere, and —
+  * computed here over exact integer cross-products — engine-exact.
+  *
+  * Shape at 100 TB: one map-side-combined histogram aggregation per
+  * side (shuffle carries ≤ `bins` rows per partition — [[Histogram]]),
+  * then all comparison arithmetic runs on the joined bins frame, whose
+  * cardinality is `bins` regardless of input size. The whole-frame
+  * window inside is over that bounded frame, never the data.
+  *
+  * Determinism contract: counts are exact longs; fractions are single
+  * IEEE divisions; the TVD numerator Σ|a_n·b_total − b_n·a_total| is
+  * exact DECIMAL(38) integer arithmetic (order-independent), divided
+  * once at the end — bit-equal across engines.
+  */
+object Drift {
+
+  private def joinedBins(a: DataFrame, b: DataFrame, valueCol: String,
+                         lo: Long, hi: Long, bins: Int): DataFrame = {
+    val ha = Histogram.histogram(a, valueCol, lo, hi, bins)
+      .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n").as("a_n"))
+    val hb = Histogram.histogram(b, valueCol, lo, hi, bins)
+      .select(col("bin"), col("n").as("b_n"))
+    // totals via a whole-frame window — bounded: the frame is `bins`
+    // rows by construction, so the single-partition exchange is safe
+    val w = Window.partitionBy()
+    ha.join(hb, "bin")
+      .withColumn("a_total", sum("a_n").over(w))
+      .withColumn("b_total", sum("b_n").over(w))
+  }
+
+  /** Per-bin comparison of the two sides over `bins` equal integer-width
+    * bins spanning [lo, hi] (values outside are dropped from BOTH sides
+    * — same grid, same rule). Returns (bin, bin_lo, bin_hi, a_n, b_n,
+    * a_frac, b_frac, gap) with gap = |a_frac − b_frac|; empty bins
+    * present with zero counts. */
+  def driftBins(a: DataFrame, b: DataFrame, valueCol: String,
+                lo: Long, hi: Long, bins: Int): DataFrame =
+    joinedBins(a, b, valueCol, lo, hi, bins)
+      .withColumn("a_frac", col("a_n").cast("double") / col("a_total"))
+      .withColumn("b_frac", col("b_n").cast("double") / col("b_total"))
+      .withColumn("gap", abs(col("a_frac") - col("b_frac")))
+      .select("bin", "bin_lo", "bin_hi", "a_n", "b_n",
+        "a_frac", "b_frac", "gap")
+
+  /** [[driftBins]] with the shared grid bounds taken from one (min, max)
+    * scan over the UNION of both sides — the bounds must be shared or
+    * the bins don't align. */
+  def driftBinsAuto(a: DataFrame, b: DataFrame, valueCol: String,
+                    bins: Int): DataFrame = {
+    val v = col(valueCol).cast("long")
+    val r = a.select(v.as("__v")).union(b.select(v.as("__v")))
+      .agg(min("__v"), max("__v")).first()
+    require(!r.isNullAt(0), s"$valueCol has no non-null values")
+    driftBins(a, b, valueCol, r.getLong(0), r.getLong(1), bins)
+  }
+
+  /** One-row drift summary: (a_total, b_total, tvd, max_gap).
+    * tvd = Σ|a_n·b_total − b_n·a_total| / (2·a_total·b_total) with the
+    * numerator in exact DECIMAL(38) integer arithmetic (sound beyond
+    * 10¹⁸-row sides), one double division at the end; max_gap is the
+    * largest per-bin fraction gap (max of deterministic doubles —
+    * order-independent). */
+  def driftSummary(a: DataFrame, b: DataFrame, valueCol: String,
+                   lo: Long, hi: Long, bins: Int): DataFrame = {
+    val dec = DecimalType(38, 0)
+    joinedBins(a, b, valueCol, lo, hi, bins)
+      .withColumn("a_frac", col("a_n").cast("double") / col("a_total"))
+      .withColumn("b_frac", col("b_n").cast("double") / col("b_total"))
+      .withColumn("__d",
+        abs(col("a_n").cast(dec) * col("b_total").cast(dec) -
+          col("b_n").cast(dec) * col("a_total").cast(dec)))
+      .agg(max("a_total").as("a_total"), max("b_total").as("b_total"),
+        sum("__d").as("__sum_d"),
+        max(abs(col("a_frac") - col("b_frac"))).as("max_gap"))
+      .select(col("a_total"), col("b_total"),
+        (col("__sum_d").cast("double") /
+          (col("a_total").cast(dec) * col("b_total").cast(dec) * lit(2))
+            .cast("double")).as("tvd"),
+        col("max_gap"))
+  }
+}

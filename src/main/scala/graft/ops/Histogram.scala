@@ -51,6 +51,65 @@ object Histogram {
     histogram(df, valueCol, r.getLong(0), r.getLong(1), bins)
   }
 
+  /** Equi-DEPTH histogram: `buckets` bins holding (up to ties) equal row
+    * counts, the data-skipping / partition-sizing companion to the
+    * equi-width form above. Bucket edges are the exact type-1 quantiles
+    * at q = i/buckets (the [[Quantiles]] distributed-selection protocol
+    * — no global sort, no single-partition window, driver state is the
+    * `buckets − 1` boundary VALUES only), and bucket membership is
+    * value-based: bucket(v) = #{boundaries < v}, an integer sum of
+    * comparisons against broadcast literals — one codegen'd scan, one
+    * bounded groupBy. Ties that straddle a nominal boundary land in one
+    * bucket together (counts then deviate from n/buckets — the honest
+    * answer; splitting ties needs a global row numbering, which is the
+    * scale-killer this form exists to avoid).
+    *
+    * Returns one row per bucket 0..buckets−1: (bucket, n, lo, hi) with
+    * n = 0 and NULL lo/hi for buckets emptied by boundary ties. */
+  def equiDepth(df: DataFrame, valueCol: String, buckets: Int): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    val qs = (1 until buckets).map(i => i.toDouble / buckets)
+    val boundaries = Quantiles.exactQuantiles(df, valueCol, qs).map(_._2)
+    val v = col(valueCol).cast("long")
+    val bucket = boundaries.foldLeft(lit(0L)) { (acc, b) =>
+      acc + when(v > b, 1L).otherwise(0L)
+    }
+    val counted = df.filter(v.isNotNull)
+      .withColumn("bucket", bucket)
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"), min(v).as("lo"), max(v).as("hi"))
+    val spark = df.sparkSession
+    spark.range(buckets).select(col("id").as("bucket"))
+      .join(counted, Seq("bucket"), "left")
+      .select(col("bucket"), coalesce(col("n"), lit(0L)).as("n"),
+        col("lo"), col("hi"))
+  }
+
+  /** DuckDB-equivalent SQL for [[equiDepth]]'s differential oracle: the
+    * same ⌈q·n⌉ rank selection via row_number, the same comparison-sum
+    * bucket assignment. */
+  def equiDepthOracleSql(table: String, valueCol: String, buckets: Int): String = {
+    val bs = (1 until buckets).map { i =>
+      val q = i.toDouble / buckets
+      s"""(SELECT v FROM s, t
+         |   WHERE rn = GREATEST(1, CAST(ceil($q * t.cnt) AS BIGINT))) AS b$i"""
+        .stripMargin
+    }.mkString(",\n")
+    val sumExpr = (1 until buckets)
+      .map(i => s"CAST(s.v > b.b$i AS BIGINT)").mkString(" + ")
+    s"""WITH s AS (SELECT CAST($valueCol AS BIGINT) AS v,
+       |             ROW_NUMBER() OVER (ORDER BY CAST($valueCol AS BIGINT)) AS rn
+       |           FROM $table WHERE $valueCol IS NOT NULL),
+       |t AS (SELECT COUNT(*) AS cnt FROM $table WHERE $valueCol IS NOT NULL),
+       |b AS (SELECT $bs),
+       |x AS (SELECT s.v, $sumExpr AS bucket FROM s, b),
+       |c AS (SELECT bucket, COUNT(*) AS n, MIN(v) AS lo, MAX(v) AS hi
+       |      FROM x GROUP BY 1),
+       |k AS (SELECT UNNEST(range(0, $buckets)) AS bucket)
+       |SELECT k.bucket, COALESCE(c.n, 0) AS n, c.lo, c.hi
+       |FROM k LEFT JOIN c ON k.bucket = c.bucket ORDER BY k.bucket""".stripMargin
+  }
+
   /** DuckDB-equivalent SQL for the differential oracle (same exact
     * integer bin arithmetic, empty bins materialized from a sequence). */
   def oracleSql(table: String, valueCol: String, lo: Long, hi: Long,

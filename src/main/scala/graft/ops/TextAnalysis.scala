@@ -249,6 +249,116 @@ object TextAnalysis {
       .drop("__n")
   }
 
+  /** Top-k terms per document by Okapi BM25 — the retrieval-grade
+    * refinement of [[tfidfTopTerms]]: term saturation (k1) stops a
+    * 1000-occurrence token from scoring 1000×, and length normalization
+    * (b) stops long documents from dominating every term. Standard for
+    * corpus keyword extraction and quality-weighted retrieval indexes.
+    *
+    * Same scale shape as tfidf: the (doc, token) aggregate and the
+    * per-doc windows share one `Exchange hashpartitioning(id)` (dl is a
+    * whole-partition window sum over the COMPACT tf frame, not the token
+    * stream), df is a vocab-sized groupBy with partial aggregation
+    * absorbing hot-token skew, and corpus totals ride a broadcast 1-row
+    * cross join — no driver action, no window keyed by token.
+    *
+    * Determinism: idf uses the rational (N − df + 0.5)/(df + 0.5) form
+    * (log-free — BM25's log is monotone in it, so per-doc ranking is
+    * identical); every float step is a single IEEE op in a fixed order,
+    * mirrored exactly in the oracle SQL. k1 = 1.2, b = 0.75 appear as
+    * the literals 2.2 (= k1+1), 1.2, 0.25 (= 1−b), 0.75. */
+  def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
+                   k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val counts = docs
+      .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+      // dl (doc length in tokens) = sum of tf over the doc — an
+      // unordered window on the already-aggregated frame, same id key
+      .withColumn("dl", sum("tf").over(Window.partitionBy(idCol)))
+    // same pruning guard as tfidf: the max(tf)*0 term keeps both
+    // branches' (id, token) exchanges canonically identical for reuse
+    val dfByToken = counts.groupBy("token")
+      .agg((count(lit(1)) + max(col("tf")) * lit(0L)).as("df"))
+    // total token count from the compact tf frame, not a corpus rescan
+    val totToks = counts.agg(sum("tf").as("total_tokens"))
+    val w = Window.partitionBy(idCol)
+      .orderBy(col("weight").desc, col("token").asc)
+    val avgdl = col("total_tokens").cast("double") / col("n_docs")
+    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
+      (col("df").cast("double") + lit(0.5))
+    val norm = lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)
+    val weight = idf *
+      ((col("tf").cast("double") * lit(2.2)) /
+        (col("tf").cast("double") + lit(1.2) * norm))
+    counts
+      .join(dfByToken, "token")
+      .crossJoin(broadcast(nDocs))
+      .crossJoin(broadcast(totToks))
+      .withColumn("weight", weight)
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("dl"),
+        col("weight"), col("rk"))
+  }
+
+  /** Adjacent word pairs of each document, exploded to (w1, w2) rows.
+    * Pairing is per-row array surgery — `arrays_zip(slice, slice)` over
+    * the token array, plain (non-lambda) expressions inside whole-stage
+    * codegen — so pair construction needs NO shuffle and never crosses
+    * document boundaries. NULL/empty/1-token docs yield no pairs. */
+  def bigramPairs(docs: DataFrame, textCol: String): DataFrame = {
+    val toks = tokens(coalesce(col(textCol), lit("")))
+    val n1 = greatest(size(toks) - 1, lit(0))
+    docs.select(explode(arrays_zip(
+        slice(toks, lit(1), n1), slice(toks, lit(2), n1))).as("p"))
+      .select(col("p.*")).toDF("w1", "w2")
+  }
+
+  /** Corpus collocations: bigram lift — the log-free monotone core of
+    * pointwise mutual information. For each adjacent pair (w1, w2) with
+    * count ≥ `minCount`, lift = p(w1,w2) / (p(w1)·p(w2)); PMI = log₂ of
+    * it, and since log is monotone, ranking by lift IS ranking by PMI —
+    * the rational form keeps the differential oracle bit-exact.
+    * High-lift pairs are multiword expressions ("San Francisco");
+    * lift ≈ 1 is chance co-occurrence. The `minCount` floor is the
+    * standard guard against the rare-pair PMI explosion.
+    *
+    * Scale shape: pair construction is shuffle-free ([[bigramPairs]]);
+    * then one `groupBy(w1, w2)` and one `groupBy(token)`, both with
+    * map-side partial aggregation absorbing hot-pair/hot-token skew;
+    * unigram counts join back WITHOUT a broadcast hint (a 100 TB
+    * corpus's vocabulary can be billions of tokens — AQE picks BHJ only
+    * when it measures small); corpus totals ride broadcast 1-row cross
+    * joins. No driver action.
+    *
+    * Determinism: p_xy, p_x, p_y are single double divisions of exact
+    * longs and lift = p_xy / (p_x · p_y) — fixed IEEE op order,
+    * mirrored in the oracle. Returns (w1, w2, n, lift). */
+  def pmiBigrams(docs: DataFrame, textCol: String,
+                 minCount: Long = 5L): DataFrame = {
+    val pairs = bigramPairs(docs, textCol)
+    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+      .filter(col("n") >= minCount)
+    val uniCounts = docs
+      .select(explode(tokens(col(textCol))).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c"))
+    val nUni = uniCounts.agg(sum("c").as("n_uni"))
+    val nBig = pairs.agg(count(lit(1)).as("n_big"))
+    val pXy = col("n").cast("double") / col("n_big")
+    val pX = col("c1").cast("double") / col("n_uni")
+    val pY = col("c2").cast("double") / col("n_uni")
+    pairCounts
+      .join(uniCounts.withColumnRenamed("token", "w1")
+        .withColumnRenamed("c", "c1"), "w1")
+      .join(uniCounts.withColumnRenamed("token", "w2")
+        .withColumnRenamed("c", "c2"), "w2")
+      .crossJoin(broadcast(nUni))
+      .crossJoin(broadcast(nBig))
+      .withColumn("lift", pXy / (pX * pY))
+      .select(col("w1"), col("w2"), col("n"), col("lift"))
+  }
+
   /** Top-k tokens per document by a TF-IDF-style weight. The idf factor
     * is the *rational* N/df (not log(N/df)): transcendental functions are
     * not bit-reproducible across engines, and for RANKING terms within a

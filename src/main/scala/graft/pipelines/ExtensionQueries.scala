@@ -1064,6 +1064,83 @@ object ExtensionQueries {
             f => floor(f.cast("double") * lit(1000000.0)).cast("string")))
             .as("features_q6"))
         .orderBy("media_id")),
+
+    // ── behavioral path analysis ─────────────────────────────────────
+    // first-order Markov transition matrix over each user's ordered
+    // event stream: pair counts + row-normalized probabilities
+    "q_events_transitions" -> ((s, dir) =>
+      graft.ops.Transitions
+        .transitionMatrix(events(s, dir), "user_id", "ts", "event_type", "event_id")
+        .orderBy("from_action", "to_action")),
+
+    // ── nucleus-style corpus selection ───────────────────────────────
+    // per source, keep the docs carrying the top half of character
+    // mass: threshold via the distributed mass-refinement protocol
+    // (no per-source cumsum window), map-only fact filter
+    "q_corpus_top_mass" -> ((s, dir) =>
+      graft.ops.Composition
+        .selectTopMass(docs(s, dir), "source", "n_chars", 1L, 2L)
+        .select("doc_id", "source", "n_chars", "threshold")
+        .orderBy("doc_id")),
+
+    // session path histogram: ordered action strings per gap-session,
+    // top-50 by frequency (sorted-struct collect — deterministic)
+    "q_events_paths" -> ((s, dir) =>
+      graft.ops.Transitions
+        .sessionPaths(events(s, dir), "user_id", "ts", "event_type", "event_id")
+        .orderBy(col("n_sessions").desc, col("path")).limit(50)),
+
+    // ── distribution drift between corpus slices ─────────────────────
+    // even vs odd doc_id halves compared on a shared 16-bin integer
+    // grid over document length; per-bin mass + fraction gaps
+    "q_drift_bins" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Drift.driftBins(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0),
+        "n_chars", 0L, 1023L, 16)
+        .orderBy("bin")
+    }),
+
+    // one-row TVD + max-gap summary; numerator in exact integer
+    // cross-products, one double division at the end
+    "q_drift_summary" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Drift.driftSummary(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0),
+        "n_chars", 0L, 1023L, 16)
+    }),
+
+    // ── retrieval-grade term weighting ───────────────────────────────
+    // Okapi BM25 top-3 terms per doc (rational idf, saturation + length
+    // norm; monotone-equivalent to the log form so ranks are exact)
+    "q_text_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25TopTerms(docs(s, dir), "doc_id", "text", 3)
+        .orderBy("doc_id", "rk")),
+
+    // corpus collocations: top-100 bigrams by PMI-monotone lift,
+    // min-count 5 — shuffle-free pair construction, two aggregations
+    "q_text_pmi" -> ((s, dir) =>
+      TextAnalysis.pmiBigrams(docs(s, dir), "text", minCount = 5L)
+        .orderBy(col("lift").desc, col("w1"), col("w2")).limit(100)),
+
+    // ── robust anomaly detection ─────────────────────────────────────
+    // per-type MAD outliers over event values: med and mad are exact
+    // type-1 selections (distributed protocol, no per-group window),
+    // the 3×MAD flag is a codegen'd per-row comparison
+    "q_outlier_mad" -> ((s, dir) =>
+      graft.ops.Outliers
+        .madOutliers(events(s, dir), "event_type", "value", k = 3.0)
+        .filter(col("is_outlier"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          col("med"), col("mad"), col("dev"))
+        .orderBy("event_id")),
+
+    // ── equi-depth histogram ─────────────────────────────────────────
+    // 8 near-equal-count buckets of document lengths; edges are exact
+    // type-1 quantiles from the distributed selection protocol
+    "q_histogram_equidepth" -> ((s, dir) =>
+      graft.ops.Histogram.equiDepth(docs(s, dir), "n_chars", 8)
+        .orderBy("bucket")),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2061,5 +2138,193 @@ object ExtensionQueries {
         |         ELSE '0' END
         |    FOR d IN generate_series(0, 7)], ' ') AS features_q6
         |FROM k ORDER BY media_id""".stripMargin,
+
+    // lead over the same (ts, event_id) total order; prob is one double
+    // division of exact long counts — bit-equal across engines
+    "q_events_transitions" ->
+      """WITH p AS (
+        |  SELECT event_type AS from_action,
+        |         LEAD(event_type) OVER (PARTITION BY user_id
+        |                                ORDER BY ts, event_id) AS to_action
+        |  FROM events WHERE user_id IS NOT NULL),
+        |c AS (SELECT from_action, to_action, COUNT(*) AS n FROM p
+        |      WHERE to_action IS NOT NULL GROUP BY 1, 2)
+        |SELECT from_action, to_action, n,
+        |       CAST(n AS DOUBLE) /
+        |         CAST(SUM(n) OVER (PARTITION BY from_action) AS DOUBLE) AS prob
+        |FROM c ORDER BY from_action, to_action""".stripMargin,
+
+    "q_histogram_equidepth" ->
+      graft.ops.Histogram.equiDepthOracleSql("documents", "n_chars", 8),
+
+    // threshold = largest w with mass-at-or-above >= need, need =
+    // ceil(total/2) in exact integer arithmetic — mirrors the protocol's
+    // value-based (honest-ties) contract via a per-source cumsum
+    "q_corpus_top_mass" ->
+      """WITH t AS (SELECT source, SUM(CAST(n_chars AS BIGINT)) AS total
+        |           FROM documents GROUP BY 1),
+        |nd AS (SELECT source, (total * 1 + 2 - 1) // 2 AS need FROM t),
+        |vals AS (SELECT source, CAST(n_chars AS BIGINT) AS w,
+        |                SUM(CAST(n_chars AS BIGINT)) AS m
+        |         FROM documents GROUP BY 1, 2),
+        |cum AS (SELECT source, w,
+        |          SUM(m) OVER (PARTITION BY source ORDER BY w DESC) AS above
+        |        FROM vals),
+        |thr AS (SELECT source, MAX(w) AS threshold
+        |        FROM cum JOIN nd USING (source)
+        |        WHERE above >= need GROUP BY source)
+        |SELECT d.doc_id, d.source, d.n_chars, th.threshold
+        |FROM documents d JOIN thr th USING (source)
+        |WHERE CAST(d.n_chars AS BIGINT) >= th.threshold
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // same gap rule as the sessionize oracle (new session iff the µs
+    // delta exceeds 1800000000); path order = (ts, event_id) total order
+    "q_events_paths" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |             lag(ts) OVER (PARTITION BY user_id
+        |                           ORDER BY ts, event_id) AS prev_ts
+        |           FROM events WHERE user_id IS NOT NULL),
+        |m AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN prev_ts IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM o),
+        |s AS (SELECT user_id, ts, event_id, event_type,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |p AS (SELECT user_id, sid,
+        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |      FROM s GROUP BY 1, 2)
+        |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
+        |ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin,
+
+    // same integer grid as Histogram.histogram (width 64 over [0,1023]):
+    // LEAST((v - lo) // width, bins-1), empty bins from a range scaffold
+    "q_drift_bins" ->
+      """WITH bsa AS (SELECT LEAST((CAST(n_chars AS BIGINT) - 0) // 64, 15) AS bin,
+        |                    COUNT(*) AS n
+        |             FROM documents WHERE doc_id % 2 = 0
+        |               AND CAST(n_chars AS BIGINT) BETWEEN 0 AND 1023 GROUP BY 1),
+        |bsb AS (SELECT LEAST((CAST(n_chars AS BIGINT) - 0) // 64, 15) AS bin,
+        |               COUNT(*) AS n
+        |        FROM documents WHERE doc_id % 2 <> 0
+        |          AND CAST(n_chars AS BIGINT) BETWEEN 0 AND 1023 GROUP BY 1),
+        |k AS (SELECT UNNEST(range(0, 16)) AS bin),
+        |j AS (SELECT k.bin, 0 + k.bin * 64 AS bin_lo,
+        |             LEAST(1023, 0 + (k.bin + 1) * 64 - 1) AS bin_hi,
+        |             COALESCE(a.n, 0) AS a_n, COALESCE(b.n, 0) AS b_n
+        |      FROM k LEFT JOIN bsa a ON k.bin = a.bin
+        |             LEFT JOIN bsb b ON k.bin = b.bin),
+        |t AS (SELECT CAST(SUM(a_n) AS BIGINT) AS a_total,
+        |             CAST(SUM(b_n) AS BIGINT) AS b_total FROM j)
+        |SELECT j.bin, j.bin_lo, j.bin_hi, j.a_n, j.b_n,
+        |       CAST(a_n AS DOUBLE) / a_total AS a_frac,
+        |       CAST(b_n AS DOUBLE) / b_total AS b_frac,
+        |       abs(CAST(a_n AS DOUBLE) / a_total -
+        |           CAST(b_n AS DOUBLE) / b_total) AS gap
+        |FROM j, t ORDER BY j.bin""".stripMargin,
+
+    // TVD numerator in exact HUGEINT cross-products (mirrors Spark's
+    // DECIMAL(38)), one double division; max_gap over per-bin doubles
+    "q_drift_summary" ->
+      """WITH bsa AS (SELECT LEAST((CAST(n_chars AS BIGINT) - 0) // 64, 15) AS bin,
+        |                    COUNT(*) AS n
+        |             FROM documents WHERE doc_id % 2 = 0
+        |               AND CAST(n_chars AS BIGINT) BETWEEN 0 AND 1023 GROUP BY 1),
+        |bsb AS (SELECT LEAST((CAST(n_chars AS BIGINT) - 0) // 64, 15) AS bin,
+        |               COUNT(*) AS n
+        |        FROM documents WHERE doc_id % 2 <> 0
+        |          AND CAST(n_chars AS BIGINT) BETWEEN 0 AND 1023 GROUP BY 1),
+        |k AS (SELECT UNNEST(range(0, 16)) AS bin),
+        |j AS (SELECT k.bin, COALESCE(a.n, 0) AS a_n, COALESCE(b.n, 0) AS b_n
+        |      FROM k LEFT JOIN bsa a ON k.bin = a.bin
+        |             LEFT JOIN bsb b ON k.bin = b.bin),
+        |t AS (SELECT CAST(SUM(a_n) AS BIGINT) AS a_total,
+        |             CAST(SUM(b_n) AS BIGINT) AS b_total FROM j),
+        |x AS (SELECT abs(CAST(a_n AS HUGEINT) * b_total -
+        |                 CAST(b_n AS HUGEINT) * a_total) AS d,
+        |             abs(CAST(a_n AS DOUBLE) / a_total -
+        |                 CAST(b_n AS DOUBLE) / b_total) AS gap
+        |      FROM j, t)
+        |SELECT t.a_total, t.b_total,
+        |       CAST((SELECT SUM(d) FROM x) AS DOUBLE) /
+        |         CAST(2 * CAST(t.a_total AS HUGEINT) * t.b_total AS DOUBLE) AS tvd,
+        |       (SELECT MAX(gap) FROM x) AS max_gap
+        |FROM t""".stripMargin,
+
+    // mirrors bm25TopTerms' exact float-op order: idf, saturation and
+    // length-norm terms parenthesized identically — bit-equal doubles
+    "q_text_bm25" ->
+      """WITH toks AS (SELECT doc_id,
+        |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS t FROM documents),
+        |tok AS (SELECT doc_id, unnest(t) AS token FROM toks),
+        |tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+        |tfdl AS (SELECT doc_id, token, tf,
+        |           SUM(tf) OVER (PARTITION BY doc_id) AS dl FROM tf),
+        |dfx AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY 1),
+        |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+        |tt AS (SELECT SUM(tf) AS total_tokens FROM tf),
+        |w AS (SELECT doc_id, tfdl.token, tf, df, dl,
+        |        ((CAST(n_docs - df AS DOUBLE) + 0.5) /
+        |         (CAST(df AS DOUBLE) + 0.5)) *
+        |        ((CAST(tf AS DOUBLE) * 2.2) /
+        |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
+        |            (CAST(dl AS DOUBLE) /
+        |             (CAST(total_tokens AS DOUBLE) / n_docs))))) AS weight
+        |      FROM tfdl JOIN dfx ON tfdl.token = dfx.token, nd, tt),
+        |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+        |                ORDER BY weight DESC, token) AS rk FROM w)
+        |SELECT doc_id, token, tf, df, dl, weight, rk FROM r
+        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // pair construction from the same single-space tokenization; lift's
+    // three divisions and one product in the same order as pmiBigrams
+    "q_text_pmi" ->
+      """WITH toks AS (SELECT
+        |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS t FROM documents),
+        |pr0 AS (SELECT [{'w1': t[i], 'w2': t[i+1]}
+        |                FOR i IN generate_series(1, len(t)-1)] AS ps
+        |        FROM toks WHERE len(t) >= 2),
+        |pr AS (SELECT unnest(ps, recursive := true) FROM pr0),
+        |pc AS (SELECT w1, w2, COUNT(*) AS n FROM pr GROUP BY 1, 2
+        |       HAVING COUNT(*) >= 5),
+        |uc AS (SELECT unnest(t) AS token FROM toks),
+        |u AS (SELECT token, COUNT(*) AS c FROM uc GROUP BY 1),
+        |nu AS (SELECT SUM(c) AS n_uni FROM u),
+        |nb AS (SELECT COUNT(*) AS n_big FROM pr)
+        |SELECT w1, w2, n,
+        |       (CAST(n AS DOUBLE) / n_big) /
+        |         ((CAST(u1.c AS DOUBLE) / n_uni) *
+        |          (CAST(u2.c AS DOUBLE) / n_uni)) AS lift
+        |FROM pc JOIN u u1 ON pc.w1 = u1.token
+        |        JOIN u u2 ON pc.w2 = u2.token, nu, nb
+        |ORDER BY lift DESC, w1, w2 LIMIT 100""".stripMargin,
+
+    // rank definition mirrors Quantiles.groupedExactQuantileDouble:
+    // k = GREATEST(1, ceil(0.5·n_g)) over non-null values, lower on ties;
+    // dev and the 3×MAD threshold are single IEEE double ops
+    "q_outlier_mad" ->
+      """WITH s AS (SELECT event_type, value,
+        |             ROW_NUMBER() OVER (PARTITION BY event_type
+        |                                ORDER BY value) AS rn,
+        |             COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |           FROM events WHERE value IS NOT NULL),
+        |med AS (SELECT event_type, value AS med FROM s
+        |        WHERE rn = GREATEST(1, CAST(ceil(cnt * 0.5) AS BIGINT))),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |             abs(CAST(e.value AS DOUBLE) - m.med) AS dev
+        |      FROM events e JOIN med m USING (event_type)),
+        |s2 AS (SELECT event_type, dev,
+        |         ROW_NUMBER() OVER (PARTITION BY event_type
+        |                            ORDER BY dev) AS rn,
+        |         COUNT(*) OVER (PARTITION BY event_type) AS cnt
+        |       FROM d WHERE dev IS NOT NULL),
+        |mad AS (SELECT event_type, dev AS mad FROM s2
+        |        WHERE rn = GREATEST(1, CAST(ceil(cnt * 0.5) AS BIGINT)))
+        |SELECT event_id, event_type, value, med, mad.mad, dev
+        |FROM d JOIN mad USING (event_type)
+        |WHERE dev > 3.0 * mad ORDER BY event_id""".stripMargin,
   )
 }

@@ -43,4 +43,30 @@ class HistogramSpec extends SparkSpec {
     val h = Histogram.histogramAuto(docs, "n_chars", 8).orderBy("bin").collect()
     assert(h.map(_.getAs[Long]("n")).sum == docs.count())
   }
+
+  test("equiDepth: counts total n and buckets are near-equal on distinct data") {
+    val df = spark.range(1, 81).select(col("id").as("v")) // 80 distinct values
+    val h = Histogram.equiDepth(df, "v", 8).orderBy("bucket").collect()
+    assert(h.length == 8)
+    assert(h.map(_.getAs[Long]("n")).sum == 80L)
+    // distinct values split exactly: 10 per bucket
+    assert(h.forall(_.getAs[Long]("n") == 10L))
+    // bucket value ranges are disjoint and ordered
+    h.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("hi") < b.getAs[Long]("lo"))
+    }
+  }
+
+  test("equiDepth: boundary ties collapse into one bucket, honestly") {
+    // 9 copies of 5 plus 1 and 100: nominal quartile edges all hit 5
+    val df = (Seq(1L, 100L) ++ Seq.fill(9)(5L)).toDF("v")
+    val h = Histogram.equiDepth(df, "v", 4).orderBy("bucket").collect()
+    assert(h.map(_.getAs[Long]("n")).sum == 11L)
+    // ties land together: the bucket holding 5 has all nine copies
+    assert(h.exists(r => r.getAs[Long]("n") == 9L || r.getAs[Long]("n") == 10L))
+    // empty buckets materialized with null lo/hi
+    h.filter(_.getAs[Long]("n") == 0L).foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("lo")) && r.isNullAt(r.fieldIndex("hi")))
+    }
+  }
 }

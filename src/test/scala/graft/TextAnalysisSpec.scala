@@ -180,4 +180,44 @@ class TextAnalysisSpec extends SparkSpec {
     // doc 3: common 1*3/3=1.0, other 1*3/1=3.0
     assert(top(3L) === (("other", 3.0)))
   }
+
+  test("bm25TopTerms: saturation and length norm behave; dl is the token count") {
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common common common common"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val rows = TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 2).collect()
+    val byDocTok = rows.map(r => (r.getLong(0), r.getString(1)) -> r).toMap
+    // dl = whole-doc token count, not the per-term tf
+    assert(byDocTok((1L, "rare")).getAs[Long]("dl") == 3L)
+    assert(byDocTok((2L, "common")).getAs[Long]("dl") == 6L)
+    // rare (df=1) outranks common (df=3) in doc 1
+    assert(byDocTok((1L, "rare")).getAs[Int]("rk") == 1)
+    // saturation: 6 occurrences of common score < 6× one occurrence
+    val w6 = byDocTok((2L, "common")).getAs[Double]("weight")
+    val w1 = byDocTok((3L, "common")).getAs[Double]("weight")
+    assert(w6 < 6 * w1 && w6 > w1 * 0) // saturated but same idf sign
+  }
+
+  test("bigramPairs: per-doc adjacency, no cross-document pairs") {
+    val docs = Seq((1L, "a b c"), (2L, "c d"), (3L, "x"), (4L, "")).toDF("id", "text")
+    val pairs = TextAnalysis.bigramPairs(docs, "text")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(pairs.sorted == Seq(("a", "b"), ("b", "c"), ("c", "d")))
+  }
+
+  test("pmiBigrams: planted collocation tops chance pairs") {
+    // "san francisco" always adjacent; fillers vary so no other pair
+    // reaches the min-count floor
+    val docs = (1 to 10).map(i =>
+      (i.toLong, s"san francisco w$i san francisco x$i")).toDF("id", "text")
+    val out = TextAnalysis.pmiBigrams(docs, "text", minCount = 5L)
+      .orderBy(col("lift").desc, col("w1"), col("w2")).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) == (("san", "francisco")))
+    assert(top.getAs[Long]("n") == 20L)
+    // lift: p(s,f)=20/|pairs|, p(s)=p(f)=20/|tokens| — above 1
+    assert(top.getAs[Double]("lift") > 1.0)
+  }
 }
