@@ -300,7 +300,35 @@ object Quantiles {
     * per rank). */
   def groupedExactQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                             rankSpecs: Seq[(String, Double)],
-                            bins: Int = 1024): DataFrame = {
+                            bins: Int = 1024): DataFrame =
+    groupedExactQuantilesImpl(df, groupCol, valueCol, rankSpecs, bins, None)
+
+  /** [[groupedExactQuantiles]] accelerated by one grouped
+    * `percentile_approx` pass — SAME exact result (bit-for-bit): the
+    * sketch only BRACKETS each (group, rank) target, one exact count
+    * job verifies every bracket, and disproved brackets fall back to
+    * the full range for that (group, rank). Worth it exactly when the
+    * value range is wide — ~7 full refinement passes collapse to
+    * sketch + verify + ~1 refine. [[groupedExactQuantileDouble]] seeds
+    * by default: IEEE-bits-mapped doubles always span a wide long
+    * range. Narrow integral columns (document lengths: ≤ 2 passes
+    * unseeded) should stay on the plain form — the sketch pass costs
+    * more than it saves there. */
+  def groupedExactQuantilesSeeded(df: DataFrame, groupCol: String,
+                                  valueCol: String,
+                                  rankSpecs: Seq[(String, Double)],
+                                  relativeError: Double = 0.01,
+                                  bins: Int = 1024): DataFrame = {
+    require(relativeError > 0 && relativeError < 0.25,
+      s"relativeError out of (0, 0.25): $relativeError")
+    groupedExactQuantilesImpl(df, groupCol, valueCol, rankSpecs, bins,
+      Some(relativeError))
+  }
+
+  private def groupedExactQuantilesImpl(
+      df: DataFrame, groupCol: String, valueCol: String,
+      rankSpecs: Seq[(String, Double)], bins: Int,
+      seedRelError: Option[Double]): DataFrame = {
     require(rankSpecs.nonEmpty, "need at least one rank")
     rankSpecs.foreach { case (name, q) =>
       require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $name=$q") }
@@ -326,22 +354,90 @@ object Quantiles {
         }
       }.toMap
     val effBins = math.max(16, math.min(bins, (1 << 20) / math.max(1, state.size)))
+    val groupField = df.select(g).schema.head.copy(name = "__g")
+
+    // sketch-seeded bracketing (groupedExactQuantilesSeeded): one grouped
+    // percentile_approx pass at φ = q ∓ 2ε brackets every (group, rank),
+    // one exact count job verifies all brackets, disproved brackets keep
+    // the full range — output identical either way (the exactQuantilesSeeded
+    // protocol, grouped). Bracket endpoints widen by one ulp (bracketLong)
+    // so the sketch's double arithmetic can't shave the true value.
+    seedRelError.foreach { re =>
+      val probeList = rankSpecs.flatMap { case (_, q) =>
+        Seq(math.max(0.0, q - 2 * re), math.min(1.0, q + 2 * re)) }
+      val acc = math.max(100, math.ceil(1.0 / re).toInt)
+      val probesSql = probeList.mkString("array(", ",", ")")
+      val sk = df.select(g.as("__g"), v.cast("double").as("__d"))
+        .groupBy("__g")
+        .agg(expr(s"percentile_approx(__d, $probesSql, $acc)").as("__ps"))
+        .collect()
+        .map(r => r.get(0) -> (if (r.isNullAt(1)) None
+                               else Some(r.getSeq[Double](1)))).toMap
+      val groupBounds = boundsRows.iterator.filter(r => !r.isNullAt(1))
+        .map(r => r.get(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      val brackets: Map[(Any, String), (Long, Long)] = state.keys.flatMap {
+        case key @ (gv, name) =>
+          sk.get(gv).flatten.map { ps =>
+            val idx = rankSpecs.indexWhere(_._1 == name)
+            val (glo, ghi) = groupBounds(gv)
+            key -> ((bracketLong(ps(2 * idx), glo, ghi, up = false),
+              bracketLong(ps(2 * idx + 1), glo, ghi, up = true)))
+          }
+      }.toMap
+      if (brackets.nonEmpty) {
+        val vSchema = StructType(Seq(groupField,
+          StructField("__rank", StringType),
+          StructField("__blo", LongType), StructField("__bhi", LongType)))
+        val vRows = brackets.toSeq.map { case ((gv, name), (blo, bhi)) =>
+          Row(gv, name, blo, bhi) }
+        val cnts = df.select(g.as("__gv"), v.as("__v"))
+          .join(broadcast(spark.createDataFrame(
+            spark.sparkContext.parallelize(vRows, 1), vSchema)),
+            col("__gv") <=> col("__g") && col("__v") <= col("__bhi"))
+          .groupBy("__g", "__rank")
+          .agg(sum(when(col("__v") < col("__blo"), 1L).otherwise(0L)).as("below"),
+            sum(when(col("__v") >= col("__blo"), 1L).otherwise(0L)).as("inR"))
+          .collect()
+          .map(r => (r.get(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
+          .toMap
+        state = state.map { case (key, full @ (_, _, k)) =>
+          brackets.get(key) match {
+            case Some((blo, bhi)) =>
+              val (below, inRange) = cnts.getOrElse(key, (0L, 0L))
+              val kk = k - below
+              if (kk >= 1 && kk <= inRange) key -> ((blo, bhi, kk))
+              else key -> full // bracket disproved: exact fallback
+            case None => key -> full
+          }
+        }
+      }
+    }
 
     // a range spanning both signs can overflow (hi-lo) and (v-lo): split
-    // the affected (group, rank) ranges at zero with ONE shared count job
+    // the affected (group, rank) ranges at zero with ONE shared count job.
+    // Range-aware (counts negatives WITHIN each state's [lo, 0) — a seeded
+    // bracket's rank is relative to the bracket, not the group).
     if (state.values.exists { case (lo, hi, _) => lo < 0 && hi > 0 }) {
-      val negCounts = df.filter(v < 0).groupBy(g.as("__g"))
-        .agg(count(lit(1)).as("c")).collect()
-        .map(r => r.get(0) -> r.getLong(1)).toMap
+      val straddling = state.filter { case (_, (lo, hi, _)) => lo < 0 && hi > 0 }
+      val nSchema = StructType(Seq(groupField,
+        StructField("__rank", StringType), StructField("__nlo", LongType)))
+      val nRows = straddling.map { case ((gv, name), (lo, _, _)) =>
+        Row(gv, name, lo) }.toSeq
+      val negCounts = df.select(g.as("__gv"), v.as("__v"))
+        .filter(col("__v") < 0)
+        .join(broadcast(spark.createDataFrame(
+          spark.sparkContext.parallelize(nRows, 1), nSchema)),
+          col("__gv") <=> col("__g") && col("__v") >= col("__nlo"))
+        .groupBy("__g", "__rank").agg(count(lit(1)).as("c"))
+        .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
       state = state.map {
-        case (key @ (gv, _), (lo, hi, kk)) if lo < 0 && hi > 0 =>
-          val nNeg = negCounts.getOrElse(gv, 0L)
+        case (key, (lo, hi, kk)) if lo < 0 && hi > 0 =>
+          val nNeg = negCounts.getOrElse(key, 0L)
           key -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
         case other => other
       }
     }
 
-    val groupField = df.select(g).schema.head.copy(name = "__g")
     val rangeSchema = StructType(Seq(groupField,
       StructField("__rank", StringType),
       StructField("__lo", LongType), StructField("__hi", LongType),
@@ -390,15 +486,26 @@ object Quantiles {
   /** [[groupedExactQuantile]] for DOUBLE columns: values ride the
     * order-preserving IEEE-bits mapping ([[graft.functions.SortableDoubleBits]],
     * codegen'd) through the grouped selection and map back on the
-    * driver — the result frame is per-group (tiny) either way. */
+    * driver — the result frame is per-group (tiny) either way.
+    *
+    * Seeds by default (`seeded = false` opts out): bits-mapped doubles
+    * span a ~2⁶² long range, where the plain refinement pays ~7 full
+    * passes and the sketch+verify+refine path pays ~3 — the
+    * [[groupedExactQuantilesSeeded]] contract keeps the result
+    * bit-identical either way. */
   def groupedExactQuantileDouble(df: DataFrame, groupCol: String, valueCol: String,
-                                 q: Double, bins: Int = 1024): DataFrame = {
+                                 q: Double, bins: Int = 1024,
+                                 seeded: Boolean = true): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
     val mapped = df.select(col(groupCol), graft.functions.SortableDoubleBits
       .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
-    val sel = groupedExactQuantile(mapped, groupCol, "__s", q, bins)
+    val sel =
+      if (seeded)
+        groupedExactQuantilesSeeded(mapped, groupCol, "__s",
+          Seq("value" -> q), bins = bins)
+      else groupedExactQuantile(mapped, groupCol, "__s", q, bins)
     val rows = sel.collect().map(r =>
       Row(r.get(0), graft.functions.SortableDoubleBits.fromSortable(r.getLong(1)))).toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),

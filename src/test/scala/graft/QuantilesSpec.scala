@@ -146,6 +146,27 @@ class QuantilesSpec extends SparkSpec {
     assert(got == want) // bit-exact: selection returns an actual data value
   }
 
+  test("grouped seeded selection is bit-identical to unseeded, even with a coarse sketch") {
+    val rng = new scala.util.Random(11)
+    val rows = (1 to 800).map(i => (s"g${i % 3}", rng.nextGaussian() * 50 - 20))
+    val df = rows.toDF("grp", "v")
+    val mapped = df.select(col("grp"), graft.functions.SortableDoubleBits
+      .sortableDoubleBits(col("v")).as("__s"))
+    val specs = Seq("p01" -> 0.01, "p50" -> 0.5, "p99" -> 0.99, "top" -> 1.0)
+    def rowsOf(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1).toSeq
+    val plain = rowsOf(Quantiles.groupedExactQuantiles(mapped, "grp", "__s", specs))
+    // fine and deliberately coarse sketches: brackets may be disproved at
+    // ε = 0.2 (per-rank fallback), the answer must not move a bit
+    val fine = rowsOf(Quantiles.groupedExactQuantilesSeeded(
+      mapped, "grp", "__s", specs, relativeError = 0.01))
+    val coarse = rowsOf(Quantiles.groupedExactQuantilesSeeded(
+      mapped, "grp", "__s", specs, relativeError = 0.2))
+    assert(fine == plain)
+    assert(coarse == plain)
+  }
+
   test("groupedExactQuantile agrees with exactQuantiles on one group") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val single = docs.select(lit("all").as("grp"), col("n_chars"))
