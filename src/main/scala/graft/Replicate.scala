@@ -20,6 +20,17 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10]
   *        [corpusFactor=1] [corpusMode=verbatim|disjoint] [embFactor=1]
+  *        [eventsFactor=1]
+  *
+  * `eventsFactor` > 1 replicates `events` with shifted event_ids AND
+  * user_ids (ts/type/value/props verbatim): every replica is a disjoint
+  * population living through the same time range, so per-user histories
+  * — and with them session structure, transition pairs, and per-type
+  * value distributions (medians, MADs, outlier flags) — are preserved
+  * exactly within each replica while cross-replica interaction is
+  * impossible. Sessionization/transition/outlier output scales linearly
+  * in rows with CONSTANT per-key density, which is what makes the
+  * 1×-vs-N× timing ratio meaningful for the behavioral family.
   *
   * `corpusFactor` > 1 additionally replicates `documents` with shifted
   * doc_ids (sources unchanged — per-source volume grows by the factor),
@@ -72,6 +83,7 @@ object Replicate {
     val corpusFactor = if (args.length > 3) args(3).toInt else 1
     val corpusMode = if (args.length > 4) args(4) else "verbatim"
     val embFactor = if (args.length > 5) args(5).toInt else 1
+    val eventsFactor = if (args.length > 6) args(6).toInt else 1
     require(corpusMode == "verbatim" || corpusMode == "disjoint",
       s"corpusMode must be verbatim|disjoint, got $corpusMode")
     val spark = SparkSession.builder()
@@ -105,6 +117,12 @@ object Replicate {
                 transform(split(col("text"), " "), tk => concat(tk, lit(s"_r$i")))))
             else shifted
           }.reduce(_ union _)
+        else if (t == "events" && eventsFactor > 1)
+          (0 until eventsFactor).map { i =>
+            // disjoint populations, same clock: replica 0 verbatim
+            df.withColumn("event_id", col("event_id") + lit(i * ShiftStep))
+              .withColumn("user_id", col("user_id") + lit(i * ShiftStep))
+          }.reduce(_ union _)
         else if (t == "embeddings" && embFactor > 1)
           (0 until embFactor).map { i =>
             // mirror the documents path: replica 0 verbatim (previously
@@ -120,7 +138,8 @@ object Replicate {
         else df
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       val f = if (t == "documents") corpusFactor
-              else if (t == "embeddings") embFactor else 1
+              else if (t == "embeddings") embFactor
+              else if (t == "events") eventsFactor else 1
       println(s"[replicate] $t x$f -> $outDir")
     }
     spark.stop()
