@@ -495,7 +495,20 @@ object Quantiles {
     * bit-identical either way. */
   def groupedExactQuantileDouble(df: DataFrame, groupCol: String, valueCol: String,
                                  q: Double, bins: Int = 1024,
-                                 seeded: Boolean = true): DataFrame = {
+                                 seeded: Boolean = true): DataFrame =
+    groupedExactQuantilesDouble(df, groupCol, valueCol, Seq("value" -> q),
+      bins, seeded)
+
+  /** Multiple exact per-group DOUBLE quantiles in one shared protocol —
+    * the multi-rank [[groupedExactQuantileDouble]]: all ranks ride the
+    * IEEE-bits mapping through ONE grouped selection (seeded by default
+    * — bits ranges are always wide) and map back on the driver. One row
+    * per group: (groupCol, <name> DOUBLE per rank). */
+  def groupedExactQuantilesDouble(df: DataFrame, groupCol: String,
+                                  valueCol: String,
+                                  rankSpecs: Seq[(String, Double)],
+                                  bins: Int = 1024,
+                                  seeded: Boolean = true): DataFrame = {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
@@ -503,13 +516,16 @@ object Quantiles {
       .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
     val sel =
       if (seeded)
-        groupedExactQuantilesSeeded(mapped, groupCol, "__s",
-          Seq("value" -> q), bins = bins)
-      else groupedExactQuantile(mapped, groupCol, "__s", q, bins)
-    val rows = sel.collect().map(r =>
-      Row(r.get(0), graft.functions.SortableDoubleBits.fromSortable(r.getLong(1)))).toSeq
+        groupedExactQuantilesSeeded(mapped, groupCol, "__s", rankSpecs,
+          bins = bins)
+      else groupedExactQuantiles(mapped, groupCol, "__s", rankSpecs, bins)
+    val rows = sel.collect().map { r =>
+      Row.fromSeq(r.get(0) +: rankSpecs.indices.map(i =>
+        graft.functions.SortableDoubleBits.fromSortable(r.getLong(i + 1))))
+    }.toSeq
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
-      StructType(Seq(sel.schema.head, StructField("value", DoubleType, nullable = false))))
+      StructType(sel.schema.head +: rankSpecs.map { case (name, _) =>
+        StructField(name, DoubleType, nullable = false) }))
   }
 
   /** Exact k-th smallest of a DOUBLE column: the values are mapped

@@ -1026,6 +1026,32 @@ object ExtensionQueries {
         .orderBy("event_id", "interval_id")
     }),
 
+    // per-hour value percentile bands (p50/p95) — the SLO-monitoring
+    // shape: ~720 hour-groups through ONE multi-rank grouped selection
+    // (no per-hour window sort), exact data values out
+    "q_events_hourly_bands" -> ((s, dir) => {
+      val e = events(s, dir)
+        .withColumn("hour", date_trunc("hour", col("ts")))
+      graft.ops.Quantiles
+        .groupedExactQuantilesDouble(e, "hour", "value",
+          Seq("p50" -> 0.5, "p95" -> 0.95))
+        .orderBy("hour")
+    }),
+
+    // Interval-overlap join (bin-bucketed, exactly-once by the
+    // intersection-first-bin rule — no distinct pass): pairs of events
+    // whose 30-minute activity windows overlap for the same user
+    "q_join_overlap" -> ((s, dir) => {
+      val e = events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts").as("start_ts"))
+        .withColumn("end_ts", expr("start_ts + INTERVAL 30 MINUTES"))
+      graft.ops.RangeJoin.overlapJoin(e, e, Seq("user_id"),
+          "start_ts", "end_ts", "start_ts", "end_ts", 1800L)
+        .filter(col("event_id") < col("r_event_id"))
+        .select("event_id", "r_event_id", "user_id")
+        .orderBy("event_id", "r_event_id")
+    }),
+
     // ── multimodal binary-column plumbing ────────────────────────────
     "q_multimodal_meta" -> ((s, dir) => {
       val m = Multimodal.mediaFromDocuments(docs(s, dir))
@@ -2156,6 +2182,31 @@ object ExtensionQueries {
 
     "q_histogram_equidepth" ->
       graft.ops.Histogram.equiDepthOracleSql("documents", "n_chars", 8),
+
+    // same type-1 rank definition per hour group for both ranks
+    "q_events_hourly_bands" ->
+      """WITH s AS (SELECT date_trunc('hour', ts) AS hour, value,
+        |             ROW_NUMBER() OVER (PARTITION BY date_trunc('hour', ts)
+        |                                ORDER BY value) AS rn,
+        |             COUNT(*) OVER (PARTITION BY date_trunc('hour', ts)) AS cnt
+        |           FROM events WHERE value IS NOT NULL)
+        |SELECT h1.hour, h1.value AS p50, h2.value AS p95
+        |FROM (SELECT hour, value FROM s
+        |      WHERE rn = GREATEST(1, CAST(ceil(cnt * 0.5) AS BIGINT))) h1
+        |JOIN (SELECT hour, value FROM s
+        |      WHERE rn = GREATEST(1, CAST(ceil(cnt * 0.95) AS BIGINT))) h2
+        |  USING (hour)
+        |ORDER BY hour""".stripMargin,
+
+    // DuckDB plans the inclusive-overlap theta join directly; row set
+    // must equal the binned exactly-once form
+    "q_join_overlap" ->
+      """SELECT a.event_id, b.event_id AS r_event_id, a.user_id
+        |FROM events a JOIN events b
+        |  ON a.user_id = b.user_id AND a.event_id < b.event_id
+        | AND a.ts <= b.ts + INTERVAL 30 MINUTE
+        | AND b.ts <= a.ts + INTERVAL 30 MINUTE
+        |ORDER BY 1, 2""".stripMargin,
 
     // threshold = largest w with mass-at-or-above >= need, need =
     // ceil(total/2) in exact integer arithmetic — mirrors the protocol's

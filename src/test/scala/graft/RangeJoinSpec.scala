@@ -35,6 +35,34 @@ class RangeJoinSpec extends SparkSpec {
     assert(binned == naive)
   }
 
+  test("overlapJoin equals the naive theta join, exactly once per pair") {
+    val e = graft.streaming.EventStreams.normalizeTs(
+        spark.read.parquet(s"$sf/events.parquet"))
+      .select($"event_id", $"user_id", $"ts".as("start_ts"))
+      .withColumn("end_ts", expr("start_ts + INTERVAL 30 MINUTES"))
+    def run(bin: Long) = RangeJoin.overlapJoin(e, e, Seq("user_id"),
+      "start_ts", "end_ts", "start_ts", "end_ts", bin)
+      .filter($"event_id" < $"r_event_id")
+      .select("event_id", "r_event_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val got = run(1800L)
+    // exactly-once: no duplicate pairs even though wide intersections
+    // share many bins at a narrow bin width
+    val narrow = run(120L)
+    assert(got.length == got.toSet.size)
+    assert(narrow.length == narrow.toSet.size)
+    assert(got.toSet == narrow.toSet)
+    // naive theta join via self-join on user
+    val r = e.select($"event_id".as("b_id"), $"user_id",
+      $"start_ts".as("b_start"), $"end_ts".as("b_end"))
+    val want = e.join(r, "user_id")
+      .filter($"event_id" < $"b_id" &&
+        $"start_ts" <= $"b_end" && $"b_start" <= $"end_ts")
+      .select("event_id", "b_id").collect()
+      .map(row => (row.getLong(0), row.getLong(1))).toSet
+    assert(got.toSet == want)
+  }
+
   test("bin width does not change results, only candidate counts") {
     val e = graft.streaming.EventStreams.normalizeTs(
         spark.read.parquet(s"$sf/events.parquet"))
