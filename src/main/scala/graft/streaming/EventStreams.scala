@@ -205,4 +205,40 @@ object EventStreams {
       .format("memory").queryName(queryName)
       .outputMode(OutputMode.Update()).start()
   }
+
+  case class LastEvent(ts: java.sql.Timestamp, tie: Long, action: String)
+  case class TransitionPair(from_action: String, to_action: String)
+
+  /** Streaming form of [[graft.ops.Transitions.transitionMatrix]]'s pair
+    * extraction: per-user keyed state holds only the LAST event, each
+    * micro-batch sorts its per-user slice by (ts, event_id), chains it
+    * after the stored last event, and emits every new consecutive pair —
+    * append-mode output a downstream aggregation turns into live
+    * transition counts. State is one row per user, O(keys) regardless
+    * of history length.
+    *
+    * Ordering contract: within-user arrival must be non-decreasing in
+    * event time ACROSS micro-batches (true for in-order log replay and
+    * time-ordered file sources — the fixture's shape). Late events would
+    * need watermark-delayed buffering; that variant is deliberately
+    * absent — a late transition is a corrected HISTORY, which the batch
+    * operator recomputes exactly. Batch ≡ stream under the contract
+    * (StreamingSpec). */
+  def streamingTransitions(events: Dataset[Event]): Dataset[TransitionPair] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (_: Long, batch: Iterator[Event], state: GroupState[LastEvent]) =>
+          val sorted = batch.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val chained = state.getOption.map(l => (l.ts, l.tie, l.action)).toSeq ++
+            sorted.map(e => (e.ts, e.event_id, e.event_type))
+          val pairs = chained.sliding(2).collect {
+            case Seq((_, _, a), (_, _, b)) => TransitionPair(a, b)
+          }.toList
+          sorted.lastOption.foreach(e =>
+            state.update(LastEvent(e.ts, e.event_id, e.event_type)))
+          pairs.iterator
+      }
+  }
 }

@@ -130,6 +130,38 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streamingTransitions: pair counts equal the batch matrix across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = EventStreams.streamingTransitions(mem.toDS())
+      .writeStream.format("memory").queryName("transitions_test")
+      .outputMode(OutputMode.Append()).start()
+    val all = Seq(
+      ev(1, "2024-01-01 10:00:00", user = 1, typ = "a"),
+      ev(2, "2024-01-01 10:01:00", user = 1, typ = "b"),
+      ev(3, "2024-01-01 10:00:30", user = 2, typ = "b"),
+      ev(4, "2024-01-01 10:02:00", user = 1, typ = "a"),
+      ev(5, "2024-01-01 10:03:00", user = 2, typ = "a"),
+      ev(6, "2024-01-01 10:04:00", user = 1, typ = "c"))
+    try {
+      // split mid-user-history: the cross-batch pair (b -> a for user 1)
+      // only exists if keyed state carried the last event over
+      mem.addData(all.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(all.drop(3): _*)
+      q.processAllAvailable()
+      val got = spark.table("transitions_test")
+        .groupBy("from_action", "to_action").count().collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      val want = graft.ops.Transitions
+        .transitionMatrix(all.toDF(), "user_id", "ts", "event_type", "event_id")
+        .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Long]("n"))
+        .toMap
+      assert(got == want)
+      assert(got(("b", "a")) == 2L) // one per user, one crossing the batch split
+    } finally q.stop()
+  }
+
   test("dedupEvents drops replayed ids across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[Event]
