@@ -1,7 +1,6 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -17,8 +16,9 @@ import org.apache.spark.sql.types.DecimalType
   * Shape at 100 TB: one map-side-combined histogram aggregation per
   * side (shuffle carries ≤ `bins` rows per partition — [[Histogram]]),
   * then all comparison arithmetic runs on the joined bins frame, whose
-  * cardinality is `bins` regardless of input size. The whole-frame
-  * window inside is over that bounded frame, never the data.
+  * cardinality is `bins` regardless of input size; totals ride the
+  * compact-producer 1-row broadcast protocol (gate-clean — no
+  * single-partition exchange anywhere).
   *
   * Determinism contract: counts are exact longs; fractions are single
   * IEEE divisions; the TVD numerator Σ|a_n·b_total − b_n·a_total| is
@@ -33,12 +33,14 @@ object Drift {
       .select(col("bin"), col("bin_lo"), col("bin_hi"), col("n").as("a_n"))
     val hb = Histogram.histogram(b, valueCol, lo, hi, bins)
       .select(col("bin"), col("n").as("b_n"))
-    // totals via a whole-frame window — bounded: the frame is `bins`
-    // rows by construction, so the single-partition exchange is safe
-    val w = Window.partitionBy()
-    ha.join(hb, "bin")
-      .withColumn("a_total", sum("a_n").over(w))
-      .withColumn("b_total", sum("b_n").over(w))
+    // totals ride the compact-producer broadcast protocol (global-agg
+    // partial → 1-row cross join), NOT a whole-frame window — the window
+    // form inserts an Exchange SinglePartition that the plan gate
+    // rightly flags; the duplicated join subtree re-plans over REUSED
+    // histogram exchanges, so the input is still scanned once per side
+    val j = ha.join(hb, "bin")
+    val totals = j.agg(sum("a_n").as("a_total"), sum("b_n").as("b_total"))
+    j.crossJoin(broadcast(totals))
   }
 
   /** Per-bin comparison of the two sides over `bins` equal integer-width

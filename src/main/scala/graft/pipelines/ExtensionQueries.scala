@@ -1091,6 +1091,33 @@ object ExtensionQueries {
             .as("features_q6"))
         .orderBy("media_id")),
 
+    // language-ID evaluation: confusion matrix of actual vs predicted
+    // language with per-actual-language fractions — the eval-table
+    // shape; normalization on the ≤ |langs|² aggregated matrix
+    "q_text_langid_confusion" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val scores = TextAnalysis.langScores(col("text"))
+      docs(s, dir)
+        .select(col("lang"), TextAnalysis.langId(scores).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("frac", col("n").cast("double") /
+          sum("n").over(Window.partitionBy("lang")).cast("double"))
+        .orderBy("lang", "lang_pred")
+    }),
+
+    // tokenizer-planning metric: what fraction of token occurrences
+    // does the top-100 vocabulary cover? (top-k via TakeOrdered, both
+    // branches share the token aggregation exchange)
+    "q_text_vocab_coverage" -> ((s, dir) => {
+      val vocab = TextAnalysis.vocabulary(docs(s, dir), "doc_id", "text")
+      val top = vocab.orderBy(col("tf").desc, col("token")).limit(100)
+        .agg(sum("tf").as("top_tf"))
+      val tot = vocab.agg(sum("tf").as("total_tf"))
+      tot.crossJoin(broadcast(top)).select(col("total_tf"), col("top_tf"),
+        (col("top_tf").cast("double") / col("total_tf").cast("double"))
+          .as("coverage"))
+    }),
+
     // ── behavioral path analysis ─────────────────────────────────────
     // first-order Markov transition matrix over each user's ordered
     // event stream: pair counts + row-normalized probabilities
@@ -2182,6 +2209,39 @@ object ExtensionQueries {
 
     "q_histogram_equidepth" ->
       graft.ops.Histogram.equiDepthOracleSql("documents", "n_chars", 8),
+
+    // wraps the langid CTEs; frac = one double division of exact counts
+    "q_text_langid_confusion" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |  [t FOR t IN string_split(lower(text), ' ') IF t <> ''] AS tk FROM documents),
+         |sc AS (SELECT doc_id,
+         |  ${sqlStopScore("en")} AS score_en,
+         |  ${sqlStopScore("de")} AS score_de,
+         |  ${sqlStopScore("es")} AS score_es,
+         |  ${sqlStopScore("fr")} AS score_fr
+         |FROM toks),
+         |p AS (SELECT d.lang,
+         |  CASE WHEN score_en >= score_de AND score_en >= score_es AND score_en >= score_fr THEN 'en'
+         |       WHEN score_de >= score_es AND score_de >= score_fr THEN 'de'
+         |       WHEN score_es >= score_fr THEN 'es'
+         |       ELSE 'fr' END AS lang_pred
+         |FROM sc JOIN documents d USING (doc_id)),
+         |c AS (SELECT lang, lang_pred, COUNT(*) AS n FROM p GROUP BY 1, 2)
+         |SELECT lang, lang_pred, n,
+         |  CAST(n AS DOUBLE) /
+         |    CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS frac
+         |FROM c ORDER BY lang, lang_pred""".stripMargin,
+
+    "q_text_vocab_coverage" ->
+      """WITH u AS (SELECT unnest([x FOR x IN string_split(text, ' ')
+        |                          IF x <> '']) AS token FROM documents),
+        |c AS (SELECT token, COUNT(*) AS tf FROM u GROUP BY 1),
+        |top AS (SELECT tf FROM c ORDER BY tf DESC, token LIMIT 100),
+        |t AS (SELECT CAST(SUM(tf) AS BIGINT) AS total_tf FROM c),
+        |tt AS (SELECT CAST(SUM(tf) AS BIGINT) AS top_tf FROM top)
+        |SELECT total_tf, top_tf,
+        |       CAST(top_tf AS DOUBLE) / CAST(total_tf AS DOUBLE) AS coverage
+        |FROM t, tt""".stripMargin,
 
     // same type-1 rank definition per hour group for both ranks
     "q_events_hourly_bands" ->

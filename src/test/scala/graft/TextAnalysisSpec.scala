@@ -199,6 +199,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w6 < 6 * w1 && w6 > w1 * 0) // saturated but same idf sign
   }
 
+  test("tfidf and bm25 plans reuse the (id, token) exchange: ONE text scan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // AQE off: planner-level ReuseExchange is the static property being
+    // pinned (AQE stage reuse can only add to it at runtime)
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3),
+        TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 3)).foreach { df =>
+        val plan = df.queryExecution.executedPlan
+        assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+          "tf/df branches no longer share the (id, token) exchange")
+        val textScans = plan.collect {
+          case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
+        }
+        assert(textScans.size == 1,
+          s"corpus tokenize scan must run once, found ${textScans.size}")
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
   test("bigramPairs: per-doc adjacency, no cross-document pairs") {
     val docs = Seq((1L, "a b c"), (2L, "c d"), (3L, "x"), (4L, "")).toDF("id", "text")
     val pairs = TextAnalysis.bigramPairs(docs, "text")
