@@ -340,8 +340,26 @@ object Quantiles {
     val v = col(valueCol).cast("long")
     val g = col(groupCol)
 
+    // when seeding, the sketch rides the SAME aggregation as the bounds
+    // scan (min/max/count/percentile_approx in one grouped agg) — one
+    // action instead of two, and the sketch pass stops being a separate
+    // full scan (outlier detection runs this protocol twice per call)
+    val seedProbes = seedRelError.map { re =>
+      rankSpecs.flatMap { case (_, q) =>
+        Seq(math.max(0.0, q - 2 * re), math.min(1.0, q + 2 * re)) }
+    }
+    val baseAggs = Seq(min(v).as("lo"), max(v).as("hi"), count(v).as("n"))
+    val aggsWithSketch = seedProbes match {
+      case Some(probes) =>
+        val acc = math.max(100, math.ceil(1.0 / seedRelError.get).toInt)
+        val probesSql = probes.mkString("array(", ",", ")")
+        baseAggs :+ expr(
+          s"percentile_approx(CAST(`$valueCol` AS BIGINT), $probesSql, $acc)")
+          .as("__ps")
+      case None => baseAggs
+    }
     val boundsRows = df.groupBy(g.as("__g"))
-      .agg(min(v).as("lo"), max(v).as("hi"), count(v).as("n")).collect()
+      .agg(aggsWithSketch.head, aggsWithSketch.tail: _*).collect()
     // groups with only NULL values have no quantile; drop them like
     // exactKth's require, but per-group and non-fatal. State is keyed by
     // (group value, rank name) — each rank refines its own range.
@@ -356,32 +374,25 @@ object Quantiles {
     val effBins = math.max(16, math.min(bins, (1 << 20) / math.max(1, state.size)))
     val groupField = df.select(g).schema.head.copy(name = "__g")
 
-    // sketch-seeded bracketing (groupedExactQuantilesSeeded): one grouped
-    // percentile_approx pass at φ = q ∓ 2ε brackets every (group, rank),
-    // one exact count job verifies all brackets, disproved brackets keep
-    // the full range — output identical either way (the exactQuantilesSeeded
-    // protocol, grouped). Bracket endpoints widen by one ulp (bracketLong)
-    // so the sketch's double arithmetic can't shave the true value.
-    seedRelError.foreach { re =>
-      val probeList = rankSpecs.flatMap { case (_, q) =>
-        Seq(math.max(0.0, q - 2 * re), math.min(1.0, q + 2 * re)) }
-      val acc = math.max(100, math.ceil(1.0 / re).toInt)
-      val probesSql = probeList.mkString("array(", ",", ")")
-      val sk = df.select(g.as("__g"), v.cast("double").as("__d"))
-        .groupBy("__g")
-        .agg(expr(s"percentile_approx(__d, $probesSql, $acc)").as("__ps"))
-        .collect()
-        .map(r => r.get(0) -> (if (r.isNullAt(1)) None
-                               else Some(r.getSeq[Double](1)))).toMap
+    // sketch-seeded bracketing (groupedExactQuantilesSeeded): the fused
+    // sketch at φ = q ∓ 2ε brackets every (group, rank), one exact count
+    // job verifies all brackets, disproved brackets keep the full range —
+    // output identical either way (the exactQuantilesSeeded protocol,
+    // grouped). Bracket endpoints widen by one ulp (bracketLong) so the
+    // long→double conversion of wide bits-values can't shave the target.
+    seedRelError.foreach { _ =>
+      val sk = boundsRows.iterator
+        .filter(r => !r.isNullAt(1) && !r.isNullAt(4))
+        .map(r => r.get(0) -> r.getSeq[Long](4)).toMap
       val groupBounds = boundsRows.iterator.filter(r => !r.isNullAt(1))
         .map(r => r.get(0) -> ((r.getLong(1), r.getLong(2)))).toMap
       val brackets: Map[(Any, String), (Long, Long)] = state.keys.flatMap {
         case key @ (gv, name) =>
-          sk.get(gv).flatten.map { ps =>
+          sk.get(gv).map { ps =>
             val idx = rankSpecs.indexWhere(_._1 == name)
             val (glo, ghi) = groupBounds(gv)
-            key -> ((bracketLong(ps(2 * idx), glo, ghi, up = false),
-              bracketLong(ps(2 * idx + 1), glo, ghi, up = true)))
+            key -> ((bracketLong(ps(2 * idx).toDouble, glo, ghi, up = false),
+              bracketLong(ps(2 * idx + 1).toDouble, glo, ghi, up = true)))
           }
       }.toMap
       if (brackets.nonEmpty) {
