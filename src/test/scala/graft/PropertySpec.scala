@@ -177,4 +177,79 @@ class PropertySpec extends SparkSpec {
       got == want
     })
   }
+
+  test("property: equiDepth partitions all rows; buckets ordered and disjoint") {
+    val gen = for {
+      n <- Gen.choose(2, 25)
+      vs <- Gen.listOfN(n, Gen.choose(-50L, 50L))
+      k <- Gen.choose(2, 5)
+    } yield (vs, k)
+    check("equi-depth", Prop.forAll(gen) { case (vs, k) =>
+      val h = graft.ops.Histogram.equiDepth(vs.toDF("v"), "v", k)
+        .orderBy("bucket").collect()
+      val nonEmpty = h.filter(_.getAs[Long]("n") > 0)
+      h.map(_.getAs[Long]("n")).sum == vs.length &&
+        nonEmpty.sliding(2).forall {
+          case Array(a, b) => a.getAs[Long]("hi") < b.getAs[Long]("lo")
+          case _ => true
+        }
+    })
+  }
+
+  test("property: topMass threshold matches the cumsum definition") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      ws <- Gen.listOfN(n, Gen.choose(0L, 30L))
+      pn <- Gen.choose(1L, 4L)
+    } yield (ws, pn)
+    check("top-mass", Prop.forAll(gen) { case (ws, pn) =>
+      val total = ws.sum
+      // all-zero mass has no meaningful threshold contract; skip
+      total == 0L || {
+        val thr = graft.ops.Composition
+          .topMassThresholds(ws.map(("g", _)).toDF("k", "w"), "k", "w", pn, 4L)
+          .head().getAs[Long]("threshold")
+        val need = (total * pn + 3L) / 4L
+        val sorted = ws.sorted(Ordering[Long].reverse)
+        val want = sorted.distinct
+          .find(w => ws.filter(_ >= w).sum >= need).get
+        thr == want
+      }
+    })
+  }
+
+  test("property: drift TVD is symmetric and within [0, 1]") {
+    val gen = for {
+      na <- Gen.choose(1, 15); nb <- Gen.choose(1, 15)
+      as <- Gen.listOfN(na, Gen.choose(0L, 63L))
+      bs <- Gen.listOfN(nb, Gen.choose(0L, 63L))
+    } yield (as, bs)
+    check("drift-tvd", Prop.forAll(gen) { case (as, bs) =>
+      val a = as.toDF("v"); val b = bs.toDF("v")
+      val ab = graft.ops.Drift.driftSummary(a, b, "v", 0L, 63L, 8).head()
+      val ba = graft.ops.Drift.driftSummary(b, a, "v", 0L, 63L, 8).head()
+      val tvd = ab.getAs[Double]("tvd")
+      tvd >= 0.0 && tvd <= 1.0 && tvd == ba.getAs[Double]("tvd") &&
+        ab.getAs[Double]("max_gap") == ba.getAs[Double]("max_gap")
+    })
+  }
+
+  test("property: transition pair count is rows minus keys (non-null)") {
+    val gen = for {
+      n <- Gen.choose(1, 20)
+      rows <- Gen.listOfN(n, for {
+        u <- Gen.choose(1L, 4L)
+        a <- Gen.oneOf("x", "y", "z")
+      } yield (u, a))
+    } yield rows.zipWithIndex.map { case ((u, a), i) => (i.toLong, i.toLong, u, a) }
+    check("transitions", Prop.forAll(gen) { rows =>
+      val df = rows.toDF("event_id", "tsv", "user_id", "event_type")
+        .withColumn("ts", timestamp_seconds(col("tsv"))).drop("tsv")
+      val m = graft.ops.Transitions
+        .transitionMatrix(df, "user_id", "ts", "event_type", "event_id")
+      val users = rows.map(_._3).distinct.size
+      m.agg(coalesce(sum("n"), lit(0L))).head().getLong(0) ==
+        (rows.length - users).toLong
+    })
+  }
 }
