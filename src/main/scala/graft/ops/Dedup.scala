@@ -354,6 +354,40 @@ object Dedup {
   def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
     shingleCacheWindow.release(spark)
 
+  /** Per-document novelty scoring — the inverse of contamination: what
+    * fraction of a document's distinct n-gram shingles appear NOWHERE
+    * else in the corpus (corpus df = 1)? High novelty marks genuinely
+    * fresh content; low novelty marks boilerplate and templated text —
+    * a standard curation signal next to the repetition and quality
+    * scores.
+    *
+    * Shape at 100 TB: the shared [[shingleIndex]] (one tokenize+hash
+    * scan, cached 8-byte-hash frame), one `groupBy(shash)` df count
+    * (map-side partials absorb hot-shingle skew), one join back keyed
+    * by shash, one `groupBy(id)` — all shuffles carry 8-byte hashes,
+    * never text. Zero-shingle docs (< n tokens) are preserved with
+    * novelty 0.0 via the left join, not silently dropped.
+    *
+    * Determinism: counts are exact longs over 64-bit shingle hashes
+    * (the family's standard ~|grams|²/2⁶⁴ collision bet); novelty is
+    * one IEEE division. Returns (id, n_shingles, n_novel, novelty). */
+  def noveltyScores(docs: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val (index, _) = shingleIndex(docs, idCol, textCol, n)
+    val dfc = index.groupBy("shash").agg(count(lit(1)).as("df"))
+    val per = index.join(dfc, "shash")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") === 1L, 1L).otherwise(0L)).as("n_novel"))
+    docs.select(col(idCol).as("id")).join(per, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_novel"), lit(0L)).as("n_novel"),
+        when(coalesce(col("n_shingles"), lit(0L)) > 0L,
+          col("n_novel").cast("double") / col("n_shingles"))
+          .otherwise(lit(0.0)).as("novelty"))
+  }
+
   private def shingleIndex(docs: DataFrame, idCol: String, textCol: String,
                            n: Int): (DataFrame, DataFrame) = {
     // Persisted: every consumer walks the index ≥2× (self-join sides,

@@ -1091,6 +1091,14 @@ object ExtensionQueries {
             .as("features_q6"))
         .orderBy("media_id")),
 
+    // per-doc novelty: fraction of distinct 3-gram shingles unique to
+    // the doc corpus-wide (df = 1) — the inverse-contamination
+    // curation signal; all shuffles carry 8-byte hashes
+    "q_text_novelty" -> ((s, dir) =>
+      Dedup.noveltyScores(docs(s, dir), "doc_id", "text", 3)
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")),
+
     // language-ID evaluation: confusion matrix of actual vs predicted
     // language with per-actual-language fractions — the eval-table
     // shape; normalization on the ≤ |langs|² aggregated matrix
@@ -2209,6 +2217,29 @@ object ExtensionQueries {
 
     "q_histogram_equidepth" ->
       graft.ops.Histogram.equiDepthOracleSql("documents", "n_chars", 8),
+
+    // same shingle definition as the jaccard family (string 3-grams in
+    // the oracle vs 64-bit hashes in the engine — the standard bet)
+    "q_text_novelty" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                           FOR i IN generate_series(1, len(t)-2)])
+        |       ELSE [] END AS s FROM toks),
+        |idx AS (SELECT doc_id, unnest(s) AS shingle FROM sh),
+        |dfc AS (SELECT shingle, COUNT(*) AS df FROM idx GROUP BY 1),
+        |per AS (SELECT doc_id, COUNT(*) AS n_shingles,
+        |          CAST(SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |            AS n_novel
+        |        FROM idx JOIN dfc USING (shingle) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(per.n_shingles, 0) AS n_shingles,
+        |       COALESCE(per.n_novel, 0) AS n_novel,
+        |       CASE WHEN COALESCE(per.n_shingles, 0) > 0
+        |            THEN CAST(per.n_novel AS DOUBLE) / per.n_shingles
+        |            ELSE 0.0 END AS novelty
+        |FROM documents d LEFT JOIN per USING (doc_id)
+        |ORDER BY d.doc_id""".stripMargin,
 
     // wraps the langid CTEs; frac = one double division of exact counts
     "q_text_langid_confusion" ->
