@@ -1091,6 +1091,14 @@ object ExtensionQueries {
             .as("features_q6"))
         .orderBy("media_id")),
 
+    // bit-deterministic correlation + OLS per group: five DECIMAL(38)
+    // integer moment sums (order-independent), one fixed IEEE tail —
+    // reproducible where float-accumulated corr() is not
+    "q_stats_corr" -> ((s, dir) =>
+      graft.ops.Stats.groupedCorrSlope(li(s, dir), Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice", scale = 100L)
+        .orderBy("l_returnflag")),
+
     // per-doc novelty: fraction of distinct 3-gram shingles unique to
     // the doc corpus-wide (df = 1) — the inverse-contamination
     // curation signal; all shuffles carry 8-byte hashes
@@ -2217,6 +2225,36 @@ object ExtensionQueries {
 
     "q_histogram_equidepth" ->
       graft.ops.Histogram.equiDepthOracleSql("documents", "n_chars", 8),
+
+    // HUGEINT moment sums mirror Spark's DECIMAL(38); the double tail
+    // (casts, sqrt, divisions) applies in the same order
+    "q_stats_corr" ->
+      """WITH b AS (SELECT l_returnflag,
+        |             CAST(round(l_quantity * 100) AS HUGEINT) AS x,
+        |             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
+        |           FROM lineitem
+        |           WHERE l_quantity IS NOT NULL
+        |             AND l_extendedprice IS NOT NULL),
+        |m AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
+        |        SUM(x) AS sx, SUM(y) AS sy,
+        |        SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
+        |      FROM b GROUP BY 1)
+        |SELECT l_returnflag, CAST(n AS BIGINT) AS n,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |        AND CAST(n * syy - sy * sy AS DOUBLE) > 0
+        |       THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) *
+        |             sqrt(CAST(n * syy - sy * sy AS DOUBLE)))
+        |       END AS corr,
+        |  CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |       THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |            CAST(n * sxx - sx * sx AS DOUBLE) END AS slope,
+        |  ((CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) / 100) -
+        |    (CASE WHEN CAST(n * sxx - sx * sx AS DOUBLE) > 0
+        |          THEN CAST(n * sxy - sx * sy AS DOUBLE) /
+        |               CAST(n * sxx - sx * sx AS DOUBLE) END) *
+        |    ((CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) / 100) AS intercept
+        |FROM m ORDER BY l_returnflag""".stripMargin,
 
     // same shingle definition as the jaccard family (string 3-grams in
     // the oracle vs 64-bit hashes in the engine — the standard bet)

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Stats
+
+class StatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("perfect line: corr 1, exact slope and intercept") {
+    val df = Seq(("g", 1.0, 2.5), ("g", 2.0, 4.5), ("g", 3.0, 6.5))
+      .toDF("k", "x", "y")
+    val r = Stats.groupedCorrSlope(df, Seq("k"), "x", "y").head()
+    assert(r.getAs[Long]("n") == 3L)
+    // corr is DETERMINISTIC, not algebraically 1: sqrt(a)·sqrt(b) rounds
+    assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-12)
+    assert(r.getAs[Double]("slope") == 2.0)
+    assert(math.abs(r.getAs[Double]("intercept") - 0.5) < 1e-12)
+  }
+
+  test("degenerate variance yields NULL statistics, not NaN") {
+    val constX = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("k", "x", "y")
+    val r = Stats.groupedCorrSlope(constX, Seq("k"), "x", "y").head()
+    assert(r.isNullAt(r.fieldIndex("corr")))
+    assert(r.isNullAt(r.fieldIndex("slope")))
+    assert(r.isNullAt(r.fieldIndex("intercept")))
+  }
+
+  test("null pairs are excluded; groups are independent") {
+    val df = Seq(
+      (Some("a"), Some(1.0), Some(1.0)), (Some("a"), Some(2.0), Some(3.0)),
+      (Some("a"), None, Some(9.0)), (Some("b"), Some(1.0), Some(5.0)),
+      (Some("b"), Some(3.0), Some(1.0))).toDF("k", "x", "y")
+    val r = Stats.groupedCorrSlope(df, Seq("k"), "x", "y")
+      .collect().map(row => row.getString(0) -> row).toMap
+    assert(r("a").getAs[Long]("n") == 2L)
+    assert(math.abs(r("a").getAs[Double]("corr") - 1.0) < 1e-12)
+    assert(math.abs(r("b").getAs[Double]("corr") + 1.0) < 1e-12)
+    assert(r("b").getAs[Double]("slope") == -2.0)
+  }
+
+  test("agrees with Spark's float corr within float-accumulation error") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    val exact = Stats.groupedCorrSlope(li, Seq("l_returnflag"),
+        "l_quantity", "l_extendedprice").collect()
+      .map(row => row.getString(0) -> row.getAs[Double]("corr")).toMap
+    val approx = li.groupBy("l_returnflag")
+      .agg(corr("l_quantity", "l_extendedprice").as("c")).collect()
+      .map(row => row.getString(0) -> row.getAs[Double]("c")).toMap
+    exact.foreach { case (k, v) =>
+      assert(math.abs(v - approx(k)) < 1e-9, s"group $k")
+    }
+  }
+
+  test("result is invariant under repartitioning (the claim float corr can't make)") {
+    val li = spark.read.parquet(s"$sf/lineitem.parquet")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.groupedCorrSlope(d, Seq("l_returnflag"),
+          "l_quantity", "l_extendedprice")
+        .collect().map(r => (r.getString(0), r.getAs[Double]("corr"),
+          r.getAs[Double]("slope"), r.getAs[Double]("intercept"))).sortBy(_._1)
+    assert(run(li).toSeq == run(li.repartition(13)).toSeq)
+  }
+}
