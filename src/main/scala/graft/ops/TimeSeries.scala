@@ -107,4 +107,51 @@ object TimeSeries {
         coalesce(max(when(col("gap_run").isNotNull, col("cnt"))), lit(0L))
           .as("longest_gap_run"))
   }
+
+  /** Two-sided CUSUM drift detection over per-key bucketed sums — the
+    * control-chart operator monitoring pipelines run over ingest volume
+    * and metric streams. The textbook recursion
+    * S⁺ₜ = max(0, S⁺ₜ₋₁ + xₜ − (target + allowance)) looks inherently
+    * sequential, but algebra turns it into window primitives:
+    * S⁺ₜ = Cₜ − min_{i≤t} Cᵢ over the plain cumsum
+    * Cₜ = Σ(xᵢ − (target + allowance)) — a running sum plus a running
+    * min, both rows-frame windows partitioned by key. Same trick for
+    * the downward side with max and (target − allowance). EXACT decimal
+    * arithmetic end to end — no float accumulation, so flags reproduce
+    * bit-for-bit (and mirror in the oracle).
+    *
+    * Shape at 100 TB: one (key, bucket) map-side-combined aggregation,
+    * then per-key ordered windows over BUCKET-cardinality frames (span/
+    * step rows per key, not events). CUSUM runs over observed buckets;
+    * compose with [[resampleLocf]] first if empty buckets should count
+    * as zero. Returns (key, bucket, bucket_value, cusum_hi, cusum_lo,
+    * is_drift) with the cusum columns as exact DECIMAL(22,2). */
+  def cusum(df: DataFrame, keyCol: String, tsCol: String, valCol: String,
+            step: String, target: BigDecimal, allowance: BigDecimal,
+            threshold: BigDecimal): DataFrame = {
+    require(Steps.contains(step), s"step must be one of $Steps, got '$step'")
+    require(threshold > 0, "threshold must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val dec = DecimalType(22, 2)
+    val b = df
+      .filter(col(keyCol).isNotNull)
+      .select(col(keyCol), date_trunc(step, col(tsCol)).as("bucket"),
+        col(valCol).cast(DecimalType(12, 2)).as("v"))
+      .groupBy(keyCol, "bucket").agg(sum("v").cast(dec).as("bucket_value"))
+    val w = Window.partitionBy(keyCol).orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val up = lit((target + allowance).bigDecimal).cast(dec)
+    val dn = lit((target - allowance).bigDecimal).cast(dec)
+    b
+      .withColumn("__c_hi", sum(col("bucket_value") - up).over(w).cast(dec))
+      .withColumn("__c_lo", sum(col("bucket_value") - dn).over(w).cast(dec))
+      .withColumn("cusum_hi",
+        (col("__c_hi") - min("__c_hi").over(w)).cast(dec))
+      .withColumn("cusum_lo",
+        (max("__c_lo").over(w) - col("__c_lo")).cast(dec))
+      .withColumn("is_drift",
+        col("cusum_hi") > lit(threshold.bigDecimal) ||
+          col("cusum_lo") > lit(threshold.bigDecimal))
+      .drop("__c_hi", "__c_lo")
+  }
 }

@@ -1026,6 +1026,14 @@ object ExtensionQueries {
         .orderBy("event_id", "interval_id")
     }),
 
+    // two-sided CUSUM drift over per-type hourly value sums: the
+    // control-chart recursion rewritten as cumsum − running-min (exact
+    // decimal windows over bucket-cardinality frames)
+    "q_events_cusum" -> ((s, dir) =>
+      graft.ops.TimeSeries.cusum(events(s, dir), "event_type", "ts", "value",
+          "hour", BigDecimal(147), BigDecimal(56), BigDecimal(565))
+        .orderBy("event_type", "bucket")),
+
     // per-hour value percentile bands (p50/p95) — the SLO-monitoring
     // shape: ~720 hour-groups through ONE multi-rank grouped selection
     // (no per-hour window sort), exact data values out
@@ -2311,6 +2319,29 @@ object ExtensionQueries {
         |SELECT total_tf, top_tf,
         |       CAST(top_tf AS DOUBLE) / CAST(total_tf AS DOUBLE) AS coverage
         |FROM t, tt""".stripMargin,
+
+    // same windows, same exact decimal arithmetic, same literals
+    "q_events_cusum" ->
+      """WITH b AS (SELECT event_type, date_trunc('hour', ts) AS bucket,
+        |             CAST(SUM(CAST(value AS DECIMAL(12,2)))
+        |                  AS DECIMAL(22,2)) AS bucket_value
+        |           FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT event_type, bucket, bucket_value,
+        |        CAST(SUM(bucket_value - 203.00) OVER w
+        |             AS DECIMAL(22,2)) AS c_hi,
+        |        CAST(SUM(bucket_value - 91.00) OVER w
+        |             AS DECIMAL(22,2)) AS c_lo
+        |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket
+        |                          ROWS UNBOUNDED PRECEDING))
+        |SELECT event_type, bucket, bucket_value,
+        |       CAST(c_hi - MIN(c_hi) OVER w2 AS DECIMAL(22,2)) AS cusum_hi,
+        |       CAST(MAX(c_lo) OVER w2 - c_lo AS DECIMAL(22,2)) AS cusum_lo,
+        |       (CAST(c_hi - MIN(c_hi) OVER w2 AS DECIMAL(22,2)) > 565
+        |        OR CAST(MAX(c_lo) OVER w2 - c_lo AS DECIMAL(22,2)) > 565)
+        |         AS is_drift
+        |FROM c WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket
+        |                     ROWS UNBOUNDED PRECEDING)
+        |ORDER BY event_type, bucket""".stripMargin,
 
     // same type-1 rank definition per hour group for both ranks
     "q_events_hourly_bands" ->

@@ -81,4 +81,42 @@ class TimeSeriesSpec extends SparkSpec {
     val r = TimeSeries.gapSummary(df, "k", "t", "v", "hour").collect().head
     assert(r.getLong(1) == 7L && r.getLong(2) == 4L && r.getLong(5) == 3L)
   }
+
+  test("cusum: equals the textbook recursion; flags only the planted shift") {
+    // 6 on-target hours (10.0), then a sustained +5 level shift
+    val vals = Seq.fill(6)(10.0) ++ Seq.fill(6)(15.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 ${i}%02d:00:00"), v)
+    }.toDF("k", "t", "v")
+    val rows = TimeSeries.cusum(df, "k", "t", "v", "hour",
+        target = BigDecimal(10), allowance = BigDecimal(1),
+        threshold = BigDecimal(10))
+      .orderBy("bucket").collect()
+    // textbook recursion driver-side: S+ = max(0, S+ + x - (target+k))
+    var s = BigDecimal(0)
+    val want = vals.map { v => s = (s + v - 11).max(0); s }
+    val got = rows.map(r => BigDecimal(r.getDecimal(r.fieldIndex("cusum_hi"))))
+    assert(got.toSeq.map(_.setScale(2)) == want.map(_.setScale(2)))
+    // shift accumulates 4/hour past the 11 reference: crosses h=10 at
+    // the 3rd shifted hour; nothing flags before the shift
+    assert(rows.map(_.getAs[Boolean]("is_drift")).toSeq ==
+      Seq.fill(8)(false) ++ Seq.fill(4)(true))
+    // downward side stays zero on an upward shift
+    assert(rows.forall(r =>
+      BigDecimal(r.getDecimal(r.fieldIndex("cusum_lo"))) == BigDecimal(0)))
+  }
+
+  test("cusum: downward drift trips the low side symmetrically") {
+    val vals = Seq.fill(6)(10.0) ++ Seq.fill(6)(5.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 ${i}%02d:00:00"), v)
+    }.toDF("k", "t", "v")
+    val rows = TimeSeries.cusum(df, "k", "t", "v", "hour",
+        BigDecimal(10), BigDecimal(1), BigDecimal(10))
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Boolean]("is_drift")).toSeq ==
+      Seq.fill(8)(false) ++ Seq.fill(4)(true))
+    assert(rows.forall(r =>
+      BigDecimal(r.getDecimal(r.fieldIndex("cusum_hi"))) == BigDecimal(0)))
+  }
 }
