@@ -1099,6 +1099,15 @@ object ExtensionQueries {
             .as("features_q6"))
         .orderBy("media_id")),
 
+    // pre-flight join cardinality audit: predicted output rows and the
+    // worst single-key fanout BEFORE running the join — key-cardinality
+    // count frames only, exact DECIMAL(38) products
+    "q_join_fanout" -> ((s, dir) =>
+      graft.ops.JoinAudit.joinFanout(
+        Entities.read(s, dir, "orders"),
+        li(s, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
+        Seq("o_orderkey"))),
+
     // bit-deterministic correlation + OLS per group: five DECIMAL(38)
     // integer moment sums (order-independent), one fixed IEEE tail —
     // reproducible where float-accumulated corr() is not
@@ -2233,6 +2242,23 @@ object ExtensionQueries {
 
     "q_histogram_equidepth" ->
       graft.ops.Histogram.equiDepthOracleSql("documents", "n_chars", 8),
+
+    // count-join replay; DECIMAL(38) casts keep the schema aligned with
+    // Spark's exact decimal products
+    "q_join_fanout" ->
+      """WITH lc AS (SELECT o_orderkey AS k, COUNT(*) AS ln FROM orders
+        |            WHERE o_orderkey IS NOT NULL GROUP BY 1),
+        |rc AS (SELECT l_orderkey AS k, COUNT(*) AS rn FROM lineitem
+        |       WHERE l_orderkey IS NOT NULL GROUP BY 1),
+        |j AS (SELECT ln, rn, CAST(ln AS HUGEINT) * rn AS p
+        |      FROM lc JOIN rc USING (k))
+        |SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
+        |       CAST(SUM(p) AS DECIMAL(38,0)) AS predicted_rows,
+        |       CAST(MAX(p) AS DECIMAL(38,0)) AS max_key_fanout,
+        |       CAST(MAX(p) AS DOUBLE) /
+        |         (CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
+        |         AS skew_ratio
+        |FROM j""".stripMargin,
 
     // HUGEINT moment sums mirror Spark's DECIMAL(38); the double tail
     // (casts, sqrt, divisions) applies in the same order
