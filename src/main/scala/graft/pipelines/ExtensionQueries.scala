@@ -1099,6 +1099,32 @@ object ExtensionQueries {
             .as("features_q6"))
         .orderBy("media_id")),
 
+    // ── the end-to-end curation pipeline (composition flagship) ──────
+    // length gate → quality gate → jaccard near-dedup → decontamination
+    // vs the eval split, reported as a per-stage survivor funnel; every
+    // stage is an existing operator, every count a lazy aggregate
+    "q_corpus_pipeline" -> ((s, dir) => {
+      val d0 = docs(s, dir)
+      val d1 = d0.filter(length(col("text")) >= 100)
+      val d2 = d1.filter(TextAnalysis.qualityScore(col("text")) >= 0.12)
+      val pairs = Dedup.jaccardPairs(d2, "doc_id", "text", 3, 0.8)
+      val d3 = Dedup.removeNearDups(d2, pairs, "doc_id")
+      val ev = d0.filter(col("doc_id") % 7 === 0)
+      val tr = d3.filter(col("doc_id") % 7 =!= 0)
+      val contaminated = Contamination
+        .containmentPairs(tr, ev, "doc_id", "text", 3, 0.5)
+        .select(col("train_id").as("doc_id")).distinct()
+      val d4 = tr.join(contaminated, Seq("doc_id"), "left_anti")
+      def stage(n: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"), col("n_docs"))
+      stage("0_raw", d0)
+        .unionByName(stage("1_length", d1))
+        .unionByName(stage("2_quality", d2))
+        .unionByName(stage("3_near_dedup", d3))
+        .unionByName(stage("4_decontaminated", d4))
+        .orderBy("stage")
+    }),
+
     // pre-flight join cardinality audit: predicted output rows and the
     // worst single-key fanout BEFORE running the join — key-cardinality
     // count frames only, exact DECIMAL(38) products
@@ -2242,6 +2268,74 @@ object ExtensionQueries {
 
     "q_histogram_equidepth" ->
       graft.ops.Histogram.equiDepthOracleSql("documents", "n_chars", 8),
+
+    // full SQL replay of the staged pipeline: the quality formula from
+    // q_text_quality, the jaccard CTEs on the gated subset, the
+    // containment CTEs train=survivors / eval=raw-split
+    "q_corpus_pipeline" ->
+      """WITH d1 AS (SELECT * FROM documents WHERE length(text) >= 100),
+        |tq AS (SELECT d1.*, [x FOR x IN string_split(text, ' ') IF x <> ''] AS tk
+        |       FROM d1),
+        |d2 AS (SELECT doc_id, text FROM tq
+        |  WHERE (CASE WHEN len(tk) > 0
+        |           THEN len([x FOR x IN tk IF list_contains(
+        |                ['the','and','of','to','in','is','it','for','on','with'], x)])
+        |                * 1.0 / len(tk) ELSE 0.0 END * 2.0
+        |         - CASE WHEN length(text) > 0
+        |             THEN (length(text) -
+        |                   length(regexp_replace(text, '[.,;:!?''"]', '', 'g')))
+        |                  * 1.0 / length(text) ELSE 0.0 END
+        |         + CASE WHEN len(tk) >= 20 THEN 0.1 ELSE 0.0 END) >= 0.12),
+        |toks2 AS (SELECT doc_id, string_split(text, ' ') AS t FROM d2),
+        |sh2 AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                           FOR i IN generate_series(1, len(t)-2)])
+        |       ELSE [] END AS s FROM toks2),
+        |sz2 AS (SELECT doc_id, len(s) AS n_sh FROM sh2),
+        |idx2 AS (SELECT doc_id, unnest(s) AS shingle FROM sh2),
+        |common AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j, COUNT(*) AS c
+        |           FROM idx2 a JOIN idx2 b
+        |             ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        |           GROUP BY 1, 2),
+        |jp AS (SELECT doc_j FROM (
+        |    SELECT doc_j, c * 1.0 / (ni.n_sh + nj.n_sh - c) AS j
+        |    FROM common JOIN sz2 ni ON ni.doc_id = doc_i
+        |                JOIN sz2 nj ON nj.doc_id = doc_j)
+        |  WHERE j >= 0.8),
+        |d3 AS (SELECT doc_id, text FROM d2
+        |       WHERE doc_id NOT IN (SELECT doc_j FROM jp)),
+        |ev AS (SELECT doc_id, text FROM documents WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, text FROM d3 WHERE doc_id % 7 <> 0),
+        |toksev AS (SELECT doc_id, string_split(text, ' ') AS t FROM ev),
+        |shev AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                           FOR i IN generate_series(1, len(t)-2)])
+        |       ELSE [] END AS s FROM toksev),
+        |esz AS (SELECT doc_id AS eval_id, len(s) AS n_eval FROM shev),
+        |ei AS (SELECT doc_id AS eval_id, unnest(s) AS shingle FROM shev),
+        |tokstr AS (SELECT doc_id, string_split(text, ' ') AS t FROM tr),
+        |shtr AS (SELECT doc_id,
+        |  CASE WHEN len(t) >= 3
+        |       THEN list_distinct([concat_ws(' ', t[i], t[i+1], t[i+2])
+        |                           FOR i IN generate_series(1, len(t)-2)])
+        |       ELSE [] END AS s FROM tokstr),
+        |ti AS (SELECT doc_id AS train_id, unnest(s) AS shingle FROM shtr),
+        |ccom AS (SELECT eval_id, train_id, COUNT(*) AS c
+        |         FROM ei JOIN ti USING (shingle) GROUP BY 1, 2),
+        |cpairs AS (SELECT train_id FROM (
+        |    SELECT train_id, c * 1.0 / n_eval AS containment
+        |    FROM ccom JOIN esz USING (eval_id))
+        |  WHERE containment >= 0.5),
+        |d4 AS (SELECT doc_id FROM tr
+        |       WHERE doc_id NOT IN (SELECT DISTINCT train_id FROM cpairs))
+        |SELECT '0_raw' AS stage, COUNT(*) AS n_docs FROM documents
+        |UNION ALL SELECT '1_length', COUNT(*) FROM d1
+        |UNION ALL SELECT '2_quality', COUNT(*) FROM d2
+        |UNION ALL SELECT '3_near_dedup', COUNT(*) FROM d3
+        |UNION ALL SELECT '4_decontaminated', COUNT(*) FROM d4
+        |ORDER BY stage""".stripMargin,
 
     // count-join replay; DECIMAL(38) casts keep the schema aligned with
     // Spark's exact decimal products
