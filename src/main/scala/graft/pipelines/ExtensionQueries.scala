@@ -401,6 +401,20 @@ object ExtensionQueries {
       Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
         .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
 
+    // cluster-size distribution of the near-dup graph: how much of the
+    // corpus sits in dup groups of each size — the dedup-audit view
+    // (aggregation over the cluster assignment, key-cardinality frames)
+    "q_dedup_cluster_sizes" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.nearDupClusters(d,
+          Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
+        .groupBy("cluster_id").agg(count(lit(1)).as("cluster_size"))
+        .groupBy("cluster_size")
+        .agg(count(lit(1)).as("n_clusters"),
+          sum("cluster_size").as("n_docs"))
+        .orderBy("cluster_size")
+    }),
+
     "q_dedup_filtered" -> ((s, dir) => {
       val d = docs(s, dir)
       ResultSort.sortedSmall(
@@ -1455,6 +1469,22 @@ object ExtensionQueries {
          |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src)
          |SELECT node AS doc_id, min(r) AS cluster_id FROM reach
          |GROUP BY node ORDER BY doc_id""".stripMargin,
+
+    "q_dedup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${jaccardCtes(JaccardThreshold)},
+         |edges AS (SELECT doc_i AS src, doc_j AS dst FROM jpairs
+         |          UNION ALL SELECT doc_j, doc_i FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |assign AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach
+         |           GROUP BY node),
+         |cs AS (SELECT cluster_id, COUNT(*) AS cluster_size FROM assign
+         |       GROUP BY 1)
+         |SELECT cluster_size, COUNT(*) AS n_clusters,
+         |       CAST(SUM(cluster_size) AS BIGINT) AS n_docs
+         |FROM cs GROUP BY 1 ORDER BY 1""".stripMargin,
 
     // SimHash: 4-chunk banding is recall-exact for hamming ≤ 3 (pigeonhole),
     // so the oracle recomputes signatures from scratch: per-token MD5-top-8-
