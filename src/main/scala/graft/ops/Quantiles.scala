@@ -523,13 +523,21 @@ object Quantiles {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
+    // the protocol is EAGER (driver-coordinated rounds), so a persist/
+    // unpersist bracket is airtight: every round reads the compact
+    // (group, bits) projection from cache instead of re-scanning the
+    // source and re-deriving whatever lineage produced `df`.
+    // MEMORY_AND_DISK — evictable under pressure, recomputed on miss.
     val mapped = df.select(col(groupCol), graft.functions.SortableDoubleBits
       .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sel =
-      if (seeded)
-        groupedExactQuantilesSeeded(mapped, groupCol, "__s", rankSpecs,
-          bins = bins)
-      else groupedExactQuantiles(mapped, groupCol, "__s", rankSpecs, bins)
+      try {
+        if (seeded)
+          groupedExactQuantilesSeeded(mapped, groupCol, "__s", rankSpecs,
+            bins = bins)
+        else groupedExactQuantiles(mapped, groupCol, "__s", rankSpecs, bins)
+      } finally mapped.unpersist(blocking = false)
     val rows = sel.collect().map { r =>
       Row.fromSeq(r.get(0) +: rankSpecs.indices.map(i =>
         graft.functions.SortableDoubleBits.fromSortable(r.getLong(i + 1))))
