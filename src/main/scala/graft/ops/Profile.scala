@@ -63,4 +63,47 @@ object Profile {
          |  CAST(MIN($c) AS VARCHAR) AS min_s,
          |  CAST(MAX($c) AS VARCHAR) AS max_s FROM $table""".stripMargin
     }.mkString("", "\nUNION ALL\n", "\nORDER BY col_name")
+
+  /** Per-GROUP profiling — [[profile]] sliced by a categorical key
+    * (per-source / per-language / per-shard data audits): the same
+    * single-aggregation + post-agg-explode shape, keyed by the group
+    * column, so the output is |groups| × |cols| rows from ONE pass
+    * (plus the Expand the exact distincts cost — same
+    * `approxDistinct = true` escape hatch). NULL group keys form their
+    * own group, SQL GROUP BY semantics. */
+  def profileBy(df: DataFrame, groupCol: String, cols: Seq[String],
+                approxDistinct: Boolean = false,
+                rsd: Double = 0.05): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    require(!cols.contains(groupCol), "group column cannot be profiled")
+    val structs: Seq[Column] = cols.map { c =>
+      val distinct =
+        if (approxDistinct) approx_count_distinct(col(c), rsd)
+        else countDistinct(col(c))
+      struct(
+        lit(c).as("col_name"),
+        count(lit(1)).as("n_rows"),
+        (count(lit(1)) - count(col(c))).as("n_null"),
+        distinct.as("n_distinct"),
+        min(col(c)).cast("string").as("min_s"),
+        max(col(c)).cast("string").as("max_s")).as(s"__$c")
+    }
+    df.groupBy(col(groupCol))
+      .agg(structs.head, structs.tail: _*)
+      .select(col(groupCol),
+        explode(array(cols.map(c => col(s"__$c")): _*)).as("p"))
+      .select(col(groupCol), col("p.col_name"), col("p.n_rows"),
+        col("p.n_null"), col("p.n_distinct"), col("p.min_s"), col("p.max_s"))
+  }
+
+  /** DuckDB-equivalent SQL for [[profileBy]]. */
+  def oracleSqlBy(table: String, groupCol: String, cols: Seq[String]): String =
+    cols.map { c =>
+      s"""SELECT $groupCol, '$c' AS col_name, COUNT(*) AS n_rows,
+         |  COUNT(*) - COUNT($c) AS n_null,
+         |  COUNT(DISTINCT $c) AS n_distinct,
+         |  CAST(MIN($c) AS VARCHAR) AS min_s,
+         |  CAST(MAX($c) AS VARCHAR) AS max_s FROM $table GROUP BY $groupCol"""
+        .stripMargin
+    }.mkString("", "\nUNION ALL\n", s"\nORDER BY $groupCol, col_name")
 }

@@ -61,7 +61,12 @@ object RangeJoin {
     * Cost: Σ span/binWidth exploded rows per side (pick `binSeconds`
     * near the typical interval length); the join is one equi-shuffle by
     * (keys, bin) — the standard scale shape, no theta-join nested loop,
-    * no dedup shuffle. */
+    * no dedup shuffle.
+    *
+    * Contract: intervals must satisfy start ≤ end. An inverted interval
+    * is garbage-in (the overlap predicate can still fire against it) —
+    * gate with [[Expectations]] upstream if the source can't guarantee
+    * it. */
   def overlapJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                   lStartCol: String, lEndCol: String,
                   rStartCol: String, rEndCol: String,

@@ -340,6 +340,13 @@ object ExtensionQueries {
         Seq("doc_id", "lang", "source", "n_chars"))
         .orderBy("col_name")),
 
+    // per-group (per-language) profile: |groups| × |cols| stats rows
+    // from ONE keyed aggregation + post-agg explode
+    "q_profile_by_lang" -> ((s, dir) =>
+      graft.ops.Profile.profileBy(docs(s, dir), "lang",
+        Seq("doc_id", "source", "n_chars"))
+        .orderBy("lang", "col_name")),
+
     "q_histogram_chars" -> ((s, dir) =>
       graft.ops.Histogram.histogram(docs(s, dir), "n_chars", 0L, 1023L, 16)
         .orderBy("bin")),
@@ -1321,6 +1328,9 @@ object ExtensionQueries {
 
     "q_profile_documents" -> graft.ops.Profile.oracleSql("documents",
       Seq("doc_id", "lang", "source", "n_chars")),
+
+    "q_profile_by_lang" -> graft.ops.Profile.oracleSqlBy("documents", "lang",
+      Seq("doc_id", "source", "n_chars")),
 
     "q_histogram_chars" -> graft.ops.Histogram.oracleSql(
       "documents", "n_chars", 0L, 1023L, 16),

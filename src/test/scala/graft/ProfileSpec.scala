@@ -66,4 +66,25 @@ class ProfileSpec extends SparkSpec {
     assert(Profile.profile(docs, cols).queryExecution.executedPlan
       .toString.contains("Expand"), "exact multi-distinct profile plans Expand")
   }
+  test("profileBy slices stats per group; totals reconcile with global") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    val by = Profile.profileBy(docs, "lang", Seq("doc_id", "n_chars"))
+      .collect()
+    val langs = docs.select("lang").distinct().count()
+    assert(by.length == langs * 2)
+    // per-group n_rows sum to the corpus size for every column
+    val totals = by.groupBy(_.getAs[String]("col_name"))
+      .view.mapValues(_.map(_.getAs[Long]("n_rows")).sum).toMap
+    assert(totals.values.forall(_ == docs.count()))
+    // spot-check one group against a direct query
+    val en = by.filter(r => r.getString(0) == "en" &&
+      r.getAs[String]("col_name") == "n_chars").head
+    val want = docs.filter(col("lang") === "en")
+      .agg(count(lit(1)), countDistinct("n_chars"),
+        min("n_chars").cast("string"), max("n_chars").cast("string")).head()
+    assert(en.getAs[Long]("n_rows") == want.getLong(0))
+    assert(en.getAs[Long]("n_distinct") == want.getLong(1))
+    assert(en.getAs[String]("min_s") == want.getString(2))
+    assert(en.getAs[String]("max_s") == want.getString(3))
+  }
 }
