@@ -1126,8 +1126,9 @@ object ExtensionQueries {
     // stage is an existing operator, every count a lazy aggregate
     "q_corpus_pipeline" -> ((s, dir) => {
       val d0 = docs(s, dir)
-      val d1 = d0.filter(length(col("text")) >= 100)
-      val d2 = d1.filter(TextAnalysis.qualityScore(col("text")) >= 0.12)
+      val lenGate = length(col("text")) >= 100
+      val qualGate = TextAnalysis.qualityScore(col("text")) >= 0.12
+      val d2 = d0.filter(lenGate && qualGate)
       val pairs = Dedup.jaccardPairs(d2, "doc_id", "text", 3, 0.8)
       val d3 = Dedup.removeNearDups(d2, pairs, "doc_id")
       val ev = d0.filter(col("doc_id") % 7 === 0)
@@ -1136,11 +1137,22 @@ object ExtensionQueries {
         .containmentPairs(tr, ev, "doc_id", "text", 3, 0.5)
         .select(col("train_id").as("doc_id")).distinct()
       val d4 = tr.join(contaminated, Seq("doc_id"), "left_anti")
+      // the three row-local gates fuse into ONE corpus scan (conditional
+      // sums exploded to stage rows, Profile-style) — the naive form
+      // scanned the corpus once per stage count
+      val gates = d0.agg(
+        count(lit(1)).as("__n0"),
+        sum(when(lenGate, 1L).otherwise(0L)).as("__n1"),
+        sum(when(lenGate && qualGate, 1L).otherwise(0L)).as("__n2"))
+        .select(explode(array(
+          struct(lit("0_raw").as("stage"), col("__n0").as("n_docs")),
+          struct(lit("1_length").as("stage"), col("__n1").as("n_docs")),
+          struct(lit("2_quality").as("stage"), col("__n2").as("n_docs"))))
+          .as("p"))
+        .select(col("p.stage"), col("p.n_docs"))
       def stage(n: String, df: DataFrame) =
         df.agg(count(lit(1)).as("n_docs")).select(lit(n).as("stage"), col("n_docs"))
-      stage("0_raw", d0)
-        .unionByName(stage("1_length", d1))
-        .unionByName(stage("2_quality", d2))
+      gates
         .unionByName(stage("3_near_dedup", d3))
         .unionByName(stage("4_decontaminated", d4))
         .orderBy("stage")
