@@ -49,10 +49,16 @@ class TrainingShardsSpec extends SparkSpec {
         assert(keys.min == manifest(s)._1 && keys.max == manifest(s)._2)
       }
     }
-    // the reader contract: sorting all rows by (shard, shuffle_key)
-    // equals Composition.shuffled's permutation restricted to shard order
+    // the reader contract, end to end: shardId is MONOTONE in the key
+    // prefix, so shards hold contiguous key ranges — consuming shards
+    // in shard_id order (rows key-ordered within) replays the one
+    // global md5-key permutation exactly
     val all = back.select("shard", "shuffle_key").as[(Int, String)].collect()
-    assert(all.sortBy(identity).toSeq == all.sortBy(identity).toSeq) // total order sanity
     assert(all.map(_._2).distinct.length == all.length) // md5 keys unique
+    val replay = (0 until 3).flatMap { s =>
+      all.filter(_._1 == s).map(_._2).sorted
+    }
+    assert(replay == all.map(_._2).sorted.toSeq,
+      "shard-order consumption must equal the global key order")
   }
 }
