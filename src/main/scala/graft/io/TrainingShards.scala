@@ -35,7 +35,12 @@ object TrainingShards {
   /** Write `seqs` (expects columns `seq_text` and `n_tokens`-like
     * `fill`; extra columns pass through) as `shards` parquet shard
     * directories under `path/shard=K`, plus `path/_manifest` (parquet,
-    * one row per shard). Returns the manifest DataFrame. */
+    * one row per shard id in [0, shards) — EMPTY shards included with
+    * zero counts, so a loader can validate against the full shard
+    * range). The input frame is persisted across the two write jobs —
+    * the manifest describes exactly the snapshot the shard files hold,
+    * even over a source that changes between jobs — and the RETURNED
+    * manifest is read back from disk, consistent by construction. */
   def write(seqs: DataFrame, idCols: Seq[String], path: String,
             shards: Int, seed: Long = 42L): DataFrame = {
     require(shards > 0, "need at least one shard")
@@ -45,20 +50,29 @@ object TrainingShards {
     val framed = seqs
       .withColumn("shuffle_key", key)
       .withColumn("shard", shardId(col("shuffle_key"), shards))
-    // each shard is one write task: hash-repartition BY THE SHARD id,
-    // order rows by the key inside — no global sort
-    framed
-      .repartition(shards, col("shard"))
-      .sortWithinPartitions("shard", "shuffle_key")
-      .write.mode("overwrite").partitionBy("shard").parquet(path)
-    val manifest = framed.groupBy("shard")
-      .agg(count(lit(1)).as("n_sequences"),
-        sum(col("fill")).as("n_tokens"),
-        min("shuffle_key").as("first_key"),
-        max("shuffle_key").as("last_key"))
-      .orderBy("shard")
-    manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
-    manifest
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // each shard is one write task: hash-repartition BY THE SHARD id,
+      // order rows by the key inside — no global sort
+      framed
+        .repartition(shards, col("shard"))
+        .sortWithinPartitions("shard", "shuffle_key")
+        .write.mode("overwrite").partitionBy("shard").parquet(path)
+      val counted = framed.groupBy("shard")
+        .agg(count(lit(1)).as("n_sequences"),
+          sum(col("fill")).as("n_tokens"),
+          min("shuffle_key").as("first_key"),
+          max("shuffle_key").as("last_key"))
+      val manifest = spark.range(shards).select(col("id").cast("int").as("shard"))
+        .join(counted, Seq("shard"), "left")
+        .select(col("shard"),
+          coalesce(col("n_sequences"), lit(0L)).as("n_sequences"),
+          coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+          col("first_key"), col("last_key"))
+        .orderBy("shard")
+      manifest.coalesce(1).write.mode("overwrite").parquet(s"$path/_manifest")
+    } finally framed.unpersist(blocking = false)
+    readManifest(spark, path)
   }
 
   /** Re-open a shard directory written by [[write]]. */

@@ -17,16 +17,32 @@ import org.apache.spark.sql.functions._
   */
 object DatasetCard {
 
+  /** Cell values escape the characters that break a markdown table —
+    * pipes and line breaks (the sibling [[HtmlReport.table]] escapes
+    * HTML the same way); a facet value like "web|crawl" or a min_s
+    * containing a newline must not split the row. */
+  private def mdCell(v: Any): String =
+    Option(v).map(_.toString).getOrElse("")
+      .replace("\\", "\\\\").replace("|", "\\|")
+      .replace("\n", "\\n").replace("\r", "\\r")
+
   private def mdTable(df: DataFrame, maxRows: Int = 64): String = {
     val cols = df.columns
-    val header = cols.mkString("| ", " | ", " |")
+    val header = cols.map(mdCell).mkString("| ", " | ", " |")
     val sep = cols.map(_ => "---").mkString("| ", " | ", " |")
-    val rows = df.limit(maxRows).collect().map { r =>
-      (0 until r.length)
-        .map(i => Option(r.get(i)).map(_.toString).getOrElse(""))
+    // over-fetch one row so truncation is DETECTED and declared — a
+    // partial table silently presented as complete misreads as the full
+    // distribution
+    val fetched = df.limit(maxRows + 1).collect()
+    val shown = fetched.take(maxRows)
+    val rows = shown.map { r =>
+      (0 until r.length).map(i => mdCell(r.get(i)))
         .mkString("| ", " | ", " |")
     }.mkString("\n")
-    s"$header\n$sep\n$rows"
+    val marker =
+      if (fetched.length > maxRows) s"\n\n*(first $maxRows rows shown — table truncated)*"
+      else ""
+    s"$header\n$sep\n$rows$marker"
   }
 
   /** Render the card for a documents-shaped corpus (`idCol`, `textCol`,

@@ -15,8 +15,12 @@ import org.apache.spark.sql.types.DecimalType
   * Shape: one map-side-combined `groupBy(keys).count` per side (the
   * count frames are key-cardinality, not row-cardinality), an inner
   * join of the two count frames, one global aggregate. Products and
-  * sums ride DECIMAL(38) — exact far past 10¹⁸×10¹⁸ fanouts where a
-  * long would silently wrap.
+  * sums ride DECIMAL(38): each per-key product is exact up to
+  * 10¹⁸×10¹⁸ (where a long would silently wrap), and the TOTAL stays
+  * exact while Σ products < 10³⁸. Past that, Spark's non-ANSI decimal
+  * aggregation returns NULL rather than a wrong number — a NULL
+  * `predicted_rows` therefore READS as "join too large to count in 38
+  * digits", which is itself the audit's loudest possible warning.
   */
 object JoinAudit {
 

@@ -34,16 +34,18 @@ object Outliers {
     * the conventional MAD semantics. */
   def madOutliers(df: DataFrame, groupCol: String, valueCol: String,
                   k: Double = 3.0): DataFrame = {
-    // null-safe joins (<=>) so a NULL group key keeps its statistics —
-    // plain equi-join would silently drop the whole NULL group
+    // LEFT null-safe joins (<=>): a NULL group KEY keeps its statistics
+    // (plain equi-join drops the group), and a group whose values are
+    // ALL null — absent from the stats frames entirely — keeps its rows
+    // with NULL med/mad and false is_outlier instead of vanishing
     val med = Quantiles.groupedExactQuantileDouble(df, groupCol, valueCol, 0.5)
       .withColumnRenamed("value", "med").withColumnRenamed(groupCol, "__g")
-    val withMed = df.join(broadcast(med), col(groupCol) <=> col("__g"))
+    val withMed = df.join(broadcast(med), col(groupCol) <=> col("__g"), "left")
       .drop("__g")
       .withColumn("dev", abs(col(valueCol).cast("double") - col("med")))
     val mad = Quantiles.groupedExactQuantileDouble(withMed, groupCol, "dev", 0.5)
       .withColumnRenamed("value", "mad").withColumnRenamed(groupCol, "__g")
-    withMed.join(broadcast(mad), col(groupCol) <=> col("__g"))
+    withMed.join(broadcast(mad), col(groupCol) <=> col("__g"), "left")
       .drop("__g")
       .withColumn("is_outlier",
         coalesce(col("dev") > lit(k) * col("mad"), lit(false)))

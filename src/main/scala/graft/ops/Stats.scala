@@ -35,7 +35,10 @@ object Stats {
 
   /** Per-group exact moments + derived corr/slope/intercept.
     * `scale` is the fixed-point multiplier (100 for 2-decimal money);
-    * rows where either column is NULL are excluded (pairwise-complete).
+    * rows where either column is NULL, NaN, or ±Infinity are excluded
+    * (pairwise-complete over FINITE values — a NaN row must leave both
+    * `n` and the sums together, or the closed forms silently use an
+    * inconsistent n and corr can leave [−1, 1]).
     * Degenerate groups (zero variance in x or y) return NULL corr, and
     * zero x-variance also NULLs slope/intercept — mirroring SQL `corr`.
     * Returns (groupCols..., n, corr, slope, intercept). */
@@ -45,7 +48,11 @@ object Stats {
     require(scale >= 1, "scale must be >= 1")
     val x = round(col(xCol) * scale).cast(Dec)
     val y = round(col(yCol) * scale).cast(Dec)
-    val filtered = df.filter(col(xCol).isNotNull && col(yCol).isNotNull)
+    def finite(c: String) = {
+      val d = col(c).cast("double")
+      col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
+    }
+    val filtered = df.filter(finite(xCol) && finite(yCol))
     val m = filtered
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(Dec).as("n"),

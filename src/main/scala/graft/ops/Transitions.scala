@@ -34,12 +34,19 @@ object Transitions {
   def transitionMatrix(events: DataFrame, keyCol: String, tsCol: String,
                        actionCol: String, tieCol: String): DataFrame = {
     val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    // lead over a STRUCT so end-of-history (null struct) is
+    // distinguishable from a successor whose ACTION is NULL (non-null
+    // struct, null field) — filtering on a bare lead(action) would
+    // silently drop every transition INTO a null action and inflate the
+    // surviving probabilities of the same from_action
     val pairs = events
       .filter(col(keyCol).isNotNull)
       .select(col(keyCol), col(tsCol), col(tieCol),
         col(actionCol).as("from_action"))
-      .withColumn("to_action", lead("from_action", 1).over(w))
-      .filter(col("to_action").isNotNull)
+      .withColumn("__next", lead(struct(col("from_action").as("a")), 1).over(w))
+      .filter(col("__next").isNotNull)
+      .withColumn("to_action", col("__next")("a"))
+      .drop("__next")
     val counts = pairs.groupBy("from_action", "to_action")
       .agg(count(lit(1)).as("n"))
     // normalization over the compact matrix: the per-from totals window
@@ -59,9 +66,12 @@ object Transitions {
     * `collect_list` inside an aggregate has NO ordering guarantee, so
     * the path sorts post-hoc: events collect as (ts, tie, action)
     * structs and `array_sort`'s default struct comparator (field order =
-    * ts, then tie) restores the total order deterministically. Per-group
-    * state is one session's events — bounded by session length, never by
-    * key history. Returns (path, n_sessions) — aggregated, tiny. */
+    * ts, then tie) restores the total order deterministically. NULL
+    * actions render as the literal "null" step — `array_join` would
+    * otherwise SKIP them, collapsing ('a', NULL, 'b') into the same
+    * path as a genuine a>b session. Per-group state is one session's
+    * events — bounded by session length, never by key history. Returns
+    * (path, n_sessions) — aggregated, tiny. */
   def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
                    actionCol: String, tieCol: String,
                    gap: String = "30 minutes", sep: String = ">"): DataFrame = {
@@ -70,7 +80,7 @@ object Transitions {
       .groupBy(session_window(col(tsCol), gap).as("__w"), col(keyCol))
       .agg(array_sort(collect_list(struct(
         col(tsCol).as("ts"), col(tieCol).as("tie"),
-        col(actionCol).as("a")))).as("__evs"))
+        coalesce(col(actionCol), lit("null")).as("a")))).as("__evs"))
       .select(array_join(transform(col("__evs"), e => e("a")), sep).as("path"))
     paths.groupBy("path").agg(count(lit(1)).as("n_sessions"))
   }

@@ -2308,11 +2308,12 @@ object ExtensionQueries {
     "q_events_transitions" ->
       """WITH p AS (
         |  SELECT event_type AS from_action,
-        |         LEAD(event_type) OVER (PARTITION BY user_id
-        |                                ORDER BY ts, event_id) AS to_action
+        |         LEAD(struct_pack(a := event_type))
+        |           OVER (PARTITION BY user_id
+        |                 ORDER BY ts, event_id) AS nxt
         |  FROM events WHERE user_id IS NOT NULL),
-        |c AS (SELECT from_action, to_action, COUNT(*) AS n FROM p
-        |      WHERE to_action IS NOT NULL GROUP BY 1, 2)
+        |c AS (SELECT from_action, nxt.a AS to_action, COUNT(*) AS n FROM p
+        |      WHERE nxt IS NOT NULL GROUP BY 1, 2)
         |SELECT from_action, to_action, n,
         |       CAST(n AS DOUBLE) /
         |         CAST(SUM(n) OVER (PARTITION BY from_action) AS DOUBLE) AS prob
@@ -2413,8 +2414,9 @@ object ExtensionQueries {
         |             CAST(round(l_quantity * 100) AS HUGEINT) AS x,
         |             CAST(round(l_extendedprice * 100) AS HUGEINT) AS y
         |           FROM lineitem
-        |           WHERE l_quantity IS NOT NULL
-        |             AND l_extendedprice IS NOT NULL),
+        |           WHERE l_quantity IS NOT NULL AND isfinite(l_quantity)
+        |             AND l_extendedprice IS NOT NULL
+        |             AND isfinite(l_extendedprice)),
         |m AS (SELECT l_returnflag, CAST(COUNT(*) AS HUGEINT) AS n,
         |        SUM(x) AS sx, SUM(y) AS sy,
         |        SUM(x * x) AS sxx, SUM(y * y) AS syy, SUM(x * y) AS sxy
@@ -2578,7 +2580,8 @@ object ExtensionQueries {
         |                         ROWS UNBOUNDED PRECEDING) AS sid
         |      FROM m),
         |p AS (SELECT user_id, sid,
-        |        string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        |        string_agg(COALESCE(event_type, 'null'), '>'
+        |                   ORDER BY ts, event_id) AS path
         |      FROM s GROUP BY 1, 2)
         |SELECT path, COUNT(*) AS n_sessions FROM p GROUP BY 1
         |ORDER BY n_sessions DESC, path LIMIT 50""".stripMargin,

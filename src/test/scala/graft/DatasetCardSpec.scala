@@ -20,6 +20,21 @@ class DatasetCardSpec extends SparkSpec {
       .foreach(l => assert(card.contains(s"| $l |"), l))
   }
 
+  test("pipes and newlines in cell values don't break table structure") {
+    import spark.implicits._
+    val docs = Seq((1L, "text one", "web|crawl"), (2L, "line\nbreak", "books"))
+      .toDF("doc_id", "text", "source")
+    val card = DatasetCard.render(docs, "weird", "doc_id", "text", Seq("source"))
+    assert(card.contains("web\\|crawl"))
+    assert(!card.contains("line\nbreak")) // newline escaped inside cells
+    // every table row parses to a consistent pipe count per section
+    val facetRows = card.linesIterator
+      .dropWhile(_ != "## source distribution").filter(_.startsWith("| "))
+      .toSeq
+    assert(facetRows.forall(r =>
+      r.count(_ == '|') - r.sliding(2).count(_ == "\\|") == 3))
+  }
+
   test("regenerating on unchanged data is byte-identical") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     def gen() = DatasetCard.render(docs, "x", "doc_id", "text", Seq("lang"))

@@ -40,6 +40,20 @@ class OutliersSpec extends SparkSpec {
     assert(nullValue.length == 1 && !nullValue.head.getAs[Boolean]("is_outlier"))
   }
 
+  test("a group whose values are ALL null keeps its rows (null stats, no flag)") {
+    val rows = Seq((Some("a"), Some(1.0)), (Some("a"), Some(2.0)),
+      (Some("b"), Option.empty[Double]), (Some("b"), Option.empty[Double]))
+      .toDF("k", "v")
+    val out = Outliers.madOutliers(rows, "k", "v")
+    assert(out.count() == 4L) // nothing vanishes through the stats joins
+    val b = out.filter(col("k") === "b").collect()
+    assert(b.length == 2)
+    b.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("med")) && r.isNullAt(r.fieldIndex("mad")))
+      assert(!r.getAs[Boolean]("is_outlier"))
+    }
+  }
+
   test("fixture sanity: outlier set matches a driver-side recompute") {
     val e = spark.read.parquet(s"$sf/events.parquet")
       .select(col("event_id"), col("event_type"), col("value"))

@@ -38,6 +38,20 @@ class StatsSpec extends SparkSpec {
     assert(r("b").getAs[Double]("slope") == -2.0)
   }
 
+  test("NaN/Infinity rows leave n AND the sums together") {
+    val clean = Seq(("g", 1.0, 2.0), ("g", 2.0, 4.0), ("g", 3.0, 6.0))
+    val dirty = clean ++ Seq(("g", Double.NaN, 1.0),
+      ("g", 5.0, Double.PositiveInfinity))
+    val a = Stats.groupedCorrSlope(clean.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .head()
+    val b = Stats.groupedCorrSlope(dirty.toDF("k", "x", "y"), Seq("k"), "x", "y")
+      .head()
+    // non-finite rows are fully excluded: identical n AND statistics
+    assert(b.getAs[Long]("n") == 3L)
+    assert(b.getAs[Double]("corr") == a.getAs[Double]("corr"))
+    assert(b.getAs[Double]("slope") == a.getAs[Double]("slope"))
+  }
+
   test("agrees with Spark's float corr within float-accumulation error") {
     val li = spark.read.parquet(s"$sf/lineitem.parquet")
     val exact = Stats.groupedCorrSlope(li, Seq("l_returnflag"),

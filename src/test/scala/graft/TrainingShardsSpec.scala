@@ -35,6 +35,21 @@ class TrainingShardsSpec extends SparkSpec {
     assert(m1.map(_.getAs[Int]("shard")).toSet.subsetOf((0 until 4).toSet))
   }
 
+  test("manifest covers the FULL shard range, empty shards at zero") {
+    val seqs = packedSeqs().limit(3) // 3 sequences into 16 shards
+    val dir = Files.createTempDirectory("shards4").toString
+    val m = TrainingShards.write(seqs, Seq("pack_group", "bin_id"), dir, 16)
+      .collect()
+    assert(m.length == 16)
+    assert(m.map(_.getAs[Long]("n_sequences")).sum == 3L)
+    val empty = m.filter(_.getAs[Long]("n_sequences") == 0L)
+    assert(empty.nonEmpty)
+    empty.foreach { r =>
+      assert(r.getAs[Long]("n_tokens") == 0L)
+      assert(r.isNullAt(r.fieldIndex("first_key")))
+    }
+  }
+
   test("within-shard order follows the shuffle key; manifest ranges match") {
     val seqs = packedSeqs()
     val dir = Files.createTempDirectory("shards3").toString

@@ -38,6 +38,32 @@ class TransitionsSpec extends SparkSpec {
     assert(m == Set(("x", "y"), ("y", "z")))
   }
 
+  test("transitions INTO a null action are counted, not dropped") {
+    // a -> NULL -> b : both pairs must exist, and a's probabilities
+    // must normalize over BOTH of its outgoing edges
+    val e = Seq(
+      (1L, ts(1), 1L, Some("a")), (2L, ts(2), 1L, None),
+      (3L, ts(3), 1L, Some("b")), (4L, ts(4), 1L, Some("a")),
+      (5L, ts(5), 1L, Some("c"))
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val m = graft.ops.Transitions
+      .transitionMatrix(e, "user_id", "ts", "event_type", "event_id")
+      .collect().map(r => (r.getString(0), Option(r.getString(1))) ->
+        (r.getAs[Long]("n"), r.getAs[Double]("prob"))).toMap
+    assert(m(("a", None)) == ((1L, 0.5)))
+    assert(m(("a", Some("c"))) == ((1L, 0.5)))
+    assert(m.keys.exists(k => k._1 == null && k._2.contains("b")))
+  }
+
+  test("sessionPaths renders null actions as a visible step") {
+    val e = Seq(
+      (1L, ts(1), 1L, Some("a")), (2L, ts(2), 1L, None), (3L, ts(3), 1L, Some("b"))
+    ).toDF("event_id", "ts", "user_id", "event_type")
+    val p = graft.ops.Transitions
+      .sessionPaths(e, "user_id", "ts", "event_type", "event_id").collect()
+    assert(p.length == 1 && p.head.getString(0) == "a>null>b")
+  }
+
   test("sessionPaths: gap splits sessions; order survives collect_list") {
     // user 1: a,b at t=1,2 then (gap > 30min) c at t=4000; user 2: a,b
     val e = Seq(
