@@ -666,11 +666,15 @@ object Dedup {
   /** LSH candidate pairs: band the signature array, bucket-join within
     * bands. Returns distinct (doc_i, doc_j) candidates. */
   def lshCandidates(signatures: DataFrame): DataFrame = {
-    // persisted (bounded window): the self-join evaluates its child once
-    // per side, and the child embeds the 128-hash MinHashSketch
-    // aggregation over the exploded index — the expensive stage of the
-    // whole sweep (the plan showed it running once per join side)
+    // persisted (bounded window) AND eagerly materialized: the self-join
+    // evaluates its child once per side, and the child embeds the
+    // 128-hash MinHashSketch aggregation over the exploded index — the
+    // expensive stage of the whole sweep. Without the eager action the
+    // join's two sides race the COLD cache under AQE and each computes
+    // the aggregation (the BlockManager convoy the capped-jaccard path
+    // documents); count() pays one bounded pass to fill the cache first.
     val banded = registerShingleCache(bandedBuckets(signatures))
+    banded.count()
     banded.as("a")
       .join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
@@ -845,8 +849,12 @@ object Dedup {
           col("a.id") < col("b.id"))
       .select(col("a.id").as("doc_i"), col("b.id").as("doc_j"),
         bit_count(col("a.sig").bitwiseXOR(col("b.sig"))).as("hamming"))
-      .distinct()
+      // hamming is a pure function of the pair, so filtering BEFORE the
+      // distinct is output-identical and strictly shrinks its shuffle:
+      // multi-chunk collisions emit up to 4 copies per pair, and pairs
+      // past the threshold needn't ride the exchange at all
       .filter(col("hamming") <= maxHamming)
+      .distinct()
   }
 
   /** Embedding-cosine near-dup pairs (exact, self-join). Norms are
@@ -952,12 +960,16 @@ object Dedup {
                      broadcastVerify: Boolean = false): DataFrame = {
     val e = embeddings.select(col(idCol).as("id"), col(vecCol).as("v"),
       l2norm(col(vecCol)).as("nrm"))
-    // persisted (bounded window): the bucket self-join evaluates its child
-    // once per side (no ReusedExchange across a broadcast build), and the
-    // hyperplane projection is tables·planes·dims work per vector
+    // persisted (bounded window) and eagerly materialized: the bucket
+    // self-join evaluates its child once per side (no ReusedExchange
+    // across a broadcast build), the hyperplane projection is
+    // tables·planes·dims work per vector, and without the eager action
+    // the join's two sides race the cold cache and each re-projects
+    // (same convoy as lshCandidates)
     val banded = registerShingleCache(Similarity
       .lshBuckets(e.select("id", "v"), "v", tables, planes, dims)
       .select("id", "table", "bucket"))
+    banded.count()
     val cands = banded.as("a")
       .join(banded.as("b"),
         col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&

@@ -23,6 +23,14 @@ object Histogram {
                 bins: Int): DataFrame = {
     require(bins > 0, "bins must be positive")
     require(hi >= lo, s"empty range [$lo, $hi]")
+    // a range wider than 2^63 − 1 overflows (hi − lo) and (v − lo): the
+    // silent failure mode is garbage widths and negative bin ids whose
+    // rows vanish in the scaffold join. Refuse loudly instead — a
+    // full-64-bit-domain column (hashes) needs the sign-splitting
+    // selection protocol (Quantiles), not an equi-width histogram.
+    require(BigInt(hi) - BigInt(lo) <= Long.MaxValue,
+      s"range [$lo, $hi] spans more than 2^63 - 1; " +
+        "(v - lo) would overflow — narrow the range or split at zero")
     // ceil width so bins*width covers the range; exact long arithmetic
     val width = math.max(1L, (hi - lo) / bins + (if ((hi - lo) % bins == 0) 0L else 1L))
     val v = col(valueCol).cast("long")

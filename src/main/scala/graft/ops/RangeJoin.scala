@@ -32,7 +32,13 @@ object RangeJoin {
     // needs to be one consistent monotone map applied to both sides (the
     // exact range filter below re-checks the original values).
     def binOf(c: Column): Column =
-      (unix_micros(c.cast("timestamp")) / binMicros).cast("long")
+      // decimal floor-division, NOT `/` (double division loses exactness
+      // above 2^53 µs — the sibling Histogram/Quantiles convention) and
+      // NOT integer `div` (truncation-toward-zero would make bin 0 twice
+      // as wide across the epoch); floor is exact and monotone everywhere
+      floor(unix_micros(c.cast("timestamp"))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)) / binMicros)
+        .cast("long")
 
     val p = points.withColumn("__bin", binOf(col(pointCol)))
     val i0 = intervals.columns.filterNot(keys.contains)
@@ -74,7 +80,13 @@ object RangeJoin {
     require(binSeconds > 0, "bin width must be positive")
     val binMicros = binSeconds * 1000000L
     def binOf(c: Column): Column =
-      (unix_micros(c.cast("timestamp")) / binMicros).cast("long")
+      // decimal floor-division, NOT `/` (double division loses exactness
+      // above 2^53 µs — the sibling Histogram/Quantiles convention) and
+      // NOT integer `div` (truncation-toward-zero would make bin 0 twice
+      // as wide across the epoch); floor is exact and monotone everywhere
+      floor(unix_micros(c.cast("timestamp"))
+        .cast(org.apache.spark.sql.types.DecimalType(20, 0)) / binMicros)
+        .cast("long")
 
     val l = left
       .withColumn("__bin",

@@ -338,13 +338,18 @@ object TextAnalysis {
   def pmiBigrams(docs: DataFrame, textCol: String,
                  minCount: Long = 5L): DataFrame = {
     val pairs = bigramPairs(docs, textCol)
-    val pairCounts = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
-      .filter(col("n") >= minCount)
+    // n_big derives from the UNfiltered pair aggregate — a vocab-sized
+    // frame — instead of a separate count over the pair lineage, which
+    // would re-run the corpus tokenize scan once more per action (the
+    // same scan tfidf's scaladoc calls the dominant cost at 100 TB);
+    // n_uni likewise folds the unigram aggregate
+    val pairCountsAll = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("n"))
+    val pairCounts = pairCountsAll.filter(col("n") >= minCount)
     val uniCounts = docs
       .select(explode(tokens(col(textCol))).as("token"))
       .groupBy("token").agg(count(lit(1)).as("c"))
     val nUni = uniCounts.agg(sum("c").as("n_uni"))
-    val nBig = pairs.agg(count(lit(1)).as("n_big"))
+    val nBig = pairCountsAll.agg(sum("n").as("n_big"))
     val pXy = col("n").cast("double") / col("n_big")
     val pX = col("c1").cast("double") / col("n_uni")
     val pY = col("c2").cast("double") / col("n_uni")

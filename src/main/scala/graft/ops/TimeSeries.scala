@@ -44,11 +44,17 @@ object TimeSeries {
     * `bucket_value` (exact decimal sum of `valCol`, null on gaps) and
     * `locf_value` (last non-null `bucket_value` at or before this
     * bucket).
+    *
+    * NULL-key rows are dropped up front (same contract as [[cusum]]):
+    * the scaffold join is null-UNSAFE equality, so a NULL-key group
+    * would scaffold a grid whose observed aggregates never attach —
+    * every bucket misreported as a gap. A null entity has no timeline.
     */
   def resampleLocf(df: DataFrame, keyCol: String, tsCol: String,
                    valCol: String, step: String = "hour"): DataFrame = {
     require(Steps.contains(step), s"step must be one of $Steps, got '$step'")
     val bucketed = df
+      .filter(col(keyCol).isNotNull)
       .select(col(keyCol), date_trunc(step, col(tsCol)).as("bucket"),
         col(valCol).cast(DecimalType(12, 2)).as("v"))
       .groupBy(col(keyCol), col("bucket"))
@@ -145,10 +151,16 @@ object TimeSeries {
     b
       .withColumn("__c_hi", sum(col("bucket_value") - up).over(w).cast(dec))
       .withColumn("__c_lo", sum(col("bucket_value") - dn).over(w).cast(dec))
+      // the recursion's implicit S₀ = 0 is the virtual prefix sum C₀ = 0:
+      // the running min/max must include it (clamp at zero), or drift
+      // that starts at the FIRST bucket — all prefix sums positive —
+      // is permanently understated by C₁
       .withColumn("cusum_hi",
-        (col("__c_hi") - min("__c_hi").over(w)).cast(dec))
+        (col("__c_hi") - least(min("__c_hi").over(w), lit(0).cast(dec)))
+          .cast(dec))
       .withColumn("cusum_lo",
-        (max("__c_lo").over(w) - col("__c_lo")).cast(dec))
+        (greatest(max("__c_lo").over(w), lit(0).cast(dec)) - col("__c_lo"))
+          .cast(dec))
       .withColumn("is_drift",
         col("cusum_hi") > lit(threshold.bigDecimal) ||
           col("cusum_lo") > lit(threshold.bigDecimal))

@@ -2050,7 +2050,7 @@ object ExtensionQueries {
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,
         |         COUNT(*) AS n_events,
         |         SUM(CAST(value AS DECIMAL(12,2))) AS bucket_value
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
         |), span AS (
         |  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
         |), scaffold AS (
@@ -2076,7 +2076,7 @@ object ExtensionQueries {
       """WITH b AS (
         |  SELECT user_id, date_trunc('hour', ts) AS bucket,
         |         COUNT(*) AS n_events
-        |  FROM events GROUP BY 1, 2
+        |  FROM events WHERE user_id IS NOT NULL GROUP BY 1, 2
         |), span AS (
         |  SELECT user_id, MIN(bucket) AS lo, MAX(bucket) AS hi FROM b GROUP BY 1
         |), scaffold AS (
@@ -2508,10 +2508,13 @@ object ExtensionQueries {
         |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket
         |                          ROWS UNBOUNDED PRECEDING))
         |SELECT event_type, bucket, bucket_value,
-        |       CAST(c_hi - MIN(c_hi) OVER w2 AS DECIMAL(22,2)) AS cusum_hi,
-        |       CAST(MAX(c_lo) OVER w2 - c_lo AS DECIMAL(22,2)) AS cusum_lo,
-        |       (CAST(c_hi - MIN(c_hi) OVER w2 AS DECIMAL(22,2)) > 565
-        |        OR CAST(MAX(c_lo) OVER w2 - c_lo AS DECIMAL(22,2)) > 565)
+        |       CAST(c_hi - LEAST(MIN(c_hi) OVER w2, 0) AS DECIMAL(22,2))
+        |         AS cusum_hi,
+        |       CAST(GREATEST(MAX(c_lo) OVER w2, 0) - c_lo AS DECIMAL(22,2))
+        |         AS cusum_lo,
+        |       (CAST(c_hi - LEAST(MIN(c_hi) OVER w2, 0) AS DECIMAL(22,2)) > 565
+        |        OR CAST(GREATEST(MAX(c_lo) OVER w2, 0) - c_lo
+        |                AS DECIMAL(22,2)) > 565)
         |         AS is_drift
         |FROM c WINDOW w2 AS (PARTITION BY event_type ORDER BY bucket
         |                     ROWS UNBOUNDED PRECEDING)

@@ -119,17 +119,23 @@ object EventStreams {
     events.select(col("event_id"), col("event_type"),
       get_json_object(col("props"), "$.k").cast("int").as("props_k"))
 
-  /** Streaming exactly-once-per-key dedup: `dropDuplicates` on the event
-    * id with a watermark bounding the dedup state (late replays beyond
-    * the watermark age out of the state store instead of growing it
-    * forever — the at-least-once→effectively-once repair every ingest
-    * pipeline needs). Works identically on batch input (watermark is a
-    * no-op there). */
-  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame = {
-    val src = if (events.isStreaming) events.withWatermark("ts", watermark)
-              else events
-    src.dropDuplicates("event_id")
-  }
+  /** Streaming exactly-once-per-key dedup with BOUNDED state: the
+    * at-least-once→effectively-once repair every ingest pipeline needs.
+    * `dropDuplicatesWithinWatermark` is the operator whose state the
+    * watermark actually evicts — plain `dropDuplicates("event_id")`
+    * under a watermark keeps one state row per id FOREVER (eviction
+    * only applies when the event-time column is part of the key set),
+    * which on a 100 TB/day stream grows the state store to OOM. The
+    * within-watermark form drops replays arriving inside the watermark
+    * delay and ages ids out afterwards; a replay older than the
+    * watermark may pass — that is the explicit state-size/completeness
+    * trade every bounded dedup makes. Batch input takes the exact
+    * `dropDuplicates` (no state to bound). */
+  def dedupEvents(events: DataFrame, watermark: String = "1 hour"): DataFrame =
+    if (events.isStreaming)
+      events.withWatermark("ts", watermark)
+        .dropDuplicatesWithinWatermark("event_id")
+    else events.dropDuplicates("event_id")
 
   /** Stream-stream interval join: each probe event joined to the same
     * user's earlier events within `intervalSecs` — the streaming form of

@@ -106,6 +106,25 @@ class TimeSeriesSpec extends SparkSpec {
       BigDecimal(r.getDecimal(r.fieldIndex("cusum_lo"))) == BigDecimal(0)))
   }
 
+  test("cusum: drift starting at the FIRST bucket is flagged (virtual C0 = 0)") {
+    // every bucket already above reference — all prefix sums positive;
+    // without the zero clamp cusum_hi would be understated by C1 forever
+    val vals = Seq.fill(6)(15.0)
+    val df = vals.zipWithIndex.map { case (v, i) =>
+      ("k", ts(f"2024-01-01 ${i}%02d:00:00"), v)
+    }.toDF("k", "t", "v")
+    val rows = TimeSeries.cusum(df, "k", "t", "v", "hour",
+        BigDecimal(10), BigDecimal(1), BigDecimal(10))
+      .orderBy("bucket").collect()
+    var s = BigDecimal(0)
+    val want = vals.map { v => s = (s + v - 11).max(0); s }
+    val got = rows.map(r => BigDecimal(r.getDecimal(r.fieldIndex("cusum_hi"))))
+    assert(got.toSeq.map(_.setScale(2)) == want.map(_.setScale(2)))
+    // 4/hour past the reference crosses h=10 inside the 3rd bucket
+    assert(rows.map(_.getAs[Boolean]("is_drift")).toSeq ==
+      Seq(false, false, true, true, true, true))
+  }
+
   test("cusum: downward drift trips the low side symmetrically") {
     val vals = Seq.fill(6)(10.0) ++ Seq.fill(6)(5.0)
     val df = vals.zipWithIndex.map { case (v, i) =>
