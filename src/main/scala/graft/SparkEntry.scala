@@ -35,7 +35,8 @@ object SparkEntry {
     "reconcile_summary" -> ((s, dir) => ReconcileQueries.summary(s, dir)),
     "reconcile_col_summary" -> ((s, dir) => ReconcileQueries.colSummary(s, dir)),
   ) ++ graft.pipelines.OperatorQueries.all.map { case (k, (q, _)) => k -> q } ++
-    graft.pipelines.ExtensionQueries.queries
+    graft.pipelines.ExtensionQueries.queries ++
+    graft.pipelines.ModelQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -52,5 +53,6 @@ object SparkEntry {
     "reconcile_summary" -> ReconcileQueries.summaryOracle,
     "reconcile_col_summary" -> ReconcileQueries.colSummaryOracle,
   ) ++ graft.pipelines.OperatorQueries.all.map { case (k, (_, o)) => k -> o } ++
-    graft.pipelines.ExtensionQueries.oracles
+    graft.pipelines.ExtensionQueries.oracles ++
+    graft.pipelines.ModelQueries.oracles
 }

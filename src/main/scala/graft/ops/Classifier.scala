@@ -1,0 +1,265 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Model-based document classification — the trained quality/language
+  * filter stage of large-corpus pipelines (a fastText-class classifier
+  * gates web corpora in every published LLM data recipe; the reference
+  * engine ships only lexicon heuristics). This is multinomial Naive
+  * Bayes with add-one smoothing, re-expressed so training AND scoring
+  * are pure dataflow and the scores are BIT-EXACT across engines:
+  * every log-probability is quantized to HALF-BIT resolution via
+  * `floor(log2 x²) = length(bin(x·x)) − 1` — exact integer arithmetic,
+  * no libm, no float summation order (the [[LanguageModel]] contract,
+  * at 2× the resolution).
+  *
+  * Per test document d and class c the score is
+  * {{{
+  *   score(d,c) = prior(c) + Σ_{t ∈ d} [ bits2(c_tc + 1) − bits2(n_c + V) ]
+  * }}}
+  * with bits2(x) = floor(2·log2 x), c_tc the training count of token t
+  * in class c, n_c the class token total, V the training vocabulary
+  * size, and prior(c) = bits2(d_c) − bits2(d_train). The argmax is
+  * deterministic: ties resolve to the lexicographically smallest class.
+  *
+  * Scale shape: the per-token sum is decomposed as
+  * `−n_tokens(d) · bits2(n_c + V) + Σ_{t ∈ d, c_tc > 0} bits2(c_tc + 1)`
+  * so the ONLY token-level join is the inner equi-join of test tokens
+  * against the (class, token) count table, hash-partitioned on the
+  * token — the absent-(token,class) zero terms never materialize. The
+  * class constant table (one row per class) rides a broadcast cross
+  * join at DOC granularity. Cost is therefore corpus-linear regardless
+  * of the number of classes; nothing is ever fanned out |classes|-fold
+  * at token level. Training is two count aggregations over the train
+  * split (map-side combined), both bounded by vocabulary × classes —
+  * far smaller than the corpus.
+  *
+  * Determinism/overflow contract: bits2 squares its argument in LONG,
+  * so every counted quantity must stay ≤ 3.0e9 (n_c + V is the largest
+  * — ~3 billion training tokens per class). Beyond that, drop to the
+  * 1-bit [[LanguageModel]] resolution (bounds then ~9.2e18) — the
+  * quantization doc-contract changes, nothing else.
+  */
+object Classifier {
+
+  /** floor(2·log2 x) for a positive integral column — exact via binary
+    * string length of x², no floating point anywhere. */
+  private[ops] def bits2(x: Column): Column =
+    (length(bin(x.cast("long") * x.cast("long"))) - 1).cast("long")
+
+  /** A trained NB model as two frames — the persistable/broadcastable
+    * artifact the score path consumes.
+    *   - `tokenCounts`: (cls, tok, c_tc) — vocabulary × classes rows.
+    *   - `classes`: one row per class — (cls, den_bits = bits2(n_c + V),
+    *     prior_bits = bits2(d_c) − bits2(d_train)).
+    * Save/load with [[saveNbModel]]/[[loadNbModel]] to amortize training
+    * across sessions (the [[Dedup.persistCorpusIndex]] pattern). */
+  final case class NbModel(tokenCounts: DataFrame, classes: DataFrame)
+
+  /** Fit the model on EVERY row of `docs` (the caller owns the split —
+    * [[nbClassScores]] does the held-out split, streaming gates train on
+    * the full curated corpus). Two map-side-combined count aggregations,
+    * both vocabulary-bounded; the global constants (V, d_train) ride
+    * 1-row broadcast cross joins — no collect, no driver round-trip. */
+  def nbTrain(docs: DataFrame, textCol: String, labelCol: String): NbModel = {
+    val base = docs.select(col(labelCol).as("__label"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+    val trainTok = base.select(col("__label"), explode(col("__tk")).as("tok"))
+
+    val ctc = trainTok.groupBy(col("__label").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("c_tc"))
+    val nc = trainTok.groupBy(col("__label").as("cls"))
+      .agg(count(lit(1)).as("n_c"))
+    val vocab = trainTok.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val dc = base.groupBy(col("__label").as("cls")).agg(count(lit(1)).as("d_c"))
+    val dTrain = base.agg(count(lit(1)).as("d_train"))
+
+    val classes = nc.join(dc, "cls")
+      .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTrain))
+      .select(col("cls"),
+        bits2(col("n_c") + col("v")).as("den_bits"),
+        (bits2(col("d_c")) - bits2(col("d_train"))).as("prior_bits"))
+    NbModel(ctc, classes)
+  }
+
+  /** Persist a trained model under `dir` (two parquet tables). */
+  def saveNbModel(model: NbModel, dir: String): Unit = {
+    model.tokenCounts.write.mode("overwrite").parquet(s"$dir/token_counts")
+    model.classes.write.mode("overwrite").parquet(s"$dir/classes")
+  }
+
+  /** Reopen a [[saveNbModel]] artifact. */
+  def loadNbModel(spark: org.apache.spark.sql.SparkSession, dir: String): NbModel =
+    NbModel(spark.read.parquet(s"$dir/token_counts"),
+      spark.read.parquet(s"$dir/classes"))
+
+  /** Score arbitrary documents against a trained model: one row per
+    * document × class — (`idCol`, cls, score). Empty documents score
+    * prior-only. The ONLY token-level join is the inner equi-join
+    * against `tokenCounts` on the token (absent (token, class) pairs
+    * contribute bits2(0+1) = 0 and never materialize — see the header
+    * decomposition); the per-class constants cross-join at DOC
+    * granularity via broadcast. Batch and per-micro-batch streaming
+    * scoring share this exact plan. */
+  def nbScoreWith(model: NbModel, docs: DataFrame, idCol: String,
+                  textCol: String): DataFrame = {
+    val testTok = docs.select(col(idCol).as("__id"),
+        explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+    val present = testTok.join(model.tokenCounts, "tok")
+      .groupBy(col("__id"), col("cls"))
+      .agg(sum(bits2(col("c_tc") + 1)).as("pos_bits"))
+    val nTok = testTok.groupBy(col("__id")).agg(count(lit(1)).as("n_tok"))
+
+    docs.select(col(idCol).as("__id"))
+      .join(nTok, Seq("__id"), "left")
+      .crossJoin(broadcast(model.classes))
+      .join(present, Seq("__id", "cls"), "left")
+      .select(col("__id").as(idCol), col("cls"),
+        (col("prior_bits") + coalesce(col("pos_bits"), lit(0L))
+          - coalesce(col("n_tok"), lit(0L)) * col("den_bits")).as("score"))
+  }
+
+  /** Per-test-document class scores from a held-out multinomial NB fit.
+    *
+    * Rows where `pmod(idCol, splitMod) != 0` train the model; rows
+    * where it `== 0` are scored. Output: one row per test document ×
+    * class — (`idCol`, labelCol-as-`label_true`, `cls`, `score`).
+    * Empty documents score prior-only. Classes are the distinct train
+    * labels (a test label never seen in training is still scored
+    * against the trained classes — the honest deployment shape). */
+  def nbClassScores(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, splitMod: Int = 5): DataFrame = {
+    val isTest = pmod(col(idCol), lit(splitMod)) === 0
+    val model = nbTrain(docs.filter(!isTest), textCol, labelCol)
+    val test = docs.filter(isTest)
+    nbScoreWith(model, test, idCol, textCol)
+      .join(test.select(col(idCol), col(labelCol).as("label_true")), idCol)
+      .select(col(idCol), col("label_true"), col("cls"), col("score"))
+  }
+
+  /** Argmax prediction against a pre-trained model (no labels needed on
+    * the scored side — the deployment shape, batch or per-micro-batch):
+    * (`idCol`, predicted, score), ties to the smallest class name. */
+  def nbPredictWith(model: NbModel, docs: DataFrame, idCol: String,
+                    textCol: String): DataFrame =
+    nbScoreWith(model, docs, idCol, textCol)
+      .groupBy(col(idCol))
+      .agg(min(struct((-col("score")).as("neg"), col("cls").as("cls"))).as("best"))
+      .select(col(idCol), col("best.cls").as("predicted"),
+        (-col("best.neg")).as("score"))
+
+  /** Argmax prediction per test document: (`idCol`, label_true,
+    * predicted, score, hit) — ties go to the smallest class name via a
+    * single min-of-struct aggregation (no window). */
+  def nbPredict(docs: DataFrame, idCol: String, textCol: String,
+                labelCol: String, splitMod: Int = 5): DataFrame =
+    nbClassScores(docs, idCol, textCol, labelCol, splitMod)
+      .groupBy(col(idCol), col("label_true"))
+      .agg(min(struct((-col("score")).as("neg"), col("cls").as("cls"))).as("best"))
+      .select(col(idCol), col("label_true"),
+        col("best.cls").as("predicted"),
+        (-col("best.neg")).as("score"),
+        when(col("best.cls") === col("label_true"), 1L).otherwise(0L).as("hit"))
+
+  /** K-fold cross-validated NB accuracy in ONE dataflow pass — no
+    * per-fold retraining. NB sufficient statistics are ADDITIVE, so
+    * fold f's training counts are global counts minus fold-f counts:
+    * {{{
+    *   c_tc^(f) = c_tc − c_tc[fold f]      n_c^(f) = n_c − n_c[fold f]
+    *   V^(f)    = V − |{tokens exclusive to fold f}|
+    * }}}
+    * One (cls, tok) aggregation, one (fold, cls, tok) aggregation, and
+    * the same single token-level inner join as [[nbScoreWith]] (the
+    * doc's own-fold counts subtract via a left join on (fold, cls,
+    * tok)) — total cost is ~2× a single fit REGARDLESS of k, where the
+    * naive k-loop pays k× and k separate jobs. Tokens whose train count
+    * drops to 0 contribute bits2(0+1) = 0, identical to absence, so the
+    * subtraction needs no filter. Per fold, scored classes are those
+    * with at least one training document (same contract as
+    * [[nbClassScores]]).
+    *
+    * Output: one row per fold — (fold, n_test, hits, accuracy), the
+    * model-selection report for a classifier gate. */
+  def nbCrossValidate(docs: DataFrame, idCol: String, textCol: String,
+                      labelCol: String, folds: Int = 5): DataFrame = {
+    val base = docs.select(col(idCol).as("__id"), col(labelCol).as("__label"),
+      pmod(col(idCol), lit(folds)).cast("long").as("fold"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+    // ONE exploded token frame feeds every aggregation below
+    val labTok = base.select(col("__id"), col("__label"), col("fold"),
+      explode(col("__tk")).as("tok"))
+    val tok = labTok.select("__id", "fold", "tok")
+
+    val allCtc = labTok.groupBy(col("__label").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("c_all"))
+    val foldCtc = labTok.groupBy(col("fold"), col("__label").as("cls"), col("tok"))
+      .agg(count(lit(1)).as("c_f"))
+    val allNc = labTok.groupBy(col("__label").as("cls")).agg(count(lit(1)).as("n_all"))
+    val foldNc = labTok.groupBy(col("fold"), col("__label").as("cls"))
+      .agg(count(lit(1)).as("n_f"))
+    val dcAll = base.groupBy(col("__label").as("cls")).agg(count(lit(1)).as("dc_all"))
+    val dcFold = base.groupBy(col("fold"), col("__label").as("cls"))
+      .agg(count(lit(1)).as("dc_f"))
+    val dAll = base.agg(count(lit(1)).as("d_all"))
+    val dFold = base.groupBy("fold").agg(count(lit(1)).as("d_f"))
+
+    // per-fold vocabulary: V − |tokens appearing ONLY in this fold|
+    val tokTotals = labTok.groupBy("tok").agg(count(lit(1)).as("t_all"))
+    val vAll = tokTotals.agg(count(lit(1)).as("v_all"))
+    val excl = labTok.groupBy(col("fold"), col("tok")).agg(count(lit(1)).as("t_f"))
+      .join(tokTotals, "tok").filter(col("t_f") === col("t_all"))
+      .groupBy("fold").agg(count(lit(1)).as("excl"))
+
+    // (fold × class) training constants — k·|classes| rows, broadcastable
+    val grid = base.select("fold").distinct()
+      .crossJoin(allNc.join(dcAll, "cls"))
+      .join(foldNc, Seq("fold", "cls"), "left")
+      .join(dcFold, Seq("fold", "cls"), "left")
+      .join(dFold, "fold")
+      .join(excl, Seq("fold"), "left")
+      .crossJoin(broadcast(vAll)).crossJoin(broadcast(dAll))
+      .select(col("fold"), col("cls"),
+        (col("dc_all") - coalesce(col("dc_f"), lit(0L))).as("dc_train"),
+        bits2(col("n_all") - coalesce(col("n_f"), lit(0L))
+          + col("v_all") - coalesce(col("excl"), lit(0L))).as("den_bits"),
+        (bits2(col("dc_all") - coalesce(col("dc_f"), lit(0L)))
+          - bits2(col("d_all") - col("d_f"))).as("prior_bits"))
+      .filter(col("dc_train") > 0)
+      .select("fold", "cls", "den_bits", "prior_bits")
+
+    // token-level: global counts joined once on the token, own-fold
+    // counts subtracted via the (fold, cls, tok) left join
+    val present = tok.join(allCtc, "tok")
+      .join(foldCtc, Seq("fold", "cls", "tok"), "left")
+      .groupBy(col("__id"), col("fold"), col("cls"))
+      .agg(sum(bits2(col("c_all") - coalesce(col("c_f"), lit(0L)) + 1)).as("pos_bits"))
+    val nTok = tok.groupBy(col("__id")).agg(count(lit(1)).as("n_tok"))
+
+    val scored = base.select(col("__id"), col("__label"), col("fold"))
+      .join(nTok, Seq("__id"), "left")
+      .join(broadcast(grid), Seq("fold"))
+      .join(present, Seq("__id", "fold", "cls"), "left")
+      .select(col("__id"), col("__label"), col("fold"),
+        col("cls"),
+        (col("prior_bits") + coalesce(col("pos_bits"), lit(0L))
+          - coalesce(col("n_tok"), lit(0L)) * col("den_bits")).as("score"))
+
+    scored.groupBy(col("__id"), col("__label"), col("fold"))
+      .agg(min(struct((-col("score")).as("neg"), col("cls").as("cls"))).as("best"))
+      .select(col("fold"),
+        when(col("best.cls") === col("__label"), 1L).otherwise(0L).as("hit"))
+      .groupBy("fold")
+      .agg(count(lit(1)).as("n_test"), sum("hit").as("hits"))
+      .select(col("fold"), col("n_test"), col("hits"),
+        (col("hits").cast("double") / col("n_test")).as("accuracy"))
+  }
+
+  /** Confusion matrix of [[nbPredict]]: (label_true, predicted, n) —
+    * the held-out quality report a classifier gate ships with. */
+  def nbConfusion(docs: DataFrame, idCol: String, textCol: String,
+                  labelCol: String, splitMod: Int = 5): DataFrame =
+    nbPredict(docs, idCol, textCol, labelCol, splitMod)
+      .groupBy(col("label_true"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+}

@@ -93,4 +93,49 @@ object Drift {
             .cast("double")).as("tvd"),
         col("max_gap"))
   }
+
+  /** Quantized KL divergence of each slice's TOKEN distribution against
+    * the whole corpus — the "how far has this source/shard drifted from
+    * the mix" companion to [[driftSummary]]'s numeric TVD. The header's
+    * objection to KL is about *floating* logs; this form quantizes each
+    * log-ratio to INTEGER BITS (`floor(log2 x) = length(bin(x)) − 1` —
+    * the [[LanguageModel]] contract), so the statistic is engine-exact:
+    * {{{
+    *   kl_bits(s) = Σ_t c_st · ( bits(c_st · N) − bits(n_s · C_t) )
+    *              ≈ n_s · KL(P_s ‖ Q) in bits
+    * }}}
+    * with c_st the token count in slice s, n_s the slice total, C_t the
+    * corpus count, N the corpus total. Every slice token exists in the
+    * corpus (the slices partition it), so no smoothing constant enters
+    * the contract. Per-term quantization error is < 2 bits and signed,
+    * so small true divergences can read slightly negative — the
+    * reported `kl_per_token` is a RANKING signal, exact by construction.
+    *
+    * Scale: two token-count aggregations (slice × token, token) — both
+    * vocabulary-bounded — joined on the token key, one corpus-total
+    * 1-row broadcast; output is one row per slice. Overflow bound: the
+    * bits() arguments are ≤ n_s·C_t ≤ N², so the corpus must stay under
+    * ~3·10⁹ tokens for exact LONG products; past that, pre-scale both
+    * products by a common power of two (ranks shift equally) or move
+    * the products to DECIMAL(38) with a comparison-chain bits().
+    */
+  def tokenKlBySlice(docs: DataFrame, sliceCol: String,
+                     textCol: String): DataFrame = {
+    val bits = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
+    val tok = docs.select(col(sliceCol).as("slice"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+    val cst = tok.groupBy("slice", "tok").agg(count(lit(1)).as("c_st"))
+    val ns = cst.groupBy("slice").agg(sum("c_st").as("n_s"))
+    val ct = tok.groupBy("tok").agg(count(lit(1)).as("c_t"))
+    val nTotal = ct.agg(sum("c_t").as("n_total"))
+    cst.join(ct, "tok").join(ns, "slice").crossJoin(broadcast(nTotal))
+      .select(col("slice"), col("n_s"),
+        (col("c_st") *
+          (bits(col("c_st") * col("n_total")) - bits(col("n_s") * col("c_t")))
+            .cast("long")).as("__term"))
+      .groupBy("slice").agg(max("n_s").as("n_tokens"),
+        sum("__term").as("kl_bits"))
+      .select(col("slice"), col("n_tokens"), col("kl_bits"),
+        (col("kl_bits").cast("double") / col("n_tokens")).as("kl_per_token"))
+  }
 }

@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Graph centrality as pure dataflow — fixed-iteration PageRank with
+  * the whole recursion in SCALED INTEGER arithmetic, so every rank is
+  * bit-exact across engines (a SQL oracle replays the iterations as
+  * unrolled aggregate-join CTEs with `//` division; nothing depends on
+  * float summation order or libm). The training-data uses: TextRank
+  * keyword extraction over the word co-occurrence graph (see
+  * [[graft.pipelines.ModelQueries]]), canonical-representative
+  * selection inside near-dup clusters, and domain-authority weighting
+  * when a crawl's host-link graph is available.
+  *
+  * Recursion (damping d = dampNum/dampDen, mass scale S):
+  * {{{
+  *   r⁰(v)   = S div n
+  *   rᵏ⁺¹(v) = (S·(dampDen−dampNum)) div (dampDen·n)
+  *           + (dampNum · Σ_{u→v} (rᵏ(u) div deg⁺(u))) div dampDen
+  * }}}
+  * All quantities are nonnegative longs, so `div` (truncating) and
+  * floor division agree and DuckDB `//` replays it exactly. Dangling
+  * mass (nodes with no out-edges) is dropped, the common practical
+  * variant — ranks still order identically for connected graphs and
+  * the contract is stated rather than hidden.
+  *
+  * Scale shape: each iteration is ONE equi-join of the edge list
+  * against the current rank vector (hash-partitioned on the node key)
+  * plus a map-side-combined sum per destination — the canonical
+  * message-passing round. The edge list is persisted once; each rank
+  * generation is localCheckpoint'd (or reliably checkpointed under
+  * `checkpointDir`, [[Dedup.nearDupClusters]]'s executor-loss posture)
+  * so the loop body never re-executes upstream lineage and the logical
+  * plan stays O(1) deep per round. Iteration count is a fixed small
+  * constant (centrality needs ~5–20 rounds), so total cost is
+  * iters × |E| shuffle — no driver-side state beyond loop control.
+  */
+object Graph {
+
+  /** Integer PageRank over a directed edge list (`srcCol`, `dstCol`).
+    * The caller supplies the exact edge multiset — pre-`distinct` it
+    * for an unweighted graph (parallel edges otherwise count as
+    * multi-edges, which is also a valid weighting). Returns one row
+    * per node: (`node`, `rank_scaled`) with Σ rank ≤ `scale`. */
+  def pageRank(edges: DataFrame, srcCol: String, dstCol: String,
+               iters: Int, scale: Long = 1000000000000L,
+               dampNum: Int = 85, dampDen: Int = 100,
+               checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping $dampNum/$dampDen outside [0,1]")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    // node count rides the 1-row-broadcast compact-producer protocol —
+    // the loop below needs it in every generation's teleport term
+    val nTotal = nodes.agg(count(lit(1)).as("n"))
+
+    def checkpointGen(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd // tiny (node, rank) rows
+      if (checkpointDir.isDefined) {
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
+    var (ranks, prevRdd) = checkpointGen(
+      nodes.crossJoin(broadcast(nTotal))
+        .select(col("node"), expr(s"${scale}L div n").as("rank_scaled")))
+    var iter = 0
+    while (iter < iters) {
+      val contrib = e
+        .join(ranks.select(col("node").as("src"), col("rank_scaled").as("r")), "src")
+        .join(outdeg, "src")
+        .select(col("dst"), expr("r div deg").as("c"))
+        .groupBy("dst").agg(sum("c").as("cs"))
+      val (next, nextRdd) = checkpointGen(
+        nodes.crossJoin(broadcast(nTotal))
+          .join(contrib, col("node") === col("dst"), "left")
+          .select(col("node"),
+            (expr(s"(${scale}L * ${dampDen - dampNum}) div (${dampDen}L * n)") +
+              expr(s"(${dampNum}L * coalesce(cs, 0L)) div ${dampDen}L")
+            ).as("rank_scaled")))
+      next.count() // materialize this generation, then free the previous
+      prevRdd.unpersist(blocking = false)
+      prevRdd = nextRdd
+      ranks = next
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    ranks
+  }
+}

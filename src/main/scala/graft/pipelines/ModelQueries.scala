@@ -1,0 +1,225 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Entities
+import graft.ops.{Classifier, Drift, Graph, TextAnalysis}
+
+/** Model-flavoured corpus analytics (round 8): trained Naive-Bayes
+  * document classification (the learned quality/language gate of LLM
+  * data recipes), TextRank keyword extraction (integer PageRank over
+  * the word co-occurrence graph), and quantized-KL source drift. All
+  * three are engine-exact by construction — integer-bits logs and
+  * scaled-integer ranks — so every query here hash-matches a DuckDB
+  * replay (see each operator's scaladoc for the quantization and
+  * overflow contracts).
+  */
+object ModelQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Entities.read(s, dir, "documents")
+
+  /** Distinct symmetrized word-adjacency edges over lowercased
+    * whitespace tokens, self-loops excluded — the TextRank graph. Both
+    * orientations come from ONE evaluation of the bigram plan (the
+    * explode-of-2-struct-array idiom, [[graft.ops.Dedup.nearDupClusters]]). */
+  private def wordEdges(d: DataFrame): DataFrame = {
+    val toks = d.select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+    val bi = toks.select(explode(
+        when(size(col("tk")) >= 2,
+          transform(sequence(lit(0), size(col("tk")) - 2),
+            i => struct(element_at(col("tk"), i + 1).as("w1"),
+              element_at(col("tk"), i + 2).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("e"))
+      .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
+      .filter(col("w1") =!= col("w2"))
+    bi.select(explode(array(
+        struct(col("w1").as("src"), col("w2").as("dst")),
+        struct(col("w2").as("src"), col("w1").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct()
+  }
+
+  val queries: Map[String, Q] = Map(
+    // held-out NB language prediction over documents: train on
+    // doc_id%5!=0, score the rest; argmax with smallest-class tie-break
+    "q_nb_predict" -> ((s, dir) =>
+      Classifier.nbPredict(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
+    // the classifier gate's shipped quality report
+    "q_nb_confusion" -> ((s, dir) =>
+      Classifier.nbConfusion(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("label_true", "predicted")),
+
+    // TextRank: 4 integer-PageRank rounds over the word graph, top 50
+    // keywords by (rank, token) total order
+    "q_text_textrank" -> ((s, dir) =>
+      Graph.pageRank(wordEdges(docs(s, dir)), "src", "dst", iters = 4)
+        .orderBy(desc("rank_scaled"), asc("node"))
+        .limit(50)
+        .select(col("node").as("token"), col("rank_scaled"))),
+
+    // per-source token-distribution drift vs the corpus mix
+    "q_drift_kl_source" -> ((s, dir) =>
+      Drift.tokenKlBySlice(docs(s, dir), "source", "text")
+        .orderBy("slice")),
+
+    // 5-fold cross-validated NB accuracy, ONE pass via count subtraction
+    "q_nb_cv" -> ((s, dir) =>
+      Classifier.nbCrossValidate(docs(s, dir), "doc_id", "text", "lang", folds = 5)
+        .orderBy("fold")),
+  )
+
+  /** Unrolled integer-PageRank CTE chain `r0..r{iters}` over edge CTE
+    * `e` (with `nodes`/`cnt`/`deg` alongside) — DuckDB `//` replays
+    * Spark's nonnegative `div` exactly. */
+  private def pageRankCtes(iters: Int, scale: Long, dampNum: Int,
+                           dampDen: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst, SUM(r // deg) AS cs
+         |  FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src JOIN deg USING (src)
+         |  GROUP BY 1),
+         |r$k AS (SELECT nodes.node,
+         |    ($scale * ${dampDen - dampNum}) // ($dampDen * n)
+         |      + ($dampNum * COALESCE(cs, 0)) // $dampDen AS r
+         |  FROM nodes CROSS JOIN cnt LEFT JOIN c$k ON c$k.dst = nodes.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+       |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |r0 AS (SELECT node, $scale // n AS r FROM nodes CROSS JOIN cnt),
+       |$rounds""".stripMargin
+  }
+
+  /** Shared NB training/scoring CTE chain ending in `rk` (per-test-doc
+    * class ranking) — both NB oracles extend it. */
+  private val nbCtes: String =
+    """base AS (SELECT doc_id, lang,
+      |    [t FOR t IN string_split(lower(text), ' ') IF t <> ''] AS tk,
+      |    (doc_id % 5 = 0) AS is_test FROM documents),
+      |ttok AS (SELECT lang, unnest(tk) AS tok FROM base WHERE NOT is_test),
+      |ctc AS (SELECT lang AS cls, tok, COUNT(*) AS c_tc FROM ttok GROUP BY 1, 2),
+      |nc AS (SELECT lang AS cls, COUNT(*) AS n_c FROM ttok GROUP BY 1),
+      |voc AS (SELECT COUNT(DISTINCT tok) AS v FROM ttok),
+      |dc AS (SELECT lang AS cls, COUNT(*) AS d_c FROM base WHERE NOT is_test GROUP BY 1),
+      |dt AS (SELECT COUNT(*) AS d_train FROM base WHERE NOT is_test),
+      |classes AS (SELECT cls,
+      |    length(bin((n_c + v) * (n_c + v))) - 1 AS den_bits,
+      |    (length(bin(d_c * d_c)) - 1) - (length(bin(d_train * d_train)) - 1) AS prior_bits
+      |  FROM nc JOIN dc USING (cls) CROSS JOIN voc CROSS JOIN dt),
+      |stok AS (SELECT doc_id, unnest(tk) AS tok FROM base WHERE is_test),
+      |present AS (SELECT doc_id, cls,
+      |    SUM(length(bin((c_tc + 1) * (c_tc + 1))) - 1) AS pos_bits
+      |  FROM stok JOIN ctc USING (tok) GROUP BY 1, 2),
+      |ntok AS (SELECT doc_id, COUNT(*) AS n_tok FROM stok GROUP BY 1),
+      |scored AS (SELECT b.doc_id, b.lang AS label_true, c.cls,
+      |    c.prior_bits + COALESCE(p.pos_bits, 0) - COALESCE(t.n_tok, 0) * c.den_bits AS score
+      |  FROM base b CROSS JOIN classes c
+      |  LEFT JOIN ntok t ON t.doc_id = b.doc_id
+      |  LEFT JOIN present p ON p.doc_id = b.doc_id AND p.cls = c.cls
+      |  WHERE b.is_test),
+      |rk AS (SELECT doc_id, label_true, cls, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+      |  FROM scored)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_nb_predict" ->
+      s"""WITH $nbCtes
+         |SELECT doc_id, label_true, cls AS predicted,
+         |  CAST(score AS BIGINT) AS score,
+         |  CAST(CASE WHEN cls = label_true THEN 1 ELSE 0 END AS BIGINT) AS hit
+         |FROM rk WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+
+    "q_nb_confusion" ->
+      s"""WITH $nbCtes
+         |SELECT label_true, cls AS predicted, COUNT(*) AS n
+         |FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_text_textrank" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    [t FOR t IN string_split(lower(text), ' ') IF t <> ''] AS tk
+         |  FROM documents),
+         |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+         |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i FROM toks)
+         |  WHERE tk[i] <> tk[i+1]),
+         |e AS (SELECT w1 AS src, w2 AS dst FROM bi UNION SELECT w2, w1 FROM bi),
+         |${pageRankCtes(iters = 4, scale = 1000000000000L, dampNum = 85, dampDen = 100)}
+         |SELECT node AS token, CAST(r AS BIGINT) AS rank_scaled FROM r4
+         |ORDER BY rank_scaled DESC, token LIMIT 50""".stripMargin,
+
+    "q_drift_kl_source" ->
+      """WITH tok AS (SELECT source AS slice,
+        |    unnest([t FOR t IN string_split(lower(text), ' ') IF t <> '']) AS tok
+        |  FROM documents),
+        |cst AS (SELECT slice, tok, COUNT(*) AS c_st FROM tok GROUP BY 1, 2),
+        |ns AS (SELECT slice, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY 1),
+        |ct AS (SELECT tok, COUNT(*) AS c_t FROM tok GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS n_total FROM ct),
+        |terms AS (SELECT c.slice, s.n_s,
+        |    c.c_st * ((length(bin(c.c_st * t.n_total)) - 1)
+        |            - (length(bin(s.n_s * ct.c_t)) - 1)) AS term
+        |  FROM cst c JOIN ct ON ct.tok = c.tok JOIN ns s ON s.slice = c.slice
+        |  CROSS JOIN tot t),
+        |agg AS (SELECT slice, MAX(n_s) AS n_tokens,
+        |    CAST(SUM(term) AS BIGINT) AS kl_bits
+        |  FROM terms GROUP BY 1)
+        |SELECT slice, n_tokens, kl_bits,
+        |  CAST(kl_bits AS DOUBLE) / n_tokens AS kl_per_token
+        |FROM agg ORDER BY slice""".stripMargin,
+
+    "q_nb_cv" ->
+      """WITH base AS (SELECT doc_id, lang, doc_id % 5 AS fold,
+        |    [t FOR t IN string_split(lower(text), ' ') IF t <> ''] AS tk FROM documents),
+        |ltok AS (SELECT doc_id, lang, fold, unnest(tk) AS tok FROM base),
+        |actc AS (SELECT lang AS cls, tok, COUNT(*) AS c_all FROM ltok GROUP BY 1, 2),
+        |fctc AS (SELECT fold, lang AS cls, tok, COUNT(*) AS c_f FROM ltok GROUP BY 1, 2, 3),
+        |anc AS (SELECT lang AS cls, COUNT(*) AS n_all FROM ltok GROUP BY 1),
+        |fnc AS (SELECT fold, lang AS cls, COUNT(*) AS n_f FROM ltok GROUP BY 1, 2),
+        |dca AS (SELECT lang AS cls, COUNT(*) AS dc_all FROM base GROUP BY 1),
+        |dcf AS (SELECT fold, lang AS cls, COUNT(*) AS dc_f FROM base GROUP BY 1, 2),
+        |dal AS (SELECT COUNT(*) AS d_all FROM base),
+        |dfl AS (SELECT fold, COUNT(*) AS d_f FROM base GROUP BY 1),
+        |tt AS (SELECT tok, COUNT(*) AS t_all FROM ltok GROUP BY 1),
+        |va AS (SELECT COUNT(*) AS v_all FROM tt),
+        |ex AS (SELECT fold, COUNT(*) AS excl
+        |  FROM (SELECT fold, tok, COUNT(*) AS t_f FROM ltok GROUP BY 1, 2) f
+        |  JOIN tt USING (tok) WHERE t_f = t_all GROUP BY 1),
+        |grid AS (SELECT g.fold, c.cls,
+        |    length(bin((c.n_all - COALESCE(fn.n_f, 0) + v.v_all - COALESCE(e.excl, 0))
+        |             * (c.n_all - COALESCE(fn.n_f, 0) + v.v_all - COALESCE(e.excl, 0)))) - 1 AS den_bits,
+        |    (length(bin((c.dc_all - COALESCE(dc.dc_f, 0))
+        |              * (c.dc_all - COALESCE(dc.dc_f, 0)))) - 1)
+        |      - (length(bin((d.d_all - df.d_f) * (d.d_all - df.d_f))) - 1) AS prior_bits
+        |  FROM (SELECT DISTINCT fold FROM base) g
+        |  CROSS JOIN (SELECT a.cls, a.n_all, dd.dc_all FROM anc a JOIN dca dd USING (cls)) c
+        |  LEFT JOIN fnc fn ON fn.fold = g.fold AND fn.cls = c.cls
+        |  LEFT JOIN dcf dc ON dc.fold = g.fold AND dc.cls = c.cls
+        |  JOIN dfl df ON df.fold = g.fold
+        |  LEFT JOIN ex e ON e.fold = g.fold
+        |  CROSS JOIN va v CROSS JOIN dal d
+        |  WHERE c.dc_all - COALESCE(dc.dc_f, 0) > 0),
+        |pres AS (SELECT t.doc_id, t.fold, a.cls,
+        |    SUM(length(bin((a.c_all - COALESCE(f.c_f, 0) + 1)
+        |              * (a.c_all - COALESCE(f.c_f, 0) + 1))) - 1) AS pos_bits
+        |  FROM ltok t JOIN actc a ON a.tok = t.tok
+        |  LEFT JOIN fctc f ON f.fold = t.fold AND f.cls = a.cls AND f.tok = t.tok
+        |  GROUP BY 1, 2, 3),
+        |nt AS (SELECT doc_id, COUNT(*) AS n_tok FROM ltok GROUP BY 1),
+        |sc AS (SELECT b.doc_id, b.lang, g.cls,
+        |    g.prior_bits + COALESCE(p.pos_bits, 0) - COALESCE(n.n_tok, 0) * g.den_bits AS score,
+        |    b.fold
+        |  FROM base b JOIN grid g ON g.fold = b.fold
+        |  LEFT JOIN nt n ON n.doc_id = b.doc_id
+        |  LEFT JOIN pres p ON p.doc_id = b.doc_id AND p.fold = b.fold AND p.cls = g.cls),
+        |pick AS (SELECT doc_id, lang, fold, cls,
+        |    ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, cls ASC) AS rn
+        |  FROM sc)
+        |SELECT fold, COUNT(*) AS n_test,
+        |  CAST(SUM(CASE WHEN cls = lang THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+        |  CAST(SUM(CASE WHEN cls = lang THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS accuracy
+        |FROM pick WHERE rn = 1 GROUP BY 1 ORDER BY 1""".stripMargin,
+  )
+}

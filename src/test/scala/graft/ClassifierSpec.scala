@@ -1,0 +1,166 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Classifier
+
+/** Naive-Bayes gate: full differential check against an independent
+  * plain-Scala reference NB (same half-bit quantization), plus the
+  * empty-doc / tie-break / unseen-label contracts. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def bits2(x: Long): Long = {
+    require(x > 0); 63 - java.lang.Long.numberOfLeadingZeros(x * x)
+  }
+
+  /** Independent reference: multinomial NB with add-one smoothing at
+    * half-bit resolution, argmax with smallest-class tie-break. */
+  private def referenceNb(docs: Seq[(Long, String, String)], mod: Int)
+      : Map[Long, (String, Long)] = {
+    def toks(t: String) = t.toLowerCase.split(" ").filter(_.nonEmpty).toSeq
+    val (test, train) = docs.partition(_._1 % mod == 0)
+    val trainTok = train.flatMap { case (_, lab, t) => toks(t).map(lab -> _) }
+    val ctc = trainTok.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val nc = trainTok.groupBy(_._1).map { case (k, v) => k -> v.size.toLong }
+    val v = trainTok.map(_._2).distinct.size.toLong
+    val dc = train.groupBy(_._2).map { case (k, g) => k -> g.size.toLong }
+    val dTrain = train.size.toLong
+    val classes = nc.keySet
+    test.map { case (id, _, t) =>
+      val scores = classes.toSeq.map { c =>
+        val prior = bits2(dc(c)) - bits2(dTrain)
+        val body = toks(t).map { w =>
+          bits2(ctc.getOrElse((c, w), 0L) + 1) - bits2(nc(c) + v)
+        }.sum
+        (c, prior + body)
+      }
+      id -> scores.minBy { case (c, s) => (-s, c) }
+    }.toMap
+  }
+
+  private val fixture: Seq[(Long, String, String)] = Seq(
+    (0L, "en", "the cat sat on the mat"),
+    (1L, "en", "the dog and the cat"),
+    (2L, "en", "it is the house of the king"),
+    (3L, "de", "der hund und die katze"),
+    (4L, "de", "das haus ist nicht klein"),
+    (5L, "de", "die katze und der hund sind da"),
+    (6L, "en", "for the win and the glory"),
+    (7L, "de", "ich bin mit dem hund"),
+    (8L, "de", "der der der die die und"),
+    (9L, "en", "on and on with it"),
+    (10L, "en", "the the the and and of"),
+    (11L, "de", "und die katze ist da"))
+
+  test("nbPredict matches the independent reference NB exactly") {
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val got = Classifier.nbPredict(df, "doc_id", "text", "lang", splitMod = 5)
+      .select("doc_id", "predicted", "score")
+      .as[(Long, String, Long)].collect()
+      .map { case (id, p, s) => id -> ((p, s)) }.toMap
+    val want = referenceNb(fixture, mod = 5)
+    assert(got == want)
+    assert(got.keySet == Set(0L, 5L, 10L)) // the %5==0 held-out rows
+  }
+
+  test("empty test document scores prior-only and ties break to the smallest class") {
+    // equal class priors and equal token totals -> exact score tie on an
+    // empty doc -> prediction must be the lexicographically smallest class
+    val docs = Seq(
+      (0L, "zz", ""),
+      (1L, "aa", "x y z"),
+      (2L, "bb", "p q r"),
+      (3L, "aa", "x y z"),
+      (4L, "bb", "p q r")).toDF("doc_id", "lang", "text")
+    val row = Classifier.nbPredict(docs, "doc_id", "text", "lang", splitMod = 5)
+      .collect().head
+    assert(row.getAs[String]("predicted") == "aa")
+    // prior = bits2(2) - bits2(4): both classes tie there
+    assert(row.getAs[Long]("score") == bits2(2) - bits2(4))
+    assert(row.getAs[Long]("hit") == 0L) // true label never trained
+  }
+
+  test("hit flag and confusion matrix are consistent") {
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val pred = Classifier.nbPredict(df, "doc_id", "text", "lang", splitMod = 5)
+    val hits = pred.agg(sum("hit")).as[Long].collect().head
+    val diag = Classifier.nbConfusion(df, "doc_id", "text", "lang", splitMod = 5)
+      .filter(col("label_true") === col("predicted"))
+      .agg(coalesce(sum("n"), lit(0L))).as[Long].collect().head
+    assert(hits == diag)
+    val total = Classifier.nbConfusion(df, "doc_id", "text", "lang", splitMod = 5)
+      .agg(sum("n")).as[Long].collect().head
+    assert(total == 3L)
+  }
+
+  test("nbClassScores emits one row per test doc per trained class") {
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val sc = Classifier.nbClassScores(df, "doc_id", "text", "lang", splitMod = 5)
+    assert(sc.count() == 3 * 2) // 3 test docs x {en, de}
+    assert(sc.select("cls").distinct().as[String].collect().toSet == Set("en", "de"))
+  }
+
+  test("fixture classifier is actually discriminative on held-out docs") {
+    // sanity: the de/en stopword fixtures should classify correctly
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val rows = Classifier.nbPredict(df, "doc_id", "text", "lang", splitMod = 5)
+      .select("label_true", "predicted").as[(String, String)].collect()
+    assert(rows.forall { case (t, p) => t == p })
+  }
+
+  test("save/load round-trips the model and nbPredictWith matches nbPredict") {
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val isTest = col("doc_id") % 5 === 0
+    val model = Classifier.nbTrain(df.filter(!isTest), "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("nbmodel").toString
+    Classifier.saveNbModel(model, dir)
+    val loaded = Classifier.loadNbModel(spark, dir)
+    val viaModel = Classifier.nbPredictWith(loaded, df.filter(isTest), "doc_id", "text")
+      .select("doc_id", "predicted", "score")
+      .as[(Long, String, Long)].collect().toSet
+    val direct = Classifier.nbPredict(df, "doc_id", "text", "lang", splitMod = 5)
+      .select("doc_id", "predicted", "score")
+      .as[(Long, String, Long)].collect().toSet
+    assert(viaModel == direct)
+  }
+
+  test("one-pass k-fold CV equals k independent train/score runs") {
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val k = 3
+    val got = Classifier.nbCrossValidate(df, "doc_id", "text", "lang", folds = k)
+      .select("fold", "n_test", "hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = (0 until k).map { f =>
+      val train = df.filter(col("doc_id") % k =!= f)
+      val test = df.filter(col("doc_id") % k === f)
+      val model = Classifier.nbTrain(train, "text", "lang")
+      val pred = Classifier.nbPredictWith(model, test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+      val n = pred.count()
+      val hits = pred.filter(col("predicted") === col("lang")).count()
+      f.toLong -> ((n, hits))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("CV vocabulary subtraction: fold-exclusive tokens leave the other folds' V") {
+    // token "qqq" appears ONLY in fold-0 docs; training for fold 0 must
+    // therefore use V-1 — cross-check against the independent run above
+    val docs = Seq(
+      (0L, "aa", "qqq x y"), (3L, "aa", "qqq x"),
+      (1L, "aa", "x y z"), (4L, "aa", "x z"),
+      (2L, "bb", "p q r"), (5L, "bb", "p q")).toDF("doc_id", "lang", "text")
+    val got = Classifier.nbCrossValidate(docs, "doc_id", "text", "lang", folds = 3)
+      .select("fold", "n_test", "hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = (0 until 3).map { f =>
+      val train = docs.filter(col("doc_id") % 3 =!= f)
+      val test = docs.filter(col("doc_id") % 3 === f)
+      val pred = Classifier.nbPredictWith(
+          Classifier.nbTrain(train, "text", "lang"), test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+      f.toLong -> ((pred.count(), pred.filter(col("predicted") === col("lang")).count()))
+    }.toMap
+    assert(got == want)
+  }
+}

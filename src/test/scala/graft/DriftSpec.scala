@@ -51,4 +51,45 @@ class DriftSpec extends SparkSpec {
     assert(bins.map(_.getAs[Long]("a_n")).sum == 2L)
     assert(bins.map(_.getAs[Long]("b_n")).sum == 2L)
   }
+
+  test("tokenKlBySlice: identical slice distributions score exactly zero") {
+    // two slices with the SAME token multiset: c_st·N = c_st·2n_s and
+    // n_s·C_t = n_s·2c_st are equal term-by-term, so kl_bits = 0 exactly
+    val docs = Seq(
+      ("a", "x x y z"), ("a", "y z z"),
+      ("b", "x x y z"), ("b", "y z z")).toDF("source", "text")
+    val r = Drift.tokenKlBySlice(docs, "source", "text")
+      .orderBy("slice").collect()
+    assert(r.map(_.getAs[String]("slice")).toSeq == Seq("a", "b"))
+    r.foreach { row =>
+      assert(row.getAs[Long]("n_tokens") == 7L)
+      assert(row.getAs[Long]("kl_bits") == 0L)
+      assert(row.getAs[Double]("kl_per_token") == 0.0)
+    }
+  }
+
+  test("tokenKlBySlice: fully disjoint slices score the hand-computed positive bits") {
+    // slice a = 4×"x", slice b = 4×"y": for each, c_st=4, n_s=4, C_t=4,
+    // N=8 -> term = 4·(bits(32) − bits(16)) = 4·(5 − 4) = 4
+    val docs = Seq(("a", "x x x x"), ("b", "y y y y")).toDF("source", "text")
+    val r = Drift.tokenKlBySlice(docs, "source", "text")
+      .orderBy("slice").collect()
+    r.foreach { row =>
+      assert(row.getAs[Long]("kl_bits") == 4L)
+      assert(row.getAs[Double]("kl_per_token") == 1.0)
+    }
+  }
+
+  test("tokenKlBySlice: the drifted slice ranks above the conforming one") {
+    val docs = Seq(
+      ("bulk", "a b c d e f g h"), ("bulk", "a b c d e f g h"),
+      ("bulk", "a b c d e f g h"), ("bulk", "a b c d e f g h"),
+      ("conform", "a b c d e f g h"),
+      ("weird", "z z z z z z z z")).toDF("source", "text")
+    val r = Drift.tokenKlBySlice(docs, "source", "text").collect()
+      .map(x => x.getAs[String]("slice") -> x.getAs[Double]("kl_per_token"))
+      .toMap
+    assert(r("weird") > r("conform"))
+    assert(r("weird") > r("bulk"))
+  }
 }

@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Graph
+
+/** Integer PageRank: hand-computed rank values on tiny graphs (the
+  * recursion is exact integer arithmetic, so the expectations are exact
+  * longs, not tolerances), the dangling-mass contract, and
+  * repartition-invariance of the whole loop. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val S = 1000000000000L
+
+  private def ranksOf(edges: Seq[(String, String)], iters: Int,
+                      parts: Option[Int] = None): Map[String, Long] = {
+    val base = edges.toDF("src", "dst")
+    val df = parts.map(base.repartition(_)).getOrElse(base)
+    Graph.pageRank(df, "src", "dst", iters)
+      .as[(String, Long)].collect().toMap
+  }
+
+  test("symmetric 2-cycle is stationary at S/2 per node") {
+    val r = ranksOf(Seq(("a", "b"), ("b", "a")), iters = 3)
+    assert(r == Map("a" -> 500000000000L, "b" -> 500000000000L))
+  }
+
+  test("directed edge: source keeps only teleport mass, sink absorbs (dangling drops)") {
+    // n=2: teleport = (S*15) div (100*2) = 75e9; a has no in-edges;
+    // b's dangling outflow vanishes (documented variant)
+    val r1 = ranksOf(Seq(("a", "b")), iters = 1)
+    assert(r1 == Map("a" -> 75000000000L, "b" -> 500000000000L))
+    // second round: b's mass is dangling, a stays at teleport, b gets
+    // 85% of a's teleport mass on top of its own teleport
+    val r2 = ranksOf(Seq(("a", "b")), iters = 2)
+    assert(r2 == Map("a" -> 75000000000L, "b" -> 138750000000L))
+  }
+
+  test("3-spoke star: exact hub trajectory over two rounds") {
+    val edges = Seq(("s1", "h"), ("s2", "h"), ("s3", "h"))
+    // n=4: r0 = 25e10 each; teleport = (S*15) div 400 = 37.5e9
+    val r1 = ranksOf(edges, iters = 1)
+    assert(r1("h") == 675000000000L)
+    assert(r1("s1") == 37500000000L && r1("s2") == 37500000000L)
+    val r2 = ranksOf(edges, iters = 2)
+    // c2(h) = 3 * (37.5e9 div 1); r2(h) = 37.5e9 + (85 * 112.5e9) div 100
+    assert(r2("h") == 133125000000L)
+    assert(r2("s3") == 37500000000L)
+  }
+
+  test("iters = 0 returns the uniform S div n vector") {
+    val r = ranksOf(Seq(("a", "b"), ("b", "c"), ("c", "a")), iters = 0)
+    assert(r.values.toSet == Set(S / 3))
+    assert(r.keySet == Set("a", "b", "c"))
+  }
+
+  test("ranks are invariant under input repartitioning") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"),
+      ("d", "a"), ("b", "d"))
+    assert(ranksOf(edges, iters = 5) == ranksOf(edges, iters = 5, parts = Some(7)))
+  }
+
+  test("rank mass never exceeds the scale and every node appears once") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"))
+    val df = Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 4)
+    val rows = df.collect()
+    assert(rows.map(_.getString(0)).toSet == Set("a", "b", "c"))
+    assert(rows.map(_.getLong(1)).sum <= S)
+    assert(rows.forall(_.getLong(1) > 0))
+  }
+}
