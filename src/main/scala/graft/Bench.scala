@@ -32,6 +32,7 @@ object Bench {
     // measure a cache hit instead of the query. Within a pass, caches
     // behave exactly as they would for a user running the suite once.
     def onePass(): Map[String, Double] = {
+      graft.ops.Classifier.releaseCaches()
       graft.ops.Dedup.releaseCaches()
       graft.ops.Linkage.releaseCaches()
       graft.ops.Ranks.releaseCaches()

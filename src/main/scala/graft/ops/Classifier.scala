@@ -48,6 +48,14 @@ object Classifier {
   private[ops] def bits2(x: Column): Column =
     (length(bin(x.cast("long") * x.cast("long"))) - 1).cast("long")
 
+  /** Training-count frames persist for the fit's consumers (the class
+    * constants and every scoring join re-read them; without the persist
+    * each re-aggregation replays the corpus-scale tokenize+explode+agg).
+    * Vocabulary-scale blocks only — released by [[releaseCaches]] /
+    * the bench harness between passes. */
+  private val cacheWindow = new CacheWindows(4)
+  def releaseCaches(): Unit = cacheWindow.releaseAll()
+
   /** A trained NB model as two frames — the persistable/broadcastable
     * artifact the score path consumes.
     *   - `tokenCounts`: (cls, tok, c_tc) — vocabulary × classes rows.
@@ -63,17 +71,19 @@ object Classifier {
     * both vocabulary-bounded; the global constants (V, d_train) ride
     * 1-row broadcast cross joins — no collect, no driver round-trip. */
   def nbTrain(docs: DataFrame, textCol: String, labelCol: String): NbModel = {
-    val base = docs.select(col(labelCol).as("__label"),
-      TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
-    val trainTok = base.select(col("__label"), explode(col("__tk")).as("tok"))
+    val trainTok = docs.select(col(labelCol).as("__label"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
 
-    val ctc = trainTok.groupBy(col("__label").as("cls"), col("tok"))
-      .agg(count(lit(1)).as("c_tc"))
-    val nc = trainTok.groupBy(col("__label").as("cls"))
-      .agg(count(lit(1)).as("n_c"))
-    val vocab = trainTok.select("tok").distinct().agg(count(lit(1)).as("v"))
-    val dc = base.groupBy(col("__label").as("cls")).agg(count(lit(1)).as("d_c"))
-    val dTrain = base.agg(count(lit(1)).as("d_train"))
+    // the ONE corpus-scale aggregation; every other statistic is a
+    // re-aggregation of this vocabulary-bounded frame (persisted so the
+    // consumers don't replay the corpus scan)
+    val ctc = cacheWindow.add(
+      trainTok.groupBy(col("__label").as("cls"), col("tok"))
+        .agg(count(lit(1)).as("c_tc")))
+    val nc = ctc.groupBy("cls").agg(sum("c_tc").as("n_c"))
+    val vocab = ctc.select("tok").distinct().agg(count(lit(1)).as("v"))
+    val dc = docs.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("d_c"))
+    val dTrain = docs.agg(count(lit(1)).as("d_train"))
 
     val classes = nc.join(dc, "cls")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTrain))
@@ -104,20 +114,20 @@ object Classifier {
     * scoring share this exact plan. */
   def nbScoreWith(model: NbModel, docs: DataFrame, idCol: String,
                   textCol: String): DataFrame = {
-    val testTok = docs.select(col(idCol).as("__id"),
-        explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
-    val present = testTok.join(model.tokenCounts, "tok")
+    val base = docs.select(col(idCol).as("__id"),
+      TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
+    val present = base.select(col("__id"), explode(col("__tk")).as("tok"))
+      .join(model.tokenCounts, "tok")
       .groupBy(col("__id"), col("cls"))
       .agg(sum(bits2(col("c_tc") + 1)).as("pos_bits"))
-    val nTok = testTok.groupBy(col("__id")).agg(count(lit(1)).as("n_tok"))
 
-    docs.select(col(idCol).as("__id"))
-      .join(nTok, Seq("__id"), "left")
+    // n_tokens is ROW-LOCAL (array size) — no aggregation, no join
+    base.select(col("__id"), size(col("__tk")).cast("long").as("n_tok"))
       .crossJoin(broadcast(model.classes))
       .join(present, Seq("__id", "cls"), "left")
       .select(col("__id").as(idCol), col("cls"),
         (col("prior_bits") + coalesce(col("pos_bits"), lit(0L))
-          - coalesce(col("n_tok"), lit(0L)) * col("den_bits")).as("score"))
+          - col("n_tok") * col("den_bits")).as("score"))
   }
 
   /** Per-test-document class scores from a held-out multinomial NB fit.
@@ -186,28 +196,29 @@ object Classifier {
     val base = docs.select(col(idCol).as("__id"), col(labelCol).as("__label"),
       pmod(col(idCol), lit(folds)).cast("long").as("fold"),
       TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
-    // ONE exploded token frame feeds every aggregation below
-    val labTok = base.select(col("__id"), col("__label"), col("fold"),
-      explode(col("__tk")).as("tok"))
-    val tok = labTok.select("__id", "fold", "tok")
 
-    val allCtc = labTok.groupBy(col("__label").as("cls"), col("tok"))
-      .agg(count(lit(1)).as("c_all"))
-    val foldCtc = labTok.groupBy(col("fold"), col("__label").as("cls"), col("tok"))
-      .agg(count(lit(1)).as("c_f"))
-    val allNc = labTok.groupBy(col("__label").as("cls")).agg(count(lit(1)).as("n_all"))
-    val foldNc = labTok.groupBy(col("fold"), col("__label").as("cls"))
-      .agg(count(lit(1)).as("n_f"))
-    val dcAll = base.groupBy(col("__label").as("cls")).agg(count(lit(1)).as("dc_all"))
-    val dcFold = base.groupBy(col("fold"), col("__label").as("cls"))
-      .agg(count(lit(1)).as("dc_f"))
-    val dAll = base.agg(count(lit(1)).as("d_all"))
-    val dFold = base.groupBy("fold").agg(count(lit(1)).as("d_f"))
+    // the ONE corpus-scale aggregation — its finest grain (fold, cls,
+    // tok); every other count below is a re-aggregation of this
+    // vocabulary-bounded persisted frame, so the corpus is tokenized
+    // exactly twice in the whole CV (here and in the scoring join)
+    val foldCtc = cacheWindow.add(
+      base.select(col("fold"), col("__label"), explode(col("__tk")).as("tok"))
+        .groupBy(col("fold"), col("__label").as("cls"), col("tok"))
+        .agg(count(lit(1)).as("c_f")))
+    val allCtc = foldCtc.groupBy("cls", "tok").agg(sum("c_f").as("c_all"))
+    val allNc = foldCtc.groupBy("cls").agg(sum("c_f").as("n_all"))
+    val foldNc = foldCtc.groupBy("fold", "cls").agg(sum("c_f").as("n_f"))
+    val dcAll = docs.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("dc_all"))
+    val dcFold = docs.groupBy(pmod(col(idCol), lit(folds)).cast("long").as("fold"),
+        col(labelCol).as("cls")).agg(count(lit(1)).as("dc_f"))
+    val dAll = docs.agg(count(lit(1)).as("d_all"))
+    val dFold = docs.groupBy(pmod(col(idCol), lit(folds)).cast("long").as("fold"))
+      .agg(count(lit(1)).as("d_f"))
 
     // per-fold vocabulary: V − |tokens appearing ONLY in this fold|
-    val tokTotals = labTok.groupBy("tok").agg(count(lit(1)).as("t_all"))
+    val tokTotals = foldCtc.groupBy("tok").agg(sum("c_f").as("t_all"))
     val vAll = tokTotals.agg(count(lit(1)).as("v_all"))
-    val excl = labTok.groupBy(col("fold"), col("tok")).agg(count(lit(1)).as("t_f"))
+    val excl = foldCtc.groupBy("fold", "tok").agg(sum("c_f").as("t_f"))
       .join(tokTotals, "tok").filter(col("t_f") === col("t_all"))
       .groupBy("fold").agg(count(lit(1)).as("excl"))
 
@@ -230,20 +241,21 @@ object Classifier {
 
     // token-level: global counts joined once on the token, own-fold
     // counts subtracted via the (fold, cls, tok) left join
-    val present = tok.join(allCtc, "tok")
+    val present = base.select(col("__id"), col("fold"), explode(col("__tk")).as("tok"))
+      .join(allCtc, "tok")
       .join(foldCtc, Seq("fold", "cls", "tok"), "left")
       .groupBy(col("__id"), col("fold"), col("cls"))
       .agg(sum(bits2(col("c_all") - coalesce(col("c_f"), lit(0L)) + 1)).as("pos_bits"))
-    val nTok = tok.groupBy(col("__id")).agg(count(lit(1)).as("n_tok"))
 
-    val scored = base.select(col("__id"), col("__label"), col("fold"))
-      .join(nTok, Seq("__id"), "left")
+    // n_tokens is ROW-LOCAL (array size) — no aggregation, no join
+    val scored = base.select(col("__id"), col("__label"), col("fold"),
+        size(col("__tk")).cast("long").as("n_tok"))
       .join(broadcast(grid), Seq("fold"))
       .join(present, Seq("__id", "fold", "cls"), "left")
       .select(col("__id"), col("__label"), col("fold"),
         col("cls"),
         (col("prior_bits") + coalesce(col("pos_bits"), lit(0L))
-          - coalesce(col("n_tok"), lit(0L)) * col("den_bits")).as("score"))
+          - col("n_tok") * col("den_bits")).as("score"))
 
     scored.groupBy(col("__id"), col("__label"), col("fold"))
       .agg(min(struct((-col("score")).as("neg"), col("cls").as("cls"))).as("best"))

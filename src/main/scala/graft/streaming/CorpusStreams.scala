@@ -125,4 +125,34 @@ object CorpusStreams {
       TextAnalysis.dupGramFraction(t, 3) <= maxDup3 &&
       !flags("has_url") && !flags("has_email"))
   }
+
+  /** Attach the pre-trained NB classifier's prediction to each stream
+    * document — the model-based routing/labeling stage of a streaming
+    * ingest (language routing, quality-tier tagging). The model is a
+    * FIXED [[graft.ops.Classifier.NbModel]] (train once on the curated
+    * corpus, [[graft.ops.Classifier.loadNbModel]] at stream start);
+    * scoring is [[graft.ops.Classifier.nbPredictWith]]'s exact plan, so
+    * batch and per-micro-batch results are identical by construction.
+    *
+    * Same `foreachBatch` contract as the index-backed gates: the
+    * per-document argmax aggregation groups on a stream-derived key and
+    * the prediction joins back to the stream side, so a direct streaming
+    * plan can't exist — and per-micro-batch batch semantics is how a
+    * labeling stage runs anyway. Per-batch cost: one token-level inner
+    * join against the model's (cls, tok) table, |batch|-proportional. */
+  def classifyBatch(stream: DataFrame, model: graft.ops.Classifier.NbModel,
+                    idCol: String, textCol: String = "text"): DataFrame =
+    stream.join(
+      graft.ops.Classifier.nbPredictWith(model, stream, idCol, textCol),
+      Seq(idCol))
+
+  /** Keep only stream documents the classifier routes to `keep` classes
+    * (e.g. the target languages) — [[classifyBatch]] plus the filter,
+    * with the scoring columns dropped so the gate is shape-preserving. */
+  def classifierGate(stream: DataFrame, model: graft.ops.Classifier.NbModel,
+                     keep: Seq[String], idCol: String,
+                     textCol: String = "text"): DataFrame =
+    classifyBatch(stream, model, idCol, textCol)
+      .filter(col("predicted").isin(keep: _*))
+      .drop("predicted", "score")
 }

@@ -32,7 +32,14 @@ class PlanGateSpec extends SparkSpec {
     "q_sim_ivf_topk"       -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_dedup_semantic"     -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_dedup_semantic_survivors" -> Seq("broadcast-nested-loop",
-      "broadcast-nested-loop", "broadcast-nested-loop")
+      "broadcast-nested-loop", "broadcast-nested-loop"),
+    // NB classifier family: the doc-level crossJoin(broadcast(classes))
+    // fan-out — |classes| rows by contract (label cardinality: languages
+    // or quality tiers), joined at DOC granularity only; the token-level
+    // work is an equi-join (see Classifier scaladoc decomposition)
+    "q_nb_predict"         -> Seq("broadcast-nested-loop"),
+    "q_nb_confusion"       -> Seq("broadcast-nested-loop"),
+    "q_nb_cv"              -> Seq("broadcast-nested-loop")
   )
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {

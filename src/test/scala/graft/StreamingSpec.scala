@@ -397,4 +397,46 @@ class StreamingSpec extends SparkSpec {
       assert(streamed == batch)
     } finally q.stop()
   }
+
+  test("classifierGate routes micro-batches exactly like the batch classifier") {
+    val train = Seq(
+      (1L, "en", "the cat and the dog"), (2L, "en", "the house of the king"),
+      (3L, "de", "der hund und die katze"), (4L, "de", "das haus ist klein"))
+      .toDF("doc_id", "lang", "text")
+    val model = graft.ops.Classifier.nbTrain(train, "text", "lang")
+    val incoming = Seq(
+      (10L, "the king and the cat"), (11L, "der hund ist klein"),
+      (12L, "die katze und der hund sind da"), (13L, "it is the dog"))
+      .toDF("doc_id", "text")
+    // batch contract: keep only docs routed to "en"
+    val expected = graft.streaming.CorpusStreams
+      .classifierGate(incoming, model, Seq("en"), "doc_id")
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected == Seq(10L, 13L), "fixture routes two docs to en")
+    // streaming path: same rows in two micro-batches through foreachBatch
+    // (per the operator's contract — the argmax groups on a stream key)
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.CorpusStreams
+          .classifierGate(b, model, Seq("en"), "doc_id")
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData((10L, "the king and the cat"), (11L, "der hund ist klein"))
+      q.processAllAvailable()
+      mem.addData((12L, "die katze und der hund sind da"), (13L, "it is the dog"))
+      q.processAllAvailable()
+      assert(got.sorted.toSeq == expected,
+        "per-micro-batch routing equals the one-shot batch gate")
+    } finally q.stop()
+    // classifyBatch attaches (predicted, score) shape-preservingly
+    val labeled = graft.streaming.CorpusStreams
+      .classifyBatch(incoming, model, "doc_id")
+    assert(labeled.columns.toSet == Set("doc_id", "text", "predicted", "score"))
+    assert(labeled.count() == 4)
+  }
 }
