@@ -66,7 +66,7 @@ object ExtensionQueries {
   /** DuckDB mirror of [[Dedup.shingles]] + inverted-index Jaccard pairs,
     * as a CTE list ending in `jpairs` so derived oracles (clusters) can
     * extend the same pipeline. */
-  private def jaccardCtes(threshold: Double): String =
+  private[pipelines] def jaccardCtes(threshold: Double): String =
     s"""toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
        |sh AS (SELECT doc_id,
        |  CASE WHEN len(t) >= 3

@@ -3,7 +3,7 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Entities
-import graft.ops.{Classifier, Drift, Graph, TextAnalysis}
+import graft.ops.{Classifier, Dedup, Drift, Graph, TextAnalysis}
 
 /** Model-flavoured corpus analytics (round 8): trained Naive-Bayes
   * document classification (the learned quality/language gate of LLM
@@ -70,6 +70,36 @@ object ModelQueries {
     "q_nb_cv" -> ((s, dir) =>
       Classifier.nbCrossValidate(docs(s, dir), "doc_id", "text", "lang", folds = 5)
         .orderBy("fold")),
+
+    // "which duplicate do we keep": canonical representative per
+    // near-dup cluster = the member with the highest PageRank centrality
+    // in the pair graph (ties to the smallest doc_id; singletons are
+    // their own canonical). Composes the jaccard pair family with
+    // Graph.pageRank — the dedup SURVIVOR policy beyond min-id.
+    "q_dedup_canonical" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 3,
+        ExtensionQueries.JaccardThreshold)
+      val clusters = Dedup.nearDupClusters(d, pairs, "doc_id")
+      // both orientations of the (already doc_i < doc_j unique) pairs —
+      // the explode-of-2-struct-array single-evaluation idiom
+      val edges = pairs.select(explode(array(
+          struct(col("doc_i").as("src"), col("doc_j").as("dst")),
+          struct(col("doc_j").as("src"), col("doc_i").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val pr = Graph.pageRank(edges, "src", "dst", iters = 3)
+        .select(col("node").cast("long").as("doc_id"),
+          col("rank_scaled"))
+      val m = clusters.join(pr, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("cluster_id"),
+          coalesce(col("rank_scaled"), lit(-1L)).as("rk"))
+      val canonical = m.groupBy("cluster_id")
+        .agg(max(struct(col("rk"), (-col("doc_id")).as("neg"))).as("best"))
+        .select(col("cluster_id"), (-col("best.neg")).as("canonical_id"))
+      m.join(canonical, "cluster_id")
+        .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
+        .orderBy("doc_id")
+    }),
   )
 
   /** Unrolled integer-PageRank CTE chain `r0..r{iters}` over edge CTE
@@ -87,7 +117,11 @@ object ModelQueries {
          |  FROM nodes CROSS JOIN cnt LEFT JOIN c$k ON c$k.dst = nodes.node)"""
         .stripMargin
     }.mkString(",\n")
-    s"""nodes AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+    // UNION ALL + DISTINCT, NOT a bare UNION: under a WITH RECURSIVE
+    // header (the canonical-rep oracle) DuckDB gives every UNION CTE
+    // recursive-union semantics and the arms stop deduplicating
+    s"""nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
        |cnt AS (SELECT COUNT(*) AS n FROM nodes),
        |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
        |r0 AS (SELECT node, $scale // n AS r FROM nodes CROSS JOIN cnt),
@@ -137,6 +171,26 @@ object ModelQueries {
       s"""WITH $nbCtes
          |SELECT label_true, cls AS predicted, COUNT(*) AS n
          |FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_dedup_canonical" ->
+      s"""WITH RECURSIVE ${ExtensionQueries.jaccardCtes(ExtensionQueries.JaccardThreshold)},
+         |e AS (SELECT doc_i AS src, doc_j AS dst FROM jpairs
+         |      UNION ALL SELECT doc_j, doc_i FROM jpairs),
+         |${pageRankCtes(iters = 3, scale = 1000000000000L, dampNum = 85, dampDen = 100)},
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e2.dst FROM reach JOIN e e2 ON reach.r = e2.src),
+         |clus AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+         |prr AS (SELECT CAST(node AS BIGINT) AS doc_id, CAST(r AS BIGINT) AS rank_scaled FROM r3),
+         |m AS (SELECT c.doc_id, c.cluster_id, COALESCE(p.rank_scaled, -1) AS rk
+         |      FROM clus c LEFT JOIN prr p ON p.doc_id = c.doc_id),
+         |can AS (SELECT cluster_id, doc_id AS canonical_id FROM (
+         |  SELECT cluster_id, doc_id,
+         |    ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY rk DESC, doc_id ASC) AS rn
+         |  FROM m) WHERE rn = 1)
+         |SELECT m.doc_id, m.cluster_id, can.canonical_id
+         |FROM m JOIN can USING (cluster_id) ORDER BY m.doc_id""".stripMargin,
 
     "q_text_textrank" ->
       s"""WITH toks AS (SELECT doc_id,
