@@ -267,6 +267,26 @@ object Classifier {
         (col("hits").cast("double") / col("n_test")).as("accuracy"))
   }
 
+  /** Per-test-document prediction MARGIN (top-1 minus top-2 class
+    * score) — the active-learning / human-review routing signal: the
+    * smallest margins are the docs the classifier is least sure about.
+    * One bounded collect per document (|classes| structs, class-count
+    * bounded by contract — never corpus-bounded), sorted on
+    * (−score, cls) so `predicted` ties break exactly like [[nbPredict]].
+    * Output: (`idCol`, label_true, predicted, score, margin); margin is
+    * NULL when only one class was trained. */
+  def nbMargins(docs: DataFrame, idCol: String, textCol: String,
+                labelCol: String, splitMod: Int = 5): DataFrame =
+    nbClassScores(docs, idCol, textCol, labelCol, splitMod)
+      .groupBy(col(idCol), col("label_true"))
+      .agg(array_sort(collect_list(
+        struct((-col("score")).as("neg"), col("cls").as("cls")))).as("ranked"))
+      .select(col(idCol), col("label_true"),
+        col("ranked")(0).getField("cls").as("predicted"),
+        (-col("ranked")(0).getField("neg")).as("score"),
+        (element_at(col("ranked"), 2).getField("neg")
+          - col("ranked")(0).getField("neg")).as("margin"))
+
   /** Confusion matrix of [[nbPredict]]: (label_true, predicted, n) —
     * the held-out quality report a classifier gate ships with. */
   def nbConfusion(docs: DataFrame, idCol: String, textCol: String,

@@ -104,4 +104,83 @@ object Graph {
     outdeg.unpersist(blocking = false)
     ranks
   }
+
+  /** Semi-supervised LABEL PROPAGATION: spread known labels through a
+    * graph by iterated neighbor majority vote — the "label the unlabeled
+    * duplicates/near-dups from their labeled cluster-mates" stage of a
+    * partially-annotated corpus. Fully deterministic: per round, each
+    * non-seed node takes the most common label among its in-neighbors'
+    * current labels (count ties → lexicographically smallest label);
+    * SEED nodes are clamped to their seed label forever; a node with no
+    * labeled neighbor keeps its previous label (null until first
+    * reached). Fixed `iters` rounds — a SQL oracle replays them as
+    * unrolled aggregate-join CTEs, no float anywhere.
+    *
+    * Scale shape: per round, one edge⋈labels equi-join, one
+    * (dst, label) count aggregation (map-side combined), one argmin-of
+    * -struct per node — all hash-partitioned on node keys; generations
+    * are checkpointed like [[pageRank]]'s so lineage stays O(1) deep.
+    * Node set = edge endpoints ∪ seeds; pass the symmetrized edge list
+    * for undirected propagation.
+    *
+    * `seeds`: (`nodeCol`, `labelCol`) — at most one row per node.
+    * Returns (`node`, `label`), label null where propagation never
+    * reached. */
+  def labelPropagate(edges: DataFrame, srcCol: String, dstCol: String,
+                     seeds: DataFrame, nodeCol: String, labelCol: String,
+                     iters: Int,
+                     checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col(nodeCol).cast("string").as("node"),
+        col(labelCol).cast("string").as("seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(s.select("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    def checkpointGen(df: DataFrame)
+        : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd
+      if (checkpointDir.isDefined) {
+        rdd.persist(StorageLevel.MEMORY_AND_DISK)
+        rdd.checkpoint()
+      } else rdd.localCheckpoint()
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
+
+    var (labels, prevRdd) = checkpointGen(
+      nodes.join(s, Seq("node"), "left")
+        .select(col("node"), col("seed").as("label")))
+    var iter = 0
+    while (iter < iters) {
+      val maj = e
+        .join(labels.filter(col("label").isNotNull)
+          .select(col("node").as("src"), col("label").as("nl")), "src")
+        .groupBy(col("dst"), col("nl")).agg(count(lit(1)).as("cnt"))
+        .groupBy(col("dst"))
+        .agg(min(struct((-col("cnt")).as("neg"), col("nl").as("l"))).as("best"))
+        .select(col("dst").as("node"), col("best.l").as("maj"))
+      val (next, nextRdd) = checkpointGen(
+        labels.join(s, Seq("node"), "left")
+          .join(maj, Seq("node"), "left")
+          .select(col("node"),
+            coalesce(col("seed"), col("maj"), col("label")).as("label")))
+      next.count()
+      prevRdd.unpersist(blocking = false)
+      prevRdd = nextRdd
+      labels = next
+      iter += 1
+    }
+    e.unpersist(blocking = false)
+    s.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    labels
+  }
 }

@@ -71,6 +71,30 @@ object ModelQueries {
       Classifier.nbCrossValidate(docs(s, dir), "doc_id", "text", "lang", folds = 5)
         .orderBy("fold")),
 
+    // active-learning signal: per-doc top1−top2 score margin
+    "q_nb_margin" -> ((s, dir) =>
+      Classifier.nbMargins(docs(s, dir), "doc_id", "text", "lang")
+        .orderBy("doc_id")),
+
+    // semi-supervised labeling: spread the known (train-split) langs
+    // through the 0.5-jaccard near-dup graph to the held-out docs
+    "q_label_propagation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, LpThreshold)
+      val edges = pairs.select(explode(array(
+          struct(col("doc_i").as("src"), col("doc_j").as("dst")),
+          struct(col("doc_j").as("src"), col("doc_i").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = d.filter(pmod(col("doc_id"), lit(5)) =!= 0)
+        .select(col("doc_id"), col("lang"))
+      val labels = Graph.labelPropagate(edges, "src", "dst",
+          seeds, "doc_id", "lang", iters = 3)
+        .select(col("node").cast("long").as("doc_id"), col("label"))
+      d.select(col("doc_id"))
+        .join(labels, Seq("doc_id"), "left")
+        .orderBy("doc_id")
+    }),
+
     // "which duplicate do we keep": canonical representative per
     // near-dup cluster = the member with the highest PageRank centrality
     // in the pair graph (ties to the smallest doc_id; singletons are
@@ -101,6 +125,36 @@ object ModelQueries {
         .orderBy("doc_id")
     }),
   )
+
+  /** Jaccard threshold for the label-propagation near-dup graph — looser
+    * than the dedup family's 0.8 so the graph actually connects held-out
+    * docs to labeled neighbors at fixture scale. */
+  private val LpThreshold = 0.5
+
+  /** Unrolled label-propagation CTE chain `l0..l{iters}` over edge CTE
+    * `e` and seed CTE `seeds` (node, seed) — per round: labeled-neighbor
+    * majority with (count DESC, label ASC) tie-break, seeds clamped,
+    * previous label kept when no labeled neighbor. */
+  private def labelPropCtes(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""m$k AS (SELECT dst, nl AS maj FROM (
+         |    SELECT e.dst, l.label AS nl, COUNT(*) AS cnt,
+         |      ROW_NUMBER() OVER (PARTITION BY e.dst
+         |        ORDER BY COUNT(*) DESC, l.label ASC) AS rn
+         |    FROM e JOIN l${k - 1} l ON l.node = e.src
+         |    WHERE l.label IS NOT NULL GROUP BY e.dst, l.label) WHERE rn = 1),
+         |l$k AS (SELECT n.node, COALESCE(s.seed, m.maj, p.label) AS label
+         |  FROM nodes n LEFT JOIN seeds s ON s.node = n.node
+         |  LEFT JOIN m$k m ON m.dst = n.node
+         |  LEFT JOIN l${k - 1} p ON p.node = n.node)""".stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+       |   UNION ALL SELECT node FROM seeds)),
+       |l0 AS (SELECT n.node, s.seed AS label FROM nodes n
+       |       LEFT JOIN seeds s ON s.node = n.node),
+       |$rounds""".stripMargin
+  }
 
   /** Unrolled integer-PageRank CTE chain `r0..r{iters}` over edge CTE
     * `e` (with `nodes`/`cnt`/`deg` alongside) — DuckDB `//` replays
@@ -171,6 +225,25 @@ object ModelQueries {
       s"""WITH $nbCtes
          |SELECT label_true, cls AS predicted, COUNT(*) AS n
          |FROM rk WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q_nb_margin" ->
+      s"""WITH $nbCtes
+         |SELECT r1.doc_id, r1.label_true, r1.cls AS predicted,
+         |  CAST(r1.score AS BIGINT) AS score,
+         |  CAST(r1.score - r2.score AS BIGINT) AS margin
+         |FROM rk r1 LEFT JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+         |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin,
+
+    "q_label_propagation" ->
+      s"""WITH ${ExtensionQueries.jaccardCtes(LpThreshold)},
+         |e AS (SELECT doc_i AS src, doc_j AS dst FROM jpairs
+         |      UNION ALL SELECT doc_j, doc_i FROM jpairs),
+         |seeds AS (SELECT doc_id AS node, lang AS seed FROM documents
+         |          WHERE doc_id % 5 <> 0),
+         |${labelPropCtes(iters = 3)}
+         |SELECT d.doc_id, l.label
+         |FROM documents d LEFT JOIN l3 l ON l.node = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE ${ExtensionQueries.jaccardCtes(ExtensionQueries.JaccardThreshold)},

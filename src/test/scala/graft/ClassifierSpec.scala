@@ -108,6 +108,31 @@ class ClassifierSpec extends SparkSpec {
     assert(rows.forall { case (t, p) => t == p })
   }
 
+  test("nbMargins: predicted matches nbPredict, margin = top1 - top2, ties -> 0") {
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val margins = Classifier.nbMargins(df, "doc_id", "text", "lang", splitMod = 5)
+      .select("doc_id", "predicted", "score", "margin")
+      .as[(Long, String, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val scores = Classifier.nbClassScores(df, "doc_id", "text", "lang", splitMod = 5)
+      .select("doc_id", "cls", "score").as[(Long, String, Long)].collect()
+      .groupBy(_._1)
+    val preds = Classifier.nbPredict(df, "doc_id", "text", "lang", splitMod = 5)
+      .select("doc_id", "predicted").as[(Long, String)].collect().toMap
+    margins.foreach { case (id, (_, p, s, m)) =>
+      assert(p == preds(id))
+      val ordered = scores(id).map(x => (-x._3, x._2)).sorted
+      assert(s == -ordered.head._1)
+      assert(m == -ordered.head._1 - -ordered(1)._1)
+    }
+    // exact tie: two classes with identical training data -> margin 0
+    val tied = Seq((0L, "aa", "x y"), (1L, "aa", "w w"), (2L, "bb", "w w"))
+      .toDF("doc_id", "lang", "text")
+    val row = Classifier.nbMargins(tied, "doc_id", "text", "lang", splitMod = 3)
+      .collect().head
+    assert(row.getAs[Long]("margin") == 0L)
+    assert(row.getAs[String]("predicted") == "aa")
+  }
+
   test("save/load round-trips the model and nbPredictWith matches nbPredict") {
     val df = fixture.toDF("doc_id", "lang", "text")
     val isTest = col("doc_id") % 5 === 0

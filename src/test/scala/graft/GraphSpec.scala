@@ -60,6 +60,49 @@ class GraphSpec extends SparkSpec {
     assert(ranksOf(edges, iters = 5) == ranksOf(edges, iters = 5, parts = Some(7)))
   }
 
+  private def propagate(edges: Seq[(String, String)], seeds: Seq[(String, String)],
+                        iters: Int): Map[String, Option[String]] = {
+    val sym = edges.flatMap { case (a, b) => Seq((a, b), (b, a)) }
+    Graph.labelPropagate(sym.toDF("src", "dst"), "src", "dst",
+        seeds.toDF("node", "label"), "node", "label", iters)
+      .as[(String, Option[String])].collect().toMap
+  }
+
+  test("label propagation: line graph spreads from both ends, ties to smallest label") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"))
+    val seeds = Seq(("a", "L1"), ("d", "L2"))
+    val r1 = propagate(edges, seeds, iters = 1)
+    assert(r1 == Map("a" -> Some("L1"), "b" -> Some("L1"),
+      "c" -> Some("L2"), "d" -> Some("L2")))
+    // round 2: b and c each see {L1, L2} — count tie resolves to L1
+    val r2 = propagate(edges, seeds, iters = 2)
+    assert(r2 == Map("a" -> Some("L1"), "b" -> Some("L1"),
+      "c" -> Some("L1"), "d" -> Some("L2")))
+  }
+
+  test("label propagation: seeds are clamped against any majority") {
+    // x seeded L2, all three neighbors labeled L1 — x must stay L2
+    val edges = Seq(("n1", "x"), ("n2", "x"), ("n3", "x"))
+    val seeds = Seq(("x", "L2"), ("n1", "L1"), ("n2", "L1"), ("n3", "L1"))
+    val r = propagate(edges, seeds, iters = 3)
+    assert(r("x").contains("L2"))
+  }
+
+  test("label propagation: unreached nodes stay null, isolated seeds persist") {
+    val edges = Seq(("a", "b"), ("c", "d")) // two components; only a-b seeded
+    val r = propagate(edges, Seq(("a", "L1"), ("z", "L9")), iters = 2)
+    assert(r("b").contains("L1"))
+    assert(r("c").isEmpty && r("d").isEmpty)
+    assert(r("z").contains("L9")) // seed with no edges still appears
+  }
+
+  test("label propagation: majority beats minority among neighbors") {
+    val edges = Seq(("p1", "x"), ("p2", "x"), ("q1", "x"))
+    val seeds = Seq(("p1", "B"), ("p2", "B"), ("q1", "A"))
+    val r = propagate(edges, seeds, iters = 1)
+    assert(r("x").contains("B")) // 2×B beats 1×A despite A < B lexically
+  }
+
   test("rank mass never exceeds the scale and every node appears once") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"))
     val df = Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 4)
