@@ -3,7 +3,8 @@ package graft.pipelines
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.Entities
-import graft.ops.{Classifier, Dedup, Drift, Graph, TextAnalysis}
+import graft.ops.{Associations, Classifier, Dedup, Drift, Graph, TextAnalysis}
+import graft.streaming.EventStreams
 
 /** Model-flavoured corpus analytics (round 8): trained Naive-Bayes
   * document classification (the learned quality/language gate of LLM
@@ -19,6 +20,8 @@ object ModelQueries {
   type Q = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, dir: String) = Entities.read(s, dir, "documents")
+  private def events(s: SparkSession, dir: String) =
+    EventStreams.normalizeTs(Entities.read(s, dir, "events"))
 
   /** Distinct symmetrized word-adjacency edges over lowercased
     * whitespace tokens, self-loops excluded — the TextRank graph. Both
@@ -75,6 +78,12 @@ object ModelQueries {
     "q_nb_margin" -> ((s, dir) =>
       Classifier.nbMargins(docs(s, dir), "doc_id", "text", "lang")
         .orderBy("doc_id")),
+
+    // basket mining: unordered within-session co-occurrence with lift
+    "q_events_cooccurrence" -> ((s, dir) =>
+      Associations.sessionCooccurrence(events(s, dir), "user_id", "ts",
+          "event_id", "event_type")
+        .orderBy("item_a", "item_b")),
 
     // semi-supervised labeling: spread the known (train-split) langs
     // through the 0.5-jaccard near-dup graph to the held-out docs
@@ -233,6 +242,38 @@ object ModelQueries {
          |  CAST(r1.score - r2.score AS BIGINT) AS margin
          |FROM rk r1 LEFT JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
          |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin,
+
+    "q_events_cooccurrence" ->
+      """WITH o AS (SELECT user_id, event_id, ts, event_type,
+        |             lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+        |           FROM events),
+        |m AS (SELECT user_id, event_id, ts, event_type,
+        |        CASE WHEN prev_ts IS NULL
+        |               OR epoch_us(ts) - epoch_us(prev_ts) > 1800000000
+        |             THEN 1 ELSE 0 END AS new_s
+        |      FROM o),
+        |s AS (SELECT user_id, event_type,
+        |        SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                         ROWS UNBOUNDED PRECEDING) AS sid
+        |      FROM m),
+        |basket AS (SELECT DISTINCT user_id, sid, event_type FROM s),
+        |ns AS (SELECT COUNT(*) AS n_sessions FROM
+        |        (SELECT DISTINCT user_id, sid FROM basket)),
+        |itn AS (SELECT event_type AS item, COUNT(*) AS n_item FROM basket GROUP BY 1),
+        |p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+        |        COUNT(*) AS n_ab
+        |      FROM basket a JOIN basket b
+        |        ON a.user_id = b.user_id AND a.sid = b.sid
+        |       AND a.event_type < b.event_type
+        |      GROUP BY 1, 2)
+        |SELECT p.item_a, p.item_b, p.n_ab,
+        |  na.n_item AS n_a, nb.n_item AS n_b, ns.n_sessions,
+        |  CAST(p.n_ab AS DOUBLE) / ns.n_sessions AS support,
+        |  CAST(p.n_ab * ns.n_sessions AS DOUBLE) / (na.n_item * nb.n_item) AS lift
+        |FROM p JOIN itn na ON na.item = p.item_a
+        |       JOIN itn nb ON nb.item = p.item_b
+        |       CROSS JOIN ns
+        |ORDER BY item_a, item_b""".stripMargin,
 
     "q_label_propagation" ->
       s"""WITH ${ExtensionQueries.jaccardCtes(LpThreshold)},
