@@ -75,4 +75,59 @@ object Stats {
       slope.as("slope"),
       (meanY - slope * meanX).as("intercept")): _*)
   }
+
+  /** Per-group Welch two-sample comparison — the experiment-analysis
+    * report (A/B value difference with the unequal-variance t
+    * statistic), on the same exact-moments contract as
+    * [[groupedCorrSlope]]: ONE conditional map-side-combined
+    * aggregation holds both variants' (n, Σv, Σv²) in DECIMAL(38,0)
+    * over fixed-point-scaled integers, and the derived statistics are a
+    * FIXED tree of IEEE double ops (divisions + one correctly-rounded
+    * sqrt) — bit-equal across engines and partitionings.
+    *
+    * Variant A = rows where `variantCol = 0`, B = everything else.
+    * Sample variance uses the exact integer numerator n·Σv² − (Σv)²
+    * over n·(n−1); means/variances are reported in ORIGINAL units
+    * (rescaled by 1/scale and 1/scale² — t is scale-invariant but is
+    * computed from the unscaled terms so the reported pieces compose).
+    * Groups where either side has n < 2 or zero variance report NULL t.
+    * Non-finite values are excluded (the [[groupedCorrSlope]] guard).
+    *
+    * Returns (groupCols..., n_a, n_b, mean_a, mean_b, var_a, var_b,
+    * t_stat). */
+  def welchTwoSample(df: DataFrame, groupCols: Seq[String],
+                     variantCol: String, valueCol: String,
+                     scale: Long = 100L): DataFrame = {
+    require(scale >= 1, "scale must be >= 1")
+    def finite(c: String) = {
+      val d = col(c).cast("double")
+      col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
+    }
+    val v = round(col(valueCol) * scale).cast(Dec)
+    val isA = col(variantCol) === 0
+    val m = df.filter(finite(valueCol))
+      .groupBy(groupCols.map(col): _*)
+      .agg(sum(when(isA, 1L).otherwise(0L)).cast(Dec).as("na"),
+        sum(when(!isA, 1L).otherwise(0L)).cast(Dec).as("nb"),
+        sum(when(isA, v).otherwise(lit(0).cast(Dec))).as("sa"),
+        sum(when(!isA, v).otherwise(lit(0).cast(Dec))).as("sb"),
+        sum(when(isA, v * v).otherwise(lit(0).cast(Dec))).as("qa"),
+        sum(when(!isA, v * v).otherwise(lit(0).cast(Dec))).as("qb"))
+    def mean(s: String, n: String) =
+      (col(s).cast("double") / col(n).cast("double")) / scale
+    def variance(n: String, s: String, q: String) =
+      ((col(n) * col(q) - col(s) * col(s)).cast("double") /
+        (col(n) * (col(n) - 1)).cast("double")) / (scale * scale)
+    val meanA = mean("sa", "na"); val meanB = mean("sb", "nb")
+    val varA = variance("na", "sa", "qa"); val varB = variance("nb", "sb", "qb")
+    val se2 = varA / col("na").cast("double") + varB / col("nb").cast("double")
+    m.select(groupCols.map(col) ++ Seq(
+      col("na").cast("long").as("n_a"), col("nb").cast("long").as("n_b"),
+      when(col("na") > 0, meanA).as("mean_a"),
+      when(col("nb") > 0, meanB).as("mean_b"),
+      when(col("na") > 1, varA).as("var_a"),
+      when(col("nb") > 1, varB).as("var_b"),
+      when(col("na") > 1 && col("nb") > 1 && se2 > 0.0,
+        (meanA - meanB) / sqrt(se2)).as("t_stat")): _*)
+  }
 }

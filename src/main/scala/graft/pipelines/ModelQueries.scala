@@ -79,6 +79,14 @@ object ModelQueries {
       Classifier.nbMargins(docs(s, dir), "doc_id", "text", "lang")
         .orderBy("doc_id")),
 
+    // experiment analysis: per-event-type Welch two-sample comparison
+    // of value across the user_id-parity variants (exact moments)
+    "q_events_ab_welch" -> ((s, dir) =>
+      graft.ops.Stats.welchTwoSample(
+          events(s, dir).withColumn("variant", pmod(col("user_id"), lit(2))),
+          Seq("event_type"), "variant", "value")
+        .orderBy("event_type")),
+
     // basket mining: unordered within-session co-occurrence with lift
     "q_events_cooccurrence" -> ((s, dir) =>
       Associations.sessionCooccurrence(events(s, dir), "user_id", "ts",
@@ -242,6 +250,37 @@ object ModelQueries {
          |  CAST(r1.score - r2.score AS BIGINT) AS margin
          |FROM rk r1 LEFT JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
          |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin,
+
+    "q_events_ab_welch" -> {
+      val meanA = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100"
+      val meanB = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100"
+      val varA =
+        "(CAST(na * qa - sa * sa AS DOUBLE) / CAST(na * (na - 1) AS DOUBLE)) / 10000"
+      val varB =
+        "(CAST(nb * qb - sb * sb AS DOUBLE) / CAST(nb * (nb - 1) AS DOUBLE)) / 10000"
+      val se2 = s"$varA / CAST(na AS DOUBLE) + $varB / CAST(nb AS DOUBLE)"
+      s"""WITH b AS (SELECT event_type, user_id % 2 AS variant,
+         |             CAST(round(value * 100) AS HUGEINT) AS v
+         |           FROM events
+         |           WHERE value IS NOT NULL AND isfinite(value)),
+         |m AS (SELECT event_type,
+         |        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
+         |        CAST(SUM(CASE WHEN variant <> 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,
+         |        SUM(CASE WHEN variant = 0 THEN v ELSE 0 END) AS sa,
+         |        SUM(CASE WHEN variant <> 0 THEN v ELSE 0 END) AS sb,
+         |        SUM(CASE WHEN variant = 0 THEN v * v ELSE 0 END) AS qa,
+         |        SUM(CASE WHEN variant <> 0 THEN v * v ELSE 0 END) AS qb
+         |      FROM b GROUP BY 1)
+         |SELECT event_type,
+         |  CAST(na AS BIGINT) AS n_a, CAST(nb AS BIGINT) AS n_b,
+         |  CASE WHEN na > 0 THEN $meanA END AS mean_a,
+         |  CASE WHEN nb > 0 THEN $meanB END AS mean_b,
+         |  CASE WHEN na > 1 THEN $varA END AS var_a,
+         |  CASE WHEN nb > 1 THEN $varB END AS var_b,
+         |  CASE WHEN na > 1 AND nb > 1 AND $se2 > 0.0
+         |       THEN ($meanA - $meanB) / sqrt($se2) END AS t_stat
+         |FROM m ORDER BY event_type""".stripMargin
+    },
 
     "q_events_cooccurrence" ->
       """WITH o AS (SELECT user_id, event_id, ts, event_type,

@@ -74,4 +74,41 @@ class StatsSpec extends SparkSpec {
           r.getAs[Double]("slope"), r.getAs[Double]("intercept"))).sortBy(_._1)
     assert(run(li).toSeq == run(li.repartition(13)).toSeq)
   }
+
+  test("welchTwoSample: hand-computed means, variances, and t on one group") {
+    // A = [1, 2, 3] (var 1), B = [2, 4] (var 2)
+    val df = Seq(("g", 0, 1.0), ("g", 0, 2.0), ("g", 0, 3.0),
+      ("g", 1, 2.0), ("g", 1, 4.0)).toDF("k", "variant", "v")
+    val r = Stats.welchTwoSample(df, Seq("k"), "variant", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 3L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_a") == 2.0 && r.getAs[Double]("mean_b") == 3.0)
+    assert(r.getAs[Double]("var_a") == 1.0 && r.getAs[Double]("var_b") == 2.0)
+    // same fixed IEEE op order as the operator's tree
+    val se2 = 1.0 / 3.0 + 2.0 / 2.0
+    assert(r.getAs[Double]("t_stat") == (2.0 - 3.0) / math.sqrt(se2))
+  }
+
+  test("welchTwoSample: degenerate sides yield NULL pieces, never wrong numbers") {
+    val df = Seq(
+      ("one_b", 0, 1.0), ("one_b", 0, 2.0), ("one_b", 1, 5.0), // n_b = 1
+      ("const", 0, 3.0), ("const", 0, 3.0), ("const", 1, 3.0), ("const", 1, 3.0))
+      .toDF("k", "variant", "v")
+    val rows = Stats.welchTwoSample(df, Seq("k"), "variant", "v")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(rows("one_b").isNullAt(rows("one_b").fieldIndex("var_b")))
+    assert(rows("one_b").isNullAt(rows("one_b").fieldIndex("t_stat")))
+    // zero variance on both sides -> se2 = 0 -> NULL t, not Infinity
+    assert(rows("const").getAs[Double]("var_a") == 0.0)
+    assert(rows("const").isNullAt(rows("const").fieldIndex("t_stat")))
+  }
+
+  test("welchTwoSample is repartition-invariant (exact moments)") {
+    val ev = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("variant", pmod(col("user_id"), lit(2)))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Stats.welchTwoSample(d, Seq("event_type"), "variant", "value")
+        .collect().map(r => (r.getString(0), r.getAs[Double]("t_stat")))
+        .sortBy(_._1).toSeq
+    assert(run(ev) == run(ev.repartition(13)))
+  }
 }
