@@ -73,4 +73,62 @@ object LanguageModel {
         coalesce(col("ll_bits"), lit(0L)).as("ll_bits"),
         coalesce(col("uniq_bigrams"), lit(0L)).as("uniq_bigrams"))
   }
+
+  /** Score documents against a FOREIGN reference corpus — the header's
+    * documented extension made concrete: counts are trained on `ref`,
+    * scored docs LEFT-join them, and both counts floor at 1, so an
+    * unseen bigram under a seen head costs exactly −bits(c(w1)) (the
+    * stated penalty), an unseen head contributes 0, and the integer-bit
+    * determinism contract is unchanged. `unseen_bigrams` /`oov_heads`
+    * count those two miss classes per document — the domain-shift
+    * signal next to the score itself.
+    *
+    * Same shape as [[bigramBitScores]]: two reference-bounded count
+    * aggregations, two token-keyed equi-joins; the scored corpus never
+    * shuffles more than its own bigrams. */
+  def bigramBitScoresAgainst(ref: DataFrame, docs: DataFrame, idCol: String,
+                             textCol: String): DataFrame = {
+    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val bi = toks
+      .select(col(idCol), explode(
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => struct(
+              element_at(col("__tk"), i + 1).as("w1"),
+              concat_ws(" ", element_at(col("__tk"), i + 1),
+                element_at(col("__tk"), i + 2)).as("bg"))))
+          .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("__e"))
+      .select(col(idCol), col("__e.w1").as("w1"), col("__e.bg").as("bg"))
+
+    val refToks = ref.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val uni = refToks.select(explode(col("__tk")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("cu"))
+    val big = refToks
+      .select(explode(
+        when(size(col("__tk")) >= 2,
+          transform(sequence(lit(0), size(col("__tk")) - 2),
+            i => concat_ws(" ", element_at(col("__tk"), i + 1),
+              element_at(col("__tk"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("cb"))
+
+    val bits = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
+    val scored = bi
+      .join(uni, bi("w1") === uni("tok"), "left")
+      .join(big, Seq("bg"), "left")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum((bits(coalesce(col("cb"), lit(1L))) -
+          bits(coalesce(col("cu"), lit(1L)))).cast("long")).as("ll_bits"),
+        sum(when(col("cb").isNull, 1L).otherwise(0L)).as("unseen_bigrams"),
+        sum(when(col("cu").isNull, 1L).otherwise(0L)).as("oov_heads"))
+
+    docs.select(col(idCol))
+      .join(scored, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("ll_bits"), lit(0L)).as("ll_bits"),
+        coalesce(col("unseen_bigrams"), lit(0L)).as("unseen_bigrams"),
+        coalesce(col("oov_heads"), lit(0L)).as("oov_heads"))
+  }
 }

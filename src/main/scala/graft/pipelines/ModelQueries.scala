@@ -79,6 +79,17 @@ object ModelQueries {
       Classifier.nbMargins(docs(s, dir), "doc_id", "text", "lang")
         .orderBy("doc_id")),
 
+    // perplexity-style scoring vs a FOREIGN reference corpus (train on
+    // the %5!=0 split, score the held-out docs; unseen-bigram penalty)
+    "q_text_lm_foreign" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.LanguageModel.bigramBitScoresAgainst(
+          d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
+          d.filter(pmod(col("doc_id"), lit(5)) === 0),
+          "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // experiment analysis: per-event-type Welch two-sample comparison
     // of value across the user_id-parity variants (exact moments)
     "q_events_ab_welch" -> ((s, dir) =>
@@ -250,6 +261,36 @@ object ModelQueries {
          |  CAST(r1.score - r2.score AS BIGINT) AS margin
          |FROM rk r1 LEFT JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
          |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin,
+
+    "q_text_lm_foreign" ->
+      """WITH tr AS (SELECT doc_id,
+        |    [t FOR t IN string_split(text, ' ') IF t <> ''] AS tk
+        |  FROM documents WHERE doc_id % 5 <> 0),
+        |te AS (SELECT doc_id,
+        |    [t FOR t IN string_split(text, ' ') IF t <> ''] AS tk
+        |  FROM documents WHERE doc_id % 5 = 0),
+        |bi AS (SELECT doc_id, tk[i] AS w1, tk[i] || ' ' || tk[i+1] AS bg
+        |       FROM (SELECT doc_id, tk,
+        |             unnest(generate_series(1, len(tk)-1)) AS i FROM te)),
+        |uni AS (SELECT tok, COUNT(*) AS cu
+        |        FROM (SELECT unnest(tk) AS tok FROM tr) GROUP BY 1),
+        |bc AS (SELECT bg, COUNT(*) AS cb FROM
+        |        (SELECT tk[i] || ' ' || tk[i+1] AS bg
+        |         FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i
+        |               FROM tr)) GROUP BY 1),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_bigrams,
+        |          CAST(SUM((length(bin(COALESCE(cb, 1))) - 1)
+        |                 - (length(bin(COALESCE(cu, 1))) - 1)) AS BIGINT) AS ll_bits,
+        |          CAST(SUM(CASE WHEN cb IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS unseen_bigrams,
+        |          CAST(SUM(CASE WHEN cu IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS oov_heads
+        |       FROM bi LEFT JOIN uni ON bi.w1 = uni.tok
+        |               LEFT JOIN bc USING (bg) GROUP BY 1)
+        |SELECT d.doc_id, COALESCE(n_bigrams, 0) AS n_bigrams,
+        |       COALESCE(ll_bits, 0) AS ll_bits,
+        |       COALESCE(unseen_bigrams, 0) AS unseen_bigrams,
+        |       COALESCE(oov_heads, 0) AS oov_heads
+        |FROM documents d LEFT JOIN sc USING (doc_id)
+        |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
 
     "q_events_ab_welch" -> {
       val meanA = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100"

@@ -59,4 +59,20 @@ class LanguageModelSpec extends SparkSpec {
       .as[(Long, Long, Long, Long)].collect()
     assert(rows.forall(_._3 <= 0L))
   }
+
+  test("foreign-reference scoring: unseen-bigram penalty and OOV classes") {
+    // ref: "a b a b" -> cu(a)=2, cu(b)=2, cb("a b")=2, cb("b a")=1
+    val ref = Seq((100L, "a b a b")).toDF("doc_id", "text")
+    val docs = Seq(
+      (1L, "a b c"), // "a b": bits(2)-bits(2)=0; "b c" unseen: -bits(2)=-1
+      (2L, "z z"),   // head z OOV: floors cancel, 0 bits, both miss classes
+      (3L, ""))      // empty: all zeros
+      .toDF("doc_id", "text")
+    val r = LanguageModel.bigramBitScoresAgainst(ref, docs, "doc_id", "text")
+      .orderBy("doc_id")
+      .as[(Long, Long, Long, Long, Long)].collect()
+    assert(r(0) == ((1L, 2L, -1L, 1L, 0L)))
+    assert(r(1) == ((2L, 1L, 0L, 1L, 1L)))
+    assert(r(2) == ((3L, 0L, 0L, 0L, 0L)))
+  }
 }
