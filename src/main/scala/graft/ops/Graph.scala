@@ -66,9 +66,76 @@ object Graph {
     // the loop below needs it in every generation's teleport term
     val nTotal = nodes.agg(count(lit(1)).as("n"))
 
+    val base = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"),
+        expr(s"(${scale}L * ${dampDen - dampNum}) div (${dampDen}L * n)").as("base"),
+        expr(s"${scale}L div n").as("r0"))
+    val ranks = prLoop(e, outdeg, base, iters, dampNum, dampDen, checkpointDir)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    ranks
+  }
+
+  /** PERSONALIZED PageRank: teleport mass restricted to a seed node set
+    * — "what is structurally close to THESE documents" (related-item
+    * expansion from a labeled subset, contamination-neighborhood
+    * spreading). Recursion and determinism contract as [[pageRank]],
+    * except r⁰ and the teleport term put `S div |seeds|` /
+    * `(S·(1−d)) div |seeds|` on seed nodes and 0 elsewhere — so all
+    * rank mass is reachable-from-seeds by construction. Seeds not in
+    * the edge list still rank (their teleport never leaves them). */
+  def pageRankPersonalized(edges: DataFrame, srcCol: String, dstCol: String,
+                           seeds: DataFrame, seedCol: String,
+                           iters: Int, scale: Long = 1000000000000L,
+                           dampNum: Int = 85, dampDen: Int = 100,
+                           checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping $dampNum/$dampDen outside [0,1]")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col(seedCol).cast("string").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node")))
+      .union(s.select("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nSeeds = s.agg(count(lit(1)).as("ns"))
+
+    val base = nodes.join(s.withColumn("__seed", lit(1L)), Seq("node"), "left")
+      .crossJoin(broadcast(nSeeds))
+      .select(col("node"),
+        when(col("__seed").isNotNull,
+          expr(s"(${scale}L * ${dampDen - dampNum}) div (${dampDen}L * ns)"))
+          .otherwise(lit(0L)).as("base"),
+        when(col("__seed").isNotNull, expr(s"${scale}L div ns"))
+          .otherwise(lit(0L)).as("r0"))
+    val ranks = prLoop(e, outdeg, base, iters, dampNum, dampDen, checkpointDir)
+    e.unpersist(blocking = false)
+    s.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    ranks
+  }
+
+  /** The shared damped message-passing loop: `base` carries each node's
+    * per-round teleport term and starting rank. */
+  private def prLoop(e: DataFrame, outdeg: DataFrame, base: DataFrame,
+                     iters: Int, dampNum: Int, dampDen: Int,
+                     checkpointDir: Option[String]): DataFrame = {
+    val spark = e.sparkSession
+    val b = base.persist(StorageLevel.MEMORY_AND_DISK)
+
     def checkpointGen(df: DataFrame)
         : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd // tiny (node, rank) rows
+      val rdd = df.rdd
       if (checkpointDir.isDefined) {
         rdd.persist(StorageLevel.MEMORY_AND_DISK)
         rdd.checkpoint()
@@ -77,8 +144,7 @@ object Graph {
     }
 
     var (ranks, prevRdd) = checkpointGen(
-      nodes.crossJoin(broadcast(nTotal))
-        .select(col("node"), expr(s"${scale}L div n").as("rank_scaled")))
+      b.select(col("node"), col("r0").as("rank_scaled")))
     var iter = 0
     while (iter < iters) {
       val contrib = e
@@ -87,10 +153,9 @@ object Graph {
         .select(col("dst"), expr("r div deg").as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
       val (next, nextRdd) = checkpointGen(
-        nodes.crossJoin(broadcast(nTotal))
-          .join(contrib, col("node") === col("dst"), "left")
+        b.join(contrib, col("node") === col("dst"), "left")
           .select(col("node"),
-            (expr(s"(${scale}L * ${dampDen - dampNum}) div (${dampDen}L * n)") +
+            (col("base") +
               expr(s"(${dampNum}L * coalesce(cs, 0L)) div ${dampDen}L")
             ).as("rank_scaled")))
       next.count() // materialize this generation, then free the previous
@@ -99,9 +164,7 @@ object Graph {
       ranks = next
       iter += 1
     }
-    e.unpersist(blocking = false)
-    nodes.unpersist(blocking = false)
-    outdeg.unpersist(blocking = false)
+    b.unpersist(blocking = false)
     ranks
   }
 

@@ -123,6 +123,23 @@ object ModelQueries {
         .orderBy("doc_id")
     }),
 
+    // related-document expansion: personalized PageRank from a seed
+    // subset through the 0.5-jaccard near-dup graph
+    "q_dedup_related" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val pairs = Dedup.jaccardPairs(d, "doc_id", "text", 3, LpThreshold)
+      val edges = pairs.select(explode(array(
+          struct(col("doc_i").as("src"), col("doc_j").as("dst")),
+          struct(col("doc_j").as("src"), col("doc_i").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      val seeds = d.filter(pmod(col("doc_id"), lit(7)) === 0).select("doc_id")
+      Graph.pageRankPersonalized(edges, "src", "dst", seeds, "doc_id", iters = 3)
+        .select(col("node").cast("long").as("doc_id"), col("rank_scaled"))
+        .filter(col("rank_scaled") > 0)
+        .orderBy(desc("rank_scaled"), asc("doc_id"))
+        .limit(100)
+    }),
+
     // "which duplicate do we keep": canonical representative per
     // near-dup cluster = the member with the highest PageRank centrality
     // in the pair graph (ties to the smallest doc_id; singletons are
@@ -181,6 +198,34 @@ object ModelQueries {
        |   UNION ALL SELECT node FROM seeds)),
        |l0 AS (SELECT n.node, s.seed AS label FROM nodes n
        |       LEFT JOIN seeds s ON s.node = n.node),
+       |$rounds""".stripMargin
+  }
+
+  /** Unrolled PERSONALIZED-PageRank CTE chain over edge CTE `e` and
+    * seed CTE `seeds(node)` — teleport and r0 land on seeds only. */
+  private def pprCtes(iters: Int, scale: Long, dampNum: Int,
+                      dampDen: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst, SUM(r // deg) AS cs
+         |  FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src JOIN deg USING (src)
+         |  GROUP BY 1),
+         |r$k AS (SELECT b.node,
+         |    b.base + ($dampNum * COALESCE(cs, 0)) // $dampDen AS r
+         |  FROM b LEFT JOIN c$k ON c$k.dst = b.node)""".stripMargin
+    }.mkString(",\n")
+    s"""sd AS (SELECT DISTINCT node FROM seeds),
+       |nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e
+       |   UNION ALL SELECT node FROM sd)),
+       |ns AS (SELECT COUNT(*) AS ns FROM sd),
+       |deg AS (SELECT src, COUNT(*) AS deg FROM e GROUP BY 1),
+       |b AS (SELECT n.node,
+       |    CASE WHEN s.node IS NOT NULL
+       |         THEN ($scale * ${dampDen - dampNum}) // ($dampDen * ns)
+       |         ELSE 0 END AS base,
+       |    CASE WHEN s.node IS NOT NULL THEN $scale // ns ELSE 0 END AS r0
+       |  FROM nodes n LEFT JOIN sd s ON s.node = n.node CROSS JOIN ns),
+       |r0 AS (SELECT node, r0 AS r FROM b),
        |$rounds""".stripMargin
   }
 
@@ -365,6 +410,16 @@ object ModelQueries {
          |SELECT d.doc_id, l.label
          |FROM documents d LEFT JOIN l3 l ON l.node = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_dedup_related" ->
+      s"""WITH ${ExtensionQueries.jaccardCtes(LpThreshold)},
+         |e AS (SELECT doc_i AS src, doc_j AS dst FROM jpairs
+         |      UNION ALL SELECT doc_j, doc_i FROM jpairs),
+         |seeds AS (SELECT doc_id AS node FROM documents WHERE doc_id % 7 = 0),
+         |${pprCtes(iters = 3, scale = 1000000000000L, dampNum = 85, dampDen = 100)}
+         |SELECT CAST(node AS BIGINT) AS doc_id, CAST(r AS BIGINT) AS rank_scaled
+         |FROM r3 WHERE r > 0
+         |ORDER BY rank_scaled DESC, doc_id LIMIT 100""".stripMargin,
 
     "q_dedup_canonical" ->
       s"""WITH RECURSIVE ${ExtensionQueries.jaccardCtes(ExtensionQueries.JaccardThreshold)},

@@ -103,6 +103,24 @@ class GraphSpec extends SparkSpec {
     assert(r("x").contains("B")) // 2×B beats 1×A despite A < B lexically
   }
 
+  test("personalized PageRank: exact two-round trajectory from one seed") {
+    import org.apache.spark.sql.functions.col
+    def ppr(iters: Int): Map[String, Long] =
+      Graph.pageRankPersonalized(
+          Seq(("a", "b"), ("b", "a")).toDF("src", "dst"), "src", "dst",
+          Seq("a").toDF("node"), "node", iters)
+        .as[(String, Long)].collect().toMap
+    assert(ppr(0) == Map("a" -> S, "b" -> 0L))
+    assert(ppr(1) == Map("a" -> 150000000000L, "b" -> 850000000000L))
+    assert(ppr(2) == Map("a" -> 872500000000L, "b" -> 127500000000L))
+    // non-seed nodes never get teleport mass: with no inbound rank, 0
+    val r = Graph.pageRankPersonalized(
+        Seq(("a", "b")).toDF("src", "dst"), "src", "dst",
+        Seq("z").toDF("node"), "node", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r == Map("a" -> 0L, "b" -> 0L, "z" -> 150000000000L))
+  }
+
   test("rank mass never exceeds the scale and every node appears once") {
     val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("c", "b"))
     val df = Graph.pageRank(edges.toDF("s", "d"), "s", "d", iters = 4)
