@@ -39,6 +39,7 @@ class PlanGateSpec extends SparkSpec {
     // work is an equi-join (see Classifier scaladoc decomposition)
     "q_nb_predict"         -> Seq("broadcast-nested-loop"),
     "q_nb_confusion"       -> Seq("broadcast-nested-loop"),
+    "q_nb_margin"          -> Seq("broadcast-nested-loop"),
     "q_nb_cv"              -> Seq("broadcast-nested-loop")
   )
 
