@@ -287,6 +287,69 @@ object Classifier {
         (element_at(col("ranked"), 2).getField("neg")
           - col("ranked")(0).getField("neg")).as("margin"))
 
+  /** Class-indicative vocabulary — per-label top-k tokens by quantized
+    * pointwise mutual information, the feature-selection / "what makes
+    * this class this class" report:
+    * {{{
+    *   pmi_bits(c, t) = bits(c_tc · N) − bits(n_c · C_t)   ≈ log2 P(t|c)/P(t)
+    * }}}
+    * with bits(x) = floor(log2 x) ([[Drift.tokenKlBySlice]]'s term shape
+    * — engine-exact, N ≤ 3·10⁹ for exact LONG products). `minCount`
+    * floors c_tc so rare-token noise can't top the list. The ranking
+    * window runs over the VOCABULARY-bounded (cls, tok) frame — never
+    * the corpus — ordered (pmi DESC, token ASC) for a total order.
+    * Output: (cls, rk, tok, c_tc, pmi_bits). */
+  def classIndicativeTerms(docs: DataFrame, textCol: String, labelCol: String,
+                           k: Int = 20, minCount: Long = 5L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bits = (c: Column) => length(bin(c)) - 1
+    val tok = docs.select(col(labelCol).as("cls"),
+      explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+    val ctc = cacheWindow.add(
+      tok.groupBy("cls", "tok").agg(count(lit(1)).as("c_tc")))
+    val nc = ctc.groupBy("cls").agg(sum("c_tc").as("n_c"))
+    val ct = ctc.groupBy("tok").agg(sum("c_tc").as("c_t"))
+    val nTotal = nc.agg(sum("n_c").as("n_total"))
+    val w = Window.partitionBy("cls")
+      .orderBy(col("pmi_bits").desc, col("tok").asc)
+    ctc.filter(col("c_tc") >= minCount)
+      .join(ct, "tok").join(nc, "cls").crossJoin(broadcast(nTotal))
+      .select(col("cls"), col("tok"), col("c_tc"),
+        (bits(col("c_tc") * col("n_total")) - bits(col("n_c") * col("c_t")))
+          .cast("long").as("pmi_bits"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select("cls", "rk", "tok", "c_tc", "pmi_bits")
+  }
+
+  /** Calibration / reliability table for the held-out fit: test docs
+    * banded by margin percent-rank ([[Ranks.tiersByPercentRank]]'s
+    * broadcast-boundary protocol — bit-equal to row-level percent_rank
+    * banding with ZERO row-data shuffle), with per-band accuracy. The
+    * report is ≤ `buckets` rows: low-margin bands under-performing
+    * high-margin bands is the evidence the margin is a usable routing
+    * signal. Equal margins share a band (value-based boundaries), so a
+    * heavily-tied fixture can leave some bands empty — determinism over
+    * cosmetic evenness. */
+  def nbCalibration(docs: DataFrame, idCol: String, textCol: String,
+                    labelCol: String, splitMod: Int = 5,
+                    buckets: Int = 10): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2, got $buckets")
+    val thresholds = (1 until buckets).map(_.toDouble / buckets)
+    val labels = (1 to buckets).map(i => f"d$i%02d")
+    Ranks.tiersByPercentRank(
+        nbMargins(docs, idCol, textCol, labelCol, splitMod),
+        "margin", thresholds, labels, descending = false, outCol = "bucket")
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n"),
+        min("margin").as("min_margin"), max("margin").as("max_margin"),
+        sum(when(col("predicted") === col("label_true"), 1L).otherwise(0L))
+          .as("hits"))
+      .select(col("bucket"), col("n"), col("min_margin"), col("max_margin"),
+        col("hits"),
+        (col("hits").cast("double") / col("n")).as("accuracy"))
+  }
+
   /** Confusion matrix of [[nbPredict]]: (label_true, predicted, n) —
     * the held-out quality report a classifier gate ships with. */
   def nbConfusion(docs: DataFrame, idCol: String, textCol: String,

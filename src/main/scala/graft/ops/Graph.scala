@@ -55,15 +55,57 @@ object Graph {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
     val e = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
+        col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy("src").agg(sum("w").as("wsum"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // node count rides the 1-row-broadcast compact-producer protocol —
     // the loop below needs it in every generation's teleport term
+    val nTotal = nodes.agg(count(lit(1)).as("n"))
+
+    val base = nodes.crossJoin(broadcast(nTotal))
+      .select(col("node"),
+        expr(s"(${scale}L * ${dampDen - dampNum}) div (${dampDen}L * n)").as("base"),
+        expr(s"${scale}L div n").as("r0"))
+    val ranks = prLoop(e, outdeg, base, iters, dampNum, dampDen, checkpointDir)
+    e.unpersist(blocking = false)
+    nodes.unpersist(blocking = false)
+    outdeg.unpersist(blocking = false)
+    ranks
+  }
+
+  /** WEIGHTED PageRank: each node splits its rank among out-edges in
+    * proportion to integer edge weights (co-occurrence counts, link
+    * multiplicities) — `rᵏ(u)·w(u→v) div Σw(u→·)` replaces the uniform
+    * split; with all weights 1 the recursion is bit-identical to
+    * [[pageRank]]. Same determinism/checkpoint contract. Overflow
+    * bound: rank·weight must fit LONG, so per-edge weights must stay
+    * ≤ ~9·10⁶ at the default scale — pre-divide heavier weights by a
+    * common factor (the split is ratio-invariant only up to integer
+    * truncation, so state the factor where it matters). */
+  def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
+                       weightCol: String, iters: Int,
+                       scale: Long = 1000000000000L,
+                       dampNum: Int = 85, dampDen: Int = 100,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(dampNum >= 0 && dampNum <= dampDen && dampDen > 0,
+      s"damping $dampNum/$dampDen outside [0,1]")
+    val spark = edges.sparkSession
+    checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nodes = e.select(col("src").as("node"))
+      .union(e.select(col("dst").as("node"))).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = e.groupBy("src").agg(sum("w").as("wsum"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val nTotal = nodes.agg(count(lit(1)).as("n"))
 
     val base = nodes.crossJoin(broadcast(nTotal))
@@ -97,7 +139,7 @@ object Graph {
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
     val e = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
+        col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val s = seeds.select(col(seedCol).cast("string").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -105,7 +147,7 @@ object Graph {
       .union(e.select(col("dst").as("node")))
       .union(s.select("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = e.groupBy("src").agg(count(lit(1)).as("deg"))
+    val outdeg = e.groupBy("src").agg(sum("w").as("wsum"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nSeeds = s.agg(count(lit(1)).as("ns"))
 
@@ -150,7 +192,7 @@ object Graph {
       val contrib = e
         .join(ranks.select(col("node").as("src"), col("rank_scaled").as("r")), "src")
         .join(outdeg, "src")
-        .select(col("dst"), expr("r div deg").as("c"))
+        .select(col("dst"), expr("(r * w) div wsum").as("c"))
         .groupBy("dst").agg(sum("c").as("cs"))
       val (next, nextRdd) = checkpointGen(
         b.join(contrib, col("node") === col("dst"), "left")

@@ -64,6 +64,30 @@ object ModelQueries {
         .limit(50)
         .select(col("node").as("token"), col("rank_scaled"))),
 
+    // TextRank proper: co-occurrence-WEIGHTED PageRank over the word
+    // graph (edge weight = adjacency count), top 50
+    "q_text_textrank_weighted" -> ((s, dir) => {
+      val toks = docs(s, dir)
+        .select(TextAnalysis.tokens(lower(col("text"))).as("tk"))
+      val bi = toks.select(explode(
+          when(size(col("tk")) >= 2,
+            transform(sequence(lit(0), size(col("tk")) - 2),
+              i => struct(element_at(col("tk"), i + 1).as("w1"),
+                element_at(col("tk"), i + 2).as("w2"))))
+            .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("e"))
+        .select(col("e.w1").as("w1"), col("e.w2").as("w2"))
+        .filter(col("w1") =!= col("w2"))
+      val edges = bi.select(explode(array(
+          struct(col("w1").as("src"), col("w2").as("dst")),
+          struct(col("w2").as("src"), col("w1").as("dst")))).as("e"))
+        .select(col("e.src").as("src"), col("e.dst").as("dst"))
+        .groupBy("src", "dst").agg(count(lit(1)).as("w"))
+      Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 4)
+        .orderBy(desc("rank_scaled"), asc("node"))
+        .limit(50)
+        .select(col("node").as("token"), col("rank_scaled"))
+    }),
+
     // per-source token-distribution drift vs the corpus mix
     "q_drift_kl_source" -> ((s, dir) =>
       Drift.tokenKlBySlice(docs(s, dir), "source", "text")
@@ -78,6 +102,18 @@ object ModelQueries {
     "q_nb_margin" -> ((s, dir) =>
       Classifier.nbMargins(docs(s, dir), "doc_id", "text", "lang")
         .orderBy("doc_id")),
+
+    // feature selection: per-class top-20 tokens by quantized PMI
+    "q_text_class_terms" -> ((s, dir) =>
+      Classifier.classIndicativeTerms(docs(s, dir), "text", "lang",
+          k = 20, minCount = 5L)
+        .orderBy("cls", "rk")),
+
+    // reliability report: held-out accuracy per margin percent-rank band
+    "q_nb_calibration" -> ((s, dir) =>
+      Classifier.nbCalibration(docs(s, dir), "doc_id", "text", "lang",
+          splitMod = 5, buckets = 10)
+        .orderBy("bucket")),
 
     // perplexity-style scoring vs a FOREIGN reference corpus (train on
     // the %5!=0 split, score the held-out docs; unseen-bigram penalty)
@@ -201,6 +237,29 @@ object ModelQueries {
        |$rounds""".stripMargin
   }
 
+  /** Unrolled WEIGHTED-PageRank CTE chain over edge CTE `e(src, dst, w)`
+    * — proportional split `(r·w) // Σw`; mirrors
+    * [[graft.ops.Graph.pageRankWeighted]]. */
+  private def pageRankCtesWeighted(iters: Int, scale: Long, dampNum: Int,
+                                   dampDen: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""c$k AS (SELECT dst, SUM((r * w) // wsum) AS cs
+         |  FROM e JOIN r${k - 1} ON r${k - 1}.node = e.src JOIN deg USING (src)
+         |  GROUP BY 1),
+         |r$k AS (SELECT nodes.node,
+         |    ($scale * ${dampDen - dampNum}) // ($dampDen * n)
+         |      + ($dampNum * COALESCE(cs, 0)) // $dampDen AS r
+         |  FROM nodes CROSS JOIN cnt LEFT JOIN c$k ON c$k.dst = nodes.node)"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""nodes AS (SELECT DISTINCT node FROM
+       |  (SELECT src AS node FROM e UNION ALL SELECT dst FROM e)),
+       |cnt AS (SELECT COUNT(*) AS n FROM nodes),
+       |deg AS (SELECT src, SUM(w) AS wsum FROM e GROUP BY 1),
+       |r0 AS (SELECT node, $scale // n AS r FROM nodes CROSS JOIN cnt),
+       |$rounds""".stripMargin
+  }
+
   /** Unrolled PERSONALIZED-PageRank CTE chain over edge CTE `e` and
     * seed CTE `seeds(node)` — teleport and r0 land on seeds only. */
   private def pprCtes(iters: Int, scale: Long, dampNum: Int,
@@ -306,6 +365,44 @@ object ModelQueries {
          |  CAST(r1.score - r2.score AS BIGINT) AS margin
          |FROM rk r1 LEFT JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
          |WHERE r1.rn = 1 ORDER BY r1.doc_id""".stripMargin,
+
+    "q_text_class_terms" ->
+      """WITH tok AS (SELECT lang AS cls,
+        |    unnest([t FOR t IN string_split(lower(text), ' ') IF t <> '']) AS tok
+        |  FROM documents),
+        |ctc AS (SELECT cls, tok, COUNT(*) AS c_tc FROM tok GROUP BY 1, 2),
+        |nc AS (SELECT cls, CAST(SUM(c_tc) AS BIGINT) AS n_c FROM ctc GROUP BY 1),
+        |ct AS (SELECT tok, CAST(SUM(c_tc) AS BIGINT) AS c_t FROM ctc GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(n_c) AS BIGINT) AS n_total FROM nc),
+        |sc AS (SELECT c.cls, c.tok, c.c_tc,
+        |    CAST((length(bin(c.c_tc * t.n_total)) - 1)
+        |       - (length(bin(n.n_c * ct.c_t)) - 1) AS BIGINT) AS pmi_bits
+        |  FROM ctc c JOIN ct ON ct.tok = c.tok JOIN nc n ON n.cls = c.cls
+        |  CROSS JOIN tot t
+        |  WHERE c.c_tc >= 5),
+        |rnk AS (SELECT cls, tok, c_tc, pmi_bits,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY cls
+        |      ORDER BY pmi_bits DESC, tok ASC) AS INT) AS rk FROM sc)
+        |SELECT cls, rk, tok, c_tc, pmi_bits FROM rnk WHERE rk <= 20
+        |ORDER BY cls, rk""".stripMargin,
+
+    "q_nb_calibration" -> {
+      val bands = (1 to 9).map(i =>
+        s"WHEN pr <= 0.${i} THEN 'd0$i'").mkString(" ")
+      s"""WITH $nbCtes,
+         |mg AS (SELECT r1.doc_id, r1.label_true, r1.cls AS predicted,
+         |    CAST(r1.score - r2.score AS BIGINT) AS margin
+         |  FROM rk r1 LEFT JOIN rk r2 ON r2.doc_id = r1.doc_id AND r2.rn = 2
+         |  WHERE r1.rn = 1),
+         |pr AS (SELECT *, PERCENT_RANK() OVER (ORDER BY margin ASC) AS pr FROM mg),
+         |bd AS (SELECT *, CASE $bands ELSE 'd10' END AS bucket FROM pr)
+         |SELECT bucket, COUNT(*) AS n,
+         |  MIN(margin) AS min_margin, MAX(margin) AS max_margin,
+         |  CAST(SUM(CASE WHEN predicted = label_true THEN 1 ELSE 0 END) AS BIGINT) AS hits,
+         |  CAST(SUM(CASE WHEN predicted = label_true THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / COUNT(*) AS accuracy
+         |FROM bd GROUP BY 1 ORDER BY 1""".stripMargin
+    },
 
     "q_text_lm_foreign" ->
       """WITH tr AS (SELECT doc_id,
@@ -450,6 +547,20 @@ object ModelQueries {
          |  WHERE tk[i] <> tk[i+1]),
          |e AS (SELECT w1 AS src, w2 AS dst FROM bi UNION SELECT w2, w1 FROM bi),
          |${pageRankCtes(iters = 4, scale = 1000000000000L, dampNum = 85, dampDen = 100)}
+         |SELECT node AS token, CAST(r AS BIGINT) AS rank_scaled FROM r4
+         |ORDER BY rank_scaled DESC, token LIMIT 50""".stripMargin,
+
+    "q_text_textrank_weighted" ->
+      s"""WITH toks AS (SELECT doc_id,
+         |    [t FOR t IN string_split(lower(text), ' ') IF t <> ''] AS tk
+         |  FROM documents),
+         |bi AS (SELECT tk[i] AS w1, tk[i+1] AS w2
+         |  FROM (SELECT tk, unnest(generate_series(1, len(tk)-1)) AS i FROM toks)
+         |  WHERE tk[i] <> tk[i+1]),
+         |e AS (SELECT src, dst, COUNT(*) AS w FROM
+         |  (SELECT w1 AS src, w2 AS dst FROM bi
+         |   UNION ALL SELECT w2, w1 FROM bi) GROUP BY 1, 2),
+         |${pageRankCtesWeighted(iters = 4, scale = 1000000000000L, dampNum = 85, dampDen = 100)}
          |SELECT node AS token, CAST(r AS BIGINT) AS rank_scaled FROM r4
          |ORDER BY rank_scaled DESC, token LIMIT 50""".stripMargin,
 

@@ -103,6 +103,26 @@ class GraphSpec extends SparkSpec {
     assert(r("x").contains("B")) // 2×B beats 1×A despite A < B lexically
   }
 
+  test("weighted PageRank: proportional split, exact one-round values") {
+    // a -> b (w=3), a -> c (w=1): b gets 3/4 of a's rank, integer-floor
+    val edges = Seq(("a", "b", 3L), ("a", "c", 1L)).toDF("src", "dst", "w")
+    val r = Graph.pageRankWeighted(edges, "src", "dst", "w", iters = 1)
+      .as[(String, Long)].collect().toMap
+    assert(r("a") == 50000000000L) // teleport only: (S*15) div 300
+    assert(r("b") == 50000000000L + (85L * (333333333333L * 3 / 4)) / 100)
+    assert(r("c") == 50000000000L + (85L * (333333333333L / 4)) / 100)
+  }
+
+  test("weighted PageRank with unit weights is bit-identical to pageRank") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "a"), ("a", "c"), ("d", "a"))
+    val unweighted = ranksOf(edges, iters = 5)
+    val weighted = Graph.pageRankWeighted(
+        edges.map { case (s, d) => (s, d, 1L) }.toDF("src", "dst", "w"),
+        "src", "dst", "w", iters = 5)
+      .as[(String, Long)].collect().toMap
+    assert(unweighted == weighted)
+  }
+
   test("personalized PageRank: exact two-round trajectory from one seed") {
     import org.apache.spark.sql.functions.col
     def ppr(iters: Int): Map[String, Long] =
