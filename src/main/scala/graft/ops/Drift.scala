@@ -138,4 +138,48 @@ object Drift {
       .select(col("slice"), col("n_tokens"), col("kl_bits"),
         (col("kl_bits").cast("double") / col("n_tokens")).as("kl_per_token"))
   }
+
+  /** Token-count table of a corpus — the persistable REFERENCE side of
+    * [[tokenKlAgainst]] (build once on the curated corpus, reuse per
+    * batch/session). Columns: (tok, c_ref). */
+  def tokenDistribution(docs: DataFrame, textCol: String): DataFrame =
+    docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_ref"))
+
+  /** Quantized KL of `docs`' token distribution against a FIXED
+    * reference ([[tokenDistribution]]) — the ingest-batch drift
+    * tripwire: unlike [[tokenKlBySlice]] the scored side need not be a
+    * slice of the reference, so unseen tokens floor the reference count
+    * at 1 (the [[graft.ops.LanguageModel]] convention) and are counted
+    * separately. ONE row out: (n_tokens, kl_bits, kl_per_token,
+    * unseen_tokens, unseen_frac). Shape: one batch-bounded token count
+    * aggregation + one token-keyed left join against the reference;
+    * totals ride 1-row broadcasts. Engine-exact (integer bits, single
+    * IEEE divisions); overflow bound: reference total ≤ ~3·10⁹ tokens
+    * for exact LONG products. */
+  def tokenKlAgainst(reference: DataFrame, docs: DataFrame,
+                     textCol: String): DataFrame = {
+    val bits = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
+    val bt = docs.select(explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("c_b"))
+    val nb = bt.agg(coalesce(sum("c_b"), lit(0L)).as("n_b"))
+    val nr = reference.agg(sum("c_ref").as("n_ref"))
+    bt.join(reference, Seq("tok"), "left")
+      .crossJoin(broadcast(nb)).crossJoin(broadcast(nr))
+      .select(col("c_b"), col("n_b"),
+        (col("c_b") * (bits(col("c_b") * col("n_ref")) -
+          bits(col("n_b") * coalesce(col("c_ref"), lit(1L)))).cast("long"))
+          .as("__term"),
+        when(col("c_ref").isNull, col("c_b")).otherwise(lit(0L)).as("__unseen"))
+      .agg(max("n_b").as("n_tokens"), sum("__term").as("kl_bits"),
+        sum("__unseen").as("unseen_tokens"))
+      .select(
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("kl_bits"), lit(0L)).as("kl_bits"),
+        when(col("n_tokens") > 0,
+          col("kl_bits").cast("double") / col("n_tokens")).as("kl_per_token"),
+        coalesce(col("unseen_tokens"), lit(0L)).as("unseen_tokens"),
+        when(col("n_tokens") > 0,
+          col("unseen_tokens").cast("double") / col("n_tokens")).as("unseen_frac"))
+  }
 }

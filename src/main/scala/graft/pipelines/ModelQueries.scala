@@ -93,6 +93,15 @@ object ModelQueries {
       Drift.tokenKlBySlice(docs(s, dir), "source", "text")
         .orderBy("slice")),
 
+    // batch-vs-reference drift tripwire (the streaming driftMonitor's
+    // exact batch plan): held-out split scored against the train split
+    "q_drift_kl_batch" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Drift.tokenKlAgainst(
+        Drift.tokenDistribution(d.filter(pmod(col("doc_id"), lit(5)) =!= 0), "text"),
+        d.filter(pmod(col("doc_id"), lit(5)) === 0), "text")
+    }),
+
     // 5-fold cross-validated NB accuracy, ONE pass via count subtraction
     "q_nb_cv" -> ((s, dir) =>
       Classifier.nbCrossValidate(docs(s, dir), "doc_id", "text", "lang", folds = 5)
@@ -583,6 +592,28 @@ object ModelQueries {
         |SELECT slice, n_tokens, kl_bits,
         |  CAST(kl_bits AS DOUBLE) / n_tokens AS kl_per_token
         |FROM agg ORDER BY slice""".stripMargin,
+
+    "q_drift_kl_batch" ->
+      """WITH ref AS (SELECT tok, COUNT(*) AS c_ref FROM
+        |    (SELECT unnest([t FOR t IN string_split(lower(text), ' ') IF t <> '']) AS tok
+        |     FROM documents WHERE doc_id % 5 <> 0) GROUP BY 1),
+        |bt AS (SELECT tok, COUNT(*) AS c_b FROM
+        |    (SELECT unnest([t FOR t IN string_split(lower(text), ' ') IF t <> '']) AS tok
+        |     FROM documents WHERE doc_id % 5 = 0) GROUP BY 1),
+        |nb AS (SELECT CAST(COALESCE(SUM(c_b), 0) AS BIGINT) AS n_b FROM bt),
+        |nr AS (SELECT CAST(SUM(c_ref) AS BIGINT) AS n_ref FROM ref),
+        |terms AS (SELECT b.c_b, nb.n_b,
+        |    b.c_b * ((length(bin(b.c_b * nr.n_ref)) - 1)
+        |           - (length(bin(nb.n_b * COALESCE(r.c_ref, 1))) - 1)) AS term,
+        |    CASE WHEN r.c_ref IS NULL THEN b.c_b ELSE 0 END AS unseen
+        |  FROM bt b LEFT JOIN ref r USING (tok) CROSS JOIN nb CROSS JOIN nr),
+        |agg AS (SELECT MAX(n_b) AS n_tokens, CAST(SUM(term) AS BIGINT) AS kl_bits,
+        |    CAST(SUM(unseen) AS BIGINT) AS unseen_tokens FROM terms)
+        |SELECT COALESCE(n_tokens, 0) AS n_tokens, COALESCE(kl_bits, 0) AS kl_bits,
+        |  CASE WHEN n_tokens > 0 THEN CAST(kl_bits AS DOUBLE) / n_tokens END AS kl_per_token,
+        |  COALESCE(unseen_tokens, 0) AS unseen_tokens,
+        |  CASE WHEN n_tokens > 0 THEN CAST(unseen_tokens AS DOUBLE) / n_tokens END AS unseen_frac
+        |FROM agg""".stripMargin,
 
     "q_nb_cv" ->
       """WITH base AS (SELECT doc_id, lang, doc_id % 5 AS fold,

@@ -146,6 +146,19 @@ object CorpusStreams {
       graft.ops.Classifier.nbPredictWith(model, stream, idCol, textCol),
       Seq(idCol))
 
+  /** Per-micro-batch token-distribution drift vs a FIXED reference
+    * ([[graft.ops.Drift.tokenDistribution]] built once at stream
+    * start): one (n_tokens, kl_bits, kl_per_token, unseen_tokens,
+    * unseen_frac) row per batch — the ingest tripwire that catches a
+    * scraper feeding the pipeline the wrong language/domain before it
+    * lands. Same `foreachBatch` contract as the other gates (the batch
+    * aggregation + the 1-row cross joins derive from the stream);
+    * per-batch cost is one |batch|-bounded count aggregation + one
+    * token-keyed join. */
+  def driftMonitor(batch: DataFrame, reference: DataFrame,
+                   textCol: String = "text"): DataFrame =
+    graft.ops.Drift.tokenKlAgainst(reference, batch, textCol)
+
   /** Keep only stream documents the classifier routes to `keep` classes
     * (e.g. the target languages) — [[classifyBatch]] plus the filter,
     * with the scoring columns dropped so the gate is shape-preserving. */

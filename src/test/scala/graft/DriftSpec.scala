@@ -80,6 +80,24 @@ class DriftSpec extends SparkSpec {
     }
   }
 
+  test("tokenKlAgainst: same distribution scores 0; disjoint is all-unseen positive") {
+    val ref = Drift.tokenDistribution(
+      Seq(("x x y z"), ("y z z")).toDF("text"), "text")
+    val same = Drift.tokenKlAgainst(ref,
+      Seq(("x x y z y z z")).toDF("text"), "text").collect().head
+    assert(same.getAs[Long]("kl_bits") == 0L)
+    assert(same.getAs[Long]("unseen_tokens") == 0L)
+    val alien = Drift.tokenKlAgainst(ref,
+      Seq(("q q q q")).toDF("text"), "text").collect().head
+    // c_b=4, n_b=4, n_ref=7, c_ref floor 1: 4*(bits(28) - bits(4)) = 4*2
+    assert(alien.getAs[Long]("kl_bits") == 8L)
+    assert(alien.getAs[Double]("unseen_frac") == 1.0)
+    // empty scored side: a zero row, not an empty frame or nulls
+    val empty = Drift.tokenKlAgainst(ref,
+      Seq.empty[String].toDF("text"), "text").collect()
+    assert(empty.length == 1 && empty.head.getAs[Long]("n_tokens") == 0L)
+  }
+
   test("tokenKlBySlice: the drifted slice ranks above the conforming one") {
     val docs = Seq(
       ("bulk", "a b c d e f g h"), ("bulk", "a b c d e f g h"),

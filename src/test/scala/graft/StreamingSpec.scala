@@ -398,6 +398,33 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("driftMonitor: per-micro-batch KL equals the batch computation per batch") {
+    val reference = graft.ops.Drift.tokenDistribution(
+      Seq(("the cat sat"), ("the dog ran")).toDF("text"), "text")
+    val b1 = Seq((1L, "the cat ran")); val b2 = Seq((2L, "der hund lief"))
+    def batchRow(rows: Seq[(Long, String)]) =
+      graft.streaming.CorpusStreams.driftMonitor(
+        rows.toDF("doc_id", "text"), reference)
+        .collect().head.toSeq
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty)
+          got += graft.streaming.CorpusStreams.driftMonitor(b, reference)
+            .collect().head.toSeq
+        ()
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(got.toSeq == Seq(batchRow(b1), batchRow(b2)))
+      // the alien batch reads as drifted: more unseen mass, higher KL
+      assert(got(1)(4).asInstanceOf[Double] > got(0)(4).asInstanceOf[Double])
+    } finally q.stop()
+  }
+
   test("classifierGate routes micro-batches exactly like the batch classifier") {
     val train = Seq(
       (1L, "en", "the cat and the dog"), (2L, "en", "the house of the king"),
