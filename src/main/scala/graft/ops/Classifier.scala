@@ -85,10 +85,13 @@ object Classifier {
     val dc = docs.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("d_c"))
     val dTrain = docs.agg(count(lit(1)).as("d_train"))
 
-    val classes = nc.join(dc, "cls")
+    // dc LEFT JOIN nc, not inner: a class whose training docs are all
+    // empty-text still has a prior and must stay scoreable (its token
+    // total is 0, so den_bits = bits2(V))
+    val classes = dc.join(nc, Seq("cls"), "left")
       .crossJoin(broadcast(vocab)).crossJoin(broadcast(dTrain))
       .select(col("cls"),
-        bits2(col("n_c") + col("v")).as("den_bits"),
+        bits2(coalesce(col("n_c"), lit(0L)) + col("v")).as("den_bits"),
         (bits2(col("d_c")) - bits2(col("d_train"))).as("prior_bits"))
     NbModel(ctc, classes)
   }
@@ -223,8 +226,11 @@ object Classifier {
       .groupBy("fold").agg(count(lit(1)).as("excl"))
 
     // (fold × class) training constants — k·|classes| rows, broadcastable
+    // dcAll LEFT JOIN allNc (nbTrain's token-less-class robustness)
     val grid = base.select("fold").distinct()
-      .crossJoin(allNc.join(dcAll, "cls"))
+      .crossJoin(dcAll.join(allNc, Seq("cls"), "left")
+        .select(col("cls"), coalesce(col("n_all"), lit(0L)).as("n_all"),
+          col("dc_all")))
       .join(foldNc, Seq("fold", "cls"), "left")
       .join(dcFold, Seq("fold", "cls"), "left")
       .join(dFold, "fold")

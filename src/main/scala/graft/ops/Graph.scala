@@ -81,11 +81,14 @@ object Graph {
     * proportion to integer edge weights (co-occurrence counts, link
     * multiplicities) — `rᵏ(u)·w(u→v) div Σw(u→·)` replaces the uniform
     * split; with all weights 1 the recursion is bit-identical to
-    * [[pageRank]]. Same determinism/checkpoint contract. Overflow
-    * bound: rank·weight must fit LONG, so per-edge weights must stay
-    * ≤ ~9·10⁶ at the default scale — pre-divide heavier weights by a
-    * common factor (the split is ratio-invariant only up to integer
-    * truncation, so state the factor where it matters). */
+    * [[pageRank]]. Same determinism/checkpoint contract. Weights must
+    * be ≥ 1: a node whose out-weights sum to 0 divides by zero, which
+    * Spark's `div` nulls but a SQL `//` replay rejects — the contract
+    * is integer COUNTS. Overflow bound: rank·weight must fit LONG, so
+    * per-edge weights must stay ≤ ~9·10⁶ at the default scale —
+    * pre-divide heavier weights by a common factor (the split is
+    * ratio-invariant only up to integer truncation, so state the
+    * factor where it matters). */
   def pageRankWeighted(edges: DataFrame, srcCol: String, dstCol: String,
                        weightCol: String, iters: Int,
                        scale: Long = 1000000000000L,

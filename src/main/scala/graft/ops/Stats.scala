@@ -105,7 +105,10 @@ object Stats {
     }
     val v = round(col(valueCol) * scale).cast(Dec)
     val isA = col(variantCol) === 0
-    val m = df.filter(finite(valueCol))
+    // NULL variants are excluded outright: `=== 0` would silently route
+    // them to the B side while a SQL `<> 0` replay drops them — the
+    // engine must not depend on that divergence
+    val m = df.filter(finite(valueCol) && col(variantCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(when(isA, 1L).otherwise(0L)).cast(Dec).as("na"),
         sum(when(!isA, 1L).otherwise(0L)).cast(Dec).as("nb"),

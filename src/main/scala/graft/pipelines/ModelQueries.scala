@@ -340,9 +340,9 @@ object ModelQueries {
       |dc AS (SELECT lang AS cls, COUNT(*) AS d_c FROM base WHERE NOT is_test GROUP BY 1),
       |dt AS (SELECT COUNT(*) AS d_train FROM base WHERE NOT is_test),
       |classes AS (SELECT cls,
-      |    length(bin((n_c + v) * (n_c + v))) - 1 AS den_bits,
+      |    length(bin((COALESCE(n_c, 0) + v) * (COALESCE(n_c, 0) + v))) - 1 AS den_bits,
       |    (length(bin(d_c * d_c)) - 1) - (length(bin(d_train * d_train)) - 1) AS prior_bits
-      |  FROM nc JOIN dc USING (cls) CROSS JOIN voc CROSS JOIN dt),
+      |  FROM dc LEFT JOIN nc USING (cls) CROSS JOIN voc CROSS JOIN dt),
       |stok AS (SELECT doc_id, unnest(tk) AS tok FROM base WHERE is_test),
       |present AS (SELECT doc_id, cls,
       |    SUM(length(bin((c_tc + 1) * (c_tc + 1))) - 1) AS pos_bits
@@ -643,7 +643,8 @@ object ModelQueries {
         |              * (c.dc_all - COALESCE(dc.dc_f, 0)))) - 1)
         |      - (length(bin((d.d_all - df.d_f) * (d.d_all - df.d_f))) - 1) AS prior_bits
         |  FROM (SELECT DISTINCT fold FROM base) g
-        |  CROSS JOIN (SELECT a.cls, a.n_all, dd.dc_all FROM anc a JOIN dca dd USING (cls)) c
+        |  CROSS JOIN (SELECT dd.cls, COALESCE(a.n_all, 0) AS n_all, dd.dc_all
+        |              FROM dca dd LEFT JOIN anc a USING (cls)) c
         |  LEFT JOIN fnc fn ON fn.fold = g.fold AND fn.cls = c.cls
         |  LEFT JOIN dcf dc ON dc.fold = g.fold AND dc.cls = c.cls
         |  JOIN dfl df ON df.fold = g.fold

@@ -133,6 +133,23 @@ class ClassifierSpec extends SparkSpec {
     assert(row.getAs[String]("predicted") == "aa")
   }
 
+  test("a class trained only on empty-text docs keeps its prior and stays scoreable") {
+    // class "ee" has 2 train docs, both empty: n_ee = 0 tokens, but its
+    // prior must survive (dc LEFT JOIN nc) — an inner join would drop it
+    val docs = Seq(
+      (0L, "aa", "x y"),
+      (1L, "ee", ""), (2L, "ee", ""),
+      (3L, "aa", "x y z"), (4L, "aa", "x z")).toDF("doc_id", "lang", "text")
+    val model = Classifier.nbTrain(docs.filter(col("doc_id") % 5 =!= 0), "text", "lang")
+    val classes = model.classes.as[(String, Long, Long)].collect()
+      .map { case (c, d, p) => c -> ((d, p)) }.toMap
+    assert(classes.keySet == Set("aa", "ee"))
+    // den_bits(ee) = bits2(0 + V); V = 3 distinct train tokens (x, y, z)
+    assert(classes("ee")._1 == bits2(3))
+    val scored = Classifier.nbClassScores(docs, "doc_id", "text", "lang")
+    assert(scored.filter(col("cls") === "ee").count() == 1) // doc 0 x ee
+  }
+
   test("save/load round-trips the model and nbPredictWith matches nbPredict") {
     val df = fixture.toDF("doc_id", "lang", "text")
     val isTest = col("doc_id") % 5 === 0

@@ -102,6 +102,15 @@ class StatsSpec extends SparkSpec {
     assert(rows("const").isNullAt(rows("const").fieldIndex("t_stat")))
   }
 
+  test("welchTwoSample excludes NULL variants entirely") {
+    val df = Seq(("g", Some(0), 1.0), ("g", Some(0), 3.0),
+      ("g", Some(1), 2.0), ("g", Some(1), 4.0), ("g", None, 100.0))
+      .toDF("k", "variant", "v")
+    val r = Stats.welchTwoSample(df, Seq("k"), "variant", "v").collect().head
+    assert(r.getAs[Long]("n_a") == 2L && r.getAs[Long]("n_b") == 2L)
+    assert(r.getAs[Double]("mean_b") == 3.0) // the 100.0 never entered
+  }
+
   test("welchTwoSample is repartition-invariant (exact moments)") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("variant", pmod(col("user_id"), lit(2)))
