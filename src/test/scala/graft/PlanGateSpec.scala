@@ -40,7 +40,10 @@ class PlanGateSpec extends SparkSpec {
     "q_nb_predict"         -> Seq("broadcast-nested-loop"),
     "q_nb_confusion"       -> Seq("broadcast-nested-loop"),
     "q_nb_margin"          -> Seq("broadcast-nested-loop"),
-    "q_nb_cv"              -> Seq("broadcast-nested-loop")
+    "q_nb_cv"              -> Seq("broadcast-nested-loop"),
+    // the margins subtree (one classes-broadcast BNLJ) appears once per
+    // replicated reference inside the tier protocol's boundary/row sides
+    "q_nb_calibration"     -> Seq.fill(5)("broadcast-nested-loop")
   )
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
