@@ -76,6 +76,10 @@ object Associations {
       .select(col("item_a"), col("item_b"), col("n_ab"),
         col("n_a"), col("n_b"), col("n_sessions"),
         (col("n_ab").cast("double") / col("n_sessions")).as("support"),
+        // directional rule confidences P(b|a) / P(a|b) — with lift, the
+        // full association-rule report
+        (col("n_ab").cast("double") / col("n_a")).as("conf_ab"),
+        (col("n_ab").cast("double") / col("n_b")).as("conf_ba"),
         ((col("n_ab") * col("n_sessions")).cast("double") /
           (col("n_a") * col("n_b"))).as("lift"))
   }

@@ -133,4 +133,76 @@ object Stats {
       when(col("na") > 1 && col("nb") > 1 && se2 > 0.0,
         (meanA - meanB) / sqrt(se2)).as("t_stat")): _*)
   }
+
+  /** Cumulative Poisson(1) CDF at k = 0..8, as DIGIT STRINGS — both the
+    * Spark literals and the SQL oracle parse the same text, so both
+    * engines hold the identical double and the multiplicity chain below
+    * is engine-exact. Tail mass beyond 9 (< 1.2e-6) maps to 9. */
+  private[graft] val PoissonCdf: Seq[String] = Seq(
+    "0.36787944117144233", "0.7357588823428847", "0.9196986029286058",
+    "0.9810118431238463", "0.9963401531726563", "0.9994058151824183",
+    "0.999916758850712", "0.9999897508033253", "0.999998874797402")
+
+  /** Percentile-bootstrap confidence interval for a column MEAN with
+    * NO randomness and NO driver loop: replicate r's multiplicity for
+    * row i is Poisson(1)⁻¹ of the md5-derived exact uniform
+    * u(i, r) = (first-13-hex(md5("id:r:seed")) + 0.5) / 2⁵²
+    * ([[graft.ops.Sampling.weightedSample]]'s uniform convention) — a
+    * pure function of (id, r, seed), so the whole resampling replays in
+    * SQL and survives retries/repartitioning bit-for-bit. Replicate
+    * sums accumulate in DECIMAL(38,0) over fixed-point cents
+    * (order-free); each replicate mean is two IEEE divisions; the CI is
+    * an order statistic of the SORTED b means (kLo = max(1,
+    * floor(b·α/2)), kHi = b+1−kLo, 1-based).
+    *
+    * Scale shape: ONE pass over b×n expression-replicated rows
+    * (map-side combined into ≤ b partials per partition — the shuffle
+    * carries partitions × b rows), then all CI arithmetic on the b-row
+    * frame via one bounded collect_list. Cost is b× the plain mean's
+    * scan work — b is a fixed constant (default 200), stated rather
+    * than hidden.
+    *
+    * Returns ONE row: (n_rows, b, mean, ci_lo, ci_hi). */
+  def bootstrapMeanCI(df: DataFrame, idCol: String, valueCol: String,
+                      b: Int = 200, alpha: Double = 0.05,
+                      scale: Long = 100L, seed: Long = 42L): DataFrame = {
+    require(b >= 2, s"b must be >= 2, got $b")
+    require(alpha > 0 && alpha < 1, s"alpha must be in (0,1), got $alpha")
+    def finite(c: String) = {
+      val d = col(c).cast("double")
+      col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
+    }
+    val base = df.filter(finite(valueCol))
+      .select(col(idCol).as("__id"),
+        round(col(valueCol) * scale).cast(Dec).as("__v"))
+
+    val rep = base.select(col("__id"), col("__v"),
+      explode(sequence(lit(1), lit(b))).as("r"))
+    val h52 = conv(substring(Composition.shuffleKey(
+        concat(col("__id").cast("string"), lit(":"), col("r").cast("string")),
+        seed), 1, 13), 16, 10).cast("long")
+    val u = (h52.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val m = PoissonCdf.zipWithIndex
+      .foldLeft(when(lit(false), 0)) { case (chain, (cdf, k)) =>
+        chain.when(u < lit(cdf.toDouble), k)
+      }.otherwise(9).cast("long")
+
+    val means = rep.withColumn("__m", m)
+      .groupBy("r")
+      .agg(sum(col("__v") * col("__m")).as("__sv"), sum("__m").as("__sm"))
+      .select(when(col("__sm") > 0,
+        (col("__sv").cast("double") / col("__sm").cast("double")) / scale)
+        .as("__mean"))
+
+    val kLo = math.max(1, (b * alpha / 2).toInt)
+    val kHi = b + 1 - kLo
+    val point = base.agg(count(lit(1)).as("n_rows"),
+      ((sum("__v").cast("double") / count(lit(1)).cast("double")) / scale)
+        .as("mean"))
+    means.agg(sort_array(collect_list(col("__mean"))).as("__s"))
+      .crossJoin(broadcast(point))
+      .select(col("n_rows"), lit(b).as("b"), col("mean"),
+        element_at(col("__s"), kLo).as("ci_lo"),
+        element_at(col("__s"), kHi).as("ci_hi"))
+  }
 }

@@ -135,6 +135,11 @@ object ModelQueries {
         .orderBy("doc_id")
     }),
 
+    // deterministic percentile-bootstrap CI for the corpus mean length
+    "q_stats_bootstrap" -> ((s, dir) =>
+      graft.ops.Stats.bootstrapMeanCI(docs(s, dir), "doc_id", "n_chars",
+        b = 200, alpha = 0.05)),
+
     // experiment analysis: per-event-type Welch two-sample comparison
     // of value across the user_id-parity variants (exact moments)
     "q_events_ab_welch" -> ((s, dir) =>
@@ -447,6 +452,32 @@ object ModelQueries {
         |FROM documents d LEFT JOIN sc USING (doc_id)
         |WHERE d.doc_id % 5 = 0 ORDER BY d.doc_id""".stripMargin,
 
+    "q_stats_bootstrap" -> {
+      val chain = graft.ops.Stats.PoissonCdf.zipWithIndex
+        .map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+      s"""WITH base AS (SELECT doc_id, CAST(round(n_chars * 100) AS HUGEINT) AS v
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |rep AS (SELECT doc_id, v, unnest(generate_series(1, 200)) AS r FROM base),
+         |um AS (SELECT v, r,
+         |    (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':'
+         |       || CAST(r AS VARCHAR) || ':42'), 1, 13)) AS BIGINT) + 0.5)
+         |      / 4503599627370496.0 AS u
+         |  FROM rep),
+         |mm AS (SELECT r, v, CASE $chain ELSE 9 END AS m FROM um),
+         |mr AS (SELECT r, SUM(v * m) AS sv, CAST(SUM(m) AS BIGINT) AS sm
+         |       FROM mm GROUP BY 1),
+         |means AS (SELECT CASE WHEN sm > 0
+         |    THEN (CAST(sv AS DOUBLE) / CAST(sm AS DOUBLE)) / 100 END AS mean_r
+         |  FROM mr),
+         |pt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |    (CAST(SUM(v) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)) / 100 AS mean
+         |  FROM base),
+         |s AS (SELECT list_sort(list(mean_r)) AS arr FROM means)
+         |SELECT pt.n_rows, 200 AS b, pt.mean,
+         |  arr[5] AS ci_lo, arr[196] AS ci_hi
+         |FROM s CROSS JOIN pt""".stripMargin
+    },
+
     "q_events_ab_welch" -> {
       val meanA = "(CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100"
       val meanB = "(CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100"
@@ -504,6 +535,8 @@ object ModelQueries {
         |SELECT p.item_a, p.item_b, p.n_ab,
         |  na.n_item AS n_a, nb.n_item AS n_b, ns.n_sessions,
         |  CAST(p.n_ab AS DOUBLE) / ns.n_sessions AS support,
+        |  CAST(p.n_ab AS DOUBLE) / na.n_item AS conf_ab,
+        |  CAST(p.n_ab AS DOUBLE) / nb.n_item AS conf_ba,
         |  CAST(p.n_ab * ns.n_sessions AS DOUBLE) / (na.n_item * nb.n_item) AS lift
         |FROM p JOIN itn na ON na.item = p.item_a
         |       JOIN itn nb ON nb.item = p.item_b

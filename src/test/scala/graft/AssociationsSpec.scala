@@ -28,6 +28,7 @@ class AssociationsSpec extends SparkSpec {
     assert(ab.getAs[Long]("n_ab") == 1L && ab.getAs[Long]("n_a") == 2L
       && ab.getAs[Long]("n_b") == 2L && ab.getAs[Long]("n_sessions") == 3L)
     assert(ab.getAs[Double]("support") == 1.0 / 3)
+    assert(ab.getAs[Double]("conf_ab") == 0.5 && ab.getAs[Double]("conf_ba") == 0.5)
     assert(ab.getAs[Double]("lift") == 3.0 / 4)
     val bc = r(1)
     assert((bc.getAs[String]("item_a"), bc.getAs[String]("item_b")) == ("B", "C"))

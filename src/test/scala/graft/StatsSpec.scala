@@ -111,6 +111,43 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_b") == 3.0) // the 100.0 never entered
   }
 
+  test("bootstrapMeanCI matches an independent plain-Scala replay") {
+    val data = Seq((1L, 10.0), (2L, 12.0), (3L, 9.0), (4L, 30.0), (5L, 11.0),
+      (6L, 14.0), (7L, 8.0), (8L, 13.0))
+    val b = 50; val alpha = 0.1
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val cdf = Stats.PoissonCdf.map(_.toDouble)
+    val means = (1 to b).map { r =>
+      var sv = BigInt(0); var sm = 0L
+      data.foreach { case (id, v) =>
+        val u = (java.lang.Long.parseLong(
+          md5hex(s"$id:$r:42").substring(0, 13), 16) + 0.5) / 4503599627370496.0
+        val m = cdf.indexWhere(u < _) match { case -1 => 9; case k => k }
+        sv += BigInt(math.round(v * 100)) * m; sm += m
+      }
+      if (sm > 0) (sv.toDouble / sm.toDouble) / 100 else Double.NaN
+    }.sorted
+    val kLo = math.max(1, (b * alpha / 2).toInt); val kHi = b + 1 - kLo
+    val r = Stats.bootstrapMeanCI(data.toDF("id", "v"), "id", "v",
+      b = b, alpha = alpha).collect().head
+    assert(r.getAs[Long]("n_rows") == 8L)
+    assert(r.getAs[Double]("mean") == data.map(_._2).sum / 8)
+    assert(r.getAs[Double]("ci_lo") == means(kLo - 1))
+    assert(r.getAs[Double]("ci_hi") == means(kHi - 1))
+    assert(r.getAs[Double]("ci_lo") <= r.getAs[Double]("mean") &&
+      r.getAs[Double]("mean") <= r.getAs[Double]("ci_hi"))
+  }
+
+  test("bootstrapMeanCI is repartition-invariant") {
+    val df = spark.read.parquet(s"$sf/documents.parquet")
+    val a = Stats.bootstrapMeanCI(df, "doc_id", "n_chars", b = 40).collect().head
+    val c = Stats.bootstrapMeanCI(df.repartition(7), "doc_id", "n_chars", b = 40)
+      .collect().head
+    assert(a == c)
+  }
+
   test("welchTwoSample is repartition-invariant (exact moments)") {
     val ev = spark.read.parquet(s"$sf/events.parquet")
       .withColumn("variant", pmod(col("user_id"), lit(2)))
