@@ -17,8 +17,10 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     SupplierPerformance(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] =
+  /** Inline base map (marts, dup gate, Raptor reconcile surface) —
+    * exposed separately so ContractSpec can prove the ++ union below
+    * never shadows a name across ANY constituent, this one included. */
+  val baseQueries: Map[String, (SparkSession, String) => DataFrame] =
     Map[String, (SparkSession, String) => DataFrame](
     "supplier_performance" -> ((s, dir) => SupplierPerformance(s, dir)),
     "product_performance" -> ((s, dir) => ProductPerformance(s, dir)),
@@ -34,7 +36,12 @@ object SparkEntry {
     "reconcile_tgt_extra" -> ((s, dir) => ReconcileQueries.tgtExtra(s, dir)),
     "reconcile_summary" -> ((s, dir) => ReconcileQueries.summary(s, dir)),
     "reconcile_col_summary" -> ((s, dir) => ReconcileQueries.colSummary(s, dir)),
-  ) ++ graft.pipelines.OperatorQueries.all.map { case (k, (q, _)) => k -> q } ++
+  )
+
+  /** One entry per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    baseQueries ++
+    graft.pipelines.OperatorQueries.all.map { case (k, (q, _)) => k -> q } ++
     graft.pipelines.ExtensionQueries.queries ++
     graft.pipelines.ModelQueries.queries
 

@@ -124,8 +124,12 @@ object Classifier {
       .groupBy(col("__id"), col("cls"))
       .agg(sum(bits2(col("c_tc") + 1)).as("pos_bits"))
 
-    // n_tokens is ROW-LOCAL (array size) — no aggregation, no join
-    base.select(col("__id"), size(col("__tk")).cast("long").as("n_tok"))
+    // n_tokens is ROW-LOCAL (array size) — no aggregation, no join.
+    // greatest(·, 0) clamps NULL-text docs (size(NULL) is NULL under
+    // ANSI, -1 legacy) to 0 so they score prior-only like empty docs —
+    // greatest skips NULL operands, so both flavors land on 0
+    base.select(col("__id"),
+        greatest(size(col("__tk")), lit(0)).cast("long").as("n_tok"))
       .crossJoin(broadcast(model.classes))
       .join(present, Seq("__id", "cls"), "left")
       .select(col("__id").as(idCol), col("cls"),
@@ -253,9 +257,10 @@ object Classifier {
       .groupBy(col("__id"), col("fold"), col("cls"))
       .agg(sum(bits2(col("c_all") - coalesce(col("c_f"), lit(0L)) + 1)).as("pos_bits"))
 
-    // n_tokens is ROW-LOCAL (array size) — no aggregation, no join
+    // n_tokens is ROW-LOCAL (array size) — no aggregation, no join.
+    // Same NULL-text clamp as nbScoreWith: prior-only, never ±den_bits
     val scored = base.select(col("__id"), col("__label"), col("fold"),
-        size(col("__tk")).cast("long").as("n_tok"))
+        greatest(size(col("__tk")), lit(0)).cast("long").as("n_tok"))
       .join(broadcast(grid), Seq("fold"))
       .join(present, Seq("__id", "fold", "cls"), "left")
       .select(col("__id"), col("__label"), col("fold"),

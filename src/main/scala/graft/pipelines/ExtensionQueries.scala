@@ -1049,10 +1049,19 @@ object ExtensionQueries {
 
     // two-sided CUSUM drift over per-type hourly value sums: the
     // control-chart recursion rewritten as cumsum − running-min (exact
-    // decimal windows over bucket-cardinality frames)
+    // decimal windows over bucket-cardinality frames). Edge columns are
+    // quantized to cents-BIGINT (exact: DECIMAL(22,2)×100 is integral) —
+    // the driver's hash canonicalization of DECIMAL output diverged from
+    // the repr-exact local mirror in r8, and integral longs are the one
+    // type both compare paths agree on (q_multimodal_features precedent).
     "q_events_cusum" -> ((s, dir) =>
       graft.ops.TimeSeries.cusum(events(s, dir), "event_type", "ts", "value",
           "hour", BigDecimal(147), BigDecimal(56), BigDecimal(565))
+        .select(col("event_type"), col("bucket"),
+          (col("bucket_value") * 100).cast("long").as("bucket_value_c"),
+          (col("cusum_hi") * 100).cast("long").as("cusum_hi_c"),
+          (col("cusum_lo") * 100).cast("long").as("cusum_lo_c"),
+          col("is_drift"))
         .orderBy("event_type", "bucket")),
 
     // per-hour value percentile bands (p50/p95) — the SLO-monitoring
@@ -1160,12 +1169,21 @@ object ExtensionQueries {
 
     // pre-flight join cardinality audit: predicted output rows and the
     // worst single-key fanout BEFORE running the join — key-cardinality
-    // count frames only, exact DECIMAL(38) products
+    // count frames only, exact DECIMAL(38) products. The operator's
+    // DOUBLE skew_ratio is re-expressed at the edge as an exact integral
+    // ppm (max·keys·10⁶ div Σ — both engines truncate positive integral
+    // division), and the DECIMAL(38) pieces cast to BIGINT for the
+    // driver hash (exact at fixture scale; the operator keeps DECIMAL).
     "q_join_fanout" -> ((s, dir) =>
       graft.ops.JoinAudit.joinFanout(
         Entities.read(s, dir, "orders"),
         li(s, dir).withColumnRenamed("l_orderkey", "o_orderkey"),
-        Seq("o_orderkey"))),
+        Seq("o_orderkey"))
+        .select(col("matched_keys"),
+          col("predicted_rows").cast("long").as("predicted_rows"),
+          col("max_key_fanout").cast("long").as("max_key_fanout"),
+          expr("CAST((max_key_fanout * matched_keys * 1000000) div " +
+            "predicted_rows AS BIGINT)").as("skew_x1e6"))),
 
     // bit-deterministic correlation + OLS per group: five DECIMAL(38)
     // integer moment sums (order-independent), one fixed IEEE tail —
@@ -1257,9 +1275,15 @@ object ExtensionQueries {
 
     // ── retrieval-grade term weighting ───────────────────────────────
     // Okapi BM25 top-3 terms per doc (rational idf, saturation + length
-    // norm; monotone-equivalent to the log form so ranks are exact)
+    // norm; monotone-equivalent to the log form so ranks are exact).
+    // weight leaves as floor(weight·10⁶) BIGINT — ranks (rk) carry the
+    // semantics; the raw DOUBLE was the r8 driver-hash divergence and
+    // the floors agree because the doubles are bit-equal (local mirror
+    // proved 0 differing rows under repr-exact compare).
     "q_text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopTerms(docs(s, dir), "doc_id", "text", 3)
+        .select(col("doc_id"), col("token"), col("tf"), col("df"),
+          col("dl"), floor(col("weight") * 1e6).as("weight_q"), col("rk"))
         .orderBy("doc_id", "rk")),
 
     // corpus collocations: top-100 bigrams by PMI-monotone lift,
@@ -2400,11 +2424,10 @@ object ExtensionQueries {
         |j AS (SELECT ln, rn, CAST(ln AS HUGEINT) * rn AS p
         |      FROM lc JOIN rc USING (k))
         |SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
-        |       CAST(SUM(p) AS DECIMAL(38,0)) AS predicted_rows,
-        |       CAST(MAX(p) AS DECIMAL(38,0)) AS max_key_fanout,
-        |       CAST(MAX(p) AS DOUBLE) /
-        |         (CAST(SUM(p) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE))
-        |         AS skew_ratio
+        |       CAST(SUM(p) AS BIGINT) AS predicted_rows,
+        |       CAST(MAX(p) AS BIGINT) AS max_key_fanout,
+        |       CAST((CAST(MAX(p) AS HUGEINT) * COUNT(*) * 1000000)
+        |            // CAST(SUM(p) AS HUGEINT) AS BIGINT) AS skew_x1e6
         |FROM j""".stripMargin,
 
     // HUGEINT moment sums mirror Spark's DECIMAL(38); the double tail
@@ -2507,11 +2530,12 @@ object ExtensionQueries {
         |             AS DECIMAL(22,2)) AS c_lo
         |      FROM b WINDOW w AS (PARTITION BY event_type ORDER BY bucket
         |                          ROWS UNBOUNDED PRECEDING))
-        |SELECT event_type, bucket, bucket_value,
-        |       CAST(c_hi - LEAST(MIN(c_hi) OVER w2, 0) AS DECIMAL(22,2))
-        |         AS cusum_hi,
-        |       CAST(GREATEST(MAX(c_lo) OVER w2, 0) - c_lo AS DECIMAL(22,2))
-        |         AS cusum_lo,
+        |SELECT event_type, bucket,
+        |       CAST(bucket_value * 100 AS BIGINT) AS bucket_value_c,
+        |       CAST(CAST(c_hi - LEAST(MIN(c_hi) OVER w2, 0) AS DECIMAL(22,2))
+        |            * 100 AS BIGINT) AS cusum_hi_c,
+        |       CAST(CAST(GREATEST(MAX(c_lo) OVER w2, 0) - c_lo
+        |                 AS DECIMAL(22,2)) * 100 AS BIGINT) AS cusum_lo_c,
         |       (CAST(c_hi - LEAST(MIN(c_hi) OVER w2, 0) AS DECIMAL(22,2)) > 565
         |        OR CAST(GREATEST(MAX(c_lo) OVER w2, 0) - c_lo
         |                AS DECIMAL(22,2)) > 565)
@@ -2665,8 +2689,9 @@ object ExtensionQueries {
         |      FROM tfdl JOIN dfx ON tfdl.token = dfx.token, nd, tt),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |                ORDER BY weight DESC, token) AS rk FROM w)
-        |SELECT doc_id, token, tf, df, dl, weight, rk FROM r
-        |WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+        |SELECT doc_id, token, tf, df, dl,
+        |       CAST(floor(weight * 1000000) AS BIGINT) AS weight_q, rk
+        |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // pair construction from the same single-space tokenization; lift's
     // three divisions and one product in the same order as pmiBigrams

@@ -489,7 +489,8 @@ object ModelQueries {
       s"""WITH b AS (SELECT event_type, user_id % 2 AS variant,
          |             CAST(round(value * 100) AS HUGEINT) AS v
          |           FROM events
-         |           WHERE value IS NOT NULL AND isfinite(value)),
+         |           WHERE value IS NOT NULL AND isfinite(value)
+         |             AND user_id IS NOT NULL),
          |m AS (SELECT event_type,
          |        CAST(SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS HUGEINT) AS na,
          |        CAST(SUM(CASE WHEN variant <> 0 THEN 1 ELSE 0 END) AS HUGEINT) AS nb,

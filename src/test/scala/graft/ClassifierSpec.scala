@@ -80,6 +80,31 @@ class ClassifierSpec extends SparkSpec {
     assert(row.getAs[Long]("hit") == 0L) // true label never trained
   }
 
+  test("NULL-text test document scores prior-only, exactly like an empty one") {
+    // size(NULL array) is NULL under ANSI (-1 legacy) — either flavor
+    // would shift the score off prior-only without the greatest(·,0)
+    // clamp in nbScoreWith; the oracle scores NULL-text docs prior-only
+    val docs = Seq(
+      (0L, "zz", null.asInstanceOf[String]),
+      (1L, "aa", "x y z"),
+      (2L, "bb", "p q r"),
+      (3L, "aa", "x y z"),
+      (4L, "bb", "p q r")).toDF("doc_id", "lang", "text")
+    val row = Classifier.nbPredict(docs, "doc_id", "text", "lang", splitMod = 5)
+      .collect().head
+    assert(row.getAs[String]("predicted") == "aa")
+    assert(row.getAs[Long]("score") == bits2(2) - bits2(4)) // prior-only
+    // and the CV path takes the same clamp: all-fold accuracy frame
+    // exists with no NULL-poisoned scores
+    val cvDocs = Seq(
+      (0L, "aa", null.asInstanceOf[String]), (1L, "aa", "x y"),
+      (2L, "bb", "p q"), (3L, "aa", "x y"), (4L, "bb", "p q"),
+      (5L, "bb", "p r")).toDF("doc_id", "lang", "text")
+    val cv = Classifier.nbCrossValidate(cvDocs, "doc_id", "text", "lang", folds = 3)
+    assert(cv.count() == 3)
+    assert(!cv.select("accuracy").as[Double].collect().exists(_.isNaN))
+  }
+
   test("hit flag and confusion matrix are consistent") {
     val df = fixture.toDF("doc_id", "lang", "text")
     val pred = Classifier.nbPredict(df, "doc_id", "text", "lang", splitMod = 5)

@@ -15,12 +15,20 @@ class ContractSpec extends SparkSpec {
   }
 
   test("query-map unions never shadow a name") {
+    // ALL four constituents of the ++ union, the inline base map
+    // (marts/dup_check/reconcile_*) included — a base key colliding
+    // with a pipeline key would shadow just as silently
     val maps = Seq(
+      SparkEntry.baseQueries.keySet,
       graft.pipelines.OperatorQueries.all.keySet,
       graft.pipelines.ExtensionQueries.queries.keySet,
       graft.pipelines.ModelQueries.queries.keySet)
     val pairwise = maps.combinations(2).flatMap { case Seq(a, b) => a & b }.toSet
     assert(pairwise.isEmpty, s"shadowed query names: ${pairwise.toSeq.sorted}")
+    // and the union must be size-additive — catches any collision the
+    // pairwise sweep would miss if a constituent list goes stale
+    assert(SparkEntry.queries.size == maps.map(_.size).sum,
+      "query-map union lost entries to shadowing")
   }
 
   test("smoke entry returns rows on the smallest fixture") {
