@@ -262,14 +262,29 @@ object TextAnalysis {
     * absorbing hot-token skew, and corpus totals ride a broadcast 1-row
     * cross join — no driver action, no window keyed by token.
     *
-    * Determinism: idf uses the rational (N − df + 0.5)/(df + 0.5) form
-    * (log-free — BM25's log is monotone in it, so per-doc ranking is
-    * identical); every float step is a single IEEE op in a fixed order,
-    * mirrored exactly in the oracle SQL. k1 = 1.2, b = 0.75 appear as
-    * the literals 2.2 (= k1+1), 1.2, 0.25 (= 1−b), 0.75. */
+    * Determinism: with idf in the rational (N − df + 0.5)/(df + 0.5)
+    * form (log-free — BM25's log is monotone in it, so per-doc ranking
+    * is identical), the whole weight is an exact integer ratio. With
+    * T = Σtf (corpus tokens), N = doc count, k1 = 1.2, b = 0.75:
+    *
+    *   weight = (2N − 2df + 1)·22·tf·T
+    *            ───────────────────────────────────  = wNum / wDen
+    *            (2df + 1)·(10·tf·T + 3·T + 9·dl·N)
+    *
+    * Both sides are computed in DECIMAL(38,0) integer arithmetic and the
+    * emitted `weight_q` = wNum·10¹² div wDen is a BIGINT — no doubles
+    * anywhere on the rank path, so a DuckDB oracle running the same
+    * integer ops is bit-identical (the r8/r9 driver-hash divergence was
+    * exactly cross-engine double drift). `rk` orders by
+    * (weight_q DESC, token ASC). A `weight` double is still emitted for
+    * human consumption (same value to ~1e-12 relative). Headroom:
+    * wNum·10¹² < 44·N·tf·T·10¹² must stay under 10³⁸ — true up to
+    * ~10⁹ docs × 10¹² tokens at tf ≤ 10²; past that Spark's ANSI decimal
+    * overflow throws rather than silently corrupting ranks. */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     val counts = docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
@@ -284,22 +299,31 @@ object TextAnalysis {
     // total token count from the compact tf frame, not a corpus rescan
     val totToks = counts.agg(sum("tf").as("total_tokens"))
     val w = Window.partitionBy(idCol)
-      .orderBy(col("weight").desc, col("token").asc)
-    val avgdl = col("total_tokens").cast("double") / col("n_docs")
-    val idf = ((col("n_docs") - col("df")).cast("double") + lit(0.5)) /
-      (col("df").cast("double") + lit(0.5))
-    val norm = lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl)
-    val weight = idf *
-      ((col("tf").cast("double") * lit(2.2)) /
-        (col("tf").cast("double") + lit(1.2) * norm))
+      .orderBy(col("weight_q").desc, col("token").asc)
+    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
+    // exact integer rational: all Long pre-products are overflow-safe
+    // (2N, 22·tf, 10·tf, 3·T, 9·dl small multiples of counts); the big
+    // cross-terms happen in DECIMAL(38,0)
+    val wNum = dec(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) *
+      dec(lit(22L) * col("tf")) * dec(col("total_tokens"))
+    val wDen = dec(lit(2L) * col("df") + lit(1L)) *
+      (dec(lit(10L) * col("tf")) * dec(col("total_tokens")) +
+        dec(lit(3L) * col("total_tokens")) +
+        dec(lit(9L) * col("dl")) * dec(col("n_docs")))
     counts
       .join(dfByToken, "token")
       .crossJoin(broadcast(nDocs))
       .crossJoin(broadcast(totToks))
-      .withColumn("weight", weight)
+      .withColumn("__wnum", wNum * dec(lit(1000000000000L)))
+      .withColumn("__wden", wDen)
+      // IntegralDivide on decimals yields BIGINT; weight positive
+      // (df ≤ N ⇒ 2N−2df+1 ≥ 1) so trunc == floor on both engines
+      .withColumn("weight_q", expr("__wnum div __wden"))
+      .withColumn("weight",
+        col("__wnum").cast("double") / col("__wden").cast("double") / 1e12)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select(col(idCol), col("token"), col("tf"), col("df"), col("dl"),
-        col("weight"), col("rk"))
+        col("weight_q"), col("weight"), col("rk"))
   }
 
   /** Adjacent word pairs of each document, exploded to (w1, w2) rows.

@@ -1172,8 +1172,11 @@ object ExtensionQueries {
     // count frames only, exact DECIMAL(38) products. The operator's
     // DOUBLE skew_ratio is re-expressed at the edge as an exact integral
     // ppm (max·keys·10⁶ div Σ — both engines truncate positive integral
-    // division), and the DECIMAL(38) pieces cast to BIGINT for the
-    // driver hash (exact at fixture scale; the operator keeps DECIMAL).
+    // division). Guards, not assumptions: the numerator stays in
+    // DECIMAL(38,0) through the div, and past-fixture-scale inputs
+    // raise the SAME explicit error on both engines (max·keys ≤ 10³²
+    // keeps ·10⁶ inside DECIMAL(38)/HUGEINT; the BIGINT output casts
+    // themselves throw on overflow under ANSI rather than wrapping).
     "q_join_fanout" -> ((s, dir) =>
       graft.ops.JoinAudit.joinFanout(
         Entities.read(s, dir, "orders"),
@@ -1182,8 +1185,12 @@ object ExtensionQueries {
         .select(col("matched_keys"),
           col("predicted_rows").cast("long").as("predicted_rows"),
           col("max_key_fanout").cast("long").as("max_key_fanout"),
-          expr("CAST((max_key_fanout * matched_keys * 1000000) div " +
-            "predicted_rows AS BIGINT)").as("skew_x1e6"))),
+          expr("CAST(CASE WHEN max_key_fanout * matched_keys <= " +
+            "CAST('100000000000000000000000000000000' AS DECIMAL(38,0)) " +
+            "THEN (max_key_fanout * matched_keys * 1000000) div " +
+            "predicted_rows ELSE raise_error(" +
+            "'joinFanout skew_x1e6 overflow: max_key_fanout*matched_keys " +
+            "exceeds 1e32') END AS BIGINT)").as("skew_x1e6"))),
 
     // bit-deterministic correlation + OLS per group: five DECIMAL(38)
     // integer moment sums (order-independent), one fixed IEEE tail —
@@ -1276,14 +1283,15 @@ object ExtensionQueries {
     // ── retrieval-grade term weighting ───────────────────────────────
     // Okapi BM25 top-3 terms per doc (rational idf, saturation + length
     // norm; monotone-equivalent to the log form so ranks are exact).
-    // weight leaves as floor(weight·10⁶) BIGINT — ranks (rk) carry the
-    // semantics; the raw DOUBLE was the r8 driver-hash divergence and
-    // the floors agree because the doubles are bit-equal (local mirror
-    // proved 0 differing rows under repr-exact compare).
+    // No doubles on the oracle edge: weight_q = wNum·10¹² div wDen is an
+    // exact integer-rational quantization computed in DECIMAL(38,0) on
+    // both engines (the r8/r9 hash-red was cross-engine double drift —
+    // flooring a double is unstable at 1-ulp gaps near integer
+    // boundaries), and rk ranks by (weight_q DESC, token).
     "q_text_bm25" -> ((s, dir) =>
       TextAnalysis.bm25TopTerms(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
-          col("dl"), floor(col("weight") * 1e6).as("weight_q"), col("rk"))
+          col("dl"), col("weight_q"), col("rk"))
         .orderBy("doc_id", "rk")),
 
     // corpus collocations: top-100 bigrams by PMI-monotone lift,
@@ -2414,8 +2422,9 @@ object ExtensionQueries {
         |UNION ALL SELECT '4_decontaminated', COUNT(*) FROM d4
         |ORDER BY stage""".stripMargin,
 
-    // count-join replay; DECIMAL(38) casts keep the schema aligned with
-    // Spark's exact decimal products
+    // count-join replay; HUGEINT products mirror Spark's exact DECIMAL(38)
+    // and the SAME max·keys ≤ 1e32 guard raises the same explicit error
+    // past fixture scale instead of the engines failing differently
     "q_join_fanout" ->
       """WITH lc AS (SELECT o_orderkey AS k, COUNT(*) AS ln FROM orders
         |            WHERE o_orderkey IS NOT NULL GROUP BY 1),
@@ -2426,8 +2435,13 @@ object ExtensionQueries {
         |SELECT CAST(COUNT(*) AS BIGINT) AS matched_keys,
         |       CAST(SUM(p) AS BIGINT) AS predicted_rows,
         |       CAST(MAX(p) AS BIGINT) AS max_key_fanout,
-        |       CAST((CAST(MAX(p) AS HUGEINT) * COUNT(*) * 1000000)
-        |            // CAST(SUM(p) AS HUGEINT) AS BIGINT) AS skew_x1e6
+        |       CAST(CASE WHEN CAST(MAX(p) AS HUGEINT) * COUNT(*) <=
+        |              CAST('100000000000000000000000000000000' AS HUGEINT)
+        |            THEN (CAST(MAX(p) AS HUGEINT) * COUNT(*) * 1000000)
+        |              // CAST(SUM(p) AS HUGEINT)
+        |            ELSE error('joinFanout skew_x1e6 overflow: ' ||
+        |                       'max_key_fanout*matched_keys exceeds 1e32')
+        |            END AS BIGINT) AS skew_x1e6
         |FROM j""".stripMargin,
 
     // HUGEINT moment sums mirror Spark's DECIMAL(38); the double tail
@@ -2667,8 +2681,10 @@ object ExtensionQueries {
         |       (SELECT MAX(gap) FROM x) AS max_gap
         |FROM t""".stripMargin,
 
-    // mirrors bm25TopTerms' exact float-op order: idf, saturation and
-    // length-norm terms parenthesized identically — bit-equal doubles
+    // mirrors bm25TopTerms' exact integer-rational form: with T = Σtf,
+    // weight = (2N−2df+1)·22·tf·T / ((2df+1)·(10·tf·T+3·T+9·dl·N)) and
+    // weight_q = wNum·10¹² // wDen in HUGEINT — no doubles anywhere on
+    // the rank path, bit-identical across engines by construction
     "q_text_bm25" ->
       """WITH toks AS (SELECT doc_id,
         |  [x FOR x IN string_split(text, ' ') IF x <> ''] AS t FROM documents),
@@ -2680,17 +2696,19 @@ object ExtensionQueries {
         |nd AS (SELECT COUNT(*) AS n_docs FROM documents),
         |tt AS (SELECT SUM(tf) AS total_tokens FROM tf),
         |w AS (SELECT doc_id, tfdl.token, tf, df, dl,
-        |        ((CAST(n_docs - df AS DOUBLE) + 0.5) /
-        |         (CAST(df AS DOUBLE) + 0.5)) *
-        |        ((CAST(tf AS DOUBLE) * 2.2) /
-        |         (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75 *
-        |            (CAST(dl AS DOUBLE) /
-        |             (CAST(total_tokens AS DOUBLE) / n_docs))))) AS weight
+        |        (CAST(2*n_docs - 2*df + 1 AS HUGEINT) *
+        |           CAST(22*tf AS HUGEINT) * CAST(total_tokens AS HUGEINT) *
+        |           CAST(1000000000000 AS HUGEINT)) //
+        |        (CAST(2*df + 1 AS HUGEINT) *
+        |           (CAST(10*tf AS HUGEINT) * CAST(total_tokens AS HUGEINT) +
+        |            CAST(3 AS HUGEINT) * CAST(total_tokens AS HUGEINT) +
+        |            CAST(9*dl AS HUGEINT) * CAST(n_docs AS HUGEINT)))
+        |          AS weight_q
         |      FROM tfdl JOIN dfx ON tfdl.token = dfx.token, nd, tt),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
-        |                ORDER BY weight DESC, token) AS rk FROM w)
+        |                ORDER BY weight_q DESC, token) AS rk FROM w)
         |SELECT doc_id, token, tf, df, dl,
-        |       CAST(floor(weight * 1000000) AS BIGINT) AS weight_q, rk
+        |       CAST(weight_q AS BIGINT) AS weight_q, rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // pair construction from the same single-space tokenization; lift's

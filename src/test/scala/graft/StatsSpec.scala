@@ -111,6 +111,19 @@ class StatsSpec extends SparkSpec {
     assert(r.getAs[Double]("mean_b") == 3.0) // the 100.0 never entered
   }
 
+  test("welchTwoSample drops an all-NULL-variant group — matching the " +
+    "oracle's pre-aggregation variant filter") {
+    // group "gone" has ONLY null-variant rows: the engine must emit no
+    // row for it at all (not a zero-count row), exactly like a SQL
+    // replay whose WHERE drops the rows before GROUP BY — the r9 oracle
+    // filters user_id IS NOT NULL, equivalent to variant IS NOT NULL
+    // under variant = pmod(user_id, 2)
+    val df = Seq(("keep", Some(0), 1.0), ("keep", Some(1), 2.0),
+      ("gone", None, 5.0), ("gone", None, 7.0)).toDF("k", "variant", "v")
+    val out = Stats.welchTwoSample(df, Seq("k"), "variant", "v").collect()
+    assert(out.map(_.getString(0)).toSeq == Seq("keep"))
+  }
+
   test("bootstrapMeanCI matches an independent plain-Scala replay") {
     val data = Seq((1L, 10.0), (2L, 12.0), (3L, 9.0), (4L, 30.0), (5L, 11.0),
       (6L, 14.0), (7L, 8.0), (8L, 13.0))
