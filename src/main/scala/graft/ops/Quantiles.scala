@@ -20,13 +20,75 @@ import org.apache.spark.sql.functions._
   */
 object Quantiles {
 
+  /** Gather fast-path caps: a (group, rank) whose VERIFIED in-bracket
+    * count is ≤ per-key cap may collect its bracket values in one job
+    * (driver indexes the k-th directly — zero refinement rounds); the
+    * total pull across keys is bounded by the global cap (2²⁰ longs =
+    * 8 MB). Everything past the caps refines as usual, so the fast path
+    * never weakens the 100-TB posture — it only deletes the fixed
+    * per-round job overhead that dominates at monitoring scale. */
+  private val GatherCapPerKey: Long = 1L << 16
+  private val GatherCapTotal: Long = 1L << 20
+
+  /** Small-group gate for the grouped protocol: a group whose PROVEN
+    * value count (from the bounds job) is ≤ this sorts in-executor via
+    * one collect_list aggregation instead of running selection rounds.
+    * A sys-prop override (`graft.quantiles.smallGroupCap`) exists so
+    * tests can force the selection protocol on small fixtures. */
+  private def smallGroupCap: Long =
+    sys.props.get("graft.quantiles.smallGroupCap").map(_.toLong)
+      .getOrElse(1L << 17)
+
+  /** Run the protocol's driver-coordinated rounds with AQE off and a
+    * small reduce-side width. Every action here is a tiny broadcast-join
+    * aggregation whose REDUCE input is bounded by construction (≤
+    * groups·bins counters, ≤ 2²⁰ gathered values) regardless of input
+    * size — map-side parallelism is untouched — so 32+ reduce tasks are
+    * pure scheduler overhead, and AQE (whose whole contribution here
+    * would be coalescing those partitions) splits each action into 2-3
+    * jobs to do it. Pinning both for the protocol window measured 12 → 4
+    * jobs on the hourly-bands shape. Session-conf save/restore: the
+    * protocol is synchronous on the calling thread; concurrent queries
+    * sharing the session during a selection would plan with these confs
+    * for that window (correctness unaffected). */
+  private def withProtocolConf[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val shufKey = "spark.sql.shuffle.partitions"
+    val prevAqe = spark.conf.get(aqeKey, "true")
+    val prevShuf = spark.conf.get(shufKey, "200")
+    val smallShuf = math.min(8, prevShuf.toInt).toString
+    try {
+      spark.conf.set(aqeKey, "false")
+      spark.conf.set(shufKey, smallShuf)
+      f
+    } finally {
+      spark.conf.set(aqeKey, prevAqe)
+      spark.conf.set(shufKey, prevShuf)
+    }
+  }
+
+  /** A Seq[Row] as a genuine LocalRelation DataFrame. The obvious
+    * `createDataFrame(rows.asJava, schema)` parallelizes into
+    * defaultParallelism partitions, so every broadcast build of a tiny
+    * range/bracket frame pays a 32-task job; a LocalRelation broadcasts
+    * driver-side with ZERO jobs — half this protocol's job count at
+    * monitoring scale. */
+  private def localRows(spark: org.apache.spark.sql.SparkSession,
+                        rows: Seq[org.apache.spark.sql.Row],
+                        schema: org.apache.spark.sql.types.StructType): DataFrame =
+    spark.createDataset(rows)(
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder(
+        org.apache.spark.sql.catalyst.encoders.RowEncoder.encoderFor(schema)))
+      .toDF()
+
   /** Exact k-th smallest (1-based, duplicates counted) of integral
     * column `valueCol`. Requires 1 ≤ k ≤ count; one aggregate action per
     * refinement pass plus one bounds scan. */
-  def exactKth(df: DataFrame, valueCol: String, k: Long, bins: Int = 1024): Long = {
-    val (lo, hi, n) = bounds(df, valueCol)
-    selectKth(df, valueCol, k, lo, hi, n, bins)
-  }
+  def exactKth(df: DataFrame, valueCol: String, k: Long, bins: Int = 1024): Long =
+    withProtocolConf(df.sparkSession) {
+      val (lo, hi, n) = bounds(df, valueCol)
+      selectKth(df, valueCol, k, lo, hi, n, bins)
+    }
 
   /** Saturating `a + b` for the refinement upper bound: when the
     * surviving range abuts Long.MaxValue (a column containing it),
@@ -85,169 +147,45 @@ object Quantiles {
     lo
   }
 
-  /** All requested ranks selected TOGETHER: one aggregation job per
-    * refinement round covers every still-active rank (each rank's
-    * surviving range joins in as a broadcast row), instead of one job
-    * chain per rank — with R ranks and P passes that is P jobs, not
-    * R·P. Ranks start from the same global range, so round 1 is shared
-    * exactly; later rounds ship R small range rows with the scan.
-    * Spark-job fixed overhead dominates these tiny histogram passes, so
-    * the batching is a ~R× wall-clock cut (measured 3.7s → ~1.4s for 3
-    * ranks over 100k rows at sf0.1). */
-  private def selectManyKth(df: DataFrame, valueCol: String, ks: Seq[Long],
-                            initLo: Long, initHi: Long, n: Long,
-                            bins: Int): Map[Long, Long] = {
-    ks.foreach { k =>
-      require(k >= 1, s"k must be >= 1, got $k")
-      require(k <= n, s"k=$k exceeds count=$n")
-    }
-    selectManyFromState(df, valueCol,
-      ks.distinct.map(k => k -> ((initLo, initHi, k))).toMap, bins)
-  }
-
-  /** The refinement loop over EXPLICIT per-rank state — each entry is
-    * `rank -> (lo, hi, kk)` asserting "the global `rank`-th value is the
-    * `kk`-th smallest of the values in [lo, hi]". [[selectManyKth]] seeds
-    * every rank with the full range; [[exactQuantilesSeeded]] seeds each
-    * rank with a sketch-narrowed bracket. Ranges spanning both signs are
-    * split at zero first (one shared broadcast-join count job) so
-    * `(hi - lo)` and `(v - lo)` can't overflow. */
-  private def selectManyFromState(df: DataFrame, valueCol: String,
-                                  state0: Map[Long, (Long, Long, Long)],
-                                  bins: Int): Map[Long, Long] = {
-    val spark = df.sparkSession
-    import spark.implicits._
-    val v = col(valueCol).cast("long")
-    var state = state0
-    val straddling = state.filter { case (_, (lo, hi, _)) => lo < 0 && hi > 0 }
-    if (straddling.nonEmpty) {
-      val negRanges = straddling.map { case (k, (lo, _, _)) => (k, lo) }
-        .toSeq.toDF("qk", "nlo")
-      val negCounts = df.select(v.as("__v")).filter(col("__v") < 0)
-        .join(broadcast(negRanges), col("__v") >= col("nlo"))
-        .groupBy("qk").agg(count(lit(1)).as("c"))
-        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      state = state.map {
-        case (k, (lo, hi, kk)) if lo < 0 && hi > 0 =>
-          val nNeg = negCounts.getOrElse(k, 0L)
-          k -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
-        case other => other
-      }
-    }
-    while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
-      val active = state.filter { case (_, (lo, hi, _)) => lo < hi }
-      val ranges = active.map { case (k, (lo, hi, _)) =>
-        (k, lo, hi, math.max(1L, (hi - lo) / bins + 1L))
-      }.toSeq.toDF("qk", "lo", "hi", "width")
-      val hists = df.select(v.as("__v"))
-        .join(broadcast(ranges),
-          col("__v") >= col("lo") && col("__v") <= col("hi"))
-        .groupBy(col("qk"), expr("(__v - lo) div width").as("b"))
-        .agg(count(lit(1)).as("c"))
-        .collect()
-        .groupBy(_.getLong(0))
-        .view.mapValues(_.map(r => r.getLong(1) -> r.getLong(2)).sortBy(_._1))
-        .toMap
-      state = state.map {
-        case (k, s @ (lo, hi, _)) if lo >= hi => k -> s
-        case (k, (lo, hi, kk)) =>
-          val width = math.max(1L, (hi - lo) / bins + 1L)
-          val hist = hists(k)
-          var cum = 0L
-          var i = 0
-          while (cum + hist(i)._2 < kk) { cum += hist(i)._2; i += 1 }
-          val newLo = lo + hist(i)._1 * width
-          k -> (newLo, math.min(hi, satAdd(newLo, width - 1)), kk - cum)
-      }
-    }
-    state.map { case (k, (lo, _, _)) => k -> lo }
-  }
-
   /** Exact quantiles at ranks ⌈q·n⌉ (percentile-disc style, lower
-    * rounding via ⌈⌉ on the 1-based rank). Returns (q, value) pairs;
-    * ONE bounds scan and one batched selection for ALL ranks. */
+    * rounding via ⌈⌉ on the 1-based rank). Returns (q, value) pairs.
+    * Runs as the grouped protocol over one constant group: a small
+    * column (n ≤ the capped-sort gate) resolves in ONE fused job;
+    * larger columns run bounds + batched refinement. */
   def exactQuantiles(df: DataFrame, valueCol: String,
-                     qs: Seq[Double]): Seq[(Double, Long)] = {
-    val (lo, hi, n) = bounds(df, valueCol)
-    qs.foreach(q => require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q"))
-    val ks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
-    val selected = selectManyKth(df, valueCol, ks, lo, hi, n, bins = 1024)
-    qs.zip(ks).map { case (q, k) => q -> selected(k) }
-  }
+                     qs: Seq[Double]): Seq[(Double, Long)] =
+    exactQuantilesVia(df, valueCol, qs, None, 1024)
 
   /** [[exactQuantiles]] accelerated by a one-pass GK sketch — SAME exact
-    * result, fewer scans on wide-range columns.
-    *
-    * The plain refinement needs ⌈log₁₀₂₄(range)⌉ full-column passes — up
-    * to 7 when the value range spans 64 bits (ids, hashes, timestamps in
-    * nanos). This variant first runs Spark's `approxQuantile`
-    * (Greenwald–Khanna, deterministic rank guarantee: the value returned
-    * for quantile φ has exact rank within ±ε·n of φ·n) at φ = q ∓ 2ε to
-    * BRACKET each target value, then verifies the bracket with one exact
-    * counting job and runs the refinement inside it — usually a 1-pass
-    * range. Correctness never rests on the sketch: a bracket the count
-    * job disproves (or NaN from an all-null projection) falls back to the
-    * full range for that rank, so the output is bit-identical to
-    * [[exactQuantiles]] in every case.
-    *
-    * Job count: 1 bounds + 1 sketch + 1 bracket-verify + ~1 refinement
-    * vs 1 bounds + up-to-7 refinements — worth it exactly when the range
-    * is wide and the cluster is large (each pass is a full scan); for
-    * narrow ranges (e.g. document lengths, ≤ 2 passes) the constant-factor
-    * difference is noise. The doubles inside the sketch cannot break
-    * exactness above 2⁵³ either — bracket endpoints are widened by one ulp
-    * before use. */
+    * result, fewer scans on wide-range columns: the grouped seeded
+    * protocol over one constant group. Small columns resolve in the ONE
+    * fused capped-sort job; big columns pay sketch + verify + bounded
+    * gather (zero refinement rounds when the verified bracket is small)
+    * and fall back to refinement only past the gather caps. Correctness
+    * never rests on the sketch — every bracket is verified with exact
+    * counts, so the output is bit-identical to [[exactQuantiles]]. */
   def exactQuantilesSeeded(df: DataFrame, valueCol: String, qs: Seq[Double],
                            relativeError: Double = 0.01,
                            bins: Int = 1024): Seq[(Double, Long)] = {
     require(relativeError > 0 && relativeError < 0.25,
       s"relativeError out of (0, 0.25): $relativeError")
+    exactQuantilesVia(df, valueCol, qs, Some(relativeError), bins)
+  }
+
+  /** Ungrouped quantiles = the grouped protocol over `lit(1)`: one code
+    * path to test and tune, and the constant group costs nothing (the
+    * fused aggregation's single hash bucket). */
+  private def exactQuantilesVia(df: DataFrame, valueCol: String,
+                                qs: Seq[Double], relError: Option[Double],
+                                bins: Int): Seq[(Double, Long)] = {
     qs.foreach(q => require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q"))
-    val spark = df.sparkSession
-    import spark.implicits._
-    val (lo, hi, n) = bounds(df, valueCol)
-    val ks = qs.map(q => math.max(1L, math.ceil(q * n).toLong))
-    val ksDistinct = ks.distinct
-    val qByK = qs.zip(ks).toMap.map(_.swap) // any representative q per rank
-
-    // one GK pass brackets every rank: sketch at φ = q ∓ 2ε, so the
-    // bracket endpoints' true ranks sit at least ε·n beyond the target
-    // on each side (clamped at the extremes to the exact global bounds)
-    val v = col(valueCol).cast("long")
-    val probes = ksDistinct.flatMap { k =>
-      val q = qByK(k)
-      Seq(math.max(0.0, q - 2 * relativeError),
-        math.min(1.0, q + 2 * relativeError))
-    }
-    val sketch = df.select(v.cast("double").as("__d"))
-      .stat.approxQuantile("__d", probes.toArray, relativeError)
-    val brackets = ksDistinct.zipWithIndex.map { case (k, i) =>
-      k -> ((bracketLong(sketch(2 * i), lo, hi, up = false),
-        bracketLong(sketch(2 * i + 1), lo, hi, up = true)))
-    }.toMap
-
-    // one exact job verifies every bracket: below = #{v < blo},
-    // inRange = #{blo ≤ v ≤ bhi}; the global k-th value lies in the
-    // bracket iff 1 ≤ k − below ≤ inRange, and then it is the
-    // (k − below)-th smallest there
-    val ranges = brackets.toSeq.map { case (k, (blo, bhi)) => (k, blo, bhi) }
-      .toDF("qk", "blo", "bhi")
-    val cnts = df.select(v.as("__v")).join(broadcast(ranges),
-        col("__v") <= col("bhi"))
-      .groupBy("qk").agg(
-        sum(when(col("__v") < col("blo"), 1L).otherwise(0L)).as("below"),
-        sum(when(col("__v") >= col("blo"), 1L).otherwise(0L)).as("inRange"))
-      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-
-    val state = ksDistinct.map { k =>
-      val (blo, bhi) = brackets(k)
-      val (below, inRange) = cnts.getOrElse(k, (0L, 0L))
-      val kk = k - below
-      if (kk >= 1 && kk <= inRange) k -> ((blo, bhi, kk))
-      else k -> ((lo, hi, k)) // sketch bracket disproved: exact fallback
-    }.toMap
-    val selected = selectManyFromState(df, valueCol, state, bins)
-    qs.zip(ks).map { case (q, k) => q -> selected(k) }
+    val names = qs.indices.map(i => s"__q$i")
+    val out = groupedExactQuantilesImpl(df.withColumn("__cg", lit(1)),
+      "__cg", valueCol, names.zip(qs), bins, relError)
+    val rows = out.collect()
+    require(rows.nonEmpty, "column has no non-null values")
+    val r = rows.head
+    qs.zipWithIndex.map { case (q, i) => q -> r.getLong(i + 1) }
   }
 
   /** Clamp a sketch double to a widened long bound inside [lo, hi]:
@@ -337,63 +275,108 @@ object Quantiles {
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    withProtocolConf(spark) {
     val v = col(valueCol).cast("long")
     val g = col(groupCol)
 
-    // when seeding, the sketch rides the SAME aggregation as the bounds
-    // scan (min/max/count/percentile_approx in one grouped agg) — one
-    // action instead of two, and the sketch pass stops being a separate
-    // full scan (outlier detection runs this protocol twice per call)
-    val seedProbes = seedRelError.map { re =>
-      rankSpecs.flatMap { case (_, q) =>
-        Seq(math.max(0.0, q - 2 * re), math.min(1.0, q + 2 * re)) }
+    // ── fused bounds + small-group resolution: ONE job ───────────────
+    // [[graft.functions.CappedSortedLongs]] rides the bounds aggregation:
+    // each group yields min/max/count AND — when the group holds ≤ cap
+    // values (buffer hard-bounded at cap longs regardless of true group
+    // size) — its complete sorted value list, from which element_at picks
+    // every rank EXECUTOR-side (only ≤|groups| result rows reach the
+    // driver). Small groups (the monitoring regime: hours, languages,
+    // event types) finish right here with zero further jobs; a big
+    // group's NULL overflow marker routes it to the seeded selection
+    // protocol below. Results are bit-identical on both paths — the same
+    // GREATEST(1, ceil(q·n)) rank definition, exact selection.
+    val rankCols = rankSpecs.map { case (name, q) =>
+      when(col("n") > 0 && col("vs").isNotNull,
+        element_at(col("vs"),
+          greatest(lit(1), ceil(lit(q) * col("n")).cast("int")))).as(name)
     }
-    val baseAggs = Seq(min(v).as("lo"), max(v).as("hi"), count(v).as("n"))
-    val aggsWithSketch = seedProbes match {
-      case Some(probes) =>
-        val acc = math.max(100, math.ceil(1.0 / seedRelError.get).toInt)
-        val probesSql = probes.mkString("array(", ",", ")")
-        baseAggs :+ expr(
-          s"percentile_approx(CAST(`$valueCol` AS BIGINT), $probesSql, $acc)")
-          .as("__ps")
-      case None => baseAggs
-    }
-    val boundsRows = df.groupBy(g.as("__g"))
-      .agg(aggsWithSketch.head, aggsWithSketch.tail: _*).collect()
+    val boundsRows = df.select(g.as("__g"), v.as("__v"))
+      .groupBy(col("__g"))
+      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+        count(col("__v")).as("n"),
+        graft.functions.CappedSortedLongs
+          .cappedSortedLongs(col("__v"),
+            math.max(1L, smallGroupCap).toInt).as("vs"))
+      .select(Seq(col("__g"), col("lo"), col("hi"), col("n")) ++ rankCols: _*)
+      .collect()
     // groups with only NULL values have no quantile; drop them like
     // exactKth's require, but per-group and non-fatal. State is keyed by
-    // (group value, rank name) — each rank refines its own range.
+    // (group value, rank name) — resolved ranks enter converged, big
+    // groups enter with their full range for the protocol to refine.
     var state: Map[(Any, String), (Long, Long, Long)] = boundsRows.iterator
       .filter(r => !r.isNullAt(1) && r.getLong(3) > 0)
       .flatMap { r =>
-        rankSpecs.map { case (name, q) =>
-          val k = math.max(1L, math.ceil(q * r.getLong(3)).toLong)
-          (r.get(0), name) -> ((r.getLong(1), r.getLong(2), k))
+        rankSpecs.zipWithIndex.map { case ((name, q), i) =>
+          if (!r.isNullAt(4 + i)) {
+            val x = r.getLong(4 + i)
+            (r.get(0), name) -> ((x, x, 1L))
+          } else {
+            val k = math.max(1L, math.ceil(q * r.getLong(3)).toLong)
+            (r.get(0), name) -> ((r.getLong(1), r.getLong(2), k))
+          }
         }
       }.toMap
     val effBins = math.max(16, math.min(bins, (1 << 20) / math.max(1, state.size)))
     val groupField = df.select(g).schema.head.copy(name = "__g")
+    val nByG: Map[Any, Long] = boundsRows.iterator
+      .filter(r => !r.isNullAt(1) && r.getLong(3) > 0)
+      .map(r => r.get(0) -> r.getLong(3)).toMap
+    val groupBounds: Map[Any, (Long, Long)] = boundsRows.iterator
+      .filter(r => !r.isNullAt(1))
+      .map(r => r.get(0) -> ((r.getLong(1), r.getLong(2)))).toMap
 
-    // sketch-seeded bracketing (groupedExactQuantilesSeeded): the fused
-    // sketch at φ = q ∓ 2ε brackets every (group, rank), one exact count
-    // job verifies all brackets, disproved brackets keep the full range —
-    // output identical either way (the exactQuantilesSeeded protocol,
-    // grouped). Bracket endpoints widen by one ulp (bracketLong) so the
-    // long→double conversion of wide bits-values can't shave the target.
-    seedRelError.foreach { _ =>
-      val sk = boundsRows.iterator
-        .filter(r => !r.isNullAt(1) && !r.isNullAt(4))
-        .map(r => r.get(0) -> r.getSeq[Long](4)).toMap
-      val groupBounds = boundsRows.iterator.filter(r => !r.isNullAt(1))
-        .map(r => r.get(0) -> ((r.getLong(1), r.getLong(2)))).toMap
-      val brackets: Map[(Any, String), (Long, Long)] = state.keys.flatMap {
-        case key @ (gv, name) =>
-          sk.get(gv).map { ps =>
-            val idx = rankSpecs.indexWhere(_._1 == name)
-            val (glo, ghi) = groupBounds(gv)
-            key -> ((bracketLong(ps(2 * idx).toDouble, glo, ghi, up = false),
-              bracketLong(ps(2 * idx + 1).toDouble, glo, ghi, up = true)))
-          }
+    // only big groups reach the multi-pass protocol — cache the source
+    // for its rounds (the all-small case never pays the cache write).
+    // Guarded on storageLevel so an already-persisted caller frame is
+    // neither re-persisted nor evicted by the finally.
+    val needProtocol = state.exists { case (_, (lo, hi, _)) => lo < hi }
+    val ownCache = needProtocol &&
+      df.storageLevel == org.apache.spark.storage.StorageLevel.NONE
+    if (ownCache)
+      df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+
+    // sketch-seeded bracketing (groupedExactQuantilesSeeded), for the
+    // groups the small-group gate did NOT resolve: one grouped
+    // percentile_approx job (semi-joined down to the still-active groups
+    // when the gate resolved some) brackets every (group, rank) at
+    // φ = q ∓ 2ε, one exact count job verifies all brackets, disproved
+    // brackets keep the full range — output identical either way (the
+    // exactQuantilesSeeded protocol, grouped). Bracket endpoints widen
+    // by one ulp (bracketLong) so the long→double conversion of wide
+    // bits-values can't shave the target.
+    seedRelError.foreach { re =>
+      val activeGs = state.collect {
+        case ((gv, _), (lo, hi, _)) if lo < hi => gv }.toSet
+      val sk: Map[Any, Seq[Long]] = if (activeGs.isEmpty) Map.empty else {
+        val probes = rankSpecs.flatMap { case (_, q) =>
+          Seq(math.max(0.0, q - 2 * re), math.min(1.0, q + 2 * re)) }
+        val acc = math.max(100, math.ceil(1.0 / re).toInt)
+        val probesSql = probes.mkString("array(", ",", ")")
+        val base = df.select(g.as("__gv"), v.as("__v"))
+        val src =
+          if (activeGs.size == nByG.size) base
+          else base.join(
+            broadcast(localRows(spark, activeGs.toSeq.map(Row(_)),
+              StructType(Seq(groupField)))),
+            col("__gv") <=> col("__g"), "leftsemi")
+        src.groupBy(col("__gv"))
+          .agg(expr(s"percentile_approx(__v, $probesSql, $acc)").as("__ps"))
+          .collect().iterator.filter(!_.isNullAt(1))
+          .map(r => r.get(0) -> r.getSeq[Long](1)).toMap
+      }
+      val brackets: Map[(Any, String), (Long, Long)] = state.collect {
+        case (key @ (gv, name), (lo, hi, _)) if lo < hi && sk.contains(gv) =>
+          val ps = sk(gv)
+          val idx = rankSpecs.indexWhere(_._1 == name)
+          val (glo, ghi) = groupBounds(gv)
+          key -> ((bracketLong(ps(2 * idx).toDouble, glo, ghi, up = false),
+            bracketLong(ps(2 * idx + 1).toDouble, glo, ghi, up = true)))
       }.toMap
       if (brackets.nonEmpty) {
         val vSchema = StructType(Seq(groupField,
@@ -401,24 +384,63 @@ object Quantiles {
           StructField("__blo", LongType), StructField("__bhi", LongType)))
         val vRows = brackets.toSeq.map { case ((gv, name), (blo, bhi)) =>
           Row(gv, name, blo, bhi) }
-        val cnts = df.select(g.as("__gv"), v.as("__v"))
-          .join(broadcast(spark.createDataFrame(
-            spark.sparkContext.parallelize(vRows, 1), vSchema)),
+        val cntsQ = df.select(g.as("__gv"), v.as("__v"))
+          .join(broadcast(localRows(spark, vRows, vSchema)),
             col("__gv") <=> col("__g") && col("__v") <= col("__bhi"))
           .groupBy("__g", "__rank")
           .agg(sum(when(col("__v") < col("__blo"), 1L).otherwise(0L)).as("below"),
             sum(when(col("__v") >= col("__blo"), 1L).otherwise(0L)).as("inR"))
-          .collect()
+        val cnts = cntsQ.collect()
           .map(r => (r.get(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
           .toMap
+        var verifiedInR = Map.empty[(Any, String), Long]
         state = state.map { case (key, full @ (_, _, k)) =>
           brackets.get(key) match {
             case Some((blo, bhi)) =>
               val (below, inRange) = cnts.getOrElse(key, (0L, 0L))
               val kk = k - below
-              if (kk >= 1 && kk <= inRange) key -> ((blo, bhi, kk))
-              else key -> full // bracket disproved: exact fallback
+              if (kk >= 1 && kk <= inRange) {
+                verifiedInR += key -> inRange
+                key -> ((blo, bhi, kk))
+              } else key -> full // bracket disproved: exact fallback
             case None => key -> full
+          }
+        }
+        // gather fast path: a VERIFIED bracket with few survivors needs
+        // no refinement rounds at all — one bounded job collects the
+        // in-bracket values per key and the driver indexes the kk-th.
+        // Airtight against skew/duplicates because the cap tests the
+        // EXACT verified count (never the sketch's promise): a key whose
+        // bracket holds ≤ 2¹⁶ values may gather, total pull ≤ 2²⁰ values
+        // (8 MB of longs), everything else falls through to the
+        // refinement rounds — so at 100 TB (ε·n_g past the cap) this
+        // degrades to the scale-safe protocol, while at monitoring scale
+        // it collapses ~5 histogram rounds into one job.
+        val gatherOrder = verifiedInR.toSeq
+          .filter { case (key, inR) =>
+            inR <= GatherCapPerKey && state(key)._1 < state(key)._2 }
+          .sortBy { case ((gv, name), _) => (String.valueOf(gv), name) }
+        var budget = GatherCapTotal
+        val gatherKeys = gatherOrder.takeWhile { case (_, inR) =>
+          val ok = inR <= budget; if (ok) budget -= inR; ok }.map(_._1)
+        if (gatherKeys.nonEmpty) {
+          val gRows = gatherKeys.map { key =>
+            val (blo, bhi, _) = state(key)
+            Row(key._1, key._2, blo, bhi)
+          }
+          val vals = df.select(g.as("__gv"), v.as("__v"))
+            .join(broadcast(localRows(spark, gRows, vSchema)),
+              col("__gv") <=> col("__g") &&
+                col("__v") >= col("__blo") && col("__v") <= col("__bhi"))
+            .groupBy("__g", "__rank")
+            .agg(sort_array(collect_list(col("__v"))).as("vs"))
+            .collect()
+            .map(r => (r.get(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+          state = state.map {
+            case (key, (_, _, kk)) if vals.contains(key) =>
+              val x = vals(key)((kk - 1).toInt)
+              key -> ((x, x, 1L))
+            case other => other
           }
         }
       }
@@ -436,8 +458,7 @@ object Quantiles {
         Row(gv, name, lo) }.toSeq
       val negCounts = df.select(g.as("__gv"), v.as("__v"))
         .filter(col("__v") < 0)
-        .join(broadcast(spark.createDataFrame(
-          spark.sparkContext.parallelize(nRows, 1), nSchema)),
+        .join(broadcast(localRows(spark, nRows, nSchema)),
           col("__gv") <=> col("__g") && col("__v") >= col("__nlo"))
         .groupBy("__g", "__rank").agg(count(lit(1)).as("c"))
         .collect().map(r => (r.get(0), r.getString(1)) -> r.getLong(2)).toMap
@@ -458,8 +479,7 @@ object Quantiles {
       val rangeRows = active.map { case ((gv, name), (lo, hi, _)) =>
         Row(gv, name, lo, hi, math.max(1L, (hi - lo) / effBins + 1L))
       }.toSeq
-      val ranges = spark.createDataFrame(
-        spark.sparkContext.parallelize(rangeRows, 1), rangeSchema)
+      val ranges = localRows(spark, rangeRows, rangeSchema)
       // null-safe group equi-join keeps the NULL-key group refining too;
       // a row lands in every rank's still-active range it intersects
       // (ranks of one group overlap early and diverge as they converge)
@@ -491,7 +511,14 @@ object Quantiles {
     val outRows = state.keys.map(_._1).toSeq.distinct.map { gv =>
       Row.fromSeq(gv +: rankSpecs.map { case (name, _) => state((gv, name))._1 })
     }
+    // returned (not protocol-internal) frame: a 1-partition RDD beats a
+    // LocalRelation here because every caller applies a presentational
+    // sort, and sorting a LocalTableScan re-parallelizes it into
+    // defaultParallelism partitions (32 tasks + AQE stages for ≤|groups|
+    // rows); a single-partition frame sorts in one tiny task
     spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
+    } finally if (ownCache) df.unpersist(blocking = false)
+    }
   }
 
   /** [[groupedExactQuantile]] for DOUBLE columns: values ride the
@@ -523,25 +550,22 @@ object Quantiles {
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{DoubleType, StructField, StructType}
     val spark = df.sparkSession
-    // the protocol is EAGER (driver-coordinated rounds), so a persist/
-    // unpersist bracket is airtight: every round reads the compact
-    // (group, bits) projection from cache instead of re-scanning the
-    // source and re-deriving whatever lineage produced `df`.
-    // MEMORY_AND_DISK — evictable under pressure, recomputed on miss.
+    // no persist here: the impl caches the projection itself, and only
+    // when big groups actually send it into multi-pass refinement — the
+    // common all-small case is ONE job and caching would be pure overhead
     val mapped = df.select(col(groupCol), graft.functions.SortableDoubleBits
       .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sel =
-      try {
-        if (seeded)
-          groupedExactQuantilesSeeded(mapped, groupCol, "__s", rankSpecs,
-            bins = bins)
-        else groupedExactQuantiles(mapped, groupCol, "__s", rankSpecs, bins)
-      } finally mapped.unpersist(blocking = false)
+      if (seeded)
+        groupedExactQuantilesSeeded(mapped, groupCol, "__s", rankSpecs,
+          bins = bins)
+      else groupedExactQuantiles(mapped, groupCol, "__s", rankSpecs, bins)
     val rows = sel.collect().map { r =>
       Row.fromSeq(r.get(0) +: rankSpecs.indices.map(i =>
         graft.functions.SortableDoubleBits.fromSortable(r.getLong(i + 1))))
     }.toSeq
+    // 1-partition RDD, not LocalRelation: see groupedExactQuantilesImpl's
+    // output note — callers sort this ≤|groups|-row frame
     spark.createDataFrame(spark.sparkContext.parallelize(rows, 1),
       StructType(sel.schema.head +: rankSpecs.map { case (name, _) =>
         StructField(name, DoubleType, nullable = false) }))
@@ -561,13 +585,23 @@ object Quantiles {
       exactKth(mapped, "__s", k, bins))
   }
 
-  /** [[exactQuantiles]] for DOUBLE columns (ranks ⌈q·n⌉, one bounds
-    * scan and one batched selection for ALL ranks). */
+  /** [[exactQuantiles]] for DOUBLE columns (ranks ⌈q·n⌉). Seeded by
+    * default — bits-mapped doubles span a ~2⁶² long range, where the
+    * plain refinement pays ~7 full passes and the seeded
+    * sketch+verify+gather path pays ~3 ([[exactQuantilesSeeded]]'s
+    * exactness contract makes the result bit-identical either way) —
+    * and the (bits) projection is persisted across the protocol's
+    * driver-coordinated rounds so each pass reads the compact cached
+    * column, not the source scan + lineage. */
   def exactQuantilesDouble(df: DataFrame, valueCol: String,
-                           qs: Seq[Double]): Seq[(Double, Double)] = {
+                           qs: Seq[Double],
+                           seeded: Boolean = true): Seq[(Double, Double)] = {
     val mapped = df.select(graft.functions.SortableDoubleBits
       .sortableDoubleBits(col(valueCol).cast("double")).as("__s"))
-    exactQuantiles(mapped, "__s", qs).map { case (q, s) =>
+    val sel =
+      if (seeded) exactQuantilesSeeded(mapped, "__s", qs)
+      else exactQuantiles(mapped, "__s", qs)
+    sel.map { case (q, s) =>
       q -> graft.functions.SortableDoubleBits.fromSortable(s)
     }
   }

@@ -43,17 +43,24 @@ class QuantilesSpec extends SparkSpec {
 
   test("seeded selection survives pathological data: signs, dups, extremes") {
     // values straddling zero (the overflow split), heavy duplicates, and
-    // both 64-bit extremes — the bracket-widening and saturation paths
+    // both 64-bit extremes — the bracket-widening and saturation paths.
+    // Run with the small-group gate OFF too, so the tiny fixture actually
+    // exercises the protocol (sign split, satAdd, refinement) and not
+    // just the fused capped-sort path.
     val vals = Seq(Long.MinValue, -7L, -7L, -7L, 0L, 0L, 3L, 3L, 3L, 3L,
       999999999999L, Long.MaxValue, Long.MaxValue)
     val df = vals.toDF("v")
     val sorted = vals.sorted
     val qs = Seq(0.05, 0.25, 0.5, 0.75, 1.0)
-    Quantiles.exactQuantilesSeeded(df, "v", qs, relativeError = 0.05)
-      .foreach { case (q, v) =>
-        val k = math.max(1L, math.ceil(q * vals.length).toLong).toInt
-        assert(v === sorted(k - 1), s"q=$q")
-      }
+    def check(): Unit =
+      Quantiles.exactQuantilesSeeded(df, "v", qs, relativeError = 0.05)
+        .foreach { case (q, v) =>
+          val k = math.max(1L, math.ceil(q * vals.length).toLong).toInt
+          assert(v === sorted(k - 1), s"q=$q")
+        }
+    check()
+    System.setProperty("graft.quantiles.smallGroupCap", "0")
+    try check() finally System.clearProperty("graft.quantiles.smallGroupCap")
   }
 
   test("seeded selection stays exact at clamped extremes and coarse sketch error") {
@@ -64,11 +71,15 @@ class QuantilesSpec extends SparkSpec {
     val df = vals.toDF("v")
     val sorted = vals.sorted
     val qs = Seq(0.02, 0.5, 0.98)
-    Quantiles.exactQuantilesSeeded(df, "v", qs, relativeError = 0.2)
-      .foreach { case (q, v) =>
-        val k = math.max(1L, math.ceil(q * vals.length).toLong).toInt
-        assert(v === sorted(k - 1), s"q=$q")
-      }
+    def check(): Unit =
+      Quantiles.exactQuantilesSeeded(df, "v", qs, relativeError = 0.2)
+        .foreach { case (q, v) =>
+          val k = math.max(1L, math.ceil(q * vals.length).toLong).toInt
+          assert(v === sorted(k - 1), s"q=$q")
+        }
+    check()
+    System.setProperty("graft.quantiles.smallGroupCap", "0")
+    try check() finally System.clearProperty("graft.quantiles.smallGroupCap")
   }
 
   test("groupedExactQuantile reproduces per-group rank medians exactly") {
@@ -165,6 +176,32 @@ class QuantilesSpec extends SparkSpec {
       mapped, "grp", "__s", specs, relativeError = 0.2))
     assert(fine == plain)
     assert(coarse == plain)
+  }
+
+  test("forced selection protocol (smallGroupCap=0) is bit-identical to " +
+    "the fused capped-sort fast path") {
+    // test fixtures are all below the small-group gate, so without this
+    // toggle the sketch/verify/gather/refinement protocol would be dead
+    // code in the suite: force it and pin both paths to the same bits
+    val rng = new scala.util.Random(7)
+    val rows = (1 to 600).map(i => (s"g${i % 4}", rng.nextGaussian() * 1e9))
+    val df = rows.toDF("grp", "v")
+    val specs = Seq("p10" -> 0.1, "p50" -> 0.5, "p95" -> 0.95)
+    def run() = Quantiles
+      .groupedExactQuantilesDouble(df, "grp", "v", specs)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2),
+        r.getDouble(3))).sortBy(_._1).toSeq
+    val fast = run()
+    val qs = Seq(0.25, 0.5, 0.99)
+    val fastUngrouped = Quantiles.exactQuantilesSeeded(
+      df.select((col("v") * 100).cast("long").as("lv")), "lv", qs)
+    System.setProperty("graft.quantiles.smallGroupCap", "0")
+    try {
+      assert(run() == fast)
+      assert(Quantiles.exactQuantilesSeeded(
+        df.select((col("v") * 100).cast("long").as("lv")), "lv", qs)
+        == fastUngrouped)
+    } finally System.clearProperty("graft.quantiles.smallGroupCap")
   }
 
   test("groupedExactQuantile agrees with exactQuantiles on one group") {
