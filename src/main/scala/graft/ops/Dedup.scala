@@ -270,6 +270,51 @@ object Dedup {
         struct(col("doc_j").as("src"), col("doc_i").as("dst")))).as("e"))
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // Small-pair-graph driver path (the [[Graph]] gate): when the pair
+    // graph holds ≤ cap edge rows of LONG ids, component minima come
+    // from a driver union-find (attach-smaller-root, so every root IS
+    // its component min — the exact fixpoint the distributed rounds
+    // converge to) and attach to the corpus through a BROADCAST join:
+    // `docs` itself can be 100 TB, only the pair graph is bounded. The
+    // limit probe reads the persisted edge frame, so an oversized sweep
+    // is not evaluated twice. Null or non-long ids keep the loop.
+    if (edges.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)) {
+      val cap = Graph.smallGraphCap
+      val probe = edges.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt)
+        .collect()
+      if (probe.length <= cap && !probe.exists(r => r.isNullAt(0) || r.isNullAt(1))) {
+        val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+        def find(x: Long): Long = {
+          var r = x
+          while (parent(r) != r) r = parent(r)
+          var c = x
+          while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        probe.foreach { e =>
+          val (a, b) = (e.getLong(0), e.getLong(1))
+          parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) {
+            if (ra < rb) parent(rb) = ra else parent(ra) = rb
+          }
+        }
+        edges.unpersist(blocking = false)
+        import org.apache.spark.sql.Row
+        import org.apache.spark.sql.types.{LongType, StructField, StructType}
+        val labelRows = parent.keysIterator.toSeq.sorted
+          .map(id => Row(id, find(id)))
+        val labelFrame = spark.createDataFrame(
+          spark.sparkContext.parallelize(labelRows, 1),
+          StructType(Seq(StructField("id", LongType, nullable = false),
+            StructField("label", LongType, nullable = false))))
+        return docs.select(col(idCol).as("id"))
+          .join(broadcast(labelFrame), Seq("id"), "left")
+          .select(col("id").as(idCol),
+            coalesce(col("label"), col("id")).as("cluster_id"))
+      }
+    }
     // generation 0 — checkpointed like every later generation so the
     // loop body never references a deep upstream plan
     def checkpointGen(df: DataFrame)

@@ -39,6 +39,91 @@ import org.apache.spark.storage.StorageLevel
   */
 object Graph {
 
+  /** Small-graph gate: when the (projected) edge list — and, where one
+    * exists, the seed list — holds ≤ this many rows, the fixed-iteration
+    * loop runs DRIVER-side over the collected arrays instead of as
+    * per-round join+aggregate jobs. The iterative shape is pure fixed
+    * overhead at that size (measured: 26 jobs / ~2.5 s for 4 rounds over
+    * a 930-edge word graph — vs milliseconds of actual arithmetic), and
+    * a ≤ 2¹⁷-row collect is a few MB. The recursion is replicated in the
+    * SAME nonnegative-long truncating arithmetic, so the result is
+    * bit-identical to the distributed loop (pinned by GraphSpec under a
+    * forced cap). Bigger graphs — the 100 TB regime — run the
+    * distributed message-passing rounds exactly as before. Sys-prop
+    * override (`graft.graph.smallGraphCap`) lets tests force either
+    * path. */
+  private[ops] def smallGraphCap: Long =
+    sys.props.get("graft.graph.smallGraphCap").map(_.toLong)
+      .getOrElse(1L << 17)
+
+  /** All rows when the frame holds ≤ cap of them, else None (the limit
+    * means an oversized frame never ships more than cap+1 rows). */
+  private def collectSmall(df: DataFrame, cap: Long)
+      : Option[Array[org.apache.spark.sql.Row]] = {
+    val rows = df.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (rows.length > cap) None else Some(rows)
+  }
+
+  /** Driver replica of [[prLoop]] over collected edges: same nonneg-long
+    * truncating ops in the same recursion, so `div` == `/`. `baseR0`
+    * carries each node's (teleport term, starting rank). Sources whose
+    * out-weight is 0 contribute nothing (the distributed `div` nulls
+    * them out of the sum). */
+  private def drivePrLoop(edges: Array[(String, String, Long)],
+                          baseR0: scala.collection.Map[String, (Long, Long)],
+                          iters: Int, dampNum: Int,
+                          dampDen: Int): Seq[(String, Long)] = {
+    val wsum = scala.collection.mutable.HashMap.empty[String, Long]
+    edges.foreach { case (s, _, w) =>
+      wsum.update(s, wsum.getOrElse(s, 0L) + w)
+    }
+    var rank: scala.collection.Map[String, Long] =
+      baseR0.map { case (n, (_, r0)) => n -> r0 }
+    var iter = 0
+    while (iter < iters) {
+      val cs = scala.collection.mutable.HashMap.empty[String, Long]
+      edges.foreach { case (s, d, w) =>
+        val ws = wsum(s)
+        if (ws != 0L)
+          cs.update(d, cs.getOrElse(d, 0L) + (rank(s) * w) / ws)
+      }
+      rank = baseR0.map { case (n, (b, _)) =>
+        n -> (b + (dampNum.toLong * cs.getOrElse(n, 0L)) / dampDen) }
+      iter += 1
+    }
+    baseR0.keysIterator.toSeq.sorted.map(n => n -> rank(n))
+  }
+
+  private def smallRankFrame(spark: org.apache.spark.sql.SparkSession,
+                             result: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(
+        result.map { case (n, r) => Row(n, r) }, 1),
+      StructType(Seq(StructField("node", StringType),
+        StructField("rank_scaled", LongType, nullable = false))))
+  }
+
+  /** Collected edge triples, or None when oversized / null-keyed (null
+    * endpoints have engine join semantics the driver replica does not
+    * reproduce — let the distributed path own them). */
+  private def smallEdges(edges: DataFrame, srcCol: String, dstCol: String,
+                         wCol: Option[String])
+      : Option[Array[(String, String, Long)]] = {
+    val proj = wCol match {
+      case Some(w) => edges.select(col(srcCol).cast("string"),
+        col(dstCol).cast("string"), col(w).cast("long"))
+      case None => edges.select(col(srcCol).cast("string"),
+        col(dstCol).cast("string"), lit(1L))
+    }
+    collectSmall(proj, smallGraphCap).flatMap { rows =>
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+        None
+      else Some(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+    }
+  }
+
   /** Integer PageRank over a directed edge list (`srcCol`, `dstCol`).
     * The caller supplies the exact edge multiset — pre-`distinct` it
     * for an unweighted graph (parallel edges otherwise count as
@@ -53,6 +138,17 @@ object Graph {
       s"damping $dampNum/$dampDen outside [0,1]")
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    smallEdges(edges, srcCol, dstCol, None).foreach { es =>
+      val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet
+      if (ns.isEmpty) return smallRankFrame(spark, Seq.empty)
+      val n = ns.size.toLong
+      val base = (scale * (dampDen - dampNum)) / (dampDen.toLong * n)
+      val r0 = scale / n
+      return smallRankFrame(spark,
+        drivePrLoop(es, ns.iterator.map(v => v -> ((base, r0))).toMap,
+          iters, dampNum, dampDen))
+    }
 
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
@@ -100,6 +196,17 @@ object Graph {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
+    smallEdges(edges, srcCol, dstCol, Some(weightCol)).foreach { es =>
+      val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet
+      if (ns.isEmpty) return smallRankFrame(spark, Seq.empty)
+      val n = ns.size.toLong
+      val base = (scale * (dampDen - dampNum)) / (dampDen.toLong * n)
+      val r0 = scale / n
+      return smallRankFrame(spark,
+        drivePrLoop(es, ns.iterator.map(v => v -> ((base, r0))).toMap,
+          iters, dampNum, dampDen))
+    }
+
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"),
         col(weightCol).cast("long").as("w"))
@@ -140,6 +247,25 @@ object Graph {
       s"damping $dampNum/$dampDen outside [0,1]")
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    smallEdges(edges, srcCol, dstCol, None).foreach { es =>
+      collectSmall(seeds.select(col(seedCol).cast("string")).distinct(),
+        smallGraphCap).foreach { seedRows =>
+        if (!seedRows.exists(_.isNullAt(0))) {
+          val seedSet = seedRows.map(_.getString(0)).toSet
+          val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2))
+            .toSet ++ seedSet
+          if (ns.isEmpty) return smallRankFrame(spark, Seq.empty)
+          val nSeeds = math.max(1L, seedSet.size.toLong)
+          val seedBase = (scale * (dampDen - dampNum)) / (dampDen.toLong * nSeeds)
+          val seedR0 = scale / nSeeds
+          return smallRankFrame(spark,
+            drivePrLoop(es, ns.iterator.map { v =>
+              if (seedSet(v)) v -> ((seedBase, seedR0)) else v -> ((0L, 0L))
+            }.toMap, iters, dampNum, dampDen))
+        }
+      }
+    }
 
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
@@ -241,6 +367,51 @@ object Graph {
     require(iters >= 0, s"iters must be >= 0, got $iters")
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+
+    // small-graph driver path: same per-round majority/tie/clamp rules
+    // over the collected arrays — bit-identical (GraphSpec forces both
+    // paths), zero per-round jobs. Null-keyed rows keep the distributed
+    // path, whose join semantics the replica does not reproduce.
+    smallEdges(edges, srcCol, dstCol, None).foreach { es =>
+      collectSmall(seeds.select(col(nodeCol).cast("string"),
+        col(labelCol).cast("string")), smallGraphCap).foreach { seedRows =>
+        if (!seedRows.exists(_.isNullAt(0))) {
+          // a NULL seed label never clamps: the distributed coalesce
+          // (seed, maj, label) skips it — keep such seeds only in the
+          // node set
+          val seedNodes = seedRows.map(_.getString(0)).toSet
+          val seedMap = seedRows.filterNot(_.isNullAt(1))
+            .map(r => r.getString(0) -> r.getString(1)).toMap
+          val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet ++
+            seedNodes
+          var labels: Map[String, String] =
+            ns.iterator.map(v => v -> seedMap.getOrElse(v, null)).toMap
+          var iter = 0
+          while (iter < iters) {
+            val cnt = scala.collection.mutable.HashMap.empty[(String, String), Long]
+            es.foreach { case (src, dst, _) =>
+              val l = labels(src)
+              if (l != null)
+                cnt.update((dst, l), cnt.getOrElse((dst, l), 0L) + 1L)
+            }
+            val maj = cnt.toSeq.groupBy(_._1._1).map { case (dst, ls) =>
+              dst -> ls.map { case ((_, l), c) => (-c, l) }.min._2
+            }
+            labels = labels.map { case (v, prev) =>
+              v -> seedMap.getOrElse(v, maj.getOrElse(v, prev))
+            }
+            iter += 1
+          }
+          import org.apache.spark.sql.Row
+          import org.apache.spark.sql.types.{StringType, StructField, StructType}
+          return spark.createDataFrame(
+            spark.sparkContext.parallelize(
+              ns.toSeq.sorted.map(v => Row(v, labels(v))), 1),
+            StructType(Seq(StructField("node", StringType),
+              StructField("label", StringType))))
+        }
+      }
+    }
 
     val e = edges.select(col(srcCol).cast("string").as("src"),
         col(dstCol).cast("string").as("dst"))

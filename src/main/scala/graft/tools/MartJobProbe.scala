@@ -19,8 +19,13 @@ object MartJobProbe {
     spark.sparkContext.setLogLevel("ERROR")
     val jobs = new AtomicInteger()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
+        if (sys.props.contains("graft.mart.debug"))
+          println(s"  job ${js.jobId} t=${System.nanoTime()/1000000%100000}: " +
+            js.stageInfos.map(si => s"${si.name.takeWhile(_ != '(')}x${si.numTasks}")
+              .mkString(" | "))
+      }
     })
     def timed(name: String)(f: => Unit): Unit = {
       val j0 = jobs.get(); val t0 = System.nanoTime()

@@ -99,13 +99,30 @@ object MartTime {
       println(s"--- rep $r (bench discipline) ---")
       graft.ops.Ranks.releaseCaches()
       graft.pipelines.ResultSort.releaseCaches()
-      time("full customer_sales_report") {
+      def graftRelease(): Unit = {
+        graft.ops.Ranks.releaseCaches()
+        graft.pipelines.ResultSort.releaseCaches()
+      }
+      def benchTwoPass(name: String)(f: => DataFrame): Unit = {
+        spark.sharedState.cacheManager.clearCache()
+        graftRelease()
+        time(s"$name pass1")(f)
+        graftRelease()
+        time(s"$name pass2")(f)
+      }
+      benchTwoPass("A: apply() as-is") {
         graft.pipelines.CustomerSalesReport(spark, sfDir)
       }
-      val m = metrics() // plan-keyed: aliases the mart's live cache entry
-      time("  metrics re-read (cache hit?)")(m)
-      time("  tail-no-sort")(flagged(m))
-      time("  tail+orderBy")(flagged(m).orderBy("SALE_ID"))
+      benchTwoPass("B: persist metrics, plain orderBy") {
+        val m = metrics().persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        flagged(m).orderBy("SALE_ID")
+      }
+      benchTwoPass("E: persist metrics, ResultSort, coalesced tail") {
+        val m = metrics().persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        graft.pipelines.ResultSort.sortedSmall(flagged(m), col("SALE_ID"))
+      }
     }
     spark.stop()
   }

@@ -139,12 +139,33 @@ class DedupSpec extends SparkSpec {
       10L -> 10L, 11L -> 10L, 20L -> 20L, 21L -> 21L))
   }
 
+  test("nearDupClusters: forced distributed loop (smallGraphCap=0) is " +
+    "bit-identical to the driver union-find") {
+    val rng = new scala.util.Random(17)
+    val ids = (1L to 120L)
+    val pairs = (1 to 150).map(_ =>
+      (1L + rng.nextInt(120), 1L + rng.nextInt(120)))
+      .filter { case (a, b) => a != b }.map { case (a, b) => (a, b) }
+      .toDF("doc_i", "doc_j")
+    val d = ids.toDF("doc_id")
+    def run() = Dedup.nearDupClusters(d, pairs, "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val fast = run()
+    System.setProperty("graft.graph.smallGraphCap", "0")
+    try assert(run() == fast)
+    finally System.clearProperty("graft.graph.smallGraphCap")
+  }
+
   test("nearDupClusters reliable-checkpoint mode (checkpointDir set) " +
        "matches the localCheckpoint default") {
     // the 100 TB posture: RDD.checkpoint into a real directory, so an
     // executor loss mid-loop recovers from files instead of failing the
     // job (the localCheckpoint default documents that failure mode)
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    // the checkpoint machinery lives in the DISTRIBUTED loop — force it
+    // (the small-graph driver path has no executor state to lose and
+    // would not write generation files)
+    System.setProperty("graft.graph.smallGraphCap", "0")
     try {
       val d = (Seq(1L, 2L, 3L, 4L, 5L, 10L, 11L, 20L)).toDF("doc_id")
       val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (10L, 11L))
@@ -159,6 +180,7 @@ class DedupSpec extends SparkSpec {
         .anyMatch(p => p.getFileName.toString.startsWith("rdd-"))
       assert(wrote, s"no rdd-* checkpoint dirs under $dir")
     } finally {
+      System.clearProperty("graft.graph.smallGraphCap")
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }

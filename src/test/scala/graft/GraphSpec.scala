@@ -149,4 +149,29 @@ class GraphSpec extends SparkSpec {
     assert(rows.map(_.getLong(1)).sum <= S)
     assert(rows.forall(_.getLong(1) > 0))
   }
+  test("forced distributed loop (smallGraphCap=0) is bit-identical to " +
+    "the driver fast path, all four operators") {
+    // tiny fixtures take the driver path by default, which would leave
+    // the distributed rounds untested: force them and pin equivalence
+    val rng = new scala.util.Random(13)
+    val edges = (1 to 300).map { _ =>
+      (s"n${rng.nextInt(40)}", s"n${rng.nextInt(40)}", 1L + rng.nextInt(5)) }
+      .filter { case (a, b, _) => a != b }
+    val eDf = edges.toDF("src", "dst", "w")
+    val seeds = Seq(("n1", "x"), ("n7", "y"), ("n19", "x"))
+      .toDF("node", "lab")
+    def all() = (
+      Graph.pageRank(eDf, "src", "dst", iters = 3)
+        .as[(String, Long)].collect().toMap,
+      Graph.pageRankWeighted(eDf, "src", "dst", "w", iters = 3)
+        .as[(String, Long)].collect().toMap,
+      Graph.pageRankPersonalized(eDf, "src", "dst", seeds, "node", iters = 3)
+        .as[(String, Long)].collect().toMap,
+      Graph.labelPropagate(eDf, "src", "dst", seeds, "node", "lab", iters = 3)
+        .as[(String, String)].collect().toMap)
+    val fast = all()
+    System.setProperty("graft.graph.smallGraphCap", "0")
+    try assert(all() == fast)
+    finally System.clearProperty("graft.graph.smallGraphCap")
+  }
 }
