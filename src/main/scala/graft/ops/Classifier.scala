@@ -334,22 +334,25 @@ object Classifier {
   }
 
   /** Calibration / reliability table for the held-out fit: test docs
-    * banded by margin percent-rank ([[Ranks.tiersByPercentRank]]'s
-    * broadcast-boundary protocol — bit-equal to row-level percent_rank
-    * banding with ZERO row-data shuffle), with per-band accuracy. The
-    * report is ≤ `buckets` rows: low-margin bands under-performing
-    * high-margin bands is the evidence the margin is a usable routing
-    * signal. Equal margins share a band (value-based boundaries), so a
-    * heavily-tied fixture can leave some bands empty — determinism over
-    * cosmetic evenness. */
+    * banded by margin percent-rank ([[Ranks.tiersByPercentRankEager]] —
+    * bit-equal to row-level percent_rank banding; the boundary values
+    * come from one exact selection over the PERSISTED margins frame and
+    * the bands compile to literal comparisons, so the whole NB scoring
+    * lineage is evaluated once, not once per in-plan boundary subplan),
+    * with per-band accuracy. The report is ≤ `buckets` rows: low-margin
+    * bands under-performing high-margin bands is the evidence the
+    * margin is a usable routing signal. Equal margins share a band
+    * (value-based boundaries), so a heavily-tied fixture can leave some
+    * bands empty — determinism over cosmetic evenness. */
   def nbCalibration(docs: DataFrame, idCol: String, textCol: String,
                     labelCol: String, splitMod: Int = 5,
                     buckets: Int = 10): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2, got $buckets")
     val thresholds = (1 until buckets).map(_.toDouble / buckets)
     val labels = (1 to buckets).map(i => f"d$i%02d")
-    Ranks.tiersByPercentRank(
-        nbMargins(docs, idCol, textCol, labelCol, splitMod),
+    val margins = cacheWindow.add(
+      nbMargins(docs, idCol, textCol, labelCol, splitMod))
+    Ranks.tiersByPercentRankEager(margins,
         "margin", thresholds, labels, descending = false, outCol = "bucket")
       .groupBy("bucket")
       .agg(count(lit(1)).as("n"),

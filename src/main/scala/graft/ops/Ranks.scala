@@ -242,4 +242,114 @@ object Ranks {
         when(col(valueCol).isNull, nullBand).otherwise(valueBand))
       .drop(thresholds.indices.map(i => s"__tier_b$i") :+ "__tier_null_pr": _*)
   }
+
+  /** [[tiersByPercentRank]] with EAGER boundary computation — for
+    * action-oriented pipelines (the customer mart, tier reports) where
+    * the few driver-side jobs are cheaper than executing the in-plan
+    * boundary machinery: band membership is monotone in the value, so
+    * each threshold's boundary is the value at ONE exact rank —
+    * `min{v : percent_rank(v) ≤ t}` under DESC is the (n_nonnull − m)-th
+    * smallest row value with m the largest strict-predecessor count
+    * whose IEEE `count/(n−1) ≤ t` holds (computed driver-side with the
+    * SAME double division the window form and the SQL replay evaluate,
+    * so ties and boundary rounding agree bit-for-bit). The ranks ride
+    * [[Quantiles]]' exact selection — ONE fused job on small columns,
+    * the scale-safe protocol past its gates — and the bands compile to
+    * literal comparisons: no crossJoin, no broadcast, no rank machinery
+    * in the returned plan at all. Supported value types map
+    * order-preservingly onto longs (integrals; double/float via the
+    * IEEE-bits transform; decimals of ≤ 18 digits via exact scaling);
+    * anything else falls back to the lazy broadcast-boundary form.
+    * Output is bit-identical to [[tiersByPercentRank]] (RanksSpec pins
+    * both on ties, nulls, and both directions). */
+  def tiersByPercentRankEager(df: DataFrame, valueCol: String,
+                              thresholds: Seq[Double], labels: Seq[String],
+                              descending: Boolean = true,
+                              outCol: String = "tier"): DataFrame = {
+    require(thresholds.nonEmpty && labels.size == thresholds.size + 1,
+      s"need labels.size == thresholds.size + 1, got ${thresholds.size} " +
+        s"thresholds / ${labels.size} labels")
+    require(thresholds == thresholds.sorted,
+      s"thresholds must ascend, got $thresholds")
+    import org.apache.spark.sql.types._
+    val dt = df.schema(valueCol).dataType
+    // order-preserving long mapping: (selection column, long → literal)
+    val mapping: Option[(org.apache.spark.sql.Column,
+        Long => org.apache.spark.sql.Column)] = dt match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        Some((col(valueCol).cast("long"), (b: Long) => lit(b)))
+      case DoubleType | FloatType =>
+        Some((graft.functions.SortableDoubleBits
+          .sortableDoubleBits(col(valueCol).cast("double")),
+          (b: Long) => lit(graft.functions.SortableDoubleBits.fromSortable(b))))
+      case d: DecimalType if d.precision <= 18 =>
+        val scaleFactor = java.math.BigDecimal.TEN.pow(d.scale)
+        Some(((col(valueCol) * lit(scaleFactor)).cast("long"),
+          (b: Long) => lit(java.math.BigDecimal.valueOf(b, d.scale))))
+      case _ => None
+    }
+    if (mapping.isEmpty)
+      return tiersByPercentRank(df, valueCol, thresholds, labels,
+        descending, outCol)
+    val (selCol, toLit) = mapping.get
+
+    val cnts = df.agg(count(lit(1)).as("n"), count(col(valueCol)).as("nn")).head()
+    val n = cnts.getLong(0)
+    val nn = cnts.getLong(1)
+    def bandOf(pr: Double): String = {
+      val i = thresholds.indexWhere(pr <= _)
+      if (i == -1) labels.last else labels(i)
+    }
+    // the null run's own percent_rank: under DESC nulls sort last (rank
+    // of the first null = nn), under ASC first (rank 0) — the window
+    // convention, evaluated with the same IEEE division
+    val nullLabel = bandOf(
+      if (n <= 1L || !descending) 0.0 else nn.toDouble / (n - 1).toDouble)
+    if (nn == 0L)
+      return df.withColumn(outCol, lit(nullLabel))
+
+    // largest strict-predecessor count whose pr clears t, by the SAME
+    // IEEE comparison `cnt/(n−1) <= t` both engines evaluate — the
+    // floor seed is exact-arithmetic, the two loops absorb any rounding
+    // of the double division at the boundary (≤ 1 step in practice)
+    def maxCnt(t: Double): Long = {
+      if (n <= 1L) return 0L
+      var m = math.min(n - 1, math.max(0L, math.floor(t * (n - 1)).toLong))
+      while (m + 1 <= n - 1 && (m + 1).toDouble / (n - 1).toDouble <= t) m += 1
+      while (m >= 0 && m.toDouble / (n - 1).toDouble > t) m -= 1
+      m
+    }
+    // per threshold: the boundary's rank among the non-null rows
+    // (ascending), or None when no value clears the threshold (only
+    // possible under ASC, where the null run precedes every value)
+    val ks: Seq[Option[Long]] = thresholds.map { t =>
+      val m = maxCnt(t)
+      if (descending) Some(math.max(1L, nn - m))
+      else {
+        val mp = m - (n - nn)
+        if (mp < 0) None else Some(math.min(nn, mp + 1))
+      }
+    }
+    val defined = ks.flatten.distinct
+    val selected: Map[Long, Long] =
+      if (defined.isEmpty) Map.empty
+      else graft.ops.Quantiles.exactQuantiles(
+        df.select(selCol.as("__sel")), "__sel",
+        defined.map(k => (k - 0.5) / nn)).zip(defined)
+        .map { case ((_, v), k) => k -> v }.toMap
+
+    val v = col(valueCol)
+    val chain = thresholds.indices.foldLeft(
+      Option.empty[org.apache.spark.sql.Column]) { (acc, i) =>
+      ks(i) match {
+        case Some(k) =>
+          val b = toLit(selected(k))
+          val cond = if (descending) v >= b else v <= b
+          Some(acc.fold(when(cond, labels(i)))(_.when(cond, labels(i))))
+        case None => acc
+      }
+    }.fold(lit(labels.last))(_.otherwise(labels.last))
+    df.withColumn(outCol,
+      when(v.isNull, lit(nullLabel)).otherwise(chain))
+  }
 }

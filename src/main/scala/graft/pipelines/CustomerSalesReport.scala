@@ -89,13 +89,14 @@ object CustomerSalesReport {
     // ~2.5×'d the mart). Residency is bounded by #distinct dirs per
     // session, evictable under memory pressure either way.
     val cached = metrics.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // Band membership only needs the rank protocol's boundary VALUES
-    // (broadcast, one row) — not a per-row rank join. Bit-identical to
-    // `percent_rank() <= 0.2 / <= 0.5` tiering (RanksSpec), with zero
-    // row-data shuffle where the join-back form re-keyed the whole mart
-    // on SALE_AMOUNT (measured ~1 s off this query at sf0.1; at 100 TB
-    // it removes the mart's only row-scale value-keyed exchange).
-    val tiered = graft.ops.Ranks.tiersByPercentRank(cached, "SALE_AMOUNT",
+    // Band membership only needs the boundary VALUES — not a per-row
+    // rank join. The EAGER form computes them up front via the exact
+    // selection protocol (one fused job on the cached column at this
+    // scale) and compiles the bands to literal comparisons: bit-identical
+    // to `percent_rank() <= 0.2 / <= 0.5` tiering (RanksSpec), zero
+    // row-data shuffle AND zero in-plan boundary machinery — at 100 TB
+    // the tiering costs one selection sweep plus a map-side projection.
+    val tiered = graft.ops.Ranks.tiersByPercentRankEager(cached, "SALE_AMOUNT",
       thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
       descending = true, outCol = "LOYALTY_TIER")
 

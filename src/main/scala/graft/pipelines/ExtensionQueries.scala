@@ -594,12 +594,17 @@ object ExtensionQueries {
       // consume this |customers|-sized frame, and its lineage is the full
       // sales scan+agg — same diamond-persist rationale as the mart's
       // metrics cache (plan-keyed, shared across calls, evictable)
+      // decimal(18,2): same values (a per-customer total overflowing 16
+      // integer digits would throw loudly under ANSI, not mis-tier), and
+      // the tightened precision lets the EAGER tiering's exact-long
+      // selection engage instead of the in-plan rank machinery
       val perCustomer = amounts.groupBy("CUSTOMER_ID")
-        .agg(sum("amt").as("total_dec"))
+        .agg(sum("amt").cast(org.apache.spark.sql.types.DecimalType(18, 2))
+          .as("total_dec"))
         .join(Entities.customers(s, dir), Seq("CUSTOMER_ID"), "inner")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       ResultSort.sortedSmall(
-        graft.ops.Ranks.tiersByPercentRank(perCustomer, "total_dec",
+        graft.ops.Ranks.tiersByPercentRankEager(perCustomer, "total_dec",
             thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
             descending = true, outCol = "LOYALTY_TIER")
           .select(col("CUSTOMER_ID"), col("NAME").as("CUSTOMER_NAME"),

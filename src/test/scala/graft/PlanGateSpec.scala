@@ -41,9 +41,11 @@ class PlanGateSpec extends SparkSpec {
     "q_nb_confusion"       -> Seq("broadcast-nested-loop"),
     "q_nb_margin"          -> Seq("broadcast-nested-loop"),
     "q_nb_cv"              -> Seq("broadcast-nested-loop"),
-    // the margins subtree (one classes-broadcast BNLJ) appears once per
-    // replicated reference inside the tier protocol's boundary/row sides
-    "q_nb_calibration"     -> Seq.fill(5)("broadcast-nested-loop")
+    // ONE margins subtree (its classes-broadcast BNLJ): the r10 eager
+    // tiering replaced the in-plan boundary machinery — which replicated
+    // the margins lineage once per boundary/row subplan (5 BNLJs) —
+    // with literal band comparisons over the persisted margins frame
+    "q_nb_calibration"     -> Seq("broadcast-nested-loop")
   )
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {

@@ -146,4 +146,59 @@ class RanksSpec extends SparkSpec {
     // sanity: the frame still computes (one action, jobs allowed now)
     assert(out.count() === 1000)
   }
+
+  // ── eager boundary tiering ─────────────────────────────────────────
+  private def assertEagerMatch(df: org.apache.spark.sql.DataFrame,
+                               vCol: String, descending: Boolean): Unit = {
+    val got = Ranks.tiersByPercentRankEager(df, vCol, Seq(0.2, 0.5),
+        Seq("Gold", "Silver", "Bronze"), descending)
+      .select(col("id"), col("tier"))
+    val want = referenceTiers(df, vCol, descending)
+      .select(col("id"), col("tier_ref"))
+    val diff = got.join(want, "id").filter(col("tier") =!= col("tier_ref"))
+    assert(diff.count() === 0, diff.collect().mkString("\n"))
+  }
+
+  test("tiersByPercentRankEager matches window tiering: ties, nulls, " +
+    "both directions, double/long/decimal types") {
+    val tied = spark.range(0, 1000).toDF("id")
+      .withColumn("v", (col("id") * 37 % 7).cast("double"))
+    assertEagerMatch(tied, "v", descending = true)
+    assertEagerMatch(tied, "v", descending = false)
+    val withNulls = Seq((1L, Some(5.0)), (2L, None), (3L, Some(1.0)),
+      (4L, None), (5L, Some(3.0)), (6L, Some(2.0)), (7L, Some(4.0)),
+      (8L, Some(0.5)), (9L, Some(6.0)), (10L, Some(7.0))).toDF("id", "v")
+    assertEagerMatch(withNulls, "v", descending = true)
+    assertEagerMatch(withNulls, "v", descending = false)
+    val longs = spark.range(0, 700).toDF("id")
+      .withColumn("v", col("id") * 13 % 19)
+    assertEagerMatch(longs, "v", descending = true)
+    assertEagerMatch(longs, "v", descending = false)
+    val decs = spark.range(0, 400).toDF("id")
+      .withColumn("v", (col("id") * 7 % 23).cast("decimal(12,2)") / 4)
+    assertEagerMatch(decs, "v", descending = true)
+    assertEagerMatch(decs, "v", descending = false)
+  }
+
+  test("tiersByPercentRankEager degenerate frames and lazy agreement") {
+    val one = Seq((1L, 9.9)).toDF("id", "v")
+    assert(Ranks.tiersByPercentRankEager(one, "v", Seq(0.2, 0.5),
+      Seq("Gold", "Silver", "Bronze")).select("tier").head().getString(0)
+      === "Gold")
+    val allNull = Seq((1L, Option.empty[Double]), (2L, None)).toDF("id", "v")
+    assertEagerMatch(allNull, "v", descending = true)
+    val empty = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Ranks.tiersByPercentRankEager(empty, "v", Seq(0.2, 0.5),
+      Seq("Gold", "Silver", "Bronze")).count() === 0)
+    // unsupported type (string) falls back to the lazy machinery and
+    // still matches it
+    val strs = Seq((1L, "b"), (2L, "a"), (3L, "c"), (4L, "a")).toDF("id", "v")
+    val lazyT = Ranks.tiersByPercentRank(strs, "v", Seq(0.5),
+      Seq("lo", "hi")).select("id", "tier").collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    val eagerT = Ranks.tiersByPercentRankEager(strs, "v", Seq(0.5),
+      Seq("lo", "hi")).select("id", "tier").collect().map(r =>
+      r.getLong(0) -> r.getString(1)).toMap
+    assert(eagerT == lazyT)
+  }
 }
