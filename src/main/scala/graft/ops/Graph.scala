@@ -105,24 +105,22 @@ object Graph {
         StructField("rank_scaled", LongType, nullable = false))))
   }
 
-  /** Collected edge triples, or None when oversized / null-keyed (null
-    * endpoints have engine join semantics the driver replica does not
-    * reproduce — let the distributed path own them). */
-  private def smallEdges(edges: DataFrame, srcCol: String, dstCol: String,
-                         wCol: Option[String])
-      : Option[Array[(String, String, Long)]] = {
-    val proj = wCol match {
-      case Some(w) => edges.select(col(srcCol).cast("string"),
-        col(dstCol).cast("string"), col(w).cast("long"))
-      case None => edges.select(col(srcCol).cast("string"),
-        col(dstCol).cast("string"), lit(1L))
-    }
-    collectSmall(proj, smallGraphCap).flatMap { rows =>
-      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1) || r.isNullAt(2)))
+  /** Collected edge triples from the ALREADY-PERSISTED projection, or
+    * None when oversized / null-keyed (null endpoints have engine join
+    * semantics the driver replica does not reproduce — let the
+    * distributed path own them). Probing the persisted frame matters:
+    * the limit rows it reads land in the cache, so an over-cap graph's
+    * (possibly expensive) edge-build lineage is NOT evaluated a second
+    * time when the distributed loop materializes the rest. */
+  private def smallEdges(persistedE: DataFrame)
+      : Option[Array[(String, String, Long)]] =
+    collectSmall(persistedE, smallGraphCap).flatMap { rows =>
+      if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1) ||
+          (rows.head.size > 2 && r.isNullAt(2))))
         None
-      else Some(rows.map(r => (r.getString(0), r.getString(1), r.getLong(2))))
+      else Some(rows.map(r => (r.getString(0), r.getString(1),
+        if (r.size > 2) r.getLong(2) else 1L)))
     }
-  }
 
   /** Integer PageRank over a directed edge list (`srcCol`, `dstCol`).
     * The caller supplies the exact edge multiset — pre-`distinct` it
@@ -139,7 +137,11 @@ object Graph {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-    smallEdges(edges, srcCol, dstCol, None).foreach { es =>
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    smallEdges(e).foreach { es =>
+      e.unpersist(blocking = false)
       val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet
       if (ns.isEmpty) return smallRankFrame(spark, Seq.empty)
       val n = ns.size.toLong
@@ -150,9 +152,6 @@ object Graph {
           iters, dampNum, dampDen))
     }
 
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -196,7 +195,12 @@ object Graph {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-    smallEdges(edges, srcCol, dstCol, Some(weightCol)).foreach { es =>
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"),
+        col(weightCol).cast("long").as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    smallEdges(e).foreach { es =>
+      e.unpersist(blocking = false)
       val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2)).toSet
       if (ns.isEmpty) return smallRankFrame(spark, Seq.empty)
       val n = ns.size.toLong
@@ -206,11 +210,6 @@ object Graph {
         drivePrLoop(es, ns.iterator.map(v => v -> ((base, r0))).toMap,
           iters, dampNum, dampDen))
     }
-
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"),
-        col(weightCol).cast("long").as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node"))).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -248,10 +247,16 @@ object Graph {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
-    smallEdges(edges, srcCol, dstCol, None).foreach { es =>
-      collectSmall(seeds.select(col(seedCol).cast("string")).distinct(),
-        smallGraphCap).foreach { seedRows =>
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col(seedCol).cast("string").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    smallEdges(e).foreach { es =>
+      collectSmall(s, smallGraphCap).foreach { seedRows =>
         if (!seedRows.exists(_.isNullAt(0))) {
+          e.unpersist(blocking = false)
+          s.unpersist(blocking = false)
           val seedSet = seedRows.map(_.getString(0)).toSet
           val ns = (es.iterator.map(_._1) ++ es.iterator.map(_._2))
             .toSet ++ seedSet
@@ -266,12 +271,6 @@ object Graph {
         }
       }
     }
-
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"), lit(1L).as("w"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val s = seeds.select(col(seedCol).cast("string").as("node")).distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(s.select("node")).distinct()
@@ -368,14 +367,23 @@ object Graph {
     val spark = edges.sparkSession
     checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
 
+    val e = edges.select(col(srcCol).cast("string").as("src"),
+        col(dstCol).cast("string").as("dst"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val s = seeds.select(col(nodeCol).cast("string").as("node"),
+        col(labelCol).cast("string").as("seed"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // small-graph driver path: same per-round majority/tie/clamp rules
     // over the collected arrays — bit-identical (GraphSpec forces both
     // paths), zero per-round jobs. Null-keyed rows keep the distributed
-    // path, whose join semantics the replica does not reproduce.
-    smallEdges(edges, srcCol, dstCol, None).foreach { es =>
-      collectSmall(seeds.select(col(nodeCol).cast("string"),
-        col(labelCol).cast("string")), smallGraphCap).foreach { seedRows =>
+    // path, whose join semantics the replica does not reproduce. Probes
+    // read the PERSISTED frames so an over-cap graph's lineage is not
+    // evaluated twice.
+    smallEdges(e).foreach { es =>
+      collectSmall(s, smallGraphCap).foreach { seedRows =>
         if (!seedRows.exists(_.isNullAt(0))) {
+          e.unpersist(blocking = false)
+          s.unpersist(blocking = false)
           // a NULL seed label never clamps: the distributed coalesce
           // (seed, maj, label) skips it — keep such seeds only in the
           // node set
@@ -413,12 +421,6 @@ object Graph {
       }
     }
 
-    val e = edges.select(col(srcCol).cast("string").as("src"),
-        col(dstCol).cast("string").as("dst"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val s = seeds.select(col(nodeCol).cast("string").as("node"),
-        col(labelCol).cast("string").as("seed"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
     val nodes = e.select(col("src").as("node"))
       .union(e.select(col("dst").as("node")))
       .union(s.select("node")).distinct()

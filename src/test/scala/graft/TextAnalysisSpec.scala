@@ -199,6 +199,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w6 < 6 * w1 && w6 > w1 * 0) // saturated but same idf sign
   }
 
+  test("bm25 weight_q is the hand-computed exact integer rational") {
+    // one tiny corpus where every piece of the rational is checkable by
+    // hand with BigInt: weight = (2N-2df+1)*22*tf*T / ((2df+1)*(10*tf*T
+    // + 3*T + 9*dl*N)), weight_q = wNum*10^12 div wDen
+    val docs = Seq(
+      (1L, "rare common common"),
+      (2L, "common common common common common common"),
+      (3L, "common other")).toDF("doc_id", "text")
+    val n = BigInt(3)                      // N docs
+    val t = BigInt(11)                     // T = total tokens (3 + 6 + 2)
+    def wq(tf: Long, df: Long, dl: Long): Long = {
+      val num = (2 * n - 2 * df + 1) * 22 * tf * t * BigInt(10).pow(12)
+      val den = (2 * df + 1) * (10 * tf * t + 3 * t + 9 * dl * n)
+      (num / den).toLong
+    }
+    val rows = TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 2).collect()
+      .map(r => (r.getLong(0), r.getString(1)) -> r.getAs[Long]("weight_q")).toMap
+    assert(rows((1L, "rare")) == wq(tf = 1, df = 1, dl = 3))
+    assert(rows((1L, "common")) == wq(tf = 2, df = 3, dl = 3))
+    assert(rows((2L, "common")) == wq(tf = 6, df = 3, dl = 6))
+    assert(rows((3L, "other")) == wq(tf = 1, df = 1, dl = 2))
+  }
+
   test("tfidf and bm25 plans reuse the (id, token) exchange: ONE text scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
