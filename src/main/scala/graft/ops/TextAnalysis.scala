@@ -439,4 +439,97 @@ object TextAnalysis {
       .select(col(idCol), col("token"), col("tf"), col("df"),
         col("weight"), col("rk"))
   }
+
+  /** Corpus-frequency SEGMENT pruning — the C4-style cleanup family
+    * (reference-class pipelines drop boilerplate the same way): split
+    * each document on `sep`, drop every occurrence of any segment whose
+    * corpus-wide DOCUMENT frequency exceeds `maxDf`, and reassemble the
+    * survivors in original order. With `sep = "\n"` this is line-level
+    * boilerplate removal (nav bars, cookie banners — C4 dropped
+    * repeated lines corpus-wide); with `sep = " "` it prunes
+    * ubiquitous tokens (stopword-class removal by measured df, not a
+    * fixed lexicon).
+    *
+    * Scale shape — NO explode-rejoin-reassemble shuffle: the hot set
+    * {segment : df > maxDf} has at most Σoccurrences / maxDf members
+    * (each needs > maxDf distinct docs), so ONE distinct-count
+    * aggregation finds it, it broadcasts as a single collected array,
+    * and the rewrite is per-row array surgery (`filter` +
+    * `array_contains`) inside whole-stage codegen. Per-row cost is
+    * O(|segments| · |hot|) — bounded by the df pigeonhole; choose
+    * `maxDf` so the hot set stays broadcastable (it IS the boilerplate
+    * list, worth auditing anyway). Empty docs and docs losing every
+    * segment yield the empty string, not NULL.
+    *
+    * Output: (`idCol`, text_clean, n_segments, n_dropped). */
+  def segmentPrune(docs: DataFrame, idCol: String, textCol: String,
+                   sep: String, maxDf: Long): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1, got $maxDf")
+    val segs = filter(split(coalesce(col(textCol), lit("")),
+      java.util.regex.Pattern.quote(sep)), x => x =!= "")
+    // document frequency per segment: one exploded distinct-count agg —
+    // the only shuffle; keys are the segment strings themselves (the
+    // hot set must come back as values anyway)
+    val hot = docs
+      .select(col(idCol).as("__id"), explode(array_distinct(segs)).as("__seg"))
+      .groupBy("__seg").agg(count(lit(1)).as("__df"))
+      .filter(col("__df") > maxDf)
+      .agg(sort_array(collect_list(col("__seg"))).as("__hot"))
+    val kept = filter(col("__segs"), x => !array_contains(col("__hot"), x))
+    docs
+      .withColumn("__segs", segs)
+      .crossJoin(broadcast(hot))
+      .withColumn("__kept", kept)
+      .select(col(idCol),
+        concat_ws(sep, col("__kept")).as("text_clean"),
+        size(col("__segs")).cast("long").as("n_segments"),
+        (size(col("__segs")) - size(col("__kept"))).cast("long").as("n_dropped"))
+  }
+
+  /** Gopher-style document-quality rules (Rae et al. 2021, table A1 —
+    * the publicly documented heuristics every large-corpus pipeline
+    * reimplements), evaluated as pure per-row codegen'd expressions:
+    *
+    *   - word count within [minWords, maxWords]
+    *   - mean word length within [3, 10] characters
+    *   - symbol-to-word ratio (`#` or `...`) ≤ 0.1
+    *   - ≥ 80% of words contain at least one alphabetic character
+    *   - ≥ 2 distinct members of the English stop list present
+    *
+    * (The bullet/ellipsis LINE rules apply per line — compose with
+    * [[segmentPrune]]'s line splitting where documents carry newlines.)
+    * Flags surface as BOOLEANs plus the conjunction `gopher_keep`; the
+    * ratio arithmetic stays internal (integer counts compared by
+    * cross-multiplication — no double leaves the operator, so the
+    * driver-hash contract holds by construction).
+    *
+    * Output: (`idCol`, n_words, flag_* ×5, gopher_keep). */
+  def gopherQualityFlags(docs: DataFrame, idCol: String, textCol: String,
+                         minWords: Long = 50, maxWords: Long = 100000): DataFrame = {
+    val toks = tokens(lower(coalesce(col(textCol), lit(""))))
+    val nWords = size(toks).cast("long")
+    val totalChars = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+    // mean word length in [3, 10]: 3·n ≤ Σlen ≤ 10·n, exact integers
+    val meanLenOk = totalChars >= lit(3L) * nWords &&
+      totalChars <= lit(10L) * nWords
+    val symbolCount = aggregate(toks, lit(0L), (acc, t) =>
+      acc + when(t.contains("#") || t.contains("..."), 1L).otherwise(0L))
+    // symbol/word ≤ 0.1  ⟺  10·symbols ≤ words
+    val symbolOk = lit(10L) * symbolCount <= nWords
+    val alphaCount = aggregate(toks, lit(0L), (acc, t) =>
+      acc + when(t.rlike("[a-z]"), 1L).otherwise(0L))
+    // alpha fraction ≥ 0.8  ⟺  5·alpha ≥ 4·words
+    val alphaOk = lit(5L) * alphaCount >= lit(4L) * nWords
+    val stopHits = StopEn.map(w =>
+      when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+    docs.select(col(idCol),
+      nWords.as("n_words"),
+      (nWords >= minWords && nWords <= maxWords).as("flag_word_count"),
+      (nWords > 0 && meanLenOk).as("flag_mean_word_len"),
+      symbolOk.as("flag_symbol_ratio"),
+      (nWords > 0 && alphaOk).as("flag_alpha_words"),
+      (stopHits >= 2L).as("flag_stopwords"),
+      (nWords >= minWords && nWords <= maxWords && nWords > 0 && meanLenOk &&
+        symbolOk && alphaOk && stopHits >= 2L).as("gopher_keep"))
+  }
 }

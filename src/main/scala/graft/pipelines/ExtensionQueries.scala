@@ -1299,6 +1299,23 @@ object ExtensionQueries {
           col("dl"), col("weight_q"), col("rk"))
         .orderBy("doc_id", "rk")),
 
+    // C4-style segment pruning: drop every token whose corpus document
+    // frequency exceeds 395 (measured boilerplate, not a fixed lexicon);
+    // the hot set is df-pigeonhole-bounded and broadcasts, so the
+    // rewrite is per-row array surgery — no explode-rejoin shuffle
+    "q_text_segment_prune" -> ((s, dir) =>
+      TextAnalysis.segmentPrune(docs(s, dir), "doc_id", "text",
+          sep = " ", maxDf = 395L)
+        .orderBy("doc_id")),
+
+    // Gopher-rule quality flags (word count, mean word length, symbol
+    // ratio, alphabetic-word fraction, stopword presence) — integer
+    // cross-multiplied ratios, BOOLEAN edges only
+    "q_text_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQualityFlags(docs(s, dir), "doc_id", "text",
+          minWords = 20L, maxWords = 100000L)
+        .orderBy("doc_id")),
+
     // corpus collocations: top-100 bigrams by PMI-monotone lift,
     // min-count 5 — shuffle-free pair construction, two aggregations
     "q_text_pmi" -> ((s, dir) =>
@@ -2715,6 +2732,66 @@ object ExtensionQueries {
         |SELECT doc_id, token, tf, df, dl,
         |       CAST(weight_q AS BIGINT) AS weight_q, rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
+
+    // mirrors segmentPrune's hot-set shape: distinct (doc, seg) for df,
+    // the hot list joined in as ONE collected row, list_filter rewrite
+    "q_text_segment_prune" ->
+      """WITH ex AS (SELECT DISTINCT doc_id,
+        |  unnest([x FOR x IN string_split(coalesce(text, ''), ' ')
+        |          IF x <> '']) AS seg FROM documents),
+        |hot AS (SELECT seg FROM ex GROUP BY seg HAVING COUNT(*) > 395),
+        |hotl AS (SELECT coalesce(list(seg), CAST([] AS VARCHAR[])) AS hl
+        |         FROM hot),
+        |base AS (SELECT doc_id,
+        |    [x FOR x IN string_split(coalesce(text, ''), ' ') IF x <> '']
+        |      AS segs FROM documents)
+        |SELECT b.doc_id,
+        |  coalesce(array_to_string(
+        |    [x FOR x IN segs IF NOT list_contains(hl, x)], ' '), '')
+        |    AS text_clean,
+        |  CAST(len(segs) AS BIGINT) AS n_segments,
+        |  CAST(len(segs) -
+        |    len([x FOR x IN segs IF NOT list_contains(hl, x)]) AS BIGINT)
+        |    AS n_dropped
+        |FROM base b, hotl ORDER BY doc_id""".stripMargin,
+
+    // integer cross-multiplied ratio rules, identical boolean edges
+    "q_text_gopher" ->
+      """WITH t AS (SELECT doc_id,
+        |    [x FOR x IN string_split(lower(coalesce(text, '')), ' ')
+        |     IF x <> ''] AS tk FROM documents),
+        |m AS (SELECT doc_id,
+        |    CAST(len(tk) AS BIGINT) AS nw,
+        |    CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+        |      AS BIGINT) AS totc,
+        |    CAST(coalesce(list_sum(list_transform(tk, x ->
+        |      CASE WHEN contains(x, '#') OR contains(x, '...')
+        |           THEN 1 ELSE 0 END)), 0) AS BIGINT) AS symc,
+        |    CAST(coalesce(list_sum(list_transform(tk, x ->
+        |      CASE WHEN regexp_matches(x, '[a-z]') THEN 1 ELSE 0 END)), 0)
+        |      AS BIGINT) AS alphac,
+        |    (CAST(list_contains(tk, 'the') AS BIGINT) +
+        |     CAST(list_contains(tk, 'and') AS BIGINT) +
+        |     CAST(list_contains(tk, 'of') AS BIGINT) +
+        |     CAST(list_contains(tk, 'to') AS BIGINT) +
+        |     CAST(list_contains(tk, 'in') AS BIGINT) +
+        |     CAST(list_contains(tk, 'is') AS BIGINT) +
+        |     CAST(list_contains(tk, 'it') AS BIGINT) +
+        |     CAST(list_contains(tk, 'for') AS BIGINT) +
+        |     CAST(list_contains(tk, 'on') AS BIGINT) +
+        |     CAST(list_contains(tk, 'with') AS BIGINT)) AS stoph
+        |  FROM t)
+        |SELECT doc_id, nw AS n_words,
+        |  (nw >= 20 AND nw <= 100000) AS flag_word_count,
+        |  (nw > 0 AND totc >= 3 * nw AND totc <= 10 * nw)
+        |    AS flag_mean_word_len,
+        |  (10 * symc <= nw) AS flag_symbol_ratio,
+        |  (nw > 0 AND 5 * alphac >= 4 * nw) AS flag_alpha_words,
+        |  (stoph >= 2) AS flag_stopwords,
+        |  (nw >= 20 AND nw <= 100000 AND nw > 0 AND totc >= 3 * nw AND
+        |   totc <= 10 * nw AND 10 * symc <= nw AND 5 * alphac >= 4 * nw
+        |   AND stoph >= 2) AS gopher_keep
+        |FROM m ORDER BY doc_id""".stripMargin,
 
     // pair construction from the same single-space tokenization; lift's
     // three divisions and one product in the same order as pmiBigrams

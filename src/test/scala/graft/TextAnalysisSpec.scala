@@ -199,6 +199,64 @@ class TextAnalysisSpec extends SparkSpec {
     assert(w6 < 6 * w1 && w6 > w1 * 0) // saturated but same idf sign
   }
 
+  test("segmentPrune drops corpus-frequent lines, keeps order, empties survive") {
+    // C4-style: the cookie-banner line appears in 3 of 4 docs (> maxDf=2)
+    // and every occurrence goes; unique lines keep their original order
+    val docs = Seq(
+      (1L, "accept cookies\nreal content one\nmore text"),
+      (2L, "accept cookies\nreal content two"),
+      (3L, "accept cookies"),
+      (4L, "standalone line"),
+      (5L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentPrune(docs, "doc_id", "text", "\n", maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(out(1L) == (("real content one\nmore text", 3L, 1L)))
+    assert(out(2L) == (("real content two", 2L, 1L)))
+    assert(out(3L) == (("", 1L, 1L))) // all segments dropped -> empty, not null
+    assert(out(4L) == (("standalone line", 1L, 0L)))
+    assert(out(5L) == (("", 0L, 0L)))
+  }
+
+  test("segmentPrune with a duplicated segment inside ONE doc counts df once") {
+    // df is DOCUMENT frequency: the repeated line within doc 1 counts as
+    // one doc, so df=2 <= maxDf=2 and nothing is dropped
+    val docs = Seq(
+      (1L, "x\nx\ny"),
+      (2L, "x")).toDF("doc_id", "text")
+    val out = TextAnalysis.segmentPrune(docs, "doc_id", "text", "\n", maxDf = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) == "x\nx\ny")
+    assert(out(2L) == "x")
+  }
+
+  test("gopherQualityFlags: each rule flips on its own boundary case") {
+    val docs = Seq(
+      // passes everything (with minWords=3): 4 words, mean len in
+      // [3,10], no symbols, all alphabetic, two stopwords
+      (1L, "the cat is here"),
+      // word count below min
+      (2L, "the is"),
+      // mean word length too small: 4 one-char words (mean 1 < 3)
+      (3L, "a b c d"),
+      // symbol ratio: 1 symbol token of 4 words > 0.1
+      (4L, "the # is here"),
+      // alpha fraction: 2 numeric of 4 (0.5 < 0.8)
+      (5L, "the 42 17 is"),
+      // fewer than 2 stopwords
+      (6L, "cats chase shiny mice")).toDF("doc_id", "text")
+    val out = TextAnalysis
+      .gopherQualityFlags(docs, "doc_id", "text", minWords = 3L)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Boolean]("gopher_keep"))
+    assert(!out(2L).getAs[Boolean]("flag_word_count"))
+    assert(!out(3L).getAs[Boolean]("flag_mean_word_len"))
+    assert(!out(4L).getAs[Boolean]("flag_symbol_ratio"))
+    assert(!out(5L).getAs[Boolean]("flag_alpha_words"))
+    assert(!out(6L).getAs[Boolean]("flag_stopwords"))
+    assert(Seq(2L, 3L, 4L, 5L, 6L).forall(i => !out(i).getAs[Boolean]("gopher_keep")))
+  }
+
   test("bm25 weight_q is the hand-computed exact integer rational") {
     // one tiny corpus where every piece of the rational is checkable by
     // hand with BigInt: weight = (2N-2df+1)*22*tf*T / ((2df+1)*(10*tf*T
