@@ -180,6 +180,35 @@ class RanksSpec extends SparkSpec {
     assertEagerMatch(decs, "v", descending = false)
   }
 
+  test("tiersByPercentRankEager property: random frames, many thresholds, " +
+    "both directions match the window reference") {
+    val rng = new scala.util.Random(23)
+    (1 to 3).foreach { round =>
+      val n = 50 + rng.nextInt(400)
+      val rows = (1 to n).map { i =>
+        val v = if (rng.nextInt(10) == 0) None
+                else Some((rng.nextInt(12) - 4).toDouble / 4)
+        (i.toLong, v)
+      }
+      val df = rows.toDF("id", "v")
+      Seq(true, false).foreach { desc =>
+        val thresholds = Seq(0.1, 0.25, 0.5, 0.8, 0.95)
+        val labels = Seq("a", "b", "c", "d", "e", "f")
+        val got = Ranks.tiersByPercentRankEager(df, "v", thresholds, labels, desc)
+          .select("id", "tier").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        val want = referencePr(df, "v", desc)
+          .withColumn("tier_ref",
+            when(col("pr_ref") <= 0.1, "a").when(col("pr_ref") <= 0.25, "b")
+              .when(col("pr_ref") <= 0.5, "c").when(col("pr_ref") <= 0.8, "d")
+              .when(col("pr_ref") <= 0.95, "e").otherwise("f"))
+          .select("id", "tier_ref").collect()
+          .map(r => r.getLong(0) -> r.getString(1)).toMap
+        assert(got == want, s"round=$round desc=$desc")
+      }
+    }
+  }
+
   test("tiersByPercentRankEager degenerate frames and lazy agreement") {
     val one = Seq((1L, 9.9)).toDF("id", "v")
     assert(Ranks.tiersByPercentRankEager(one, "v", Seq(0.2, 0.5),
