@@ -440,6 +440,17 @@ object TextAnalysis {
         col("weight"), col("rk"))
   }
 
+  /** Literal-rewrite gate for [[segmentPrune]]: a hot set at or below
+    * this many segments compiles into the per-row filter as an array
+    * LITERAL (each token pays ≤ cap comparisons, measured negligible at
+    * 256); a bigger hot set — small `maxDf` line-dedup, where hot is
+    * corpus-scale by definition — switches to the exploded anti-join
+    * reassembly, whose cost is one token-level shuffle regardless of
+    * hot-set size. Sys-prop `graft.text.hotLiteralCap` forces either
+    * path in tests. */
+  private def hotLiteralCap: Long =
+    sys.props.get("graft.text.hotLiteralCap").map(_.toLong).getOrElse(256L)
+
   /** Corpus-frequency SEGMENT pruning — the C4-style cleanup family
     * (reference-class pipelines drop boilerplate the same way): split
     * each document on `sep`, drop every occurrence of any segment whose
@@ -450,16 +461,20 @@ object TextAnalysis {
     * ubiquitous tokens (stopword-class removal by measured df, not a
     * fixed lexicon).
     *
-    * Scale shape — NO explode-rejoin-reassemble shuffle: the hot set
-    * {segment : df > maxDf} has at most Σoccurrences / maxDf members
-    * (each needs > maxDf distinct docs), so ONE distinct-count
-    * aggregation finds it, it broadcasts as a single collected array,
-    * and the rewrite is per-row array surgery (`filter` +
-    * `array_contains`) inside whole-stage codegen. Per-row cost is
-    * O(|segments| · |hot|) — bounded by the df pigeonhole; choose
-    * `maxDf` so the hot set stays broadcastable (it IS the boilerplate
-    * list, worth auditing anyway). Empty docs and docs losing every
-    * segment yield the empty string, not NULL.
+    * Scale shape, two proven-gated plans (one bounded probe of the df
+    * aggregation decides):
+    *   - hot set ≤ [[hotLiteralCap]] (large `maxDf` boilerplate
+    *     removal: the pigeonhole bounds hot at Σoccurrences/maxDf) —
+    *     the segments compile into the row filter as an array LITERAL:
+    *     per-row array surgery inside whole-stage codegen, no join of
+    *     any kind in the returned plan.
+    *   - bigger hot sets (small `maxDf`, e.g. =1 line-dedup, where hot
+    *     is every repeated line) — exploded anti-join against the hot
+    *     frame, order restored by position sort: one token-level
+    *     shuffle, cost independent of hot-set size, nothing collected.
+    * Both plans are bit-identical (TextAnalysisSpec forces each). Empty
+    * docs and docs losing every segment yield the empty string, not
+    * NULL.
     *
     * Output: (`idCol`, text_clean, n_segments, n_dropped). */
   def segmentPrune(docs: DataFrame, idCol: String, textCol: String,
@@ -468,22 +483,49 @@ object TextAnalysis {
     val segs = filter(split(coalesce(col(textCol), lit("")),
       java.util.regex.Pattern.quote(sep)), x => x =!= "")
     // document frequency per segment: one exploded distinct-count agg —
-    // the only shuffle; keys are the segment strings themselves (the
-    // hot set must come back as values anyway)
-    val hot = docs
+    // keys are the segment strings themselves (the hot set must come
+    // back as values anyway)
+    val hotF = docs
       .select(col(idCol).as("__id"), explode(array_distinct(segs)).as("__seg"))
       .groupBy("__seg").agg(count(lit(1)).as("__df"))
       .filter(col("__df") > maxDf)
-      .agg(sort_array(collect_list(col("__seg"))).as("__hot"))
-    val kept = filter(col("__segs"), x => !array_contains(col("__hot"), x))
-    docs
-      .withColumn("__segs", segs)
-      .crossJoin(broadcast(hot))
-      .withColumn("__kept", kept)
-      .select(col(idCol),
-        concat_ws(sep, col("__kept")).as("text_clean"),
-        size(col("__segs")).cast("long").as("n_segments"),
-        (size(col("__segs")) - size(col("__kept"))).cast("long").as("n_dropped"))
+      .select("__seg")
+    val cap = hotLiteralCap
+    val probe = hotF.limit(math.min(cap + 1, Int.MaxValue.toLong).toInt).collect()
+    if (probe.length <= cap) {
+      // literal path: the hot set IS the boilerplate list — tiny
+      val hotArr = probe.map(_.getString(0)).sorted.toSeq
+      val kept =
+        if (hotArr.isEmpty) col("__segs")
+        else filter(col("__segs"), x => !array_contains(typedlit(hotArr), x))
+      docs
+        .withColumn("__segs", segs)
+        .withColumn("__kept", kept)
+        .select(col(idCol),
+          concat_ws(sep, col("__kept")).as("text_clean"),
+          size(col("__segs")).cast("long").as("n_segments"),
+          (size(col("__segs")) - size(col("__kept"))).cast("long").as("n_dropped"))
+    } else {
+      // anti-join path: the probe burned one evaluation of the df agg;
+      // the anti-join pays one more — two corpus passes total, still
+      // O(tokens) regardless of how big the hot set is
+      val exploded = docs
+        .select(col(idCol).as("__id"), posexplode(segs).as(Seq("__pos", "__seg")))
+      val keptSegs = exploded.join(hotF, Seq("__seg"), "left_anti")
+        .groupBy("__id")
+        .agg(count(lit(1)).as("__n_kept"),
+          concat_ws(sep, transform(
+            sort_array(collect_list(struct(col("__pos"), col("__seg")))),
+            x => x("__seg"))).as("__txt"))
+      docs
+        .withColumn("__segs", segs)
+        .join(keptSegs, col(idCol) === col("__id"), "left")
+        .select(col(idCol),
+          coalesce(col("__txt"), lit("")).as("text_clean"),
+          size(col("__segs")).cast("long").as("n_segments"),
+          (size(col("__segs")) - coalesce(col("__n_kept"), lit(0L)))
+            .cast("long").as("n_dropped"))
+    }
   }
 
   /** Gopher-style document-quality rules (Rae et al. 2021, table A1 —

@@ -218,6 +218,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(out(5L) == (("", 0L, 0L)))
   }
 
+  test("segmentPrune forced anti-join path (hotLiteralCap=0) is " +
+    "bit-identical to the literal path") {
+    val docs = Seq(
+      (1L, "accept cookies\nreal content one\nmore text"),
+      (2L, "accept cookies\nreal content two"),
+      (3L, "accept cookies"),
+      (4L, "standalone line"),
+      (5L, "")).toDF("doc_id", "text")
+    def run() = TextAnalysis
+      .segmentPrune(docs, "doc_id", "text", "\n", maxDf = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getString(1), r.getLong(2), r.getLong(3)))).toMap
+    val fast = run()
+    System.setProperty("graft.text.hotLiteralCap", "0")
+    try assert(run() == fast)
+    finally System.clearProperty("graft.text.hotLiteralCap")
+  }
+
   test("segmentPrune with a duplicated segment inside ONE doc counts df once") {
     // df is DOCUMENT frequency: the repeated line within doc 1 counts as
     // one doc, so df=2 <= maxDf=2 and nothing is dropped
