@@ -1141,4 +1141,74 @@ object Dedup {
         (dot(col("v_i"), col("v_j")) / (col("nrm_i") * col("nrm_j"))).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** Cross-source duplicate containment matrix — the corpus-governance
+    * report behind "how much of source A is already in source B": folds a
+    * near-dup pair frame (any of this family's `*Pairs` outputs, columns
+    * `doc_i < doc_j`) against the doc→source map and counts, per
+    * unordered source pair, the duplicate pairs crossing them plus the
+    * distinct documents involved on each side. The diagonal (src_a =
+    * src_b) reports within-source redundancy with the same columns.
+    *
+    * `src_a <= src_b` lexicographically; `n_docs_a`/`n_docs_b` count
+    * distinct docs on the `src_a`/`src_b` side of the pairs. Rows with a
+    * NULL source on either end are dropped (a NULL source has no
+    * containment direction).
+    *
+    * Scale posture: the pair frame is the small side by construction
+    * (near-dup pairs ≪ corpus); two shuffle joins on the 8-byte doc ids
+    * attach sources, then one keyed aggregation whose output is bounded
+    * by (#sources)² rows — no shuffle ever carries document text. */
+  def sourceOverlapMatrix(pairs: DataFrame, docs: DataFrame,
+                          idCol: String, srcCol: String): DataFrame = {
+    val s = docs.select(col(idCol).as("__d"), col(srcCol).as("__s"))
+    val withSrc = pairs.select("doc_i", "doc_j")
+      .join(s.withColumnRenamed("__d", "doc_i").withColumnRenamed("__s", "src_i"),
+        Seq("doc_i"))
+      .join(s.withColumnRenamed("__d", "doc_j").withColumnRenamed("__s", "src_j"),
+        Seq("doc_j"))
+      .where(col("src_i").isNotNull && col("src_j").isNotNull)
+    val aFirst = col("src_i") <= col("src_j")
+    val sym = withSrc.select(
+      least(col("src_i"), col("src_j")).as("src_a"),
+      greatest(col("src_i"), col("src_j")).as("src_b"),
+      when(aFirst, col("doc_i")).otherwise(col("doc_j")).as("__da"),
+      when(aFirst, col("doc_j")).otherwise(col("doc_i")).as("__db"))
+    sym.groupBy("src_a", "src_b").agg(
+      count(lit(1)).as("n_pairs"),
+      countDistinct(col("__da")).as("n_docs_a"),
+      countDistinct(col("__db")).as("n_docs_b"))
+  }
+
+  /** Duplication-aware loss weights — the DOWNWEIGHT alternative to
+    * dropping near-dups (the data-constrained regime keeps every copy
+    * but scales each document's training contribution by the inverse of
+    * its duplication count, so a 5-way near-dup cluster contributes one
+    * document's worth of gradient in total). Published practice for
+    * corpora too small to discard from; the survivor-keep policy
+    * ([[exactSurvivors]], the canonical-member queries) remains the
+    * web-scale default.
+    *
+    * Every document gets its near-dup cluster assignment
+    * ([[nearDupClusters]] — singletons are their own cluster), the
+    * cluster sizes come from one key-cardinality aggregation, and the
+    * weight ships as exact basis points `weight_bp = 10⁴ div size`
+    * (BIGINT — a trainer divides by 10⁴; no doubles cross the edge).
+    *
+    * Scale posture: inherits the clustering's machinery (pair-graph
+    * bounded rounds / driver union-find gate). Sizes come from a window
+    * keyed BY CLUSTER over the assignment frame — deliberately, against
+    * this file's usual groupBy+join preference: the assignment's lineage
+    * holds the whole pair sweep, and a second consumer would evaluate it
+    * twice (its internal persists are released on completion); the keyed
+    * window resolves sizes in the SAME pass, one exchange on cluster_id,
+    * per-partition state bounded by the largest dup cluster. */
+  def duplicationWeights(docs: DataFrame, pairs: DataFrame,
+                         idCol: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+    nearDupClusters(docs, pairs, idCol)
+      .withColumn("cluster_size", count(lit(1)).over(w))
+      .select(col(idCol), col("cluster_id"), col("cluster_size"),
+        expr("10000L div cluster_size").as("weight_bp"))
+  }
 }

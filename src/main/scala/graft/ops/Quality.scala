@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Typed failure raised by the duplicate gate — mirrors the reference's
@@ -34,5 +34,47 @@ object Quality {
       throw new DuplicateException(
         s"Found duplicates in columns: ${primaryKey.mkString(", ")}")
     df
+  }
+
+  /** Filter-funnel attrition report — the accounting every corpus filter
+    * chain ships with: stages applied IN ORDER, row i reporting how many
+    * rows (and how much `weight` — typically tokens) survive stages
+    * 1..i cumulatively, plus the surviving-row share of the baseline in
+    * basis points. Row 0 is the unfiltered baseline.
+    *
+    * At 100 TB this is how a pipeline answers "which gate costs the
+    * tokens": the whole report is ONE map-side-combining aggregation over
+    * a single scan — every cumulative conjunction is evaluated per row in
+    * the same codegen'd projection, the shuffle carries one partial-sum
+    * row per task, and the stage table is unpivoted from the single
+    * result row (`stack`), so cost is independent of stage count beyond
+    * the per-row predicate arithmetic.
+    *
+    * `weight` must be integral (token counts); sums stay exact BIGINT so
+    * the output carries only BIGINT/VARCHAR edges. Stage names are code
+    * literals (they are spliced into a `stack` expression — keep them to
+    * identifier-ish strings without quotes).
+    *
+    * Output: (stage_idx, stage, n_rows, total_weight, rows_bp), one row
+    * per stage plus the baseline, rows_bp = n_rows·10⁴ div baseline
+    * (NULL on an empty input rather than a division error). */
+  def filterFunnel(df: DataFrame, stages: Seq[(String, Column)],
+                   weight: Column): DataFrame = {
+    require(stages.nonEmpty, "filterFunnel needs at least one stage")
+    val cum = stages.scanLeft(("all_rows", lit(true))) {
+      case ((_, acc), (name, c)) => (name, acc && c)
+    }
+    val aggs = cum.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+      coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"d$i"),
+      coalesce(sum(when(c, weight).otherwise(0L)).cast("long"), lit(0L))
+        .as(s"w$i"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = cum.zipWithIndex.map { case ((name, _), i) =>
+      s"CAST($i AS BIGINT), '$name', d$i, w$i, " +
+        s"CASE WHEN d0 = 0 THEN CAST(NULL AS BIGINT) ELSE d$i * 10000L div d0 END"
+    }.mkString(", ")
+    one.selectExpr(s"stack(${cum.size}, $stackArgs) AS " +
+      "(stage_idx, stage, n_rows, total_weight, rows_bp)")
   }
 }

@@ -1340,6 +1340,79 @@ object ExtensionQueries {
     "q_histogram_equidepth" -> ((s, dir) =>
       graft.ops.Histogram.equiDepth(docs(s, dir), "n_chars", 8)
         .orderBy("bucket")),
+
+    // ── corpus governance ────────────────────────────────────────────
+    // k-anonymity release gate on (lang, source, 200-char length band)
+    // quasi-identifiers at k=4: rows in smaller groups ship with masked
+    // metadata. One keyed count + one null-safe keyed join;
+    // BIGINT/VARCHAR/BOOLEAN edges only.
+    "q_privacy_kanon" -> ((s, dir) =>
+      graft.ops.Privacy.kAnonymize(
+        docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
+          expr("n_chars div 200").as("band")),
+        "doc_id", Seq("lang", "source", "band"), k = 4L)
+        .orderBy("doc_id")),
+
+    // l-diversity audit on the same release shape: every (lang, length
+    // band) group sized and checked for >= 3 distinct sources — one
+    // keyed aggregation, one row per quasi combination
+    "q_privacy_ldiversity" -> ((s, dir) =>
+      graft.ops.Privacy.lDiversity(
+        docs(s, dir).select(col("lang"), col("source"),
+          expr("n_chars div 200").as("band")),
+        Seq("lang", "band"), "source", l = 3L)
+        .orderBy("lang", "band")),
+
+    // t-closeness: every (lang, length band) group's source distribution
+    // within 20% TVD of the corpus mix — exact integer-rational TVD in
+    // basis points (absent categories folded closed-form), BIGINT edges
+    "q_privacy_tcloseness" -> ((s, dir) =>
+      graft.ops.Privacy.tCloseness(
+        docs(s, dir).select(col("lang"), col("source"),
+          expr("n_chars div 200").as("band")),
+        Seq("lang", "band"), "source", tBp = 2000L)
+        .orderBy("lang", "band")),
+
+    // cross-source near-dup containment matrix over the exact Jaccard
+    // pair sweep: which sources duplicate into which (diagonal = within-
+    // source redundancy); output bounded by (#sources)² rows
+    "q_dedup_source_matrix" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.sourceOverlapMatrix(
+        Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold),
+        d, "doc_id", "source")
+        .orderBy("src_a", "src_b")
+    }),
+
+    // duplication-aware loss weights: keep every copy, downweight by
+    // inverse cluster size (weight_bp = 1e4 div size) — the
+    // data-constrained alternative to dropping near-dups
+    "q_dedup_weights" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.duplicationWeights(d,
+          Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // filter-funnel attrition: the Gopher-rule chain as CUMULATIVE
+    // stages, docs + token weight surviving each — one aggregation pass
+    // over one scan, integer edges (shares in basis points, integer div)
+    "q_corpus_attrition" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))
+      val nW = size(toks).cast("long")
+      val totC = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      val alphaC = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(t.rlike("[a-z]"), 1L).otherwise(0L))
+      val stopHits = TextAnalysis.StopEn.map(w =>
+        when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+      graft.ops.Quality.filterFunnel(docs(s, dir), Seq(
+        "nonempty" -> (nW > 0L),
+        "min_words_20" -> (nW >= 20L),
+        "mean_word_len_3_10" -> (totC >= lit(3L) * nW && totC <= lit(10L) * nW),
+        "alpha_words_80pct" -> (lit(5L) * alphaC >= lit(4L) * nW),
+        "stopwords_1" -> (stopHits >= 1L)), nW)
+        .orderBy("stage_idx")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -2840,5 +2913,166 @@ object ExtensionQueries {
         |SELECT event_id, event_type, value, med, mad.mad, dev
         |FROM d JOIN mad USING (event_type)
         |WHERE dev > 3.0 * mad ORDER BY event_id""".stripMargin,
+
+    // null-safe group join mirrors kAnonymize's <=> quasi equality
+    "q_privacy_kanon" ->
+      """WITH b AS (SELECT doc_id, lang, source, n_chars // 200 AS band
+        |           FROM documents),
+        |g AS (SELECT lang, source, band, COUNT(*) AS group_n
+        |      FROM b GROUP BY 1, 2, 3)
+        |SELECT b.doc_id,
+        |  CASE WHEN group_n >= 4 THEN CAST(b.lang AS VARCHAR)
+        |       ELSE '*' END AS lang_g,
+        |  CASE WHEN group_n >= 4 THEN CAST(b.source AS VARCHAR)
+        |       ELSE '*' END AS source_g,
+        |  CASE WHEN group_n >= 4 THEN CAST(b.band AS VARCHAR)
+        |       ELSE '*' END AS band_g,
+        |  group_n, group_n >= 4 AS kept
+        |FROM b JOIN g ON b.lang IS NOT DISTINCT FROM g.lang
+        |             AND b.source IS NOT DISTINCT FROM g.source
+        |             AND b.band IS NOT DISTINCT FROM g.band
+        |ORDER BY doc_id""".stripMargin,
+
+    // COUNT(DISTINCT) skips NULL sensitive values on both engines
+    "q_privacy_ldiversity" ->
+      """SELECT lang, n_chars // 200 AS band, COUNT(*) AS group_n,
+        |       COUNT(DISTINCT source) AS n_sensitive,
+        |       COUNT(DISTINCT source) >= 3 AS diverse
+        |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // exact integer-rational TVD in HUGEINT; absent categories folded
+    // via Σ_all = Σ_present(|c_gs·N − c_s·n_g| − c_s·n_g) + n_g·N —
+    // the same closed form the engine uses
+    "q_privacy_tcloseness" ->
+      """WITH b AS (SELECT lang, n_chars // 200 AS band, source
+        |           FROM documents),
+        |cell AS (SELECT lang, band, source,
+        |                CAST(COUNT(*) AS HUGEINT) AS c_gs
+        |         FROM b GROUP BY 1, 2, 3),
+        |g AS (SELECT lang, band, SUM(c_gs) AS group_n FROM cell
+        |      GROUP BY 1, 2),
+        |s AS (SELECT source, SUM(c_gs) AS c_s FROM cell GROUP BY 1),
+        |n AS (SELECT SUM(c_gs) AS n_total FROM cell),
+        |j AS (SELECT cell.lang, cell.band, g.group_n, s.c_s, cell.c_gs,
+        |             n.n_total
+        |      FROM cell
+        |      JOIN g ON cell.lang IS NOT DISTINCT FROM g.lang
+        |            AND cell.band IS NOT DISTINCT FROM g.band
+        |      JOIN s ON cell.source IS NOT DISTINCT FROM s.source
+        |      CROSS JOIN n),
+        |a AS (SELECT lang, band, MAX(group_n) AS group_n,
+        |             MAX(n_total) AS n_total,
+        |             SUM(ABS(c_gs * n_total - c_s * group_n)
+        |                 - c_s * group_n) AS adj
+        |      FROM j GROUP BY 1, 2)
+        |SELECT lang, band, CAST(group_n AS BIGINT) AS group_n,
+        |  CAST((adj + group_n * n_total) * 10000
+        |       // (2 * group_n * n_total) AS BIGINT) AS tvd_bp,
+        |  ((adj + group_n * n_total) * 10000
+        |       // (2 * group_n * n_total)) <= 2000 AS close
+        |FROM a ORDER BY lang, band""".stripMargin,
+
+    // recursive-closure cluster replay (q_dedup_clusters' oracle) +
+    // size window; 10000 // size replays the engine's integer div
+    "q_dedup_weights" ->
+      s"""WITH RECURSIVE ${jaccardCtes(JaccardThreshold)},
+         |edges AS (SELECT doc_i AS src, doc_j AS dst FROM jpairs
+         |          UNION ALL SELECT doc_j, doc_i FROM jpairs),
+         |reach(node, r) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT reach.node, e.dst FROM reach JOIN edges e ON reach.r = e.src),
+         |assign AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach
+         |           GROUP BY node),
+         |cs AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS cluster_size
+         |       FROM assign GROUP BY 1)
+         |SELECT a.doc_id, a.cluster_id, cs.cluster_size,
+         |       CAST(10000 // cluster_size AS BIGINT) AS weight_bp
+         |FROM assign a JOIN cs USING (cluster_id)
+         |ORDER BY a.doc_id""".stripMargin,
+
+    // same exact-Jaccard pair set as the dedup family, folded to the
+    // unordered source matrix with per-side distinct-doc counts
+    "q_dedup_source_matrix" ->
+      s"""WITH ${jaccardCtes(JaccardThreshold)},
+        |sp AS (SELECT p.doc_i, p.doc_j, si.source AS src_i, sj.source AS src_j
+        |       FROM jpairs p JOIN documents si ON p.doc_i = si.doc_id
+        |                     JOIN documents sj ON p.doc_j = sj.doc_id
+        |       WHERE si.source IS NOT NULL AND sj.source IS NOT NULL),
+        |m AS (SELECT least(src_i, src_j) AS src_a,
+        |             greatest(src_i, src_j) AS src_b,
+        |             CASE WHEN src_i <= src_j THEN doc_i ELSE doc_j END AS da,
+        |             CASE WHEN src_i <= src_j THEN doc_j ELSE doc_i END AS db
+        |      FROM sp)
+        |SELECT src_a, src_b, COUNT(*) AS n_pairs,
+        |       COUNT(DISTINCT da) AS n_docs_a, COUNT(DISTINCT db) AS n_docs_b
+        |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // cumulative conjunctions replay filterFunnel's scanLeft; sums cast
+    // back to BIGINT (DuckDB promotes integer SUM to HUGEINT)
+    "q_corpus_attrition" ->
+      """WITH t AS (SELECT [x FOR x IN
+        |    string_split(lower(coalesce(text, '')), ' ') IF x <> ''] AS tk
+        |  FROM documents),
+        |m AS (SELECT CAST(len(tk) AS BIGINT) AS nw,
+        |  CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+        |    AS BIGINT) AS totc,
+        |  CAST(coalesce(list_sum(list_transform(tk, x ->
+        |    CASE WHEN regexp_matches(x, '[a-z]') THEN 1 ELSE 0 END)), 0)
+        |    AS BIGINT) AS alphac,
+        |  (CAST(list_contains(tk, 'the') AS BIGINT) +
+        |   CAST(list_contains(tk, 'and') AS BIGINT) +
+        |   CAST(list_contains(tk, 'of') AS BIGINT) +
+        |   CAST(list_contains(tk, 'to') AS BIGINT) +
+        |   CAST(list_contains(tk, 'in') AS BIGINT) +
+        |   CAST(list_contains(tk, 'is') AS BIGINT) +
+        |   CAST(list_contains(tk, 'it') AS BIGINT) +
+        |   CAST(list_contains(tk, 'for') AS BIGINT) +
+        |   CAST(list_contains(tk, 'on') AS BIGINT) +
+        |   CAST(list_contains(tk, 'with') AS BIGINT)) AS stoph
+        |  FROM t),
+        |c AS (SELECT nw,
+        |  (nw > 0) AS c1,
+        |  (nw > 0 AND nw >= 20) AS c2,
+        |  (nw > 0 AND nw >= 20 AND totc >= 3 * nw AND totc <= 10 * nw) AS c3,
+        |  (nw > 0 AND nw >= 20 AND totc >= 3 * nw AND totc <= 10 * nw
+        |   AND 5 * alphac >= 4 * nw) AS c4,
+        |  (nw > 0 AND nw >= 20 AND totc >= 3 * nw AND totc <= 10 * nw
+        |   AND 5 * alphac >= 4 * nw AND stoph >= 1) AS c5
+        |  FROM m),
+        |s AS (SELECT
+        |  COUNT(*) AS d0, CAST(coalesce(SUM(nw), 0) AS BIGINT) AS w0,
+        |  COUNT(*) FILTER (WHERE c1) AS d1,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c1), 0) AS BIGINT) AS w1,
+        |  COUNT(*) FILTER (WHERE c2) AS d2,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c2), 0) AS BIGINT) AS w2,
+        |  COUNT(*) FILTER (WHERE c3) AS d3,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c3), 0) AS BIGINT) AS w3,
+        |  COUNT(*) FILTER (WHERE c4) AS d4,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c4), 0) AS BIGINT) AS w4,
+        |  COUNT(*) FILTER (WHERE c5) AS d5,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c5), 0) AS BIGINT) AS w5
+        |  FROM c)
+        |SELECT * FROM (
+        |  SELECT CAST(0 AS BIGINT) AS stage_idx, 'all_rows' AS stage,
+        |    d0 AS n_rows, w0 AS total_weight,
+        |    CASE WHEN d0 = 0 THEN CAST(NULL AS BIGINT)
+        |         ELSE CAST(d0 * 10000 // d0 AS BIGINT) END AS rows_bp FROM s
+        |  UNION ALL SELECT 1, 'nonempty', d1, w1,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d1 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT 2, 'min_words_20', d2, w2,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d2 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT 3, 'mean_word_len_3_10', d3, w3,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d3 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT 4, 'alpha_words_80pct', d4, w4,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d4 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT 5, 'stopwords_1', d5, w5,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d5 * 10000 // d0 AS BIGINT) END FROM s)
+        |ORDER BY stage_idx""".stripMargin,
   )
 }

@@ -470,4 +470,39 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(crossCapped == Set((1L, 2L)), s"expected planted only, got $crossCapped")
   }
+
+  test("sourceOverlapMatrix folds pairs to an unordered source matrix") {
+    val docs = Seq(
+      (1L, "A"), (2L, "B"), (3L, "A"), (4L, "B"), (5L, "A"),
+      (6L, Option.empty[String].orNull)
+    ).toDF("doc_id", "source")
+    // pairs: A↔B twice (1-2, 4-5 reversed sources), A↔A once (1-3),
+    // one pair touching a NULL source (5-6) must drop
+    val pairs = Seq((1L, 2L), (4L, 5L), (1L, 3L), (5L, 6L))
+      .toDF("doc_i", "doc_j")
+    val m = Dedup.sourceOverlapMatrix(pairs, docs, "doc_id", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getAs[Long]("n_pairs"), r.getAs[Long]("n_docs_a"),
+          r.getAs[Long]("n_docs_b"))).toMap
+    assert(m.keySet == Set(("A", "A"), ("A", "B")))
+    // A-B pairs: (1→2) and (5→4): src_a side docs {1,5}, src_b side {2,4}
+    assert(m(("A", "B")) == ((2L, 2L, 2L)))
+    // diagonal: within-A pair (1,3)
+    assert(m(("A", "A")) == ((1L, 1L, 1L)))
+  }
+
+  test("duplicationWeights downweights by inverse cluster size") {
+    val docs = (1L to 6L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    // clusters: {1,2,3} via chain, {5,6}, singleton {4}
+    val pairs = Seq((1L, 2L), (2L, 3L), (5L, 6L)).toDF("doc_i", "doc_j")
+    val w = Dedup.duplicationWeights(docs, pairs, "doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_size"), r.getAs[Long]("weight_bp"))).toMap
+    assert(w.size == 6)
+    Seq(1L, 2L, 3L).foreach(d => assert(w(d) == ((3L, 3333L))))
+    Seq(5L, 6L).foreach(d => assert(w(d) == ((2L, 5000L))))
+    assert(w(4L) == ((1L, 10000L)))
+    // total contributed weight of a cluster ≈ one doc (floor rounding)
+    assert(Seq(1L, 2L, 3L).map(w(_)._2).sum == 9999L)
+  }
 }

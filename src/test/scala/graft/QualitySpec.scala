@@ -37,4 +37,50 @@ class QualitySpec extends SparkSpec {
     val li = graft.model.Entities.read(spark, sf, "lineitem")
     assert(!Quality.duplicates(li, Seq("l_orderkey")).isEmpty)
   }
+
+  test("filterFunnel reports cumulative survivors per stage") {
+    val df = Seq((1L, 10L, true, true), (2L, 20L, true, false),
+      (3L, 30L, false, true), (4L, 40L, true, true))
+      .toDF("id", "w", "a", "b")
+    val out = Quality.filterFunnel(df,
+      Seq("stage_a" -> col("a"), "stage_b" -> col("b")), col("w"))
+      .orderBy("stage_idx").collect()
+    assert(out.map(_.getAs[String]("stage")).toSeq ==
+      Seq("all_rows", "stage_a", "stage_b"))
+    // baseline: 4 rows, weight 100, 10000 bp
+    assert(out(0).getAs[Long]("n_rows") == 4L)
+    assert(out(0).getAs[Long]("total_weight") == 100L)
+    assert(out(0).getAs[Long]("rows_bp") == 10000L)
+    // stage_a: rows 1,2,4 (w 70); stage_b CUMULATIVE: rows 1,4 (w 50) —
+    // row 3 passes b but already failed a
+    assert(out(1).getAs[Long]("n_rows") == 3L)
+    assert(out(1).getAs[Long]("total_weight") == 70L)
+    assert(out(1).getAs[Long]("rows_bp") == 7500L)
+    assert(out(2).getAs[Long]("n_rows") == 2L)
+    assert(out(2).getAs[Long]("total_weight") == 50L)
+    assert(out(2).getAs[Long]("rows_bp") == 5000L)
+  }
+
+  test("filterFunnel on empty input yields zero counts and NULL shares") {
+    val df = Seq.empty[(Long, Long)].toDF("id", "w")
+    val out = Quality.filterFunnel(df, Seq("pos" -> (col("w") > 0L)), col("w"))
+      .orderBy("stage_idx").collect()
+    assert(out.length == 2)
+    assert(out.forall(_.getAs[Long]("n_rows") == 0L))
+    assert(out.forall(_.getAs[Long]("total_weight") == 0L))
+    assert(out.forall(_.isNullAt(out.head.fieldIndex("rows_bp"))))
+  }
+
+  test("filterFunnel survivor counts are monotone non-increasing") {
+    val d = graft.model.Entities.read(spark, sf, "documents")
+    val n = length(coalesce(col("text"), lit(""))).cast("long")
+    val out = Quality.filterFunnel(d, Seq(
+      "len_ge_100" -> (n >= 100L),
+      "len_ge_300" -> (n >= 300L),
+      "lang_en" -> (col("lang") === "en")), n)
+      .orderBy("stage_idx").collect()
+    val counts = out.map(_.getAs[Long]("n_rows")).toSeq
+    assert(counts == counts.sorted.reverse, s"not monotone: $counts")
+    assert(counts.head == d.count())
+  }
 }
