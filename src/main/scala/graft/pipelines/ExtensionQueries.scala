@@ -538,6 +538,29 @@ object ExtensionQueries {
         "vec_id", "embedding", SimK).orderBy("query_id", "rk")
     }),
 
+    // approximation-quality eval: per-query recall of the LSH ANN
+    // against the exact brute-force top-k — the report that tunes the
+    // planes×tables knob; counting only, integer basis points
+    "q_eval_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < SimQueryIds)
+      graft.ops.Eval.recallAtK(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", SimK),
+        Similarity.lshTopK(e, q, "vec_id", "embedding", SimK),
+        "query_id", "nn_id").orderBy("query_id")
+    }),
+
+    // pair-set confusion of SimHash (hamming <= 3) against exact
+    // 0.8-Jaccard truth — DIFFERENT semantics by design, so the one-row
+    // report is informative (precision/recall/F1 in basis points)
+    "q_eval_dedup_confusion" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.ops.Eval.pairConfusion(
+        Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold),
+        Dedup.simhashPairs(d, "doc_id", "text", 3),
+        "doc_i", "doc_j")
+    }),
+
     // deterministic with iters=0: centroids = first-N corpus vectors,
     // total-order tie-breaks — the oracle replays the same dataflow in SQL
     "q_sim_ivf_topk" -> ((s, dir) => {
@@ -1708,6 +1731,90 @@ object ExtensionQueries {
          |  FROM scored)
          |SELECT query_id, nn_id, cos, rk FROM ranked WHERE rk <= $SimK
          |ORDER BY query_id, rk""".stripMargin,
+
+    // both retrieval chains replayed (brute ranked + LSH ranked), then
+    // exact-side-driven left join counts the hits per query
+    "q_eval_ann_recall" ->
+      s"""WITH w(tbl, pl, wv) AS (VALUES
+         |$lshWeightValues),
+         |norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM norms q CROSS JOIN norms c
+         |  WHERE q.vec_id < $SimQueryIds AND c.vec_id <> q.vec_id),
+         |exact AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT query_id, nn_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, nn_id) AS rk
+         |    FROM bscored) WHERE rk <= $SimK),
+         |bk AS (
+         |  SELECT e.vec_id, w.tbl,
+         |         SUM(CASE WHEN ${sqlDot("e.embedding", "w.wv")} >= 0
+         |                  THEN (1 << w.pl) ELSE 0 END) AS bucket
+         |  FROM embeddings e CROSS JOIN w GROUP BY 1, 2),
+         |cand AS (
+         |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS nn_id
+         |  FROM bk c JOIN bk q ON c.tbl = q.tbl AND c.bucket = q.bucket
+         |  WHERE q.vec_id < $SimQueryIds AND c.vec_id <> q.vec_id),
+         |lscored AS (
+         |  SELECT d.query_id, d.nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM cand d JOIN norms q ON q.vec_id = d.query_id
+         |  JOIN norms c ON c.vec_id = d.nn_id),
+         |approx AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT query_id, nn_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, nn_id) AS rk
+         |    FROM lscored) WHERE rk <= $SimK)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(a.query_id) AS BIGINT) AS n_hits,
+         |       CAST(COUNT(a.query_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM exact e LEFT JOIN approx a
+         |  ON e.query_id = a.query_id AND e.nn_id = a.nn_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // jaccard truth CTEs + the simhash vote replay (renamed s*), then
+    // anti-join counts feed the integer-bp confusion row
+    "q_eval_dedup_confusion" ->
+      s"""WITH ${jaccardCtes(JaccardThreshold)},
+         |stoks AS (SELECT doc_id, [t FOR t IN string_split(text, ' ') IF t <> ''] AS tk
+         |          FROM documents),
+         |sth AS (SELECT doc_id, unnest(tk) AS tok FROM stoks),
+         |shh AS (SELECT doc_id, CAST(('0x' || substr(md5(tok), 1, 16)) AS UBIGINT) AS h
+         |        FROM sth),
+         |svotes AS (SELECT doc_id, bits.bp AS bp,
+         |                  SUM(CASE WHEN ((h >> bits.bp) & 1) = 1 THEN 1 ELSE -1 END) AS v
+         |           FROM shh CROSS JOIN (SELECT unnest(generate_series(0, 63)) AS bp) bits
+         |           GROUP BY 1, 2),
+         |sham AS (SELECT a.doc_id AS doc_i, b.doc_id AS doc_j
+         |         FROM svotes a JOIN svotes b ON a.bp = b.bp AND a.doc_id < b.doc_id
+         |         GROUP BY 1, 2
+         |         HAVING SUM(CASE WHEN (a.v > 0) <> (b.v > 0) THEN 1 ELSE 0 END) <= 3),
+         |sel AS (SELECT
+         |  (SELECT COUNT(*) FROM jpairs j JOIN sham s2
+         |     ON j.doc_i = s2.doc_i AND j.doc_j = s2.doc_j) AS tp,
+         |  (SELECT COUNT(*) FROM sham s2 WHERE NOT EXISTS
+         |     (SELECT 1 FROM jpairs j
+         |      WHERE j.doc_i = s2.doc_i AND j.doc_j = s2.doc_j)) AS fp,
+         |  (SELECT COUNT(*) FROM jpairs j WHERE NOT EXISTS
+         |     (SELECT 1 FROM sham s2
+         |      WHERE s2.doc_i = j.doc_i AND s2.doc_j = j.doc_j)) AS fn)
+         |SELECT CAST(tp + fn AS BIGINT) AS n_truth,
+         |       CAST(tp + fp AS BIGINT) AS n_pred,
+         |       CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+         |       CAST(fn AS BIGINT) AS fn,
+         |       CASE WHEN tp + fp = 0 THEN CAST(NULL AS BIGINT)
+         |            ELSE CAST(tp * 10000 // (tp + fp) AS BIGINT) END AS precision_bp,
+         |       CASE WHEN tp + fn = 0 THEN CAST(NULL AS BIGINT)
+         |            ELSE CAST(tp * 10000 // (tp + fn) AS BIGINT) END AS recall_bp,
+         |       CASE WHEN 2 * tp + fp + fn = 0 THEN CAST(NULL AS BIGINT)
+         |            ELSE CAST(2 * tp * 10000 // (2 * tp + fp + fn) AS BIGINT) END AS f1_bp
+         |FROM sel""".stripMargin,
 
     // replays ivfTopK(iters=0) exactly: centroids = vec_id < IvfCentroids,
     // cell assignment tie-break (cos DESC, cid DESC) mirrors Spark's
