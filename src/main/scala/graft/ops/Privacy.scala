@@ -76,6 +76,52 @@ object Privacy {
       .withColumn("diverse", col("n_sensitive") >= l)
   }
 
+  /** Quasi-identifier group counts of a reference corpus — the
+    * persistable side of the incremental release gate (write with
+    * [[graft.io.Sinks]], reload across sessions like the dedup family's
+    * corpus indexes). One keyed aggregation; one row per distinct quasi
+    * combination. */
+  def buildQuasiIndex(df: DataFrame, quasi: Seq[String]): DataFrame = {
+    require(quasi.nonEmpty, "quasi index needs at least one column")
+    df.groupBy(quasi.map(col): _*).agg(count(lit(1)).as("corpus_n"))
+  }
+
+  /** Incremental k-anonymity: gate a NEW batch against corpus-level
+    * group sizes without rescanning the corpus — group size = corpus
+    * index count (absent combination = 0) + the batch's own count, so
+    * the verdict is EXACTLY [[kAnonymize]] over corpus ∪ batch
+    * restricted to the batch rows (spec-pinned). The corpus index is
+    * [[buildQuasiIndex]] output, typically persisted once and reused
+    * across arriving batches — the same contract as the dedup family's
+    * persisted corpus indexes.
+    *
+    * Scale posture: one keyed count over the BATCH, one null-safe join
+    * against the key-cardinality index, one join back to batch rows —
+    * the corpus is never rescanned, and nothing shuffles row-level
+    * corpus data. */
+  def kAnonymizeAgainst(batch: DataFrame, index: DataFrame, idCol: String,
+                        quasi: Seq[String], k: Long): DataFrame = {
+    require(quasi.nonEmpty, "k-anonymity needs at least one quasi-identifier")
+    require(k >= 1, s"k must be >= 1, got $k")
+    val bCounts = batch.groupBy(quasi.map(col): _*)
+      .agg(count(lit(1)).as("batch_n")).alias("bc")
+    val ix = index.alias("ix")
+    val ixCond = quasi.map(q => col(s"bc.$q") <=> col(s"ix.$q")).reduce(_ && _)
+    val groups = bCounts.join(ix, ixCond, "left")
+      .select(quasi.map(q => col(s"bc.$q")) :+
+        (coalesce(col("ix.corpus_n"), lit(0L)) + col("batch_n"))
+          .as("group_n"): _*)
+      .alias("g")
+    val b = batch.select((idCol +: quasi).map(col): _*).alias("b")
+    val cond = quasi.map(q => col(s"b.$q") <=> col(s"g.$q")).reduce(_ && _)
+    val kept = col("group_n") >= k
+    val masked = quasi.map(q =>
+      when(kept, col(s"b.$q").cast("string")).otherwise(lit("*")).as(s"${q}_g"))
+    b.join(groups, cond)
+      .select((col(s"b.$idCol").as(idCol) +: masked) ++
+        Seq(col("group_n"), kept.as("kept")): _*)
+  }
+
   /** t-closeness audit — the distributional member of the release-gate
     * triple (Li, Ninghui et al.): a quasi-group passes only when its
     * sensitive-attribute distribution stays within distance `t` of the

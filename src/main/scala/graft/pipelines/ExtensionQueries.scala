@@ -1386,6 +1386,21 @@ object ExtensionQueries {
         Seq("lang", "band"), "source", l = 3L)
         .orderBy("lang", "band")),
 
+    // incremental k-anonymity: the doc_id%10==1 batch gated against the
+    // persisted quasi index of the other 90% — group size = corpus
+    // index + batch count, corpus never rescanned; identical verdicts
+    // to running kAnonymize over the union (spec-pinned)
+    "q_privacy_kanon_incremental" -> ((s, dir) => {
+      val shaped = docs(s, dir).select(col("doc_id"), col("lang"),
+        col("source"), expr("n_chars div 200").as("band"))
+      val corpus = shaped.filter(col("doc_id") % 10 =!= 1)
+      val batch = shaped.filter(col("doc_id") % 10 === 1)
+      graft.ops.Privacy.kAnonymizeAgainst(batch,
+        graft.ops.Privacy.buildQuasiIndex(corpus, Seq("lang", "source", "band")),
+        "doc_id", Seq("lang", "source", "band"), k = 4L)
+        .orderBy("doc_id")
+    }),
+
     // t-closeness: every (lang, length band) group's source distribution
     // within 20% TVD of the corpus mix — exact integer-rational TVD in
     // basis points (absent categories folded closed-form), BIGINT edges
@@ -3046,6 +3061,32 @@ object ExtensionQueries {
         |       COUNT(DISTINCT source) AS n_sensitive,
         |       COUNT(DISTINCT source) >= 3 AS diverse
         |FROM documents GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // corpus counts + batch counts = union counts restricted to the
+    // batch — the oracle replays the combined-size contract directly
+    "q_privacy_kanon_incremental" ->
+      """WITH b AS (SELECT doc_id, lang, source, n_chars // 200 AS band
+        |           FROM documents),
+        |batch AS (SELECT * FROM b WHERE doc_id % 10 = 1),
+        |g AS (SELECT lang, source, band, COUNT(*) AS group_n
+        |      FROM b GROUP BY 1, 2, 3),
+        |gb AS (SELECT g.lang, g.source, g.band, g.group_n FROM g
+        |       WHERE EXISTS (SELECT 1 FROM batch t
+        |         WHERE t.lang IS NOT DISTINCT FROM g.lang
+        |           AND t.source IS NOT DISTINCT FROM g.source
+        |           AND t.band IS NOT DISTINCT FROM g.band))
+        |SELECT t.doc_id,
+        |  CASE WHEN group_n >= 4 THEN CAST(t.lang AS VARCHAR)
+        |       ELSE '*' END AS lang_g,
+        |  CASE WHEN group_n >= 4 THEN CAST(t.source AS VARCHAR)
+        |       ELSE '*' END AS source_g,
+        |  CASE WHEN group_n >= 4 THEN CAST(t.band AS VARCHAR)
+        |       ELSE '*' END AS band_g,
+        |  group_n, group_n >= 4 AS kept
+        |FROM batch t JOIN gb ON t.lang IS NOT DISTINCT FROM gb.lang
+        |              AND t.source IS NOT DISTINCT FROM gb.source
+        |              AND t.band IS NOT DISTINCT FROM gb.band
+        |ORDER BY doc_id""".stripMargin,
 
     // exact integer-rational TVD in HUGEINT; absent categories folded
     // via Σ_all = Σ_present(|c_gs·N − c_s·n_g| − c_s·n_g) + n_g·N —

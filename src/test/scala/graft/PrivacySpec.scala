@@ -81,6 +81,33 @@ class PrivacySpec extends SparkSpec {
     assert(ldiv.length == 1 && !ldiv.head.getAs[Boolean]("diverse"))
   }
 
+  test("kAnonymizeAgainst an index equals kAnonymize over the union") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), col("lang"), col("source"),
+        expr("n_chars div 200").as("band"))
+    val corpus = d.filter(col("doc_id") % 10 =!= 1)
+    val batch = d.filter(col("doc_id") % 10 === 1)
+    val q = Seq("lang", "source", "band")
+    val incr = Privacy.kAnonymizeAgainst(batch,
+      Privacy.buildQuasiIndex(corpus, q), "doc_id", q, k = 4L)
+    val full = Privacy.kAnonymize(d, "doc_id", q, k = 4L)
+      .filter(col("doc_id") % 10 === 1)
+    assert(incr.count() == batch.count())
+    assert(incr.exceptAll(full).isEmpty && full.exceptAll(incr).isEmpty)
+  }
+
+  test("kAnonymizeAgainst: a combination absent from the index counts 0") {
+    val corpus = Seq((1L, "en"), (2L, "en"), (3L, "en")).toDF("id", "lang")
+    val batch = Seq((10L, "en"), (11L, "de"), (12L, "de")).toDF("id", "lang")
+    val out = Privacy.kAnonymizeAgainst(batch,
+      Privacy.buildQuasiIndex(corpus, Seq("lang")), "id", Seq("lang"), k = 4L)
+      .collect().map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("group_n"), r.getAs[Boolean]("kept"))).toMap
+    assert(out(10L) == ((4L, true)))  // 3 corpus + 1 batch
+    assert(out(11L) == ((2L, false))) // absent from index: batch-only size
+    assert(out(12L) == ((2L, false)))
+  }
+
   test("tCloseness matches the hand-computed TVD in basis points") {
     // A: 4 rows (3 web, 1 book); B: 6 rows (3 web, 3 book).
     // Global: web 6, book 4, N 10.
