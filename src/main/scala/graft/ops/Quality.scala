@@ -61,20 +61,51 @@ object Quality {
   def filterFunnel(df: DataFrame, stages: Seq[(String, Column)],
                    weight: Column): DataFrame = {
     require(stages.nonEmpty, "filterFunnel needs at least one stage")
-    val cum = stages.scanLeft(("all_rows", lit(true))) {
+    val cum = cumulativeStages(stages)
+    val aggs = funnelAggs(cum, weight)
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    one.selectExpr(s"stack(${cum.size}, ${stackArgs(cum)}) AS " +
+      "(stage_idx, stage, n_rows, total_weight, rows_bp)")
+  }
+
+  /** Per-GROUP [[filterFunnel]] — the same one-pass cumulative
+    * accounting keyed by `groupCol` (per-source attrition: which gate
+    * costs which source its tokens). Still ONE map-side-combining
+    * aggregation over one scan — the shuffle carries 2·(stages+1)
+    * partial counters per group per task, the stage table is unpivoted
+    * per group row, and shares are within-group basis points. Output:
+    * (`groupCol`, stage_idx, stage, n_rows, total_weight, rows_bp);
+    * every group reports every stage (zero rows where nothing
+    * survives). NULL group values form their own group. */
+  def filterFunnelBy(df: DataFrame, groupCol: String,
+                     stages: Seq[(String, Column)],
+                     weight: Column): DataFrame = {
+    require(stages.nonEmpty, "filterFunnelBy needs at least one stage")
+    val cum = cumulativeStages(stages)
+    val aggs = funnelAggs(cum, weight)
+    val one = df.groupBy(col(groupCol)).agg(aggs.head, aggs.tail: _*)
+    one.selectExpr(groupCol,
+      s"stack(${cum.size}, ${stackArgs(cum)}) AS " +
+        "(stage_idx, stage, n_rows, total_weight, rows_bp)")
+  }
+
+  private def cumulativeStages(
+      stages: Seq[(String, Column)]): Seq[(String, Column)] =
+    stages.scanLeft(("all_rows", lit(true))) {
       case ((_, acc), (name, c)) => (name, acc && c)
     }
-    val aggs = cum.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+
+  private def funnelAggs(cum: Seq[(String, Column)],
+                         weight: Column): Seq[Column] =
+    cum.zipWithIndex.flatMap { case ((_, c), i) => Seq(
       coalesce(sum(when(c, 1L).otherwise(0L)), lit(0L)).as(s"d$i"),
       coalesce(sum(when(c, weight).otherwise(0L)).cast("long"), lit(0L))
         .as(s"w$i"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
-    val stackArgs = cum.zipWithIndex.map { case ((name, _), i) =>
+
+  private def stackArgs(cum: Seq[(String, Column)]): String =
+    cum.zipWithIndex.map { case ((name, _), i) =>
       s"CAST($i AS BIGINT), '$name', d$i, w$i, " +
         s"CASE WHEN d0 = 0 THEN CAST(NULL AS BIGINT) ELSE d$i * 10000L div d0 END"
     }.mkString(", ")
-    one.selectExpr(s"stack(${cum.size}, $stackArgs) AS " +
-      "(stage_idx, stage, n_rows, total_weight, rows_bp)")
-  }
 }

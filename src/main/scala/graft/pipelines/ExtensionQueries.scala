@@ -1451,6 +1451,26 @@ object ExtensionQueries {
         "stopwords_1" -> (stopHits >= 1L)), nW)
         .orderBy("stage_idx")
     }),
+
+    // per-source attrition: the same Gopher chain keyed by source —
+    // still ONE map-side-combining aggregation; the shuffle carries
+    // 2·(stages+1) counters per source per task
+    "q_corpus_attrition_by_source" -> ((s, dir) => {
+      val toks = TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))
+      val nW = size(toks).cast("long")
+      val totC = aggregate(toks, lit(0L), (acc, t) => acc + length(t))
+      val alphaC = aggregate(toks, lit(0L), (acc, t) =>
+        acc + when(t.rlike("[a-z]"), 1L).otherwise(0L))
+      val stopHits = TextAnalysis.StopEn.map(w =>
+        when(array_contains(toks, w), 1L).otherwise(0L)).reduce(_ + _)
+      graft.ops.Quality.filterFunnelBy(docs(s, dir), "source", Seq(
+        "nonempty" -> (nW > 0L),
+        "min_words_20" -> (nW >= 20L),
+        "mean_word_len_3_10" -> (totC >= lit(3L) * nW && totC <= lit(10L) * nW),
+        "alpha_words_80pct" -> (lit(5L) * alphaC >= lit(4L) * nW),
+        "stopwords_1" -> (stopHits >= 1L)), nW)
+        .orderBy("source", "stage_idx")
+    }),
   )
 
   val oracles: Map[String, String] = Map(
@@ -3155,6 +3175,73 @@ object ExtensionQueries {
         |SELECT src_a, src_b, COUNT(*) AS n_pairs,
         |       COUNT(DISTINCT da) AS n_docs_a, COUNT(DISTINCT db) AS n_docs_b
         |FROM m GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    // the grouped replay: same cumulative conjunctions, counters and
+    // shares computed per source
+    "q_corpus_attrition_by_source" ->
+      """WITH t AS (SELECT source, [x FOR x IN
+        |    string_split(lower(coalesce(text, '')), ' ') IF x <> ''] AS tk
+        |  FROM documents),
+        |m AS (SELECT source, CAST(len(tk) AS BIGINT) AS nw,
+        |  CAST(coalesce(list_sum(list_transform(tk, x -> len(x))), 0)
+        |    AS BIGINT) AS totc,
+        |  CAST(coalesce(list_sum(list_transform(tk, x ->
+        |    CASE WHEN regexp_matches(x, '[a-z]') THEN 1 ELSE 0 END)), 0)
+        |    AS BIGINT) AS alphac,
+        |  (CAST(list_contains(tk, 'the') AS BIGINT) +
+        |   CAST(list_contains(tk, 'and') AS BIGINT) +
+        |   CAST(list_contains(tk, 'of') AS BIGINT) +
+        |   CAST(list_contains(tk, 'to') AS BIGINT) +
+        |   CAST(list_contains(tk, 'in') AS BIGINT) +
+        |   CAST(list_contains(tk, 'is') AS BIGINT) +
+        |   CAST(list_contains(tk, 'it') AS BIGINT) +
+        |   CAST(list_contains(tk, 'for') AS BIGINT) +
+        |   CAST(list_contains(tk, 'on') AS BIGINT) +
+        |   CAST(list_contains(tk, 'with') AS BIGINT)) AS stoph
+        |  FROM t),
+        |c AS (SELECT source, nw,
+        |  (nw > 0) AS c1,
+        |  (nw > 0 AND nw >= 20) AS c2,
+        |  (nw > 0 AND nw >= 20 AND totc >= 3 * nw AND totc <= 10 * nw) AS c3,
+        |  (nw > 0 AND nw >= 20 AND totc >= 3 * nw AND totc <= 10 * nw
+        |   AND 5 * alphac >= 4 * nw) AS c4,
+        |  (nw > 0 AND nw >= 20 AND totc >= 3 * nw AND totc <= 10 * nw
+        |   AND 5 * alphac >= 4 * nw AND stoph >= 1) AS c5
+        |  FROM m),
+        |s AS (SELECT source,
+        |  COUNT(*) AS d0, CAST(coalesce(SUM(nw), 0) AS BIGINT) AS w0,
+        |  COUNT(*) FILTER (WHERE c1) AS d1,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c1), 0) AS BIGINT) AS w1,
+        |  COUNT(*) FILTER (WHERE c2) AS d2,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c2), 0) AS BIGINT) AS w2,
+        |  COUNT(*) FILTER (WHERE c3) AS d3,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c3), 0) AS BIGINT) AS w3,
+        |  COUNT(*) FILTER (WHERE c4) AS d4,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c4), 0) AS BIGINT) AS w4,
+        |  COUNT(*) FILTER (WHERE c5) AS d5,
+        |  CAST(coalesce(SUM(nw) FILTER (WHERE c5), 0) AS BIGINT) AS w5
+        |  FROM c GROUP BY source)
+        |SELECT * FROM (
+        |  SELECT source, CAST(0 AS BIGINT) AS stage_idx, 'all_rows' AS stage,
+        |    d0 AS n_rows, w0 AS total_weight,
+        |    CASE WHEN d0 = 0 THEN CAST(NULL AS BIGINT)
+        |         ELSE CAST(d0 * 10000 // d0 AS BIGINT) END AS rows_bp FROM s
+        |  UNION ALL SELECT source, 1, 'nonempty', d1, w1,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d1 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT source, 2, 'min_words_20', d2, w2,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d2 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT source, 3, 'mean_word_len_3_10', d3, w3,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d3 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT source, 4, 'alpha_words_80pct', d4, w4,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d4 * 10000 // d0 AS BIGINT) END FROM s
+        |  UNION ALL SELECT source, 5, 'stopwords_1', d5, w5,
+        |    CASE WHEN d0 = 0 THEN NULL
+        |         ELSE CAST(d5 * 10000 // d0 AS BIGINT) END FROM s)
+        |ORDER BY source, stage_idx""".stripMargin,
 
     // cumulative conjunctions replay filterFunnel's scanLeft; sums cast
     // back to BIGINT (DuckDB promotes integer SUM to HUGEINT)

@@ -29,6 +29,9 @@ class PlanGateSpec extends SparkSpec {
   private val allow: Map[String, Seq[String]] = Map(
     "q_dedup_cosine"       -> Seq("broadcast-nested-loop"),
     "q_sim_bruteforce_topk" -> Seq("broadcast-nested-loop"),
+    // recall eval embeds the brute-force exact side (its ANN-query-set
+    // broadcast crossJoin) — the LSH side is all equi-joins
+    "q_eval_ann_recall"    -> Seq("broadcast-nested-loop"),
     "q_sim_ivf_topk"       -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_dedup_semantic"     -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_dedup_semantic_survivors" -> Seq("broadcast-nested-loop",

@@ -71,6 +71,39 @@ class QualitySpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("rows_bp"))))
   }
 
+  test("filterFunnelBy keys the funnel per group; shares are within-group") {
+    val df = Seq(
+      ("A", 10L, true), ("A", 20L, true), ("A", 30L, false), ("A", 40L, true),
+      ("B", 5L, false), ("B", 7L, false)
+    ).toDF("src", "w", "ok")
+    val out = Quality.filterFunnelBy(df, "src",
+      Seq("ok" -> col("ok")), col("w"))
+      .collect().map(r => (r.getAs[String]("src"), r.getAs[Long]("stage_idx")) ->
+        (r.getAs[Long]("n_rows"), r.getAs[Long]("total_weight"),
+          r.getAs[Long]("rows_bp"))).toMap
+    assert(out.size == 4) // 2 groups × (baseline + 1 stage)
+    assert(out(("A", 0L)) == ((4L, 100L, 10000L)))
+    assert(out(("A", 1L)) == ((3L, 70L, 7500L)))
+    assert(out(("B", 0L)) == ((2L, 12L, 10000L)))
+    assert(out(("B", 1L)) == ((0L, 0L, 0L))) // all-fail group still reports
+  }
+
+  test("filterFunnelBy matches filterFunnel run per group") {
+    val d = graft.model.Entities.read(spark, sf, "documents")
+    val n = length(coalesce(col("text"), lit(""))).cast("long")
+    val stages = Seq("len_ge_100" -> (n >= 100L), "lang_en" -> (col("lang") === "en"))
+    val grouped = Quality.filterFunnelBy(d, "source", stages, n)
+    val sources = d.select("source").distinct().collect().map(_.getString(0))
+    sources.foreach { src =>
+      val single = Quality.filterFunnel(
+        d.filter(col("source") <=> src), stages, n)
+      val slice = grouped.filter(col("source") <=> src)
+        .drop("source")
+      assert(slice.exceptAll(single).isEmpty && single.exceptAll(slice).isEmpty,
+        s"group $src diverges")
+    }
+  }
+
   test("filterFunnel survivor counts are monotone non-increasing") {
     val d = graft.model.Entities.read(spark, sf, "documents")
     val n = length(coalesce(col("text"), lit(""))).cast("long")
