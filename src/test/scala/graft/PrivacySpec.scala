@@ -156,4 +156,22 @@ class PrivacySpec extends SparkSpec {
     assert(out.forall(_.getAs[Long]("tvd_bp") == 0L))
     assert(out.forall(_.getAs[Boolean]("close")))
   }
+
+  test("tCloseness buckets NULL quasi values as their own group") {
+    val df = Seq((Option.empty[String], "web"), (Option.empty[String], "web"),
+      (Option("A"), "book")).toDF("g", "src")
+    val out = Privacy.tCloseness(df, Seq("g"), "src", tBp = 10000L).collect()
+    assert(out.length == 2)
+    val nullRow = out.find(_.isNullAt(0)).get
+    assert(nullRow.getAs[Long]("group_n") == 2L)
+  }
+
+  test("tCloseness is repartition-invariant (exact decimal sums)") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("lang"), col("source"), expr("n_chars div 200").as("band"))
+    val a = Privacy.tCloseness(d, Seq("lang", "band"), "source", 2000L)
+    val b = Privacy.tCloseness(d.repartition(7), Seq("lang", "band"),
+      "source", 2000L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
 }
