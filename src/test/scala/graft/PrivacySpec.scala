@@ -174,4 +174,33 @@ class PrivacySpec extends SparkSpec {
       "source", 2000L)
     assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
   }
+
+  test("tCloseness matches a plain-Scala BigInt reference on random data") {
+    for (seed <- Seq(11, 42, 99)) {
+      val rnd = new scala.util.Random(seed)
+      val groups = Array("A", "B", "C", null)
+      val cats = Array("w", "x", "y", null)
+      val rows = Seq.fill(200)((groups(rnd.nextInt(groups.length)),
+        cats(rnd.nextInt(cats.length))))
+      // reference: exact integer TVD over ALL categories per group
+      val n = BigInt(rows.size)
+      val catTot = rows.groupBy(_._2).map { case (c, rs) => c -> BigInt(rs.size) }
+      val expected = rows.groupBy(_._1).map { case (g, rs) =>
+        val ng = BigInt(rs.size)
+        val cellOf = rs.groupBy(_._2).map { case (c, xs) => c -> BigInt(xs.size) }
+        val num = catTot.map { case (c, cs) =>
+          (cellOf.getOrElse(c, BigInt(0)) * n - cs * ng).abs
+        }.sum
+        g -> (num * 10000 / (2 * ng * n)) // positive ⇒ / == div == //
+      }
+      val df = rows.toDF("g", "src")
+      val out = Privacy.tCloseness(df, Seq("g"), "src", tBp = 10000L)
+        .collect().map(r => Option(r.getAs[String]("g")).orNull ->
+          r.getAs[Long]("tvd_bp")).toMap
+      assert(out.keySet == expected.keySet, s"seed $seed")
+      expected.foreach { case (g, e) =>
+        assert(BigInt(out(g)) == e, s"seed $seed group $g: ${out(g)} != $e")
+      }
+    }
+  }
 }

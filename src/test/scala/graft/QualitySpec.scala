@@ -104,6 +104,30 @@ class QualitySpec extends SparkSpec {
     }
   }
 
+  test("filterFunnel equals sequential filters on randomized stages") {
+    for (seed <- Seq(7, 21, 63)) {
+      val rnd = new scala.util.Random(seed)
+      val rows = Seq.fill(150)((rnd.nextInt(100).toLong,
+        rnd.nextBoolean(), rnd.nextBoolean(), rnd.nextBoolean()))
+      val df = rows.toDF("w", "a", "b", "c")
+      val stages = Seq("a" -> col("a"), "b" -> col("b"), "c" -> col("c"))
+      val out = Quality.filterFunnel(df, stages, col("w"))
+        .orderBy("stage_idx").collect()
+      // reference: apply the prefix of predicates directly
+      val preds = Seq[((Long, Boolean, Boolean, Boolean)) => Boolean](
+        _ => true, _._2, r => r._2 && r._3, r => r._2 && r._3 && r._4)
+      preds.zipWithIndex.foreach { case (p, i) =>
+        val kept = rows.filter(p)
+        assert(out(i).getAs[Long]("n_rows") == kept.size.toLong,
+          s"seed $seed stage $i rows")
+        assert(out(i).getAs[Long]("total_weight") == kept.map(_._1).sum,
+          s"seed $seed stage $i weight")
+        assert(out(i).getAs[Long]("rows_bp") ==
+          kept.size.toLong * 10000L / rows.size, s"seed $seed stage $i bp")
+      }
+    }
+  }
+
   test("filterFunnel survivor counts are monotone non-increasing") {
     val d = graft.model.Entities.read(spark, sf, "documents")
     val n = length(coalesce(col("text"), lit(""))).cast("long")
