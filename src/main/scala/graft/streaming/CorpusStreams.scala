@@ -159,6 +159,24 @@ object CorpusStreams {
                    textCol: String = "text"): DataFrame =
     graft.ops.Drift.tokenKlAgainst(reference, batch, textCol)
 
+  /** Mask quasi-identifier metadata of an arriving batch against
+    * corpus-level k-anonymity — the streaming face of
+    * [[graft.ops.Privacy.kAnonymizeAgainst]] over a persisted quasi
+    * index (one keyed count on the BATCH, a null-safe join against the
+    * key-cardinality index; the corpus is never rescanned). Apply
+    * inside `foreachBatch` like [[dedupAgainstEmbeddings]] (the gate
+    * aggregates the batch), and append each accepted batch's counts to
+    * the index so later batches see the grown corpus.
+    *
+    * Group size = index + THIS batch only, so a combination split
+    * across micro-batches is gated MORE conservatively than the union
+    * recompute (3 corpus rows + 1-per-batch never reaches what
+    * 3 + 2-at-once would) — masking errs toward suppression, never
+    * toward exposure. */
+  def privacyGate(batch: DataFrame, quasiIndex: DataFrame, idCol: String,
+                  quasi: Seq[String], k: Long): DataFrame =
+    graft.ops.Privacy.kAnonymizeAgainst(batch, quasiIndex, idCol, quasi, k)
+
   /** Keep only stream documents the classifier routes to `keep` classes
     * (e.g. the target languages) — [[classifyBatch]] plus the filter,
     * with the scoring columns dropped so the gate is shape-preserving. */

@@ -466,4 +466,41 @@ class StreamingSpec extends SparkSpec {
     assert(labeled.columns.toSet == Set("doc_id", "text", "predicted", "score"))
     assert(labeled.count() == 4)
   }
+
+  test("privacyGate masks micro-batches against the persisted quasi index") {
+    val corpus = Seq((1L, "en"), (2L, "en"), (3L, "en"), (4L, "de"), (5L, "de"))
+      .toDF("doc_id", "lang")
+    val idx = graft.ops.Privacy.buildQuasiIndex(corpus, Seq("lang"))
+    def gateBatch(rows: Seq[(Long, String)]): Seq[(Long, Boolean)] =
+      graft.streaming.CorpusStreams
+        .privacyGate(rows.toDF("doc_id", "lang"), idx, "doc_id", Seq("lang"), 4L)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept"))
+        .sortBy(_._1).toSeq
+    val b1 = Seq((10L, "en"), (11L, "de")) // en: 3+1=4 kept; de: 2+1=3 masked
+    val b2 = Seq((12L, "de"))              // de: 2+1=3 masked again
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Seq[(Long, Boolean)]]
+    val q = mem.toDF().toDF("doc_id", "lang").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!b.isEmpty) {
+          val out = graft.streaming.CorpusStreams
+            .privacyGate(b, idx, "doc_id", Seq("lang"), 4L)
+            .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Boolean]("kept"))
+          got += out.sortBy(_._1).toSeq
+        }
+        ()
+      }.start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      // per-micro-batch gating equals the batch contract per split
+      assert(got.toSeq == Seq(gateBatch(b1), gateBatch(b2)))
+      assert(got(0) == Seq(10L -> true, 11L -> false))
+      assert(got(1) == Seq(12L -> false))
+      // splitting is CONSERVATIVE: the one-shot union sees de at
+      // 2 + 2 = 4 and keeps it — the split batches masked it instead
+      assert(gateBatch(b1 ++ b2).toMap.apply(11L))
+    } finally q.stop()
+  }
 }
