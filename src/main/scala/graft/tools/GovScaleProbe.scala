@@ -46,6 +46,28 @@ object GovScaleProbe {
       graft.ops.Quality.filterFunnel(docs, Seq(
         "nonempty" -> (nW > 0L), "min_words_20" -> (nW >= 20L)), nW).count()
     }
+    timed("kAnonymizeAgainst (90/10 split)") {
+      val corpus = quasi.filter(col("doc_id") % 10 =!= 1)
+      val batch = quasi.filter(col("doc_id") % 10 === 1)
+      graft.ops.Privacy.kAnonymizeAgainst(batch,
+        graft.ops.Privacy.buildQuasiIndex(corpus, Seq("lang", "source", "band")),
+        "doc_id", Seq("lang", "source", "band"), 4L)
+        .filter(!col("kept")).count()
+    }
+    timed("filterFunnelBy source (2 stages)") {
+      val toks = graft.ops.TextAnalysis.tokens(lower(coalesce(col("text"), lit(""))))
+      val nW = size(toks).cast("long")
+      graft.ops.Quality.filterFunnelBy(docs, "source", Seq(
+        "nonempty" -> (nW > 0L), "min_words_20" -> (nW >= 20L)), nW).count()
+    }
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    timed("recallAtK (brute vs LSH ANN)") {
+      val q = emb.filter(col("vec_id") < 8L)
+      graft.ops.Eval.recallAtK(
+        graft.ops.Similarity.bruteForceTopK(emb, q, "vec_id", "embedding", 5),
+        graft.ops.Similarity.lshTopK(emb, q, "vec_id", "embedding", 5),
+        "query_id", "nn_id").count()
+    }
     timed("dupWeights+overlap (0.8 jaccard)") {
       val pairs = graft.ops.Dedup
         .jaccardPairsAdaptive(docs, "doc_id", "text", 3, 0.8)
@@ -54,8 +76,11 @@ object GovScaleProbe {
         .filter(col("cluster_size") > 1L).count()
       val m = graft.ops.Dedup.sourceOverlapMatrix(pairs, docs, "doc_id", "source")
         .count()
+      // confusion overhead itself (pair-frame joins, sweep amortized)
+      val c = graft.ops.Eval.pairConfusion(pairs, pairs, "doc_i", "doc_j")
+        .collect().head.getAs[Long]("tp")
       pairs.unpersist(blocking = false)
-      s"dup=$w matrix=$m"
+      s"dup=$w matrix=$m tp=$c"
     }
     spark.stop()
   }
