@@ -29,11 +29,23 @@ def norm(v):
     return repr(v)
 
 
+# Empirically (r10 adjudication): the driver's hash does NOT distinguish
+# int widths (7 long-green queries emit INTEGER where the oracle emits
+# BIGINT), but DOES go red when the oracle emits HUGEINT (q_text_bm25:
+# values bit-identical, hash mismatched for 4 rounds — HUGEINT leaves
+# the int64 lane, e.g. pandas maps it to float64/object). So normalize
+# the widths the driver tolerates and keep everything else strict.
+def norm_type(t):
+    return {"TINYINT": "INTLIKE", "SMALLINT": "INTLIKE",
+            "INTEGER": "INTLIKE", "BIGINT": "INTLIKE"}.get(t, t)
+
+
 def fetch_sorted(rel):
     cols = sorted(rel.columns)
     idx = [rel.columns.index(c) for c in cols]
+    types = [norm_type(str(rel.types[i])) for i in idx]
     rows = [tuple(norm(r[i]) for i in idx) for r in rel.fetchall()]
-    return cols, sorted(rows)
+    return cols, types, sorted(rows)
 
 
 def main():
@@ -48,15 +60,25 @@ def main():
         try:
             got = con.sql(
                 f"SELECT * FROM read_parquet('{OUT_DIR}/{name}/*.parquet')")
-            gcols, grows = fetch_sorted(got)
+            gcols, gtypes, grows = fetch_sorted(got)
             want = con.sql(sql)
-            wcols, wrows = fetch_sorted(want)
+            wcols, wtypes, wrows = fetch_sorted(want)
         except Exception as e:
             print(f"FAIL  {name}: {e}")
             failed.append(name)
             continue
         if gcols != wcols:
             print(f"FAIL  {name}: columns {gcols} != {wcols}")
+            failed.append(name)
+        elif gtypes != wtypes:
+            # The driver's hash is type-sensitive (HUGEINT vs BIGINT vs
+            # INTEGER hash differently even for identical values), so an
+            # oracle whose output types diverge from the Spark parquet
+            # schema reads red on the driver while comparing value-equal
+            # here. Surface that class locally.
+            bad = [(c, g, w)
+                   for c, g, w in zip(gcols, gtypes, wtypes) if g != w]
+            print(f"FAIL  {name}: types differ (spark vs oracle): {bad}")
             failed.append(name)
         elif grows != wrows:
             diffs = [(a, b) for a, b in zip(grows, wrows) if a != b]

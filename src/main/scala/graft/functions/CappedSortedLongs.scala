@@ -12,7 +12,10 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 /** Group buffer: every value seen while ≤ cap of them exist, plus the
   * true running count. Once the count passes the cap the values stop
   * mattering (the group is "big" and the caller falls back to the
-  * selection protocol), so storage stays hard-bounded at cap entries. */
+  * selection protocol), so the buffer is DROPPED at that moment — an
+  * over-cap partial holds, serializes, and shuffles only the 8-byte
+  * count, never cap longs. Invariant everywhere: `vals.length == count`
+  * while count ≤ cap, `vals.isEmpty` once count > cap. */
 private[graft] final class CappedLongsBuf(var count: Long,
                                           val vals: ArrayBuffer[Long])
 
@@ -21,10 +24,11 @@ private[graft] final class CappedLongsBuf(var count: Long,
   * `capped_sorted_longs(v, cap)` evaluates to the ascending-sorted array
   * of the group's non-null values when the group holds ≤ cap of them,
   * and NULL otherwise. The buffer is hard-bounded at `cap` longs no
-  * matter how large the group actually is (past the cap only the count
-  * advances), so — unlike `collect_list`, whose buffer grows with the
-  * group — a 100 TB group costs 8·cap bytes of aggregation state and
-  * returns NULL.
+  * matter how large the group actually is (past the cap the values are
+  * dropped and only the count advances), so — unlike `collect_list`,
+  * whose buffer grows with the group — a 100 TB group transiently costs
+  * ≤ 8·cap bytes of aggregation state, serializes/shuffles as just its
+  * count once over cap, and returns NULL.
   *
   * This is the one-job engine of [[graft.ops.Quantiles]]' small-group
   * fast path: one grouped aggregation yields bounds, counts, the exact
@@ -62,18 +66,20 @@ case class CappedSortedLongs(child: Expression, cap: Int,
     val v = child.eval(input)
     if (v != null) {
       b.count += 1
-      if (b.vals.length < cap) b.vals += v.asInstanceOf[Long]
+      if (b.count <= cap) b.vals += v.asInstanceOf[Long]
+      // the first over-cap value proves the GROUP is over cap (the true
+      // count only grows downstream), so the buffered values can never
+      // reach eval as a complete list — free them now instead of
+      // shipping cap longs of dead weight through the shuffle
+      else if (b.vals.nonEmpty) b.vals.clear()
     }
     b
   }
 
   override def merge(a: CappedLongsBuf, b: CappedLongsBuf): CappedLongsBuf = {
     a.count += b.count
-    var i = 0
-    while (i < b.vals.length && a.vals.length < cap) {
-      a.vals += b.vals(i)
-      i += 1
-    }
+    if (a.count > cap) { if (a.vals.nonEmpty) a.vals.clear() }
+    else a.vals ++= b.vals // both complete (counts ≤ cap pre-merge)
     a
   }
 

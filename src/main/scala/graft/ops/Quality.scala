@@ -90,10 +90,19 @@ object Quality {
   }
 
   private def cumulativeStages(
-      stages: Seq[(String, Column)]): Seq[(String, Column)] =
+      stages: Seq[(String, Column)]): Seq[(String, Column)] = {
+    // stage names are spliced into a selectExpr stack() literal, so an
+    // embedded quote/backslash would be SQL injection into the plan —
+    // enforce the identifier-only contract instead of documenting it
+    stages.foreach { case (name, _) =>
+      require(name.matches("[A-Za-z0-9_]+"),
+        s"stage name must match [A-Za-z0-9_]+ (it is spliced into a " +
+          s"SQL stack() literal), got: '$name'")
+    }
     stages.scanLeft(("all_rows", lit(true))) {
       case ((_, acc), (name, c)) => (name, acc && c)
     }
+  }
 
   private def funnelAggs(cum: Seq[(String, Column)],
                          weight: Column): Seq[Column] =

@@ -40,17 +40,25 @@ object Quantiles {
       .getOrElse(1L << 17)
 
   /** Run the protocol's driver-coordinated rounds with AQE off and a
-    * small reduce-side width. Every action here is a tiny broadcast-join
-    * aggregation whose REDUCE input is bounded by construction (≤
-    * groups·bins counters, ≤ 2²⁰ gathered values) regardless of input
-    * size — map-side parallelism is untouched — so 32+ reduce tasks are
-    * pure scheduler overhead, and AQE (whose whole contribution here
-    * would be coalescing those partitions) splits each action into 2-3
-    * jobs to do it. Pinning both for the protocol window measured 12 → 4
-    * jobs on the hourly-bands shape. Session-conf save/restore: the
-    * protocol is synchronous on the calling thread; concurrent queries
-    * sharing the session during a selection would plan with these confs
-    * for that window (correctness unaffected). */
+    * small reduce-side width. Every action INSIDE this wrapper has a
+    * REDUCE input bounded by construction (≤ groups·bins counters, ≤
+    * 2²⁰ gathered values) regardless of input size — map-side
+    * parallelism is untouched — so 32+ reduce tasks are pure scheduler
+    * overhead, and AQE (whose whole contribution here would be
+    * coalescing those partitions) splits each action into 2-3 jobs to
+    * do it. Pinning both for the protocol window measured 12 → 4 jobs
+    * on the hourly-bands shape.
+    *
+    * Scope discipline: the wrapper must NOT cover aggregations whose
+    * reduce state scales with group count × per-group buffer — the
+    * fused bounds+capped-sort job (up to ~1 MB of longs per over-cap
+    * group) and the percentile_approx sketch job run OUTSIDE it at the
+    * session's normal width, where high group cardinality spreads those
+    * buffers over the full reduce fan-out (and AQE can split a skewed
+    * one). Session-conf save/restore: the protocol is synchronous on
+    * the calling thread; concurrent queries sharing the session during
+    * a bounded-round window would plan with these confs for that window
+    * (correctness unaffected — only those queries' reduce width). */
   private def withProtocolConf[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
     val aqeKey = "spark.sql.adaptive.enabled"
     val shufKey = "spark.sql.shuffle.partitions"
@@ -275,7 +283,6 @@ object Quantiles {
     val spark = df.sparkSession
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
-    withProtocolConf(spark) {
     val v = col(valueCol).cast("long")
     val g = col(groupCol)
 
@@ -370,6 +377,9 @@ object Quantiles {
           .collect().iterator.filter(!_.isNullAt(1))
           .map(r => r.get(0) -> r.getSeq[Long](1)).toMap
       }
+      // bracket verify + gather: reduce input ≤ 2 counters per (group,
+      // rank) / ≤ 2²⁰ gathered longs — the bounded-round regime
+      withProtocolConf(spark) {
       val brackets: Map[(Any, String), (Long, Long)] = state.collect {
         case (key @ (gv, name), (lo, hi, _)) if lo < hi && sk.contains(gv) =>
           val ps = sk(gv)
@@ -444,8 +454,12 @@ object Quantiles {
           }
         }
       }
+      }
     }
 
+    // zero-split + refinement rounds: every action below ships ≤
+    // groups·bins counters — the bounded-round regime
+    withProtocolConf(spark) {
     // a range spanning both signs can overflow (hi-lo) and (v-lo): split
     // the affected (group, rank) ranges at zero with ONE shared count job.
     // Range-aware (counts negatives WITHIN each state's [lo, 0) — a seeded
@@ -504,6 +518,7 @@ object Quantiles {
           key -> ((newLo, math.min(hi, satAdd(newLo, width - 1)), kk - cum))
       }
     }
+    } // withProtocolConf (zero-split + refinement)
 
     val outSchema = StructType(groupField.copy(name = groupCol) +:
       rankSpecs.map { case (name, _) =>
@@ -518,7 +533,6 @@ object Quantiles {
     // rows); a single-partition frame sorts in one tiny task
     spark.createDataFrame(spark.sparkContext.parallelize(outRows, 1), outSchema)
     } finally if (ownCache) df.unpersist(blocking = false)
-    }
   }
 
   /** [[groupedExactQuantile]] for DOUBLE columns: values ride the

@@ -279,8 +279,13 @@ object TextAnalysis {
     * (weight_q DESC, token ASC). A `weight` double is still emitted for
     * human consumption (same value to ~1e-12 relative). Headroom:
     * wNum·10¹² < 44·N·tf·T·10¹² must stay under 10³⁸ — true up to
-    * ~10⁹ docs × 10¹² tokens at tf ≤ 10²; past that Spark's ANSI decimal
-    * overflow throws rather than silently corrupting ranks. */
+    * ~10⁹ docs × 10¹² tokens at tf ≤ 10². Past that, non-ANSI Spark
+    * (this repo's sessions) turns DECIMAL(38,0) overflow into NULL, not
+    * an exception — which would silently drop exactly the hottest
+    * tokens from the top-k — so the weight computation guards the edge
+    * itself: all rational inputs are non-null by construction (pure
+    * count aggregates), hence a NULL product proves overflow and
+    * raise_error fires instead of a corrupted ranking. */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -317,8 +322,16 @@ object TextAnalysis {
       .withColumn("__wnum", wNum * dec(lit(1000000000000L)))
       .withColumn("__wden", wDen)
       // IntegralDivide on decimals yields BIGINT; weight positive
-      // (df ≤ N ⇒ 2N−2df+1 ≥ 1) so trunc == floor on both engines
-      .withColumn("weight_q", expr("__wnum div __wden"))
+      // (df ≤ N ⇒ 2N−2df+1 ≥ 1) so trunc == floor on both engines.
+      // Every input to the rational is a non-null count, so a NULL
+      // product can only mean non-ANSI decimal overflow — fail loudly
+      // rather than let the hottest tokens vanish from the top-k
+      .withColumn("weight_q", expr(
+        "CASE WHEN __wnum IS NULL OR __wden IS NULL THEN " +
+          "CAST(raise_error('bm25TopTerms: DECIMAL(38,0) overflow in " +
+          "the weight rational — corpus exceeds the ~1e9 docs x 1e12 " +
+          "tokens headroom') AS BIGINT) " +
+          "ELSE __wnum div __wden END"))
       .withColumn("weight",
         col("__wnum").cast("double") / col("__wden").cast("double") / 1e12)
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
@@ -469,12 +482,17 @@ object TextAnalysis {
     *     per-row array surgery inside whole-stage codegen, no join of
     *     any kind in the returned plan.
     *   - bigger hot sets (small `maxDf`, e.g. =1 line-dedup, where hot
-    *     is every repeated line) — exploded anti-join against the hot
-    *     frame, order restored by position sort: one token-level
-    *     shuffle, cost independent of hot-set size, nothing collected.
-    * Both plans are bit-identical (TextAnalysisSpec forces each). Empty
-    * docs and docs losing every segment yield the empty string, not
-    * NULL.
+    *     is every repeated line) — posexplode_outer keyed by a
+    *     SYNTHETIC row id, hot segments marked by a left join, one
+    *     grouped reassembly (position sort inside the agg): one
+    *     token-level shuffle, cost independent of hot-set size, nothing
+    *     collected, and no join back to `docs` — so NULL or duplicated
+    *     `idCol` values flow through unchanged (the row id, not the
+    *     user id, is the grouping key; it lives in a single plan
+    *     subtree, so partition-order nondeterminism can't split a row).
+    * Both plans are bit-identical (TextAnalysisSpec forces each,
+    * including NULL/duplicate ids). Empty docs and docs losing every
+    * segment yield the empty string, not NULL.
     *
     * Output: (`idCol`, text_clean, n_segments, n_dropped). */
   def segmentPrune(docs: DataFrame, idCol: String, textCol: String,
@@ -506,25 +524,35 @@ object TextAnalysis {
           size(col("__segs")).cast("long").as("n_segments"),
           (size(col("__segs")) - size(col("__kept"))).cast("long").as("n_dropped"))
     } else {
-      // anti-join path: the probe burned one evaluation of the df agg;
-      // the anti-join pays one more — two corpus passes total, still
-      // O(tokens) regardless of how big the hot set is
+      // join path: the probe burned one evaluation of the df agg; this
+      // pays one more — two corpus passes total, still O(tokens)
+      // regardless of how big the hot set is. Key discipline: group on
+      // a synthetic per-row id (monotonically_increasing_id is
+      // partition-deterministic, and it appears in exactly ONE plan
+      // subtree — nothing re-derives it — so it cannot diverge), never
+      // on the user's idCol, which may be NULL or duplicated.
+      // posexplode_outer keeps zero-segment docs as a (NULL pos, NULL
+      // seg) row, so every doc survives the grouped reassembly and no
+      // join back to `docs` is needed.
       val exploded = docs
-        .select(col(idCol).as("__id"), posexplode(segs).as(Seq("__pos", "__seg")))
-      val keptSegs = exploded.join(hotF, Seq("__seg"), "left_anti")
-        .groupBy("__id")
-        .agg(count(lit(1)).as("__n_kept"),
+        .withColumn("__rid", monotonically_increasing_id())
+        .select(col("__rid"), col(idCol).as("__docid"),
+          posexplode_outer(segs).as(Seq("__pos", "__seg")))
+      // NULL __seg (empty doc) never equals a hot key, so its marker
+      // stays NULL — counted as neither segment nor drop
+      val marked = exploded.join(
+        hotF.withColumn("__hot", lit(true)), Seq("__seg"), "left")
+      marked.groupBy("__rid")
+        .agg(first(col("__docid")).as(idCol), // constant within the group
           concat_ws(sep, transform(
-            sort_array(collect_list(struct(col("__pos"), col("__seg")))),
-            x => x("__seg"))).as("__txt"))
-      docs
-        .withColumn("__segs", segs)
-        .join(keptSegs, col(idCol) === col("__id"), "left")
-        .select(col(idCol),
-          coalesce(col("__txt"), lit("")).as("text_clean"),
-          size(col("__segs")).cast("long").as("n_segments"),
-          (size(col("__segs")) - coalesce(col("__n_kept"), lit(0L)))
-            .cast("long").as("n_dropped"))
+            sort_array(collect_list(when(
+              col("__hot").isNull && col("__seg").isNotNull,
+              struct(col("__pos"), col("__seg"))))),
+            x => x("__seg"))).as("text_clean"),
+          count(col("__seg")).as("n_segments"),
+          coalesce(sum(when(col("__hot"), 1L)), lit(0L)).as("n_dropped"))
+        .select(col(idCol), col("text_clean"), col("n_segments"),
+          col("n_dropped"))
     }
   }
 

@@ -36,6 +36,18 @@ object TimeSeries {
 
   private val Steps = Set("minute", "hour", "day", "week", "month")
 
+  /** The [[resampleLocf]] grid persists so its consumers share one
+    * scaffold pass: [[gapSummary]] is grid-derived, and a session
+    * running both the resample and its gap report (the suite does; so
+    * does any monitoring pipeline) would otherwise rebuild the bucket
+    * agg + span + scaffold join + LOCF window twice. CacheWindows is
+    * plan-keyed, so the reuse needs no coordination — the second
+    * consumer's identical sub-plan aliases the first's cache entry.
+    * Grid volume is span/step per key (bounded by the caller's `step`
+    * dial, MEMORY_AND_DISK). Released by [[releaseCaches]]. */
+  private val cacheWindow = new CacheWindows(2)
+  def releaseCaches(): Unit = cacheWindow.releaseAll()
+
   /** Resample `df` onto a dense per-key `step` grid over each key's
     * observed [min, max] bucket span.
     *
@@ -69,13 +81,14 @@ object TimeSeries {
         .as("bucket"))
     val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    scaffold.join(bucketed, Seq(keyCol, "bucket"), "left")
-      .withColumn("is_gap", when(col("n_events").isNull, 1).otherwise(0))
-      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-      .withColumn("locf_value",
-        last(col("bucket_value"), ignoreNulls = true).over(w))
-      .select(col(keyCol), col("bucket"), col("is_gap"), col("n_events"),
-        col("bucket_value"), col("locf_value"))
+    cacheWindow.add(
+      scaffold.join(bucketed, Seq(keyCol, "bucket"), "left")
+        .withColumn("is_gap", when(col("n_events").isNull, 1).otherwise(0))
+        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+        .withColumn("locf_value",
+          last(col("bucket_value"), ignoreNulls = true).over(w))
+        .select(col(keyCol), col("bucket"), col("is_gap"), col("n_events"),
+          col("bucket_value"), col("locf_value")))
   }
 
   /** Gap report per key: bucket span, observed/empty bucket counts and

@@ -2947,8 +2947,8 @@ object ExtensionQueries {
         |      FROM tfdl JOIN dfx ON tfdl.token = dfx.token, nd, tt),
         |r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
         |                ORDER BY weight_q DESC, token) AS rk FROM w)
-        |SELECT doc_id, token, tf, df, dl,
-        |       CAST(weight_q AS BIGINT) AS weight_q, rk
+        |SELECT doc_id, token, tf, df, CAST(dl AS BIGINT) AS dl,
+        |       CAST(weight_q AS BIGINT) AS weight_q, CAST(rk AS INT) AS rk
         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // mirrors segmentPrune's hot-set shape: distinct (doc, seg) for df,

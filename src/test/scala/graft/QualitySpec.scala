@@ -71,6 +71,22 @@ class QualitySpec extends SparkSpec {
     assert(out.forall(_.isNullAt(out.head.fieldIndex("rows_bp"))))
   }
 
+  test("filterFunnel rejects stage names that could inject into the " +
+    "stack() SQL literal") {
+    val df = Seq((1L, 10L, true)).toDF("id", "w", "a")
+    for (bad <- Seq("bad'name", "bad\\name", "bad name", "bad,name", ""))
+      assertThrows[IllegalArgumentException] {
+        Quality.filterFunnel(df, Seq(bad -> col("a")), col("w"))
+      }
+    for (bad <- Seq("x'y", "")) // same guard on the grouped form
+      assertThrows[IllegalArgumentException] {
+        Quality.filterFunnelBy(df, "id", Seq(bad -> col("a")), col("w"))
+      }
+    // identifier-class names still work
+    assert(Quality.filterFunnel(df,
+      Seq("Stage_1" -> col("a")), col("w")).count() == 2L)
+  }
+
   test("filterFunnelBy keys the funnel per group; shares are within-group") {
     val df = Seq(
       ("A", 10L, true), ("A", 20L, true), ("A", 30L, false), ("A", 40L, true),

@@ -236,6 +236,33 @@ class TextAnalysisSpec extends SparkSpec {
     finally System.clearProperty("graft.text.hotLiteralCap")
   }
 
+  test("segmentPrune NULL and duplicated doc ids: per-ROW semantics on " +
+    "both paths (the join path must not merge or lose degenerate ids)") {
+    // two rows share id 7 with different texts; one row has a NULL id;
+    // "hot" appears in 3 rows (> maxDf=2) so both paths have work to do
+    val docs = Seq(
+      (java.lang.Long.valueOf(7L), "hot\nkeep one"),
+      (java.lang.Long.valueOf(7L), "hot\nkeep two"),
+      (null.asInstanceOf[java.lang.Long], "hot\nkeep three"),
+      (java.lang.Long.valueOf(8L), "plain")).toDF("doc_id", "text")
+    def run() = TextAnalysis
+      .segmentPrune(docs, "doc_id", "text", "\n", maxDf = 2)
+      .collect()
+      .map(r => ((if (r.isNullAt(0)) null else r.getLong(0)): Any,
+        r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (String.valueOf(t._1), t._2))
+    val literal = run()
+    // each source ROW keeps its own row: ids 7,7,null,8 all present
+    assert(literal.toSeq == Seq(
+      (7L, "keep one", 2L, 1L),
+      (7L, "keep two", 2L, 1L),
+      (8L, "plain", 1L, 0L),
+      (null, "keep three", 2L, 1L)))
+    System.setProperty("graft.text.hotLiteralCap", "0")
+    try assert(run().toSeq == literal.toSeq)
+    finally System.clearProperty("graft.text.hotLiteralCap")
+  }
+
   test("segmentPrune with a duplicated segment inside ONE doc counts df once") {
     // df is DOCUMENT frequency: the repeated line within doc 1 counts as
     // one doc, so df=2 <= maxDf=2 and nothing is dropped
