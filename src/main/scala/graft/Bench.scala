@@ -97,7 +97,11 @@ object Bench {
     println(line)
     // the driver's BENCH_r{N}.json stores a TAIL of stdout that can cut
     // mid-JSON — persist the full line to its own file too
-    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    // A SUBSET run must never masquerade as the full-suite artifact: with
+    // SPARK_GRAFT_ONLY active the default lands in /tmp, not BENCH_FULL.json.
+    val defaultOut =
+      if (only.isDefined) "/tmp/bench_subset.json" else "BENCH_FULL.json"
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", defaultOut)
     try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
       (line + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     catch { case e: Throwable =>

@@ -179,6 +179,11 @@ object Classifier {
         (-col("best.neg")).as("score"),
         when(col("best.cls") === col("label_true"), 1L).otherwise(0L).as("hit"))
 
+  /** floor(2·log2 x) on the driver — the exact Scala mirror of [[bits2]]
+    * (binary-string length of x², arguments ≤ 3e9 so x² fits a Long). */
+  private def bits2L(x: Long): Long =
+    java.lang.Long.toBinaryString(x * x).length.toLong - 1L
+
   /** K-fold cross-validated NB accuracy in ONE dataflow pass — no
     * per-fold retraining. NB sufficient statistics are ADDITIVE, so
     * fold f's training counts are global counts minus fold-f counts:
@@ -186,76 +191,152 @@ object Classifier {
     *   c_tc^(f) = c_tc − c_tc[fold f]      n_c^(f) = n_c − n_c[fold f]
     *   V^(f)    = V − |{tokens exclusive to fold f}|
     * }}}
-    * One (cls, tok) aggregation, one (fold, cls, tok) aggregation, and
-    * the same single token-level inner join as [[nbScoreWith]] (the
-    * doc's own-fold counts subtract via a left join on (fold, cls,
-    * tok)) — total cost is ~2× a single fit REGARDLESS of k, where the
-    * naive k-loop pays k× and k separate jobs. Tokens whose train count
-    * drops to 0 contribute bits2(0+1) = 0, identical to absence, so the
+    * One (cls, tok) aggregation carrying a per-row FOLD-COUNT MAP
+    * (≤ `folds` entries), and the same single token-level inner join as
+    * [[nbScoreWith]] (the doc's own-fold count subtracts via
+    * `element_at` on the map — no second corpus-scale join) — total
+    * cost is ~2× a single fit REGARDLESS of k, where the naive k-loop
+    * pays k× and k separate jobs. Tokens whose train count drops to 0
+    * contribute bits2(0+1) = 0, identical to absence, so the
     * subtraction needs no filter. Per fold, scored classes are those
     * with at least one training document (same contract as
     * [[nbClassScores]]).
+    *
+    * The (fold × class) constant grid is assembled ON THE DRIVER from
+    * three bounded actions (doc counts by (fold, label); per-(fold,
+    * cls) token totals; per-fold exclusive-vocab counts — the first a
+    * count-only corpus scan, the other two re-aggregations of the
+    * persisted vocabulary frame), replacing the r10 8-join tiny-frame
+    * tree that AQE split into ~20 scheduler jobs (probe-measured; the
+    * joins moved no more data than the collects do — every input is
+    * folds- or classes-bounded, which the plan already asserted by
+    * broadcasting the grid). NULL labels keep the dataflow form's
+    * null-UNSAFE join semantics: a null class matches no per-fold/
+    * per-class lookup, so its n/dc subtrahends read 0 exactly as the
+    * left joins produced.
     *
     * Output: one row per fold — (fold, n_test, hits, accuracy), the
     * model-selection report for a classifier gate. */
   def nbCrossValidate(docs: DataFrame, idCol: String, textCol: String,
                       labelCol: String, folds: Int = 5): DataFrame = {
+    val spark = docs.sparkSession
     val base = docs.select(col(idCol).as("__id"), col(labelCol).as("__label"),
       pmod(col(idCol), lit(folds)).cast("long").as("fold"),
       TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
 
-    // the ONE corpus-scale aggregation — its finest grain (fold, cls,
-    // tok); every other count below is a re-aggregation of this
-    // vocabulary-bounded persisted frame, so the corpus is tokenized
-    // exactly twice in the whole CV (here and in the scoring join)
-    val foldCtc = cacheWindow.add(
+    // the ONE corpus-scale aggregation — (fold, cls, tok) grain rolled
+    // into vocabulary×classes rows with a ≤`folds`-entry count map;
+    // persisted, so the grid collects below and the scoring join all
+    // reuse one materialization and the corpus is tokenized exactly
+    // twice in the whole CV (here and in the scoring join's probe side)
+    val enriched = cacheWindow.add(
       base.select(col("fold"), col("__label"), explode(col("__tk")).as("tok"))
         .groupBy(col("fold"), col("__label").as("cls"), col("tok"))
-        .agg(count(lit(1)).as("c_f")))
-    val allCtc = foldCtc.groupBy("cls", "tok").agg(sum("c_f").as("c_all"))
-    val allNc = foldCtc.groupBy("cls").agg(sum("c_f").as("n_all"))
-    val foldNc = foldCtc.groupBy("fold", "cls").agg(sum("c_f").as("n_f"))
-    val dcAll = docs.groupBy(col(labelCol).as("cls")).agg(count(lit(1)).as("dc_all"))
-    val dcFold = docs.groupBy(pmod(col(idCol), lit(folds)).cast("long").as("fold"),
-        col(labelCol).as("cls")).agg(count(lit(1)).as("dc_f"))
-    val dAll = docs.agg(count(lit(1)).as("d_all"))
-    val dFold = docs.groupBy(pmod(col(idCol), lit(folds)).cast("long").as("fold"))
-      .agg(count(lit(1)).as("d_f"))
+        .agg(count(lit(1)).as("c_f"))
+        .groupBy(col("cls"), col("tok"))
+        .agg(sum("c_f").as("c_all"),
+          map_from_entries(collect_list(struct(col("fold"), col("c_f"))))
+            .as("f_map")))
 
-    // per-fold vocabulary: V − |tokens appearing ONLY in this fold|
-    val tokTotals = foldCtc.groupBy("tok").agg(sum("c_f").as("t_all"))
-    val vAll = tokTotals.agg(count(lit(1)).as("v_all"))
-    val excl = foldCtc.groupBy("fold", "tok").agg(sum("c_f").as("t_f"))
-      .join(tokTotals, "tok").filter(col("t_f") === col("t_all"))
-      .groupBy("fold").agg(count(lit(1)).as("excl"))
+    // three bounded driver actions, launched CONCURRENTLY (wall = the
+    // slowest, not the sum; the persisted vocabulary frame computes
+    // once — BlockManager's per-partition get-or-compute lock makes
+    // the two consumers below share one materialization):
+    //   1. doc counts at (fold, label) grain — folds×classes rows from
+    //      a count-only scan (columns pruned to id+label)
+    //   2. per-(fold, cls) token totals off the vocabulary frame
+    //   3. V and per-fold exclusive-token counts — a token is exclusive
+    //      to fold f iff every (cls, ·) row's fold keys are {f}
+    // AQE is pinned OFF (reduce width untouched — that stays the
+    // session's configured shuffle.partitions) for this window: AQE's
+    // only contribution to these folds-/vocab-bounded aggregations is
+    // coalescing already-tiny reduce stages, and it pays a scheduler
+    // job per exchange to do it (probe-measured: 11 jobs → 3 for the
+    // three collects). The corpus-scale scoring DAG below runs OUTSIDE
+    // the window with AQE intact. Same save/restore caveat as
+    // Quantiles.withProtocolConf: concurrent same-session queries
+    // planned in this window lose adaptivity, never correctness.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    import scala.concurrent.duration.Duration
+    val aqeKey = "spark.sql.adaptive.enabled"
+    val aqeSaved = spark.conf.getOption(aqeKey)
+    spark.conf.set(aqeKey, "false")
+    val (dcRows, nfRows, exRows) =
+      try {
+        val dcJob = Future(docs
+          .groupBy(pmod(col(idCol), lit(folds)).cast("long").as("fold"),
+            col(labelCol).as("cls"))
+          .agg(count(lit(1)).as("dc_f")).collect())
+        val nfJob = Future(enriched
+          .select(col("cls"), explode(col("f_map")).as(Seq("fold", "c")))
+          .groupBy("fold", "cls").agg(sum("c").as("n_f")).collect())
+        val exJob = Future(enriched
+          .select(col("tok"), map_keys(col("f_map")).as("fs"))
+          .groupBy("tok")
+          .agg(array_distinct(flatten(collect_list(col("fs")))).as("fs"))
+          .select(when(size(col("fs")) === 1, element_at(col("fs"), 1)).as("xf"))
+          .groupBy("xf").agg(count(lit(1)).as("n")).collect())
+        (Await.result(dcJob, Duration.Inf),
+          Await.result(nfJob, Duration.Inf),
+          Await.result(exJob, Duration.Inf))
+      } finally aqeSaved match {
+        case Some(v) => spark.conf.set(aqeKey, v)
+        case None => spark.conf.unset(aqeKey)
+      }
 
-    // (fold × class) training constants — k·|classes| rows, broadcastable
-    // dcAll LEFT JOIN allNc (nbTrain's token-less-class robustness)
-    val grid = base.select("fold").distinct()
-      .crossJoin(dcAll.join(allNc, Seq("cls"), "left")
-        .select(col("cls"), coalesce(col("n_all"), lit(0L)).as("n_all"),
-          col("dc_all")))
-      .join(foldNc, Seq("fold", "cls"), "left")
-      .join(dcFold, Seq("fold", "cls"), "left")
-      .join(dFold, "fold")
-      .join(excl, Seq("fold"), "left")
-      .crossJoin(broadcast(vAll)).crossJoin(broadcast(dAll))
-      .select(col("fold"), col("cls"),
-        (col("dc_all") - coalesce(col("dc_f"), lit(0L))).as("dc_train"),
-        bits2(col("n_all") - coalesce(col("n_f"), lit(0L))
-          + col("v_all") - coalesce(col("excl"), lit(0L))).as("den_bits"),
-        (bits2(col("dc_all") - coalesce(col("dc_f"), lit(0L)))
-          - bits2(col("d_all") - col("d_f"))).as("prior_bits"))
-      .filter(col("dc_train") > 0)
-      .select("fold", "cls", "den_bits", "prior_bits")
+    val dcF: Map[(Any, Any), Long] =
+      dcRows.map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    val dcAll: Map[Any, Long] = dcRows.groupBy(_.get(1))
+      .map { case (cls, rs) => cls -> rs.map(_.getLong(2)).sum }
+    val dF: Map[Any, Long] = dcRows.groupBy(_.get(0))
+      .map { case (f, rs) => f -> rs.map(_.getLong(2)).sum }
+    val dAll: Long = dcRows.map(_.getLong(2)).sum
+    val foldsDomain: Seq[Any] = dcRows.map(_.get(0)).distinct.toSeq
+    val nF: Map[(Any, Any), Long] =
+      nfRows.map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+    val nAll: Map[Any, Long] = nfRows.groupBy(_.get(1))
+      .map { case (cls, rs) => cls -> rs.map(_.getLong(2)).sum }
+    val vAll: Long = exRows.map(_.getLong(1)).sum
+    val excl: Map[Any, Long] = exRows.filter(!_.isNullAt(0))
+      .map(r => (r.get(0): Any) -> r.getLong(1)).toMap
 
-    // token-level: global counts joined once on the token, own-fold
-    // counts subtracted via the (fold, cls, tok) left join
+    // (fold × class) training constants, bit-identical to the r10 join
+    // tree (null-cls lookups read 0 — the null-unsafe join contract)
+    val gridRows = for {
+      f <- foldsDomain
+      (cls, dcAllC) <- dcAll.toSeq
+      dcTrain = dcAllC - (if (cls == null) 0L else dcF.getOrElse((f, cls), 0L))
+      if dcTrain > 0
+    } yield {
+      val nTrain =
+        if (cls == null) 0L
+        else nAll.getOrElse(cls, 0L) - nF.getOrElse((f, cls), 0L)
+      org.apache.spark.sql.Row(f, cls,
+        bits2L(nTrain + vAll - excl.getOrElse(f, 0L)),
+        bits2L(dcTrain) - bits2L(dAll - dF(f)))
+    }
+    val gridSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("fold",
+        org.apache.spark.sql.types.LongType),
+      base.schema("__label").copy(name = "cls"),
+      org.apache.spark.sql.types.StructField("den_bits",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField("prior_bits",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val grid = spark.createDataFrame(
+      spark.sparkContext.parallelize(gridRows, 1), gridSchema)
+
+    // token-level: ONE corpus-scale join on the token; the doc's
+    // own-fold count subtracts via the row-local map lookup (a null
+    // fold — null doc id — matches no key, reading 0 like the old
+    // null-unsafe join)
     val present = base.select(col("__id"), col("fold"), explode(col("__tk")).as("tok"))
-      .join(allCtc, "tok")
-      .join(foldCtc, Seq("fold", "cls", "tok"), "left")
+      .join(enriched, "tok")
       .groupBy(col("__id"), col("fold"), col("cls"))
-      .agg(sum(bits2(col("c_all") - coalesce(col("c_f"), lit(0L)) + 1)).as("pos_bits"))
+      .agg(sum(bits2(col("c_all")
+        - coalesce(element_at(col("f_map"), col("fold")), lit(0L))
+        + 1)).as("pos_bits"))
 
     // n_tokens is ROW-LOCAL (array size) — no aggregation, no join.
     // Same NULL-text clamp as nbScoreWith: prior-only, never ±den_bits
@@ -285,10 +366,16 @@ object Classifier {
     * bounded by contract — never corpus-bounded), sorted on
     * (−score, cls) so `predicted` ties break exactly like [[nbPredict]].
     * Output: (`idCol`, label_true, predicted, score, margin); margin is
-    * NULL when only one class was trained. */
+    * NULL when only one class was trained.
+    *
+    * The result registers in the plan-keyed cache window: margins feed
+    * both the routing report and [[nbCalibration]]'s banding in the
+    * same session (the suite does exactly this), and without the
+    * registration the second consumer replays the whole held-out
+    * scoring lineage. Test-split cardinality, MEMORY_AND_DISK. */
   def nbMargins(docs: DataFrame, idCol: String, textCol: String,
                 labelCol: String, splitMod: Int = 5): DataFrame =
-    nbClassScores(docs, idCol, textCol, labelCol, splitMod)
+    cacheWindow.add(nbClassScores(docs, idCol, textCol, labelCol, splitMod)
       .groupBy(col(idCol), col("label_true"))
       .agg(array_sort(collect_list(
         struct((-col("score")).as("neg"), col("cls").as("cls")))).as("ranked"))
@@ -296,7 +383,7 @@ object Classifier {
         col("ranked")(0).getField("cls").as("predicted"),
         (-col("ranked")(0).getField("neg")).as("score"),
         (element_at(col("ranked"), 2).getField("neg")
-          - col("ranked")(0).getField("neg")).as("margin"))
+          - col("ranked")(0).getField("neg")).as("margin")))
 
   /** Class-indicative vocabulary — per-label top-k tokens by quantized
     * pointwise mutual information, the feature-selection / "what makes

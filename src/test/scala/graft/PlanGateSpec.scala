@@ -40,10 +40,11 @@ class PlanGateSpec extends SparkSpec {
     // fan-out — |classes| rows by contract (label cardinality: languages
     // or quality tiers), joined at DOC granularity only; the token-level
     // work is an equi-join (see Classifier scaladoc decomposition)
+    // (q_nb_cv left this list in r11: its constant grid is assembled on
+    // the driver and broadcast-hash-joined on the fold key — no BNLJ)
     "q_nb_predict"         -> Seq("broadcast-nested-loop"),
     "q_nb_confusion"       -> Seq("broadcast-nested-loop"),
     "q_nb_margin"          -> Seq("broadcast-nested-loop"),
-    "q_nb_cv"              -> Seq("broadcast-nested-loop"),
     // ONE margins subtree (its classes-broadcast BNLJ): the r10 eager
     // tiering replaced the in-plan boundary machinery — which replicated
     // the margins lineage once per boundary/row subplan (5 BNLJs) —
