@@ -179,10 +179,17 @@ object Classifier {
         (-col("best.neg")).as("score"),
         when(col("best.cls") === col("label_true"), 1L).otherwise(0L).as("hit"))
 
-  /** floor(2·log2 x) on the driver — the exact Scala mirror of [[bits2]]
-    * (binary-string length of x², arguments ≤ 3e9 so x² fits a Long). */
-  private def bits2L(x: Long): Long =
+  /** floor(2·log2 x) on the driver — the exact Scala mirror of [[bits2]].
+    * x² must fit a Long, so arguments are capped at floor(√(2⁶³−1)) =
+    * 3037000499 — the same documented ceiling as the distributed bits2,
+    * but enforced: past it the square wraps SILENTLY and every constant
+    * derived from it is garbage, so the headroom contract fails loudly
+    * here instead (the bm25TopTerms overflow-guard philosophy). */
+  private def bits2L(x: Long): Long = {
+    require(x > 0 && x <= 3037000499L,
+      s"bits2 exact-Long ceiling exceeded: $x not in (0, 3037000499]")
     java.lang.Long.toBinaryString(x * x).length.toLong - 1L
+  }
 
   /** K-fold cross-validated NB accuracy in ONE dataflow pass — no
     * per-fold retraining. NB sufficient statistics are ADDITIVE, so
@@ -228,42 +235,56 @@ object Classifier {
     // into vocabulary×classes rows with a ≤`folds`-entry count map;
     // persisted, so the grid collects below and the scoring join all
     // reuse one materialization and the corpus is tokenized exactly
-    // twice in the whole CV (here and in the scoring join's probe side)
+    // twice in the whole CV (here and in the scoring join's probe side).
+    // A NULL doc id yields a NULL fold; map keys can't be null
+    // (map_from_entries throws [NULL_MAP_KEY]), so null-fold counts stay
+    // OUT of the map — collect_list drops the null the un-otherwise'd
+    // `when` produces — and ride only `c_all` + the `has_null_fold`
+    // flag. That is exactly the r10 join-form semantics: null-id docs
+    // train GLOBALLY (they're test docs in no fold, so no fold ever
+    // subtracts them) and their counts appear in every fold's model.
     val enriched = cacheWindow.add(
       base.select(col("fold"), col("__label"), explode(col("__tk")).as("tok"))
         .groupBy(col("fold"), col("__label").as("cls"), col("tok"))
         .agg(count(lit(1)).as("c_f"))
         .groupBy(col("cls"), col("tok"))
         .agg(sum("c_f").as("c_all"),
-          map_from_entries(collect_list(struct(col("fold"), col("c_f"))))
-            .as("f_map")))
+          map_from_entries(collect_list(
+            when(col("fold").isNotNull, struct(col("fold"), col("c_f")))))
+            .as("f_map"),
+          max(col("fold").isNull).as("has_null_fold")))
 
-    // three bounded driver actions, launched CONCURRENTLY (wall = the
+    // four bounded driver actions, launched CONCURRENTLY (wall = the
     // slowest, not the sum; the persisted vocabulary frame computes
     // once — BlockManager's per-partition get-or-compute lock makes
-    // the two consumers below share one materialization):
+    // the three consumers below share one materialization):
     //   1. doc counts at (fold, label) grain — folds×classes rows from
     //      a count-only scan (columns pruned to id+label)
     //   2. per-(fold, cls) token totals off the vocabulary frame
-    //   3. V and per-fold exclusive-token counts — a token is exclusive
-    //      to fold f iff every (cls, ·) row's fold keys are {f}
+    //   3. GLOBAL per-class token totals off `c_all` (NOT a sum of #2:
+    //      the fold map excludes null-fold counts, but globally-training
+    //      null-id docs must stay in every fold's n_c)
+    //   4. V and per-fold exclusive-token counts — a token is exclusive
+    //      to fold f iff every (cls, ·) row's fold keys are {f} AND it
+    //      never appears in a null-fold doc (null-fold docs train in
+    //      EVERY fold, so removing fold f can't drop a token they carry)
     // AQE is pinned OFF (reduce width untouched — that stays the
     // session's configured shuffle.partitions) for this window: AQE's
     // only contribution to these folds-/vocab-bounded aggregations is
     // coalescing already-tiny reduce stages, and it pays a scheduler
     // job per exchange to do it (probe-measured: 11 jobs → 3 for the
-    // three collects). The corpus-scale scoring DAG below runs OUTSIDE
-    // the window with AQE intact. Same save/restore caveat as
-    // Quantiles.withProtocolConf: concurrent same-session queries
-    // planned in this window lose adaptivity, never correctness.
+    // collects). The corpus-scale scoring DAG below runs OUTSIDE the
+    // window with AQE intact. The window rides [[ConfWindows]] — the
+    // JVM-shared refcounted bookkeeper Quantiles uses too — so
+    // overlapping windows on one session can't lose the original value;
+    // queries planned inside a window lose adaptivity, never
+    // correctness.
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val aqeKey = "spark.sql.adaptive.enabled"
-    val aqeSaved = spark.conf.getOption(aqeKey)
-    spark.conf.set(aqeKey, "false")
-    val (dcRows, nfRows, exRows) =
-      try {
+    val (dcRows, nfRows, naRows, exRows) =
+      ConfWindows.withOverrides(spark,
+        Seq("spark.sql.adaptive.enabled" -> "false")) {
         val dcJob = Future(docs
           .groupBy(pmod(col(idCol), lit(folds)).cast("long").as("fold"),
             col(labelCol).as("cls"))
@@ -271,18 +292,21 @@ object Classifier {
         val nfJob = Future(enriched
           .select(col("cls"), explode(col("f_map")).as(Seq("fold", "c")))
           .groupBy("fold", "cls").agg(sum("c").as("n_f")).collect())
+        val naJob = Future(enriched
+          .groupBy("cls").agg(sum("c_all").as("n_all")).collect())
         val exJob = Future(enriched
-          .select(col("tok"), map_keys(col("f_map")).as("fs"))
+          .select(col("tok"), map_keys(col("f_map")).as("fs"),
+            col("has_null_fold"))
           .groupBy("tok")
-          .agg(array_distinct(flatten(collect_list(col("fs")))).as("fs"))
-          .select(when(size(col("fs")) === 1, element_at(col("fs"), 1)).as("xf"))
+          .agg(array_distinct(flatten(collect_list(col("fs")))).as("fs"),
+            max(col("has_null_fold")).as("hn"))
+          .select(when(size(col("fs")) === 1 && !col("hn"),
+            element_at(col("fs"), 1)).as("xf"))
           .groupBy("xf").agg(count(lit(1)).as("n")).collect())
         (Await.result(dcJob, Duration.Inf),
           Await.result(nfJob, Duration.Inf),
+          Await.result(naJob, Duration.Inf),
           Await.result(exJob, Duration.Inf))
-      } finally aqeSaved match {
-        case Some(v) => spark.conf.set(aqeKey, v)
-        case None => spark.conf.unset(aqeKey)
       }
 
     val dcF: Map[(Any, Any), Long] =
@@ -292,11 +316,12 @@ object Classifier {
     val dF: Map[Any, Long] = dcRows.groupBy(_.get(0))
       .map { case (f, rs) => f -> rs.map(_.getLong(2)).sum }
     val dAll: Long = dcRows.map(_.getLong(2)).sum
-    val foldsDomain: Seq[Any] = dcRows.map(_.get(0)).distinct.toSeq
+    // null fold = null doc id: those docs are global trainers, not a fold
+    val foldsDomain: Seq[Any] = dcRows.map(_.get(0)).filter(_ != null).distinct.toSeq
     val nF: Map[(Any, Any), Long] =
       nfRows.map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
-    val nAll: Map[Any, Long] = nfRows.groupBy(_.get(1))
-      .map { case (cls, rs) => cls -> rs.map(_.getLong(2)).sum }
+    val nAll: Map[Any, Long] =
+      naRows.map(r => (r.get(0): Any) -> r.getLong(1)).toMap
     val vAll: Long = exRows.map(_.getLong(1)).sum
     val excl: Map[Any, Long] = exRows.filter(!_.isNullAt(0))
       .map(r => (r.get(0): Any) -> r.getLong(1)).toMap
@@ -328,10 +353,12 @@ object Classifier {
       spark.sparkContext.parallelize(gridRows, 1), gridSchema)
 
     // token-level: ONE corpus-scale join on the token; the doc's
-    // own-fold count subtracts via the row-local map lookup (a null
-    // fold — null doc id — matches no key, reading 0 like the old
-    // null-unsafe join)
-    val present = base.select(col("__id"), col("fold"), explode(col("__tk")).as("tok"))
+    // own-fold count subtracts via the row-local map lookup. Null-fold
+    // (null-id) docs are train-only — the grid join below drops them
+    // null-unsafely — so they're filtered BEFORE the token fan-out
+    // rather than carried through the join and dropped at the end
+    val present = base.filter(col("fold").isNotNull)
+      .select(col("__id"), col("fold"), explode(col("__tk")).as("tok"))
       .join(enriched, "tok")
       .groupBy(col("__id"), col("fold"), col("cls"))
       .agg(sum(bits2(col("c_all")
@@ -452,10 +479,21 @@ object Classifier {
   }
 
   /** Confusion matrix of [[nbPredict]]: (label_true, predicted, n) —
-    * the held-out quality report a classifier gate ships with. */
+    * the held-out quality report a classifier gate ships with.
+    *
+    * Routed through [[nbMargins]], whose `predicted` is defined by the
+    * same (−score, cls) total order as [[nbPredict]]'s min-of-struct —
+    * identical argmax and tie-break, so the matrix is bit-equal
+    * (ClassifierSpec pins the consistency). The point is cost
+    * placement: margins/calibration/confusion all consume the ONE
+    * plan-keyed cached scoring frame nbMargins registers, so the
+    * held-out scoring pass is paid once per session regardless of
+    * which family member runs first — via nbPredict, confusion built
+    * its own scoring lineage and replayed the corpus even when the
+    * margins frame was already hot. */
   def nbConfusion(docs: DataFrame, idCol: String, textCol: String,
                   labelCol: String, splitMod: Int = 5): DataFrame =
-    nbPredict(docs, idCol, textCol, labelCol, splitMod)
+    nbMargins(docs, idCol, textCol, labelCol, splitMod)
       .groupBy(col("label_true"), col("predicted"))
       .agg(count(lit(1)).as("n"))
 }

@@ -1,0 +1,61 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** JVM-shared, refcounted session-conf override windows.
+  *
+  * [[Quantiles]] and [[Classifier]] both pin `spark.sql.adaptive.enabled`
+  * (and Quantiles the reduce width) around driver-coordinated rounds whose
+  * reduce inputs are bounded by construction. Each used to carry its own
+  * non-atomic save/restore, so two overlapping windows on one session
+  * could interleave — A saves "true", B saves A's "false", A restores
+  * "true", B restores "false" — and leave the session without AQE for the
+  * rest of its life: a classic lost update. This object is the single
+  * bookkeeper: the FIRST window to override a (session, key) records the
+  * session's original value, nested/concurrent windows only bump a depth
+  * counter, and the LAST one out restores (or unsets) the original.
+  * Override values agree across callers by construction (AQE is always
+  * pinned to "false"; the width override is the idempotent
+  * `min(8, current)`), so last-writer-wins INSIDE a window is harmless.
+  *
+  * The monitor guards only the bookkeeping — the body runs unlocked, so
+  * concurrent protocol windows (same session or not) never serialize
+  * their Spark jobs, and nesting can't deadlock.
+  */
+private[graft] object ConfWindows {
+  private final class Saved(val original: Option[String], var depth: Int)
+  private val saved = new java.util.HashMap[(SparkSession, String), Saved]
+
+  /** Run `f` with `overrides` applied to `spark`'s runtime conf,
+    * restoring each key's pre-FIRST-window value once the LAST
+    * overlapping window exits. */
+  def withOverrides[T](spark: SparkSession,
+                       overrides: Seq[(String, String)])(f: => T): T = {
+    synchronized {
+      overrides.foreach { case (k, v) =>
+        val key = (spark, k)
+        val s = saved.get(key)
+        if (s == null) saved.put(key, new Saved(spark.conf.getOption(k), 1))
+        else s.depth += 1
+        spark.conf.set(k, v)
+      }
+    }
+    try f
+    finally synchronized {
+      overrides.foreach { case (k, _) =>
+        val key = (spark, k)
+        val s = saved.get(key)
+        if (s != null) { // null only if a releaseAll-style external reset raced us
+          s.depth -= 1
+          if (s.depth == 0) {
+            saved.remove(key)
+            s.original match {
+              case Some(v) => spark.conf.set(k, v)
+              case None => spark.conf.unset(k)
+            }
+          }
+        }
+      }
+    }
+  }
+}

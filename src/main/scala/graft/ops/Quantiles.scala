@@ -58,21 +58,18 @@ object Quantiles {
     * one). Session-conf save/restore: the protocol is synchronous on
     * the calling thread; concurrent queries sharing the session during
     * a bounded-round window would plan with these confs for that window
-    * (correctness unaffected — only those queries' reduce width). */
+    * (correctness unaffected — only those queries' reduce width). The
+    * save/restore itself rides [[ConfWindows]] — the JVM-shared
+    * refcounted bookkeeper Classifier's CV window uses too — so
+    * overlapping windows (two protocol calls, or a protocol call
+    * overlapping a CV) can't interleave restores and strand the
+    * session without AQE. */
   private def withProtocolConf[T](spark: org.apache.spark.sql.SparkSession)(f: => T): T = {
-    val aqeKey = "spark.sql.adaptive.enabled"
     val shufKey = "spark.sql.shuffle.partitions"
-    val prevAqe = spark.conf.get(aqeKey, "true")
-    val prevShuf = spark.conf.get(shufKey, "200")
-    val smallShuf = math.min(8, prevShuf.toInt).toString
-    try {
-      spark.conf.set(aqeKey, "false")
-      spark.conf.set(shufKey, smallShuf)
-      f
-    } finally {
-      spark.conf.set(aqeKey, prevAqe)
-      spark.conf.set(shufKey, prevShuf)
-    }
+    val smallShuf = math.min(8, spark.conf.get(shufKey, "200").toInt).toString
+    ConfWindows.withOverrides(spark, Seq(
+      "spark.sql.adaptive.enabled" -> "false",
+      shufKey -> smallShuf))(f)
   }
 
   /** A Seq[Row] as a genuine LocalRelation DataFrame. The obvious

@@ -36,13 +36,18 @@ object TimeSeries {
 
   private val Steps = Set("minute", "hour", "day", "week", "month")
 
-  /** The [[resampleLocf]] grid persists so its consumers share one
-    * scaffold pass: [[gapSummary]] is grid-derived, and a session
-    * running both the resample and its gap report (the suite does; so
-    * does any monitoring pipeline) would otherwise rebuild the bucket
-    * agg + span + scaffold join + LOCF window twice. CacheWindows is
-    * plan-keyed, so the reuse needs no coordination — the second
-    * consumer's identical sub-plan aliases the first's cache entry.
+  /** The resample grid persists — registered by [[gapSummary]], NOT by
+    * [[resampleLocf]] itself — so a session running both the resample
+    * and its gap report (the suite does; so does any monitoring
+    * pipeline) shares one scaffold pass without a lone resample paying
+    * for it: the dense grid is span/step rows per key and can dwarf the
+    * input at a fine step, so an unconditional persist in resampleLocf
+    * made single-use callers materialize it and hold the blocks until
+    * an explicit [[releaseCaches]]. CacheWindows / Spark's CacheManager
+    * are PLAN-keyed, so registration from either consumer covers the
+    * other — a resampleLocf call with the same arguments compiles the
+    * identical analyzed plan and aliases the gapSummary-registered
+    * entry regardless of which DataFrame object registered it.
     * Grid volume is span/step per key (bounded by the caller's `step`
     * dial, MEMORY_AND_DISK). Released by [[releaseCaches]]. */
   private val cacheWindow = new CacheWindows(2)
@@ -81,14 +86,15 @@ object TimeSeries {
         .as("bucket"))
     val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    cacheWindow.add(
-      scaffold.join(bucketed, Seq(keyCol, "bucket"), "left")
-        .withColumn("is_gap", when(col("n_events").isNull, 1).otherwise(0))
-        .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
-        .withColumn("locf_value",
-          last(col("bucket_value"), ignoreNulls = true).over(w))
-        .select(col(keyCol), col("bucket"), col("is_gap"), col("n_events"),
-          col("bucket_value"), col("locf_value")))
+    // lazy on purpose — see the cacheWindow note above: gapSummary owns
+    // the persist; a lone resample never materializes grid blocks
+    scaffold.join(bucketed, Seq(keyCol, "bucket"), "left")
+      .withColumn("is_gap", when(col("n_events").isNull, 1).otherwise(0))
+      .withColumn("n_events", coalesce(col("n_events"), lit(0L)))
+      .withColumn("locf_value",
+        last(col("bucket_value"), ignoreNulls = true).over(w))
+      .select(col(keyCol), col("bucket"), col("is_gap"), col("n_events"),
+        col("bucket_value"), col("locf_value"))
   }
 
   /** Gap report per key: bucket span, observed/empty bucket counts and
@@ -106,7 +112,9 @@ object TimeSeries {
     * group keys) — no exchange after the window. */
   def gapSummary(df: DataFrame, keyCol: String, tsCol: String,
                  valCol: String, step: String = "hour"): DataFrame = {
-    val grid = resampleLocf(df, keyCol, tsCol, valCol, step)
+    // register the shared grid persist here (plan-keyed — covers a
+    // same-arg resampleLocf consumer in either run order)
+    val grid = cacheWindow.add(resampleLocf(df, keyCol, tsCol, valCol, step))
     val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
     val runs = grid
       .withColumn("idx", row_number().over(w))

@@ -210,6 +210,75 @@ class ClassifierSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("CV tolerates NULL doc ids: they train globally and are never test docs") {
+    // a NULL id has a NULL fold — pmod(null, k) — which must not reach
+    // map_from_entries ([NULL_MAP_KEY]) and must not become a fold row.
+    // Semantics (the r10 join-form contract): the null-id doc's tokens
+    // and doc count join EVERY fold's training statistics (no fold ever
+    // subtracts them), and it is scored in no fold.
+    val withNull = Seq(
+      (null.asInstanceOf[java.lang.Long], "aa", "zzz x"),
+      (java.lang.Long.valueOf(0L), "aa", "x y"),
+      (java.lang.Long.valueOf(1L), "aa", "x y z"),
+      (java.lang.Long.valueOf(2L), "bb", "p q"),
+      (java.lang.Long.valueOf(3L), "aa", "x z"),
+      (java.lang.Long.valueOf(4L), "bb", "p q r"),
+      (java.lang.Long.valueOf(5L), "bb", "p r")).toDF("doc_id", "lang", "text")
+    val got = Classifier.nbCrossValidate(withNull, "doc_id", "text", "lang", folds = 3)
+      .select("fold", "n_test", "hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L)) // no NULL fold row
+    // independent per-fold runs where the null-id doc ALWAYS trains
+    val want = (0 until 3).map { f =>
+      val train = withNull.filter(col("doc_id").isNull || col("doc_id") % 3 =!= f)
+      val test = withNull.filter(col("doc_id") % 3 === f)
+      val pred = Classifier.nbPredictWith(
+          Classifier.nbTrain(train, "text", "lang"), test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+      f.toLong -> ((pred.count(), pred.filter(col("predicted") === col("lang")).count()))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("CV exclusive-vocab: a token shared only with a null-fold doc is NOT fold-exclusive") {
+    // "zzz" appears in fold-1 docs AND in the null-id doc. Removing fold
+    // 1 must keep zzz in V (the null-id doc still trains it): if the
+    // exclusive-vocab job read only the fold map's keys, fs = {1} would
+    // wrongly shrink fold 1's V by one. The differential check against
+    // per-fold independent runs pins the V arithmetic exactly.
+    val docs = Seq(
+      (null.asInstanceOf[java.lang.Long], "aa", "zzz w"),
+      (java.lang.Long.valueOf(1L), "aa", "zzz x y"), // fold 1
+      (java.lang.Long.valueOf(0L), "aa", "x y"),
+      (java.lang.Long.valueOf(2L), "bb", "p q"),
+      (java.lang.Long.valueOf(3L), "bb", "p q w"),
+      (java.lang.Long.valueOf(4L), "aa", "x y"),
+      (java.lang.Long.valueOf(5L), "bb", "q p")).toDF("doc_id", "lang", "text")
+    val got = Classifier.nbCrossValidate(docs, "doc_id", "text", "lang", folds = 3)
+      .select("fold", "n_test", "hits")
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val want = (0 until 3).map { f =>
+      val train = docs.filter(col("doc_id").isNull || col("doc_id") % 3 =!= f)
+      val test = docs.filter(col("doc_id") % 3 === f)
+      val pred = Classifier.nbPredictWith(
+          Classifier.nbTrain(train, "text", "lang"), test, "doc_id", "text")
+        .join(test.select(col("doc_id"), col("lang")), "doc_id")
+      f.toLong -> ((pred.count(), pred.filter(col("predicted") === col("lang")).count()))
+    }.toMap
+    assert(got == want)
+  }
+
+  test("nbConfusion through the margins frame stays bit-equal to the nbPredict rollup") {
+    val df = fixture.toDF("doc_id", "lang", "text")
+    val viaMargins = Classifier.nbConfusion(df, "doc_id", "text", "lang", splitMod = 5)
+      .as[(String, String, Long)].collect().toSet
+    val viaPredict = Classifier.nbPredict(df, "doc_id", "text", "lang", splitMod = 5)
+      .groupBy(col("label_true"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+      .as[(String, String, Long)].collect().toSet
+    assert(viaMargins == viaPredict)
+  }
+
   test("CV vocabulary subtraction: fold-exclusive tokens leave the other folds' V") {
     // token "qqq" appears ONLY in fold-0 docs; training for fold 0 must
     // therefore use V-1 — cross-check against the independent run above
