@@ -97,6 +97,18 @@ object TimeSeries {
         col("bucket_value"), col("locf_value"))
   }
 
+  /** [[resampleLocf]] with the grid registered in the shared plan-keyed
+    * cache window — for sessions that consume the SAME grid more than
+    * once (the grid plus its [[gapSummary]] report, or any global sort
+    * of the grid, whose range exchange SAMPLES its child and would
+    * otherwise execute the whole scaffold lineage twice — the
+    * [[graft.pipelines.ResultSort]] rationale). Lone single-pass
+    * consumers should call [[resampleLocf]] and stay lazy: the grid is
+    * span/step rows per key and the persist is not free. */
+  def resampleLocfShared(df: DataFrame, keyCol: String, tsCol: String,
+                         valCol: String, step: String = "hour"): DataFrame =
+    cacheWindow.add(resampleLocf(df, keyCol, tsCol, valCol, step))
+
   /** Gap report per key: bucket span, observed/empty bucket counts and
     * the longest empty run — the data-freshness summary a pipeline
     * alerts on. Derived from [[resampleLocf]]'s grid, so the same scale
@@ -112,9 +124,7 @@ object TimeSeries {
     * group keys) — no exchange after the window. */
   def gapSummary(df: DataFrame, keyCol: String, tsCol: String,
                  valCol: String, step: String = "hour"): DataFrame = {
-    // register the shared grid persist here (plan-keyed — covers a
-    // same-arg resampleLocf consumer in either run order)
-    val grid = cacheWindow.add(resampleLocf(df, keyCol, tsCol, valCol, step))
+    val grid = resampleLocfShared(df, keyCol, tsCol, valCol, step)
     val w = Window.partitionBy(keyCol).orderBy(col("bucket"))
     val runs = grid
       .withColumn("idx", row_number().over(w))

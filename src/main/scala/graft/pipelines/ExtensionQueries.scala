@@ -1034,9 +1034,13 @@ object ExtensionQueries {
     // over each user's observed span, empty buckets flagged and carried
     // forward. Decimal bucket sums (exact) surface as doubles only at
     // the query edge, same discipline as q_events_windowed.
+    // the Shared form: the presentational orderBy's range exchange
+    // samples its child (executing it once more), and the gap-summary
+    // query consumes the same grid — one plan-keyed cache entry serves
+    // the sampling pass, the sort and the sibling query
     "q_events_gapfill_locf" -> ((s, dir) =>
       graft.ops.TimeSeries
-        .resampleLocf(events(s, dir), "user_id", "ts", "value", "hour")
+        .resampleLocfShared(events(s, dir), "user_id", "ts", "value", "hour")
         .withColumn("bucket_value", col("bucket_value").cast("double"))
         .withColumn("locf_value", col("locf_value").cast("double"))
         .orderBy("user_id", "bucket")),
