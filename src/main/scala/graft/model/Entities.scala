@@ -44,8 +44,25 @@ object Entities {
   def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast(Money)
   def decD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast(DiscDec)
 
+  // Per-session memo of the base parquet frames: every `spark.read
+  // .parquet` call costs a footer/schema-listing job plus a fresh
+  // analysis of the relation, and the mart pipelines re-read the same
+  // 4 tables on every invocation (4 × ~35 ms of jobs per apply() at
+  // bench cadence). DataFrames are immutable plans, so sharing one per
+  // (session, path) is safe; the WeakHashMap key lets a stopped
+  // session's entries be collected. Schema changes on disk between
+  // reads of the SAME path within one session are not supported (they
+  // never happen in a fixture run — re-create the session to re-list).
+  private val readMemo =
+    new java.util.WeakHashMap[SparkSession,
+      java.util.HashMap[String, DataFrame]]
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
-    spark.read.parquet(s"$dir/$table.parquet")
+    readMemo.synchronized {
+      val bySession = readMemo.computeIfAbsent(spark,
+        _ => new java.util.HashMap[String, DataFrame])
+      bySession.computeIfAbsent(s"$dir/$table.parquet",
+        p => spark.read.parquet(p))
+    }
 
   /** suppliers (reference `raw.suppliers_pre`): SUPPLIER_ID, SUPPLIER_NAME.
     * Fixture: `supplier` (s_suppkey 0-based, 10 rows at sf0.001). */

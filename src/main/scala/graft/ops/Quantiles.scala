@@ -182,16 +182,49 @@ object Quantiles {
     * fused aggregation's single hash bucket). */
   private def exactQuantilesVia(df: DataFrame, valueCol: String,
                                 qs: Seq[Double], relError: Option[Double],
-                                bins: Int): Seq[(Double, Long)] = {
+                                bins: Int,
+                                known: Option[(Long, Long, Long)] = None,
+                                knownSketch: Option[Seq[Long]] = None
+                               ): Seq[(Double, Long)] = {
     qs.foreach(q => require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q"))
     val names = qs.indices.map(i => s"__q$i")
     val out = groupedExactQuantilesImpl(df.withColumn("__cg", lit(1)),
-      "__cg", valueCol, names.zip(qs), bins, relError)
+      "__cg", valueCol, names.zip(qs), bins, relError, known, knownSketch)
     val rows = out.collect()
     require(rows.nonEmpty, "column has no non-null values")
     val r = rows.head
     qs.zipWithIndex.map { case (q, i) => q -> r.getLong(i + 1) }
   }
+
+  /** [[exactQuantilesSeeded]] for a caller that ALREADY KNOWS the
+    * column's non-null count and exact min/max (typically folded into a
+    * count aggregation it runs anyway): skips the protocol's fused
+    * bounds job entirely — the sketch/verify/gather jobs seed straight
+    * from the supplied bounds. Bit-identical output ([[exactQuantiles]]
+    * contract). The capped-sort small-column gate is also skipped, so
+    * reserve this for columns past that gate (> ~2¹⁷ values); small
+    * columns resolve cheaper through [[exactQuantilesSeeded]]'s fused
+    * bounds job. Wrong (non-superset) bounds would silently select
+    * wrong values — `nn`/`lo`/`hi` must be the exact aggregates. */
+  private[graft] def exactQuantilesKnownBounds(
+      df: DataFrame, valueCol: String, qs: Seq[Double],
+      nn: Long, lo: Long, hi: Long,
+      relativeError: Double = 0.01,
+      sketch: Option[Seq[Long]] = None): Seq[(Double, Long)] = {
+    require(nn > 0, s"need a positive non-null count, got $nn")
+    require(lo <= hi, s"lo > hi: $lo > $hi")
+    sketch.foreach(ps => require(ps.size == 2 * qs.size,
+      s"sketch must carry (lo, hi) per rank: ${ps.size} values for ${qs.size} ranks"))
+    exactQuantilesVia(df, valueCol, qs, Some(relativeError), 1024,
+      Some((nn, lo, hi)), sketch)
+  }
+
+  /** The capped-sort small-column gate ([[smallGroupCap]]), for callers
+    * choosing between [[exactQuantilesSeeded]] (fused bounds job
+    * resolves ≤-cap columns in ONE pass) and
+    * [[exactQuantilesKnownBounds]] (skips the bounds job — right past
+    * the gate). */
+  private[graft] def smallColumnGate: Long = smallGroupCap
 
   /** Clamp a sketch double to a widened long bound inside [lo, hi]:
     * ±one ulp of padding absorbs the double's representation error (a
@@ -271,7 +304,18 @@ object Quantiles {
   private def groupedExactQuantilesImpl(
       df: DataFrame, groupCol: String, valueCol: String,
       rankSpecs: Seq[(String, Double)], bins: Int,
-      seedRelError: Option[Double]): DataFrame = {
+      seedRelError: Option[Double],
+      // (nn, lo, hi) for the single-constant-group caller that already
+      // counted/bounded the column: skips the fused bounds job (and with
+      // it the capped-sort small-column gate)
+      ungroupedKnown: Option[(Long, Long, Long)] = None,
+      // caller-supplied percentile sketch for the single known group,
+      // laid out (bracket_lo, bracket_hi) per rank in rankSpecs order:
+      // skips the percentile_approx job too. The exact bracket-verify
+      // count still runs, so a stale/loose sketch only costs speed
+      // (disproved brackets fall back to the full range), never
+      // correctness.
+      ungroupedSketch: Option[Seq[Long]] = None): DataFrame = {
     require(rankSpecs.nonEmpty, "need at least one rank")
     rankSpecs.foreach { case (name, q) =>
       require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $name=$q") }
@@ -299,15 +343,26 @@ object Quantiles {
         element_at(col("vs"),
           greatest(lit(1), ceil(lit(q) * col("n")).cast("int")))).as(name)
     }
-    val boundsRows = df.select(g.as("__g"), v.as("__v"))
-      .groupBy(col("__g"))
-      .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
-        count(col("__v")).as("n"),
-        graft.functions.CappedSortedLongs
-          .cappedSortedLongs(col("__v"),
-            math.max(1L, smallGroupCap).toInt).as("vs"))
-      .select(Seq(col("__g"), col("lo"), col("hi"), col("n")) ++ rankCols: _*)
-      .collect()
+    val boundsRows = ungroupedKnown match {
+      case Some((nn, lo, hi)) =>
+        // caller-supplied single-group bounds: synthesize the one bounds
+        // row (group value matches exactQuantilesVia's `lit(1)`) with a
+        // NULL capped-sort marker so the rank columns stay unresolved
+        // and the seeded protocol below does the selection
+        // Seq[Any] guards the Int group value against Scala's literal
+        // widening (Seq(1, lo: Long, ...) would unify to Seq[Long] and
+        // box the group as a Long where the schema says IntegerType)
+        Array(Row.fromSeq(Seq[Any](1, lo, hi, nn) ++ rankSpecs.map(_ => null)))
+      case None => df.select(g.as("__g"), v.as("__v"))
+        .groupBy(col("__g"))
+        .agg(min(col("__v")).as("lo"), max(col("__v")).as("hi"),
+          count(col("__v")).as("n"),
+          graft.functions.CappedSortedLongs
+            .cappedSortedLongs(col("__v"),
+              math.max(1L, smallGroupCap).toInt).as("vs"))
+        .select(Seq(col("__g"), col("lo"), col("hi"), col("n")) ++ rankCols: _*)
+        .collect()
+    }
     // groups with only NULL values have no quantile; drop them like
     // exactKth's require, but per-group and non-fatal. State is keyed by
     // (group value, rank name) — resolved ranks enter converged, big
@@ -357,7 +412,11 @@ object Quantiles {
     seedRelError.foreach { re =>
       val activeGs = state.collect {
         case ((gv, _), (lo, hi, _)) if lo < hi => gv }.toSet
-      val sk: Map[Any, Seq[Long]] = if (activeGs.isEmpty) Map.empty else {
+      val sk: Map[Any, Seq[Long]] =
+        if (activeGs.isEmpty) Map.empty
+        else if (ungroupedSketch.isDefined)
+          activeGs.iterator.map(gv => gv -> ungroupedSketch.get).toMap
+        else {
         val probes = rankSpecs.flatMap { case (_, q) =>
           Seq(math.max(0.0, q - 2 * re), math.min(1.0, q + 2 * re)) }
         val acc = math.max(100, math.ceil(1.0 / re).toInt)
@@ -391,15 +450,30 @@ object Quantiles {
           StructField("__blo", LongType), StructField("__bhi", LongType)))
         val vRows = brackets.toSeq.map { case ((gv, name), (blo, bhi)) =>
           Row(gv, name, blo, bhi) }
+        // FUSED verify+gather: the capped-sort aggregate rides the verify
+        // job, so a bracket that verifies AND holds ≤ cap values resolves
+        // in this ONE job (the separate gather below then has nothing to
+        // do). The cap keeps the executor buffer hard-bounded: a loose
+        // bracket overflows to NULL and falls through to the classic
+        // gather/refinement path — same 100-TB degradation story as the
+        // gather cap. Budget split across keys so total ≤ GatherCapTotal.
+        val fusedCap = math.max(1L, math.min(GatherCapPerKey,
+          GatherCapTotal / brackets.size)).toInt
         val cntsQ = df.select(g.as("__gv"), v.as("__v"))
           .join(broadcast(localRows(spark, vRows, vSchema)),
             col("__gv") <=> col("__g") && col("__v") <= col("__bhi"))
           .groupBy("__g", "__rank")
           .agg(sum(when(col("__v") < col("__blo"), 1L).otherwise(0L)).as("below"),
-            sum(when(col("__v") >= col("__blo"), 1L).otherwise(0L)).as("inR"))
-        val cnts = cntsQ.collect()
+            sum(when(col("__v") >= col("__blo"), 1L).otherwise(0L)).as("inR"),
+            graft.functions.CappedSortedLongs.cappedSortedLongs(
+              when(col("__v") >= col("__blo"), col("__v")), fusedCap).as("vs"))
+        val rawCnts = cntsQ.collect()
+        val cnts = rawCnts
           .map(r => (r.get(0), r.getString(1)) -> ((r.getLong(2), r.getLong(3))))
           .toMap
+        val fusedVals: Map[(Any, String), Seq[Long]] = rawCnts.iterator
+          .filter(!_.isNullAt(4))
+          .map(r => (r.get(0), r.getString(1)) -> r.getSeq[Long](4)).toMap
         var verifiedInR = Map.empty[(Any, String), Long]
         state = state.map { case (key, full @ (_, _, k)) =>
           brackets.get(key) match {
@@ -407,8 +481,14 @@ object Quantiles {
               val (below, inRange) = cnts.getOrElse(key, (0L, 0L))
               val kk = k - below
               if (kk >= 1 && kk <= inRange) {
-                verifiedInR += key -> inRange
-                key -> ((blo, bhi, kk))
+                fusedVals.get(key) match {
+                  case Some(vs) => // fused gather resolved it in-job
+                    val x = vs((kk - 1).toInt)
+                    key -> ((x, x, 1L))
+                  case None =>
+                    verifiedInR += key -> inRange
+                    key -> ((blo, bhi, kk))
+                }
               } else key -> full // bracket disproved: exact fallback
             case None => key -> full
           }

@@ -293,9 +293,34 @@ object Ranks {
         descending, outCol)
     val (selCol, toLit) = mapping.get
 
-    val cnts = df.agg(count(lit(1)).as("n"), count(col(valueCol)).as("nn")).head()
+    // The count agg is the FIRST action over `df` — when the caller
+    // hands in a persist()ed-but-unmaterialized frame, THIS job builds
+    // the cache, so it must run at the session's normal conf (an
+    // AQE-off/narrow-width window here was measured to materialize the
+    // customer mart's cache with 8 partitions, slowing every later
+    // cache scan in the query). min/max of the mapped column ride the
+    // same job: past the small-column gate they let the selection skip
+    // its own bounds scan entirely (exactQuantilesKnownBounds). A
+    // percentile_approx sketch rides it too, with probes CENTERED ON
+    // THE THRESHOLDS (the exact target rank fraction isn't known until
+    // n/nn return — circular — but under DESC it is ≈ 1−t, under ASC
+    // ≈ t, within ~nullFraction + 1/nn): ±2% probe margin plus the
+    // sketch's own ≤0.5% rank accuracy covers the approximation, and a
+    // miss only costs speed — the selection's exact bracket-verify
+    // count demotes a disproved bracket to the full range.
+    val probeCenters = thresholds.map(t => if (descending) 1.0 - t else t)
+    val probeFracs = probeCenters.flatMap(c =>
+      Seq(math.max(0.0, c - 0.02), math.min(1.0, c + 0.02)))
+    val cnts = df.agg(count(lit(1)).as("n"), count(col(valueCol)).as("nn"),
+      min(selCol).as("lo"), max(selCol).as("hi"),
+      percentile_approx(selCol, lit(probeFracs.toArray), lit(200)).as("ps"))
+      .head()
     val n = cnts.getLong(0)
     val nn = cnts.getLong(1)
+    val (selLo, selHi) =
+      if (cnts.isNullAt(2)) (0L, 0L) else (cnts.getLong(2), cnts.getLong(3))
+    val sketchByThreshold: Option[Seq[Long]] =
+      if (cnts.isNullAt(4)) None else Some(cnts.getSeq[Long](4))
     def bandOf(pr: Double): String = {
       val i = thresholds.indexWhere(pr <= _)
       if (i == -1) labels.last else labels(i)
@@ -331,12 +356,60 @@ object Ranks {
       }
     }
     val defined = ks.flatten.distinct
+    // Double/float columns ride the IEEE-bits mapping whose long range
+    // spans ~2⁶² — there the seeded protocol (sketch + verify + gather)
+    // resolves in ~4 bounded jobs where plain refinement pays ~7 full
+    // histogram rounds (measured 1.7 s → 1.3 s on the customer mart's
+    // SALE_AMOUNT at sf0.1). Integrals/decimals keep the plain form:
+    // their ranges are narrow enough that refinement converges in ≤ 2
+    // rounds and the sketch pass would cost more than it saves.
+    // The selection runs ungrouped (one group) so every reduce input is
+    // bounded by construction: AQE's only contribution would be 2-3
+    // stage-materialization jobs per action to coalesce already-tiny
+    // exchanges — pin it off (plus a narrow reduce width) for the
+    // selection window, AFTER the materializing count above.
+    val wideRange = dt == DoubleType || dt == FloatType
+    val shufKey = "spark.sql.shuffle.partitions"
+    val spark0 = df.sparkSession
+    val smallShuf = math.min(8, spark0.conf.get(shufKey, "200").toInt).toString
     val selected: Map[Long, Long] =
       if (defined.isEmpty) Map.empty
-      else graft.ops.Quantiles.exactQuantiles(
-        df.select(selCol.as("__sel")), "__sel",
-        defined.map(k => (k - 0.5) / nn)).zip(defined)
-        .map { case ((_, v), k) => k -> v }.toMap
+      else ConfWindows.withOverrides(spark0, Seq(
+        "spark.sql.adaptive.enabled" -> "false",
+        shufKey -> smallShuf)) {
+        val sel = df.select(selCol.as("__sel"))
+        val qsFrac = defined.map(k => (k - 0.5) / nn)
+        // Re-key the agg-ridden per-threshold sketch pairs onto the
+        // defined ranks — and only hand a pair over when its probe
+        // center provably covers the rank's true fraction (±0.02 probe
+        // margin − 0.005 sketch rank error − slack ⇒ |q − c| ≤ 0.012;
+        // a null-heavy column shifts q past that, in which case the
+        // protocol runs its own exactly-centered sketch job instead).
+        val sketchSeq: Option[Seq[Long]] = sketchByThreshold.flatMap { ps =>
+          val pairs: Seq[Option[(Long, Long)]] = defined.map { k =>
+            val q = (k - 0.5) / nn
+            val cands = thresholds.indices.filter(i => ks(i).contains(k))
+            cands.minByOption(i => math.abs(probeCenters(i) - q))
+              .filter(i => math.abs(probeCenters(i) - q) <= 0.012)
+              .map(i => (ps(2 * i), ps(2 * i + 1)))
+          }
+          if (pairs.forall(_.isDefined))
+            Some(pairs.flatMap(p => Seq(p.get._1, p.get._2)))
+          else None
+        }
+        val got =
+          if (nn > graft.ops.Quantiles.smallColumnGate)
+            // big column: the count agg above already carried exact
+            // min/max (and usually the sketch), so the selection skips
+            // its bounds scan — and with a covering sketch, its
+            // percentile job too: verify + gather only
+            graft.ops.Quantiles.exactQuantilesKnownBounds(
+              sel, "__sel", qsFrac, nn, selLo, selHi, sketch = sketchSeq)
+          else if (wideRange)
+            graft.ops.Quantiles.exactQuantilesSeeded(sel, "__sel", qsFrac)
+          else graft.ops.Quantiles.exactQuantiles(sel, "__sel", qsFrac)
+        got.zip(defined).map { case ((_, v), k) => k -> v }.toMap
+      }
 
     val v = col(valueCol)
     val chain = thresholds.indices.foldLeft(

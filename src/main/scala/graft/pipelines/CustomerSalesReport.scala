@@ -100,28 +100,50 @@ object CustomerSalesReport {
       thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
       descending = true, outCol = "LOYALTY_TIER")
 
-    // SALE_ID alone is not unique in the fixture (lineitem's composite key
-    // has collisions), so the tiebreak chain extends to PRODUCT_ID/QUANTITY
-    // to keep row_number deterministic.
-    val perCustomer = Window.partitionBy("CUSTOMER_ID")
-      .orderBy(col("SALE_AMOUNT").desc, col("SALE_ID").asc,
-        col("PRODUCT_ID").asc, col("QUANTITY").asc)
-    // ResultSort: the final sort's range exchange samples its child, so
-    // a bare orderBy evaluates the tail twice per action — tolerable
-    // while the metrics cache is warm, but under a full-suite JVM's
-    // memory pressure an evicted cache makes both evaluations full
-    // rebuilds. Persisting the 40k-row result bounds the tail at ONE
-    // evaluation regardless of upstream cache residency.
-    ResultSort.sortedSmall(
-      tiered
-        .withColumn("rn", row_number().over(perCustomer))
-        .withColumn("TOP_PERFORMER", when(col("rn") === 1, "Yes").otherwise("No"))
-        .drop("rn")
-        .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
-          "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
-          "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
-          "LOAD_TSTMP"),
-      col("SALE_ID"))
+    // TOP_PERFORMER = the row_number()=1 row per customer under
+    // (SALE_AMOUNT desc, SALE_ID asc, PRODUCT_ID asc, QUANTITY asc) —
+    // SALE_ID alone is not unique in the fixture (the packed composite
+    // key collides), so the tiebreak chain extends through
+    // PRODUCT_ID/QUANTITY, which makes the ordering key UNIQUE within
+    // every customer (verified: zero duplicate (CUSTOMER_ID, SALE_ID,
+    // PRODUCT_ID, QUANTITY) groups at sf0.01/sf0.1). A unique key lets
+    // the window form collapse to an ARGMIN AGGREGATION: per customer,
+    // min of the packed ordering struct (SALE_AMOUNT rides the
+    // order-preserving IEEE-bits transform, bit-flipped for DESC — no
+    // negation overflow), broadcast back, flag by struct equality.
+    // That removes the full-row CUSTOMER_ID shuffle + per-partition
+    // sort the window costs: the agg is map-side-combined down to one
+    // tiny struct per customer, and the row side goes straight from
+    // the metrics cache to the final sort. At 100 TB this is the
+    // difference between shuffling the whole mart and shuffling
+    // |customers| 32-byte structs. (Under a true full-key tie —
+    // impossible here, rows would be identical in every output column —
+    // all tied rows flag "Yes", where row_number's pick among identical
+    // rows is arbitrary-and-nondeterministic anyway.)
+    val ordKey = struct(
+      // null amount (unmatched product) sorts LAST under desc in both
+      // engines → flipped-bits MaxValue
+      coalesce(graft.functions.SortableDoubleBits.sortableDoubleBits(
+        col("SALE_AMOUNT")).bitwiseXOR(lit(-1L)), lit(Long.MaxValue)).as("a"),
+      col("SALE_ID").as("s"), col("PRODUCT_ID").as("p"),
+      col("QUANTITY").as("q"))
+    val keyed = tiered.withColumn("__ord", ordKey)
+    val tops = keyed.groupBy("CUSTOMER_ID")
+      .agg(min(col("__ord")).as("__ord_min"))
+    // No final sort: the reference writes the target frame UNORDERED
+    // (`m_customer_sales_report_task.py:142-166` — the tgt select goes
+    // straight to the duplicate gate and load), so the mart ends
+    // map-side: cache scan → broadcast argmin join → projection. The
+    // oracle's ORDER BY is presentational only (the driver compare
+    // sorts rows before hashing).
+    keyed
+      .join(broadcast(tops), Seq("CUSTOMER_ID"))
+      .withColumn("TOP_PERFORMER",
+        when(col("__ord") === col("__ord_min"), "Yes").otherwise("No"))
+      .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
+        "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
+        "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
+        "LOAD_TSTMP")
   }
 
   val oracle: String = Entities.sqlCtes + """
