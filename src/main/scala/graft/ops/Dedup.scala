@@ -546,21 +546,42 @@ object Dedup {
           .filter(col("jaccard") >= threshold)
           .select("doc_i", "doc_j", "jaccard")
       case Some(cap) =>
-        val rare = index.groupBy("shash").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= cap).select("shash")
-        // The rare-restricted index has THREE consumers (both self-join
-        // sides + the per-doc rare counts), and each re-derivation costs a
-        // full index scan + df-join shuffle — with the Spark 4.1
-        // cache-scan canonicalization miss (scaladoc above) none of those
-        // exchanges reuse. Persist the COMPACT (shash, id) frame once and
-        // materialize it eagerly, for the same reason the adaptive probe
-        // pre-materializes the shingle cache: a cold cache raced by the
-        // self-join's two sides is computed twice (NOTES_r5 lock convoy).
-        // Measured at sf0.1 (JaccardTime, warm JVM): forced-cap 2.7 s →
-        // ~1.9 s. Registered in the bounded shingle window — evictable,
-        // recompute-safe.
-        val capped = registerShingleCache(index.join(rare, "shash"))
-        capped.count()
+        // Cap application is a BROADCAST STOP-SET, not a df join: the
+        // over-cap shingles are the boilerplate head of the frequency
+        // distribution — few distinct keys by definition (≤ |index|/cap,
+        // in practice orders of magnitude fewer) — so collect them
+        // (bounded) and drop them with a broadcast left-anti join that
+        // keeps the full index scan MAP-SIDE. The previous inner join
+        // against the rare set (≈ all distinct shingles) shuffled the
+        // whole index a second time and was the sweep's only
+        // superlinear cell (3.4× at 10× data). The driver pull is hard-
+        // bounded: past the guard (2²⁰ keys ≈ 8 MB) fall back to the
+        // shuffle join — the stop-set assumption has failed, and at
+        // that point the join IS the scale-safe form.
+        val overCap = index.groupBy("shash").agg(count(lit(1)).as("df"))
+          .filter(col("df") > cap).select("shash")
+        val stopGuard = 1 << 20
+        val stop = overCap.limit(stopGuard + 1).collect().map(_.getLong(0))
+        val cappedRaw =
+          if (stop.length <= stopGuard) {
+            val spark = index.sparkSession
+            import spark.implicits._
+            index.join(broadcast(stop.toSeq.toDF("shash")),
+              Seq("shash"), "left_anti")
+          } else index.join(
+            overCap.select("shash"), Seq("shash"), "left_anti")
+        // NOT persisted: the capped index has three consumers (both
+        // self-join sides + the per-doc rare counts), but with the
+        // broadcast stop-set each re-derivation is a WARM compact-cache
+        // read + codegen explode + map-side anti filter — no shuffle,
+        // no re-tokenization (the stop-set collect above already
+        // materialized the underlying shingle cache, so the NOTES_r5
+        // cold-cache race can't happen). The old second persist wrote
+        // the whole EXPLODED index to cache a second time, which was
+        // the dominant data-proportional cost at 10× data (the sweep's
+        // one >3× cell); three explodes of a warm array cache cost
+        // less than one exploded-cache write at every scale measured.
+        val capped = cappedRaw
         // count shared RARE shingles per pair directly (map-side-combined
         // aggregation, like the uncapped path — no distinct-then-rejoin:
         // materializing every co-occurring pair for the full verify made
@@ -589,8 +610,17 @@ object Dedup {
             col("n_sh").as("n_j"), col("n_rare").as("r_j")), "doc_j")
         val ubCommon = col("c_r") +
           least(col("n_i") - col("r_i"), col("n_j") - col("r_j"))
-        val plausible = withBounds
-          .filter(ubCommon / (col("n_i") + col("n_j") - ubCommon) >= threshold)
+        // PERSISTED + eagerly materialized: the exact-now/residue split
+        // below consumes `plausible` in BOTH branches of a union, and
+        // without the cache each branch re-runs the whole candidate
+        // generation (self-join + pair agg — the dominant cost of the
+        // capped path; measured ~2× at 10× data). The frame is small by
+        // construction — only pairs whose Jaccard UPPER BOUND clears the
+        // threshold survive the prune. The eager count keeps the two
+        // branches from racing the cold cache (NOTES_r5 convoy).
+        val plausible = registerShingleCache(withBounds
+          .filter(ubCommon / (col("n_i") + col("n_j") - ubCommon) >= threshold))
+        plausible.count()
         // when BOTH docs are all-rare (r = n_sh), every shared shingle is
         // rare, so c_r IS the exact common count — emit the exact Jaccard
         // directly and verify only the residue. On a benign corpus (caps
