@@ -37,6 +37,7 @@ object Bench {
       graft.ops.Linkage.releaseCaches()
       graft.ops.Ranks.releaseCaches()
       graft.ops.SemanticDedup.releaseCaches()
+      graft.ops.TextAnalysis.releaseCaches()
       graft.ops.TimeSeries.releaseCaches()
       graft.pipelines.ResultSort.releaseCaches()
       queries.map { case (name, fn) =>

@@ -19,6 +19,20 @@ import org.apache.spark.sql.functions._
   */
 object TextAnalysis {
 
+  /** Bounded cache window for compact term-frequency frames: the bm25
+    * plan consumes its (id, token, tf, dl) aggregation from THREE
+    * branches (the row side, the df-by-token side, the total-token
+    * scalar), and at runtime under AQE none of those exchanges reuse
+    * (the planner-level ReuseExchange the spec pins with AQE OFF is not
+    * applied by AQE's runtime stage cache here — three full corpus
+    * tokenize scans, measured). Persisting the compact tf frame makes
+    * tokenization run ONCE at any scale; MEMORY_AND_DISK, evictable,
+    * recompute-safe. */
+  private[graft] val tfCacheWindow = new CacheWindows(4)
+
+  /** Unpersist every tf frame this module still holds (all sessions). */
+  def releaseCaches(): Unit = tfCacheWindow.releaseAll()
+
   /** Polynomial-hash modulus / base (same constants in the oracle SQL). */
   val P = 1000000007L
   val B = 31L
@@ -288,23 +302,30 @@ object TextAnalysis {
     * raise_error fires instead of a corrupted ranking. */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val counts = docs
-      .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-      // dl (doc length in tokens) = sum of tf over the doc — an
-      // unordered window on the already-aggregated frame, same id key
-      .withColumn("dl", sum("tf").over(Window.partitionBy(idCol)))
-    // same pruning guard as tfidf: the max(tf)*0 term keeps both
-    // branches' (id, token) exchanges canonically identical for reuse
-    val dfByToken = counts.groupBy("token")
-      .agg((count(lit(1)) + max(col("tf")) * lit(0L)).as("df"))
+    // dl (doc length in tokens) = size of the token array, carried
+    // through the explode and folded into the SAME (id, token)
+    // aggregation as tf — the old form computed it as `sum(tf) over
+    // (partition by id)` on the tf frame, a second full shuffle+sort of
+    // that frame for a value already known at tokenize time.
+    // PERSISTED (bounded window) + eagerly materialized: three branches
+    // consume this compact frame (row side, df-by-token, total-token
+    // scalar) and AQE's runtime stage cache does not reuse their
+    // exchanges (three corpus tokenize scans, measured at sf0.1) — one
+    // cache write beats re-tokenizing the corpus twice at every scale.
+    // The eager count keeps the broadcast branches from racing the cold
+    // cache (NOTES_r5 convoy).
+    val counts = tfCacheWindow.add(docs
+      .select(col(idCol).as(idCol), tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), size(col("__toks")).as("__dl0"),
+        explode(col("__toks")).as("token"))
+      .groupBy(idCol, "token")
+      .agg(count(lit(1)).as("tf"), max("__dl0").cast("long").as("dl")))
+    counts.count()
+    val dfByToken = counts.groupBy("token").agg(count(lit(1)).as("df"))
     // total token count from the compact tf frame, not a corpus rescan
     val totToks = counts.agg(sum("tf").as("total_tokens"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("weight_q").desc, col("token").asc)
     def dec(c: Column): Column = c.cast(DecimalType(38, 0))
     // exact integer rational: all Long pre-products are overflow-safe
     // (2N, 22·tf, 10·tf, 3·T, 9·dl small multiples of counts); the big
@@ -315,7 +336,7 @@ object TextAnalysis {
       (dec(lit(10L) * col("tf")) * dec(col("total_tokens")) +
         dec(lit(3L) * col("total_tokens")) +
         dec(lit(9L) * col("dl")) * dec(col("n_docs")))
-    counts
+    val weighted = counts
       .join(dfByToken, "token")
       .crossJoin(broadcast(nDocs))
       .crossJoin(broadcast(totToks))
@@ -334,9 +355,30 @@ object TextAnalysis {
           "ELSE __wnum div __wden END"))
       .withColumn("weight",
         col("__wnum").cast("double") / col("__wden").cast("double") / 1e12)
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col(idCol), col("token"), col("tf"), col("df"), col("dl"),
-        col("weight_q"), col("weight"), col("rk"))
+    // Per-doc top-k through the bounded-heap TopKRows aggregate instead
+    // of `row_number() over (partition by id order by ...) <= k`: the
+    // window form shuffles and sorts the FULL weighted tf frame; the
+    // aggregate's map-side partials ship at most k rows per doc per map
+    // partition. The ordering (weight_q DESC, token ASC) is total —
+    // token is unique within a doc by the groupBy — and the string
+    // tiebreak rides [[graft.functions.StringOrdLongs]] (order-
+    // preserving sortable longs, loud failure past 64 bytes), so the
+    // rows are bit-identical to the window form's.
+    val ord = concat(
+      array(graft.ops.TopK.ordDesc(col("weight_q"))),
+      graft.functions.StringOrdLongs.stringOrdAsc(col("token")))
+    weighted
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKRows.topKRows(ord,
+        struct(col("token"), col("tf"), col("df"), col("dl"),
+          col("weight_q"), col("weight")), k).as("__topk"))
+      .select(col(idCol),
+        posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(idCol), col("__e.token").as("token"),
+        col("__e.tf").as("tf"), col("__e.df").as("df"),
+        col("__e.dl").as("dl"), col("__e.weight_q").as("weight_q"),
+        col("__e.weight").as("weight"),
+        (col("__pos") + 1).cast("int").as("rk"))
   }
 
   /** Adjacent word pairs of each document, exploded to (w1, w2) rows.

@@ -325,7 +325,7 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows((3L, "other")) == wq(tf = 1, df = 1, dl = 2))
   }
 
-  test("tfidf and bm25 plans reuse the (id, token) exchange: ONE text scan") {
+  test("tfidf plan reuses the (id, token) exchange: ONE text scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
     val docs = spark.read.parquet(s"$sf/documents.parquet")
@@ -334,18 +334,47 @@ class TextAnalysisSpec extends SparkSpec {
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
-      Seq(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3),
-        TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 3)).foreach { df =>
-        val plan = df.queryExecution.executedPlan
-        assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
-          "tf/df branches no longer share the (id, token) exchange")
-        val textScans = plan.collect {
-          case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
-        }
-        assert(textScans.size == 1,
-          s"corpus tokenize scan must run once, found ${textScans.size}")
+      val df = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+      val plan = df.queryExecution.executedPlan
+      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
+        "tf/df branches no longer share the (id, token) exchange")
+      val textScans = plan.collect {
+        case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
       }
+      assert(textScans.size == 1,
+        s"corpus tokenize scan must run once, found ${textScans.size}")
     } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+  }
+
+  test("bm25 tokenizes the corpus ONCE: tf frame cached, no text scan " +
+    "in the consuming plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+    // bm25's three tf consumers (row side, df-by-token, total-tokens)
+    // read the PERSISTED compact tf frame — at runtime under AQE the
+    // exchange-reuse path the old shape relied on does not fire, so the
+    // cache is the one-tokenize guarantee at any scale. AQE off for the
+    // assertion only: adaptive plans wrap cache scans in query stages
+    // that a pre-execution collect can't see.
+    val prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+    val df = TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 3)
+    val plan = df.queryExecution.executedPlan
+    val cacheScans = plan.collect { case s: InMemoryTableScanExec => s }
+    assert(cacheScans.size >= 3,
+      s"expected all three tf consumers on the cache, found ${cacheScans.size}")
+    val textScans = plan.collect {
+      case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
+    }
+    assert(textScans.isEmpty,
+      s"tokenize must run only inside the cached tf frame, found " +
+        s"${textScans.size} corpus text scans in the consuming plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      TextAnalysis.releaseCaches()
+    }
   }
 
   test("bigramPairs: per-doc adjacency, no cross-document pairs") {
