@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
@@ -33,6 +33,23 @@ object Stats {
 
   private val Dec = DecimalType(38, 0)
 
+  /** round(value*scale) as a LONG, loudly refusing magnitudes past the
+    * long fast path (the double compare is exact at this magnitude —
+    * 4e18 < 2^63 leaves a 2.3x margin over the estimate's ulp error). */
+  private def fixedLong(cn: String, scale: Long): Column = {
+    val scaled = round(col(cn) * scale)
+    when(abs(scaled) <= lit(4.0e18), scaled.cast("long"))
+      .otherwise(raise_error(lit(s"Stats: |$cn * $scale| exceeds the " +
+        "4e18 long fast path - reduce scale")).cast("long"))
+  }
+
+  /** Per-row moment product in LONG, guarded by a double-magnitude
+    * estimate (relative error ~1e-16 against a 2.3x headroom). */
+  private def guardedProduct(a: Column, b: Column): Column =
+    when(abs(a.cast("double") * b.cast("double")) < lit(4.0e18), a * b)
+      .otherwise(raise_error(lit("Stats: per-row moment product exceeds " +
+        "the 4e18 long fast path - reduce scale")).cast("long"))
+
   /** Per-group exact moments + derived corr/slope/intercept.
     * `scale` is the fixed-point multiplier (100 for 2-decimal money);
     * rows where either column is NULL, NaN, or ±Infinity are excluded
@@ -46,19 +63,29 @@ object Stats {
                        xCol: String, yCol: String,
                        scale: Long = 100L): DataFrame = {
     require(scale >= 1, "scale must be >= 1")
-    val x = round(col(xCol) * scale).cast(Dec)
-    val y = round(col(yCol) * scale).cast(Dec)
+    // Fixed-point values and their per-row moment products ride LONGS
+    // into the exact 128-bit sum aggregate ([[graft.functions.Sum128]]:
+    // primitive two-long buffers, codegen'd carry) — Spark's decimal sum
+    // with a 38-digit buffer pays a BigDecimal deserialize/add/serialize
+    // per row (measured 3x this form on the sf0.1 moments scan). The
+    // guards keep the fast path HONEST: a value or per-row product past
+    // ~4e18 raises rather than silently wrapping the long (reduce
+    // `scale` for such domains).
+    val x = fixedLong(xCol, scale)
+    val y = fixedLong(yCol, scale)
     def finite(c: String) = {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
+    import graft.functions.Sum128.sum128
     val filtered = df.filter(finite(xCol) && finite(yCol))
     val m = filtered
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(Dec).as("n"),
-        sum(x).as("sx"), sum(y).as("sy"),
-        sum(x * x).as("sxx"), sum(y * y).as("syy"),
-        sum(x * y).as("sxy"))
+        sum128(x).as("sx"), sum128(y).as("sy"),
+        sum128(guardedProduct(x, x)).as("sxx"),
+        sum128(guardedProduct(y, y)).as("syy"),
+        sum128(guardedProduct(x, y)).as("sxy"))
     // exact integer numerators/denominators, cast to double ONCE each
     val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -103,19 +130,22 @@ object Stats {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
-    val v = round(col(valueCol) * scale).cast(Dec)
+    import graft.functions.Sum128.sum128
+    val v = fixedLong(valueCol, scale)
+    val vv = guardedProduct(v, v)
     val isA = col(variantCol) === 0
     // NULL variants are excluded outright: `=== 0` would silently route
     // them to the B side while a SQL `<> 0` replay drops them — the
-    // engine must not depend on that divergence
+    // engine must not depend on that divergence. Moments ride the
+    // Sum128 long fast path (see groupedCorrSlope).
     val m = df.filter(finite(valueCol) && col(variantCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(when(isA, 1L).otherwise(0L)).cast(Dec).as("na"),
         sum(when(!isA, 1L).otherwise(0L)).cast(Dec).as("nb"),
-        sum(when(isA, v).otherwise(lit(0).cast(Dec))).as("sa"),
-        sum(when(!isA, v).otherwise(lit(0).cast(Dec))).as("sb"),
-        sum(when(isA, v * v).otherwise(lit(0).cast(Dec))).as("qa"),
-        sum(when(!isA, v * v).otherwise(lit(0).cast(Dec))).as("qb"))
+        sum128(when(isA, v).otherwise(lit(0L))).as("sa"),
+        sum128(when(!isA, v).otherwise(lit(0L))).as("sb"),
+        sum128(when(isA, vv).otherwise(lit(0L))).as("qa"),
+        sum128(when(!isA, vv).otherwise(lit(0L))).as("qb"))
     def mean(s: String, n: String) =
       (col(s).cast("double") / col(n).cast("double")) / scale
     def variance(n: String, s: String, q: String) =
@@ -173,8 +203,7 @@ object Stats {
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
     val base = df.filter(finite(valueCol))
-      .select(col(idCol).as("__id"),
-        round(col(valueCol) * scale).cast(Dec).as("__v"))
+      .select(col(idCol).as("__id"), fixedLong(valueCol, scale).as("__v"))
 
     val rep = base.select(col("__id"), col("__v"),
       explode(sequence(lit(1), lit(b))).as("r"))
@@ -187,9 +216,14 @@ object Stats {
         chain.when(u < lit(cdf.toDouble), k)
       }.otherwise(9).cast("long")
 
+    // __m <= 9, so v*m stays within the guarded long domain (the v
+    // guard leaves 2.3x headroom; magnitudes near it raise in fixedLong
+    // long before the x9 multiplier can wrap)
+    import graft.functions.Sum128.sum128
     val means = rep.withColumn("__m", m)
       .groupBy("r")
-      .agg(sum(col("__v") * col("__m")).as("__sv"), sum("__m").as("__sm"))
+      .agg(sum128(guardedProduct(col("__v"), col("__m"))).as("__sv"),
+        sum("__m").as("__sm"))
       .select(when(col("__sm") > 0,
         (col("__sv").cast("double") / col("__sm").cast("double")) / scale)
         .as("__mean"))
@@ -197,7 +231,7 @@ object Stats {
     val kLo = math.max(1, (b * alpha / 2).toInt)
     val kHi = b + 1 - kLo
     val point = base.agg(count(lit(1)).as("n_rows"),
-      ((sum("__v").cast("double") / count(lit(1)).cast("double")) / scale)
+      ((sum128(col("__v")).cast("double") / count(lit(1)).cast("double")) / scale)
         .as("mean"))
     means.agg(sort_array(collect_list(col("__mean"))).as("__s"))
       .crossJoin(broadcast(point))
