@@ -186,8 +186,13 @@ object Classifier {
     * derived from it is garbage, so the headroom contract fails loudly
     * here instead (the bm25TopTerms overflow-guard philosophy). */
   private def bits2L(x: Long): Long = {
-    require(x > 0 && x <= 3037000499L,
-      s"bits2 exact-Long ceiling exceeded: $x not in (0, 3037000499]")
+    // x = 0 is reachable (a CV fold whose training split has an empty
+    // vocabulary: V^(f) = 0 and n_c^(f) = 0) and must mirror the
+    // distributed bits2's value there — toBinaryString(0) = "0" gives
+    // length 1 → 0, exactly bits2(0). Only the overflow ceiling is
+    // enforced: past it x² wraps silently.
+    require(x >= 0 && x <= 3037000499L,
+      s"bits2 exact-Long ceiling exceeded: $x not in [0, 3037000499]")
     java.lang.Long.toBinaryString(x * x).length.toLong - 1L
   }
 
@@ -227,6 +232,11 @@ object Classifier {
   def nbCrossValidate(docs: DataFrame, idCol: String, textCol: String,
                       labelCol: String, folds: Int = 5): DataFrame = {
     val spark = docs.sparkSession
+    // NOT cached: a base-corpus cache was probed (r13) — neutral at
+    // sf0.1 and within noise at the 10× replica (the tokenize scans it
+    // saves cost about what the corpus-scale cache write adds), and a
+    // corpus-sized entry in the shared bounded window could evict the
+    // vocabulary frames the margins/calibration family reuses.
     val base = docs.select(col(idCol).as("__id"), col(labelCol).as("__label"),
       pmod(col(idCol), lit(folds)).cast("long").as("fold"),
       TextAnalysis.tokens(lower(col(textCol))).as("__tk"))
@@ -254,10 +264,10 @@ object Classifier {
             .as("f_map"),
           max(col("fold").isNull).as("has_null_fold")))
 
-    // four bounded driver actions, launched CONCURRENTLY (wall = the
+    // two bounded driver actions, launched CONCURRENTLY (wall = the
     // slowest, not the sum; the persisted vocabulary frame computes
     // once — BlockManager's per-partition get-or-compute lock makes
-    // the three consumers below share one materialization):
+    // the union's three branches share one materialization):
     //   1. doc counts at (fold, label) grain — folds×classes rows from
     //      a count-only scan (columns pruned to id+label)
     //   2. per-(fold, cls) token totals off the vocabulary frame
@@ -282,19 +292,28 @@ object Classifier {
     import scala.concurrent.{Await, Future}
     import scala.concurrent.ExecutionContext.Implicits.global
     import scala.concurrent.duration.Duration
-    val (dcRows, nfRows, naRows, exRows) =
+    // the three vocabulary-frame re-aggregations ride ONE union and ONE
+    // collect (their branches scan the persisted frame in parallel
+    // inside a single job), disambiguated by a `kind` tag; the doc-count
+    // scan reads a different source (the corpus, pruned to id+label)
+    // and stays a concurrent second action — 4 scheduler jobs → 2
+    val labelT = base.schema("__label").dataType
+    val (dcRows, gridRaw) =
       ConfWindows.withOverrides(spark,
         Seq("spark.sql.adaptive.enabled" -> "false")) {
         val dcJob = Future(docs
           .groupBy(pmod(col(idCol), lit(folds)).cast("long").as("fold"),
             col(labelCol).as("cls"))
           .agg(count(lit(1)).as("dc_f")).collect())
-        val nfJob = Future(enriched
+        val nfAgg = enriched
           .select(col("cls"), explode(col("f_map")).as(Seq("fold", "c")))
-          .groupBy("fold", "cls").agg(sum("c").as("n_f")).collect())
-        val naJob = Future(enriched
-          .groupBy("cls").agg(sum("c_all").as("n_all")).collect())
-        val exJob = Future(enriched
+          .groupBy("fold", "cls").agg(sum("c").as("n"))
+          .select(lit("nf").as("kind"), col("fold"), col("cls"), col("n"))
+        val naAgg = enriched
+          .groupBy("cls").agg(sum("c_all").as("n"))
+          .select(lit("na").as("kind"), lit(null).cast("long").as("fold"),
+            col("cls"), col("n"))
+        val exAgg = enriched
           .select(col("tok"), map_keys(col("f_map")).as("fs"),
             col("has_null_fold"))
           .groupBy("tok")
@@ -302,12 +321,17 @@ object Classifier {
             max(col("has_null_fold")).as("hn"))
           .select(when(size(col("fs")) === 1 && !col("hn"),
             element_at(col("fs"), 1)).as("xf"))
-          .groupBy("xf").agg(count(lit(1)).as("n")).collect())
+          .groupBy("xf").agg(count(lit(1)).as("n"))
+          .select(lit("ex").as("kind"), col("xf").as("fold"),
+            lit(null).cast(labelT).as("cls"), col("n"))
+        val gridJob = Future(
+          nfAgg.unionByName(naAgg).unionByName(exAgg).collect())
         (Await.result(dcJob, Duration.Inf),
-          Await.result(nfJob, Duration.Inf),
-          Await.result(naJob, Duration.Inf),
-          Await.result(exJob, Duration.Inf))
+          Await.result(gridJob, Duration.Inf))
       }
+    val nfRows = gridRaw.filter(_.getString(0) == "nf")
+    val naRows = gridRaw.filter(_.getString(0) == "na")
+    val exRows = gridRaw.filter(_.getString(0) == "ex")
 
     val dcF: Map[(Any, Any), Long] =
       dcRows.map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
@@ -319,12 +343,12 @@ object Classifier {
     // null fold = null doc id: those docs are global trainers, not a fold
     val foldsDomain: Seq[Any] = dcRows.map(_.get(0)).filter(_ != null).distinct.toSeq
     val nF: Map[(Any, Any), Long] =
-      nfRows.map(r => (r.get(0), r.get(1)) -> r.getLong(2)).toMap
+      nfRows.map(r => (r.get(1), r.get(2)) -> r.getLong(3)).toMap
     val nAll: Map[Any, Long] =
-      naRows.map(r => (r.get(0): Any) -> r.getLong(1)).toMap
-    val vAll: Long = exRows.map(_.getLong(1)).sum
-    val excl: Map[Any, Long] = exRows.filter(!_.isNullAt(0))
-      .map(r => (r.get(0): Any) -> r.getLong(1)).toMap
+      naRows.map(r => (r.get(2): Any) -> r.getLong(3)).toMap
+    val vAll: Long = exRows.map(_.getLong(3)).sum
+    val excl: Map[Any, Long] = exRows.filter(!_.isNullAt(1))
+      .map(r => (r.get(1): Any) -> r.getLong(3)).toMap
 
     // (fold × class) training constants, bit-identical to the r10 join
     // tree (null-cls lookups read 0 — the null-unsafe join contract)
