@@ -49,23 +49,48 @@ object Associations {
     * (item_a < item_b) that ever shares a session — (item_a, item_b,
     * n_ab, n_a, n_b, n_sessions, support, lift), with n_x = sessions
     * containing x, support = n_ab/N, lift = n_ab·N / (n_a·n_b).
-    * `minPairSessions` prunes the long tail before the stats join. */
+    * `minPairSessions` prunes the long tail before the stats join.
+    *
+    * `maxBasket` GUARDS THE QUADRATIC FANOUT: pair volume is
+    * Σ_sessions |basket|², so one pathological session whose itemCol is
+    * high-cardinality (a user id, a timestamp) would silently explode
+    * the job. A session whose DISTINCT item set exceeds the cap raises
+    * with an explicit message instead — raise the cap deliberately for
+    * genuinely huge vocabularies. The cap also bounds the per-session
+    * collect_set buffer (items × cap), which lets pair generation run
+    * as per-row array surgery on the basket arrays: ONE shuffle (the
+    * session groupBy), no basket self-join exchange pair. */
   def sessionCooccurrence(events: DataFrame, keyCol: String, tsCol: String,
                           orderCol: String, itemCol: String,
                           gapSeconds: Long = 1800L,
-                          minPairSessions: Long = 1L): DataFrame = {
-    val basket = withSessionIds(events, keyCol, tsCol, orderCol, gapSeconds)
-      .select(col(keyCol).as("__k"), col("__sid"), col(itemCol).as("item"))
-      .distinct()
+                          minPairSessions: Long = 1L,
+                          maxBasket: Int = 4096): DataFrame = {
+    require(maxBasket >= 1, s"maxBasket must be >= 1, got $maxBasket")
+    // one row per session with its sorted distinct item set (collect_set
+    // drops NULL items — same as the old pair join, where NULL compares
+    // UNKNOWN and never paired; a session of only-null items still
+    // counts in n_sessions via its empty array row)
+    val baskets = withSessionIds(events, keyCol, tsCol, orderCol, gapSeconds)
+      .groupBy(col(keyCol).as("__k"), col("__sid"))
+      .agg(array_sort(collect_set(col(itemCol))).as("items"))
+      .select(when(size(col("items")) <= maxBasket, col("items"))
+        .otherwise(raise_error(lit("sessionCooccurrence: a session " +
+          s"basket exceeds maxBasket=$maxBasket distinct items - the " +
+          "|basket|^2 pair fanout would go quadratic; pass a larger " +
+          "maxBasket explicitly if the item vocabulary is genuinely " +
+          "that large"))).as("items"))
 
-    val nSessions = basket.select("__k", "__sid").distinct()
-      .agg(count(lit(1)).as("n_sessions"))
-    val itemN = basket.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val nSessions = baskets.agg(count(lit(1)).as("n_sessions"))
+    val itemN = baskets.select(explode(col("items")).as("item"))
+      .groupBy("item").agg(count(lit(1)).as("n_item"))
 
-    val pairs = basket.as("a")
-      .join(basket.as("b"), Seq("__k", "__sid"))
-      .filter(col("a.item") < col("b.item"))
-      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+    // pairs by per-row array surgery over the sorted set: each item_a
+    // pairs with the strictly-greater tail of its own basket
+    val pairs = baskets
+      .select(explode(col("items")).as("item_a"), col("items"))
+      .select(col("item_a"),
+        explode(filter(col("items"), x => x > col("item_a"))).as("item_b"))
+      .groupBy("item_a", "item_b")
       .agg(count(lit(1)).as("n_ab"))
       .filter(col("n_ab") >= minPairSessions)
 

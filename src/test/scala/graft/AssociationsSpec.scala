@@ -62,4 +62,21 @@ class AssociationsSpec extends SparkSpec {
     val rows = pruned.collect()
     assert(rows.length == 1 && rows.head.getAs[Long]("n_ab") == 2L)
   }
+
+  test("maxBasket guards the quadratic fanout loudly") {
+    // one session with 5 distinct items: fine at the cap, loud past it
+    val events = (1 to 5).map(i =>
+      (i.toLong, 1L, ts(i), s"item_$i"))
+      .toDF("event_id", "user_id", "ts", "event_type")
+    val ok = Associations.sessionCooccurrence(events, "user_id", "ts",
+      "event_id", "event_type", maxBasket = 5)
+    assert(ok.count() == 5L * 4 / 2) // all pairs of 5 items
+    val over = Associations.sessionCooccurrence(events, "user_id", "ts",
+      "event_id", "event_type", maxBasket = 4)
+    val e = intercept[Exception] { over.count() }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("maxBasket")),
+      s"expected the maxBasket raise_error, got: ${msgs(e).mkString(" | ")}")
+  }
 }
