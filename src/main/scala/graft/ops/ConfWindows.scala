@@ -23,20 +23,33 @@ import org.apache.spark.sql.SparkSession
   * their Spark jobs, and nesting can't deadlock.
   */
 private[graft] object ConfWindows {
-  private final class Saved(val original: Option[String], var depth: Int)
+  private final class Saved(val original: Option[String], var depth: Int,
+                            val value: String)
   private val saved = new java.util.HashMap[(SparkSession, String), Saved]
 
   /** Run `f` with `overrides` applied to `spark`'s runtime conf,
     * restoring each key's pre-FIRST-window value once the LAST
-    * overlapping window exits. */
+    * overlapping window exits. The by-construction invariant that every
+    * overlapping window pins the SAME value per (session, key) — true
+    * for all current callers (AQE always "false"; the width override is
+    * the idempotent min(8, current)) — is CHECKED, not assumed: a
+    * nested window requesting a different value fails fast instead of
+    * silently flipping the setting inside every open outer window. */
   def withOverrides[T](spark: SparkSession,
                        overrides: Seq[(String, String)])(f: => T): T = {
     synchronized {
       overrides.foreach { case (k, v) =>
         val key = (spark, k)
         val s = saved.get(key)
-        if (s == null) saved.put(key, new Saved(spark.conf.getOption(k), 1))
-        else s.depth += 1
+        if (s == null) saved.put(key, new Saved(spark.conf.getOption(k), 1, v))
+        else {
+          require(s.value == v,
+            s"ConfWindows: nested window requests $k=$v while an open " +
+              s"window holds $k=${s.value} — overlapping windows must " +
+              "agree on the override value (it is pinned for the whole " +
+              "overlap)")
+          s.depth += 1
+        }
         spark.conf.set(k, v)
       }
     }

@@ -1037,7 +1037,10 @@ object ExtensionQueries {
     // the Shared form: the presentational orderBy's range exchange
     // samples its child (executing it once more), and the gap-summary
     // query consumes the same grid — one plan-keyed cache entry serves
-    // the sampling pass, the sort and the sibling query
+    // the sampling pass, the sort and the sibling query. Re-measured in
+    // isolation (r13, advisor request): shared = 1.35 s + 0.59 s for
+    // the pair vs lazy = 2.48 s + 1.38 s — the r12 +32% single-cell
+    // regression does not reproduce; shared wins both cells.
     "q_events_gapfill_locf" -> ((s, dir) =>
       graft.ops.TimeSeries
         .resampleLocfShared(events(s, dir), "user_id", "ts", "value", "hour")
