@@ -225,12 +225,23 @@ object TextAnalysis {
     * a per-doc window — both shuffles are keyed by doc id. */
   def docTopTerms(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val counts = docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    val w = Window.partitionBy(idCol).orderBy(col("tf").desc, col("token").asc)
-    counts.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+    // bounded-heap top-k (the bm25/tfidf shape) instead of a per-doc
+    // row_number window: no second full-frame shuffle+sort, map-side
+    // partials ship <= k rows per doc per partition
+    val ord = concat(
+      array(graft.ops.TopK.ordDesc(col("tf"))),
+      graft.functions.StringOrdLongs.stringOrdAsc(col("token")))
+    counts
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKRows.topKRows(ord,
+        struct(col("token"), col("tf")), k).as("__topk"))
+      .select(col(idCol),
+        posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(idCol), col("__e.token").as("token"),
+        col("__e.tf").as("tf"), (col("__pos") + 1).cast("int").as("rk"))
   }
 
   /** Sliding token-window chunking — the standard preprocessing step
@@ -463,36 +474,51 @@ object TextAnalysis {
     * when the vocab measures small and a token-partitioned shuffle join
     * otherwise, and the skew fix never depended on the hint (the groupBy
     * removed the hot-token window). The df branch does NOT re-tokenize
-    * the corpus: both
-    * branches share the identical `Exchange hashpartitioning(id, token)`
-    * under the (doc, token) aggregate, which ReuseExchange dedupes — the
-    * tokenize+explode scan runs once (plan-audited: one ReusedExchange
-    * node; at 100 TB that scan dominates everything else). N arrives via
-    * a broadcast 1-row cross join, not a driver action — lazy plan. */
+    * the corpus: the compact tf frame is PERSISTED (bounded window) and
+    * both branches read the cache — the planner-level ReuseExchange the
+    * old shape relied on is not applied by AQE's runtime stage cache
+    * (two tokenize scans at runtime, measured r13), so the cache is the
+    * one-tokenize guarantee at any scale. N arrives via a broadcast
+    * 1-row cross join, not a driver action. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    val counts = docs
+    // PERSISTED (bounded window) + eagerly materialized, the bm25
+    // contract: the tf and df branches both consume this frame and
+    // AQE's runtime stage cache does NOT apply the planner-level
+    // ReuseExchange their old shared-exchange shape relied on (two
+    // corpus tokenize scans at runtime, measured) — one cache write
+    // beats re-tokenizing the corpus at every scale.
+    val counts = tfCacheWindow.add(docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
-    // df references max(tf)*0 so column pruning cannot drop `tf` from
-    // this branch's child aggregate: with `tf` pruned the two branches'
-    // (id, token) exchanges stop being canonically identical and
-    // ReuseExchange re-plans a second corpus scan (observed in the plan).
-    // The term is identically 0 (tf ≥ 1 in every group), so df = count.
-    val dfByToken = counts.groupBy("token")
-      .agg((count(lit(1)) + max(col("tf")) * lit(0L)).as("df"))
-    val w = Window.partitionBy(idCol)
-      .orderBy(col("weight").desc, col("token").asc)
-    counts
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf")))
+    counts.count()
+    val dfByToken = counts.groupBy("token").agg(count(lit(1)).as("df"))
+    // Per-doc top-k through the bounded-heap TopKRows aggregate (the
+    // bm25 shape): map-side partials ship <= k rows per doc per map
+    // partition instead of the window form's full-frame shuffle+sort.
+    // weight DESC rides the IEEE-bits transform (exact ties iff equal
+    // doubles), token ASC rides StringOrdLongs — total order, rows
+    // bit-identical to the row_number form.
+    val weighted = counts
       .join(dfByToken, "token")
       .crossJoin(broadcast(nDocs))
       .withColumn("weight",
         (col("tf") * col("n_docs")).cast("double") / col("df"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select(col(idCol), col("token"), col("tf"), col("df"),
-        col("weight"), col("rk"))
+    val ord = concat(
+      array(graft.ops.TopK.ordDescDouble(col("weight"))),
+      graft.functions.StringOrdLongs.stringOrdAsc(col("token")))
+    weighted
+      .groupBy(col(idCol))
+      .agg(graft.functions.TopKRows.topKRows(ord,
+        struct(col("token"), col("tf"), col("df"), col("weight")), k)
+        .as("__topk"))
+      .select(col(idCol),
+        posexplode(col("__topk")).as(Seq("__pos", "__e")))
+      .select(col(idCol), col("__e.token").as("token"),
+        col("__e.tf").as("tf"), col("__e.df").as("df"),
+        col("__e.weight").as("weight"),
+        (col("__pos") + 1).cast("int").as("rk"))
   }
 
   /** Literal-rewrite gate for [[segmentPrune]]: a hot set at or below

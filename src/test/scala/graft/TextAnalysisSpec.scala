@@ -325,25 +325,32 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows((3L, "other")) == wq(tf = 1, df = 1, dl = 2))
   }
 
-  test("tfidf plan reuses the (id, token) exchange: ONE text scan") {
+  test("tfidf tokenizes the corpus ONCE: tf frame cached, no text scan " +
+    "in the consuming plan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    // AQE off: planner-level ReuseExchange is the static property being
-    // pinned (AQE stage reuse can only add to it at runtime)
+    // same contract as bm25 below: AQE does not apply the planner-level
+    // ReuseExchange the old shared-exchange shape relied on, so the
+    // cached tf frame is the one-tokenize guarantee at runtime
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
       val plan = df.queryExecution.executedPlan
-      assert(plan.collect { case r: ReusedExchangeExec => r }.nonEmpty,
-        "tf/df branches no longer share the (id, token) exchange")
+      val cacheScans = plan.collect { case s: InMemoryTableScanExec => s }
+      assert(cacheScans.size >= 2,
+        s"expected both tf consumers on the cache, found ${cacheScans.size}")
       val textScans = plan.collect {
         case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
       }
-      assert(textScans.size == 1,
-        s"corpus tokenize scan must run once, found ${textScans.size}")
-    } finally spark.conf.set("spark.sql.adaptive.enabled", prev)
+      assert(textScans.isEmpty,
+        s"tokenize must run only inside the cached tf frame, found " +
+          s"${textScans.size} corpus text scans in the consuming plan")
+    } finally {
+      spark.conf.set("spark.sql.adaptive.enabled", prev)
+      TextAnalysis.releaseCaches()
+    }
   }
 
   test("bm25 tokenizes the corpus ONCE: tf frame cached, no text scan " +
