@@ -36,6 +36,7 @@ object Bench {
       graft.ops.Dedup.releaseCaches()
       graft.ops.Linkage.releaseCaches()
       graft.ops.Ranks.releaseCaches()
+      graft.ops.LanguageModel.releaseCaches()
       graft.ops.SemanticDedup.releaseCaches()
       graft.ops.TextAnalysis.releaseCaches()
       graft.ops.TimeSeries.releaseCaches()

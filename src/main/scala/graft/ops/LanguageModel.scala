@@ -34,12 +34,26 @@ import org.apache.spark.sql.functions._
   */
 object LanguageModel {
 
+  /** Bounded cache window for tokenized-corpus frames: the self-scoring
+    * plan consumes its token arrays from THREE branches (unigram counts,
+    * bigram counts, the per-doc scoring fan-out) and AQE's runtime stage
+    * cache does not reuse their exchanges (the tfidf/bm25 r13 finding) —
+    * without the cache the corpus is tokenized three times per run. */
+  private[graft] val tokCacheWindow = new CacheWindows(4)
+
+  /** Unpersist every tokenized frame this module holds (all sessions). */
+  def releaseCaches(): Unit = tokCacheWindow.releaseAll()
+
   /** Per-document integer-bit bigram LM scores. Output columns:
     * `idCol`, `n_bigrams`, `ll_bits` (Σ floor(log2 c(w1w2)) −
     * floor(log2 c(w1)), ≤ 0), `uniq_bigrams` (corpus-singleton
     * bigram instances). Documents with < 2 tokens score (0, 0, 0). */
   def bigramBitScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    // persisted + eagerly materialized (the bm25/tfidf contract): one
+    // tokenize scan feeds all three consumers below
+    val toks = tokCacheWindow.add(
+      docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk")))
+    toks.count()
 
     // (doc, first token, bigram string) — one row per consecutive pair
     val bi = toks
