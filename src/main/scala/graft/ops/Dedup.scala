@@ -390,14 +390,29 @@ object Dedup {
   private def registerShingleCache(df: DataFrame): DataFrame =
     shingleCacheWindow.add(df)
 
+  /** Separate bounded window for SMALL derived frames (bound-pruned
+    * candidate sets) so they never evict a corpus-scale shingle cache:
+    * the shingle window holds 4 big entries by design, and registering
+    * a tiny candidate frame there was measured to thrash the tokenize
+    * caches of sibling dedup queries in a shared pass at 10× data. */
+  private val smallCacheWindow = new CacheWindows(8)
+
+  private def registerSmallCache(df: DataFrame): DataFrame =
+    smallCacheWindow.add(df)
+
   /** Unpersist every shingle frame this object still holds (all
     * sessions) — call when a long-lived JVM is done with dedup work. */
-  def releaseCaches(): Unit = shingleCacheWindow.releaseAll()
+  def releaseCaches(): Unit = {
+    shingleCacheWindow.releaseAll()
+    smallCacheWindow.releaseAll()
+  }
 
   /** Unpersist only the frames registered by `spark`'s window —
     * concurrent pipelines in other sessions keep theirs. */
-  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit =
+  def releaseCaches(spark: org.apache.spark.sql.SparkSession): Unit = {
     shingleCacheWindow.release(spark)
+    smallCacheWindow.release(spark)
+  }
 
   /** Per-document novelty scoring — the inverse of contamination: what
     * fraction of a document's distinct n-gram shingles appear NOWHERE
@@ -618,7 +633,7 @@ object Dedup {
         // construction — only pairs whose Jaccard UPPER BOUND clears the
         // threshold survive the prune. The eager count keeps the two
         // branches from racing the cold cache (NOTES_r5 convoy).
-        val plausible = registerShingleCache(withBounds
+        val plausible = registerSmallCache(withBounds
           .filter(ubCommon / (col("n_i") + col("n_j") - ubCommon) >= threshold))
         plausible.count()
         // when BOTH docs are all-rare (r = n_sh), every shared shingle is
