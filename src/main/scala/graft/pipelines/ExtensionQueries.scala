@@ -1173,22 +1173,13 @@ object ExtensionQueries {
       val lenGate = length(col("text")) >= 100
       val qualGate = TextAnalysis.qualityScore(col("text")) >= 0.12
       val d2 = d0.filter(lenGate && qualGate)
-      // the two expensive lineages (near-dup pair generation, the
-      // containment sweep) each reduce to a TINY frame consumed by
-      // multiple stage-count branches of the final union — persist
-      // those frames (bounded window) and materialize eagerly so the
-      // branches share one evaluation instead of re-running the
-      // self-join/containment per consumer
-      val pairs = ResultSort.small(
-        Dedup.jaccardPairs(d2, "doc_id", "text", 3, 0.8))
-      pairs.count()
+      val pairs = Dedup.jaccardPairs(d2, "doc_id", "text", 3, 0.8)
       val d3 = Dedup.removeNearDups(d2, pairs, "doc_id")
       val ev = d0.filter(col("doc_id") % 7 === 0)
       val tr = d3.filter(col("doc_id") % 7 =!= 0)
-      val contaminated = ResultSort.small(Contamination
+      val contaminated = Contamination
         .containmentPairs(tr, ev, "doc_id", "text", 3, 0.5)
-        .select(col("train_id").as("doc_id")).distinct())
-      contaminated.count()
+        .select(col("train_id").as("doc_id")).distinct()
       val d4 = tr.join(contaminated, Seq("doc_id"), "left_anti")
       // the three row-local gates fuse into ONE corpus scan (conditional
       // sums exploded to stage rows, Profile-style) — the naive form

@@ -31,11 +31,4 @@ object ResultSort {
   /** Persist `df` in the bounded window, then globally sort it. */
   def sortedSmall(df: DataFrame, cols: Column*): DataFrame =
     window.add(df).orderBy(cols: _*)
-
-  /** Persist a SMALL intermediate frame in the bounded window without a
-    * sort — for composite pipelines whose branches would otherwise each
-    * re-evaluate an expensive lineage that reduces to a tiny frame
-    * (near-dup pair sets, contaminated-id lists). Same residency and
-    * eviction contract as [[sortedSmall]]. */
-  def small(df: DataFrame): DataFrame = window.add(df)
 }
