@@ -77,6 +77,31 @@ object GraftExtensions {
         }
         graft.functions.HyperplaneBuckets(args(0),
           lit(args(1), "tables"), lit(args(2), "planes"), lit(args(3), "dims"))
+      }),
+    "sortable_double_bits" -> (info("sortable_double_bits",
+      "sortable_double_bits(d) - order-preserving IEEE-754 double -> signed long mapping"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "sortable_double_bits takes one argument")
+        graft.functions.SortableDoubleBits(args.head)
+      }),
+    "string_ord_longs" -> (info("string_ord_longs",
+      "string_ord_longs(s, nLongs, invert) - order-preserving fixed-width long encoding of a string (loud failure past nLongs*8 bytes)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "string_ord_longs takes (s, nLongs, invert)")
+        def lit(e: Expression, what: String): String = e match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) =>
+            v.toString
+          case other => throw new IllegalArgumentException(
+            s"string_ord_longs $what must be a literal, got $other")
+        }
+        graft.functions.StringOrdLongs(args.head,
+          lit(args(1), "nLongs").toInt, lit(args(2), "invert").toBoolean)
+      }),
+    "sum128" -> (info("sum128",
+      "sum128(v) - exact 128-bit integer sum of a BIGINT column as DECIMAL(38,0) (aggregate)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "sum128 takes one argument")
+        graft.functions.Sum128(args.head).toAggregateExpression()
       }))
 
   /** Register the functions on an existing session's catalog. */

@@ -60,4 +60,31 @@ class ExtensionsSpec extends SparkSpec {
       spark.sql("SELECT shingle_hashes(text, n) FROM ext_bad").collect()
     }
   }
+
+  test("sum128 / sortable_double_bits / string_ord_longs in SQL match " +
+    "the Column/expression APIs") {
+    GraftExtensions.register(spark)
+    Seq((1L, 2.5, "abc"), (Long.MaxValue / 2, -0.0, "ab"),
+      (Long.MaxValue / 2, 1.5, "b"))
+      .toDF("v", "d", "s").createOrReplaceTempView("ext_new")
+    val viaSql = spark.sql(
+      "SELECT sum128(v) FROM ext_new").first().getDecimal(0)
+    val viaCol = spark.table("ext_new")
+      .agg(graft.functions.Sum128.sum128($"v")).first().getDecimal(0)
+    assert(viaSql.compareTo(viaCol) == 0)
+    val bitsSql = spark.sql(
+      "SELECT sortable_double_bits(d) FROM ext_new ORDER BY v, d")
+      .collect().map(_.getLong(0)).toSeq
+    val bitsCol = spark.table("ext_new").orderBy("v", "d")
+      .select(graft.functions.SortableDoubleBits.sortableDoubleBits($"d"))
+      .collect().map(_.getLong(0)).toSeq
+    assert(bitsSql == bitsCol)
+    val ordSql = spark.sql(
+      "SELECT string_ord_longs(s, 2, true) FROM ext_new WHERE s = 'abc'")
+      .first().getSeq[Long](0)
+    val ordCol = spark.table("ext_new").filter($"s" === "abc")
+      .select(graft.functions.StringOrdLongs.stringOrdAsc($"s", 2))
+      .first().getSeq[Long](0)
+    assert(ordSql == ordCol)
+  }
 }
