@@ -23,9 +23,12 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Strings longer than `nLongs`·8 bytes FAIL LOUDLY (the prefix would
   * tie and the heap's payload-byte fallback is not string order — a
-  * silent misranking); size `nLongs` for the domain (8 longs = 64 bytes
-  * covers any natural-language token). Codegen'd: one static call, no
-  * boxing beyond the output array. */
+  * silent misranking); size `nLongs` for the domain. The default (32
+  * longs = 256 bytes) covers any natural-language token INCLUDING
+  * URL-shaped whitespace tokens; past it (base64 blobs, minified
+  * payloads) the loud error tells the caller to normalize or raise the
+  * cap. Codegen'd: one static call, no boxing beyond the output
+  * array. */
 case class StringOrdLongs(child: Expression, nLongs: Int, invert: Boolean)
     extends UnaryExpression {
 
@@ -84,12 +87,12 @@ object StringOrdLongs {
 
   /** Ascending-string ordering contribution (array of sortable longs)
     * for a largest-first top-k heap; concat with the scalar ord keys. */
-  def stringOrdAsc(c: Column, nLongs: Int = 8): Column =
+  def stringOrdAsc(c: Column, nLongs: Int = 32): Column =
     ColumnBridge.column(StringOrdLongs(ColumnBridge.expression(c), nLongs,
       invert = true))
 
   /** Descending-string contribution. */
-  def stringOrdDesc(c: Column, nLongs: Int = 8): Column =
+  def stringOrdDesc(c: Column, nLongs: Int = 32): Column =
     ColumnBridge.column(StringOrdLongs(ColumnBridge.expression(c), nLongs,
       invert = false))
 }

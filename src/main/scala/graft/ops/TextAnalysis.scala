@@ -373,7 +373,7 @@ object TextAnalysis {
     // partition. The ordering (weight_q DESC, token ASC) is total —
     // token is unique within a doc by the groupBy — and the string
     // tiebreak rides [[graft.functions.StringOrdLongs]] (order-
-    // preserving sortable longs, loud failure past 64 bytes), so the
+    // preserving sortable longs, loud failure past 256 bytes), so the
     // rows are bit-identical to the window form's.
     val ord = concat(
       array(graft.ops.TopK.ordDesc(col("weight_q"))),
