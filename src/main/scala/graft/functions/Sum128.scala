@@ -25,7 +25,14 @@ import org.apache.spark.sql.types.{DataType, DecimalType, LongType}
   * The CALLER must guarantee each per-row input fits a LONG (e.g. guard
   * fixed-point products with a double-magnitude check and a decimal
   * fallback/raise_error branch) — this aggregate is exact over longs, it
-  * cannot see an overflow that happened producing them. */
+  * cannot see an overflow that happened producing them.
+  *
+  * NULL semantics DIVERGE from SQL `sum` deliberately: null inputs
+  * contribute 0 and an all-null (or empty) group evaluates to 0, not
+  * NULL — the moments contract ([[graft.ops.Stats]]) filters non-finite
+  * rows up front and treats the sum as a COUNT-like total, where a
+  * never-null result keeps the derived-statistic arithmetic null-free.
+  * Callers needing SQL's NULL-on-empty must wrap with a count guard. */
 case class Sum128(child: Expression) extends DeclarativeAggregate {
 
   override def children: Seq[Expression] = Seq(child)

@@ -43,6 +43,16 @@ class Sum128Spec extends SparkSpec {
     }
   }
 
+  test("all-null / empty groups evaluate to 0, not NULL (documented " +
+    "divergence from SQL sum)") {
+    val vs: Seq[java.lang.Long] = Seq(null, null)
+    val r = vs.toDF("v").agg(sum128(col("v"))).head()
+    assert(!r.isNullAt(0) && r.getDecimal(0).signum == 0)
+    val empty = spark.range(0).select(col("id").as("v"))
+    val r2 = empty.agg(sum128(col("v"))).head()
+    assert(!r2.isNullAt(0) && r2.getDecimal(0).signum == 0)
+  }
+
   test("grouped: per-group exactness with carries") {
     val df = Seq(("a", Long.MaxValue / 2), ("a", Long.MaxValue / 2),
       ("a", 3L), ("b", -5L)).toDF("g", "v")
