@@ -21,14 +21,16 @@ import org.apache.spark.unsafe.types.UTF8String
   * form): the ascending-string contribution for [[TopKRows]]'
   * largest-first retention, mirroring [[graft.ops.TopK.ordAsc]].
   *
-  * Strings longer than `nLongs`·8 bytes FAIL LOUDLY (the prefix would
-  * tie and the heap's payload-byte fallback is not string order — a
-  * silent misranking); size `nLongs` for the domain. The default (32
-  * longs = 256 bytes) covers any natural-language token INCLUDING
-  * URL-shaped whitespace tokens; past it (base64 blobs, minified
-  * payloads) the loud error tells the caller to normalize or raise the
-  * cap. Codegen'd: one static call, no boxing beyond the output
-  * array. */
+  * A FINAL length long disambiguates zero-padding from real NUL bytes:
+  * strings equal up to trailing 0x00 (where padded prefixes tie) order
+  * by byte length, exactly the binary rule ("a" < "a\u0000"). Strings
+  * longer than `nLongs`·8 bytes FAIL LOUDLY (the prefix would tie and
+  * the heap's payload-byte fallback is not string order — a silent
+  * misranking); size `nLongs` for the domain. The default (32 longs =
+  * 256 bytes) covers any natural-language token INCLUDING URL-shaped
+  * whitespace tokens; past it (base64 blobs, minified payloads) the
+  * loud error tells the caller to normalize or raise the cap.
+  * Codegen'd: one static call, no boxing beyond the output array. */
 case class StringOrdLongs(child: Expression, nLongs: Int, invert: Boolean)
     extends UnaryExpression {
 
@@ -67,7 +69,7 @@ object StringOrdLongs {
         s"string_ord_longs: value of ${bytes.length} UTF-8 bytes exceeds " +
           s"the $nLongs-long (${nLongs * 8}-byte) ordering capacity — " +
           "raise nLongs; truncating would silently misrank")
-    val out = new Array[Long](nLongs)
+    val out = new Array[Long](nLongs + 1)
     val flip = if (invert) Long.MaxValue else Long.MinValue
     var i = 0
     while (i < nLongs) {
@@ -82,6 +84,10 @@ object StringOrdLongs {
       out(i) = v ^ flip
       i += 1
     }
+    // length long: the only differentiator when the padded prefixes tie
+    // (strings equal up to trailing NUL bytes) — shorter sorts first,
+    // the UTF8String binary rule
+    out(nLongs) = bytes.length.toLong ^ flip
     ArrayData.toArrayData(out)
   }
 

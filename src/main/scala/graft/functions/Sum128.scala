@@ -18,9 +18,12 @@ import org.apache.spark.sql.types.{DataType, DecimalType, LongType}
   * UnsafeRow fast path, adds with a branch-free carry (pure long
   * bit-ops, whole-stage codegen'd as a [[DeclarativeAggregate]]), and
   * converts to decimal ONCE per group at eval. Exact for any input the
-  * long domain can express, headroom 2¹²⁷ ≈ 1.7·10³⁸ — the full
-  * DECIMAL(38) range, so 10¹² rows of 10²⁰-scale products still fit.
-  * Two's-complement sign extension makes negative inputs exact too.
+  * long domain can express. Headroom: the two-long accumulator itself
+  * wraps only past 2¹²⁷, but the RESULT contract is DECIMAL(38,0) —
+  * |Σ| must stay below 10³⁸ (a 10³⁸-to-2¹²⁷ sum fails LOUDLY at eval
+  * with an explicit overflow message, never a wrapped value), which
+  * still fits 10¹⁸ rows of 10²⁰-scale products per group. Two's-
+  * complement sign extension makes negative inputs exact too.
   *
   * The CALLER must guarantee each per-row input fits a LONG (e.g. guard
   * fixed-point products with a double-magnitude check and a decimal
@@ -124,6 +127,8 @@ case class Int128ToDecimal(left: Expression, right: Expression)
 object Int128ToDecimal {
   private val TwoTo64 = java.math.BigDecimal.valueOf(2).pow(64)
 
+  private val DecMax = java.math.BigDecimal.TEN.pow(38)
+
   /** Shared by interpreted eval and generated code — keep public. */
   def toDecimal(hi: Long, lo: Long): org.apache.spark.sql.types.Decimal = {
     // value = hi·2⁶⁴ + unsigned(lo)
@@ -131,6 +136,14 @@ object Int128ToDecimal {
       if (lo >= 0) java.math.BigDecimal.valueOf(lo)
       else java.math.BigDecimal.valueOf(lo).add(TwoTo64)
     val v = java.math.BigDecimal.valueOf(hi).multiply(TwoTo64).add(loUnsigned)
+    // the accumulator holds up to 2¹²⁷ but the result type caps at
+    // DECIMAL(38): fail with the documented contract, not an opaque
+    // precision error from Decimal.toPrecision
+    if (v.abs.compareTo(DecMax) >= 0)
+      throw new ArithmeticException(
+        s"sum128: |$v| exceeds the DECIMAL(38,0) result range (10^38) — " +
+          "the group's sum is exact in the 128-bit accumulator but not " +
+          "representable in the declared output type; rescale the input")
     org.apache.spark.sql.types.Decimal(new scala.math.BigDecimal(v), 38, 0)
   }
 }

@@ -44,24 +44,36 @@ object Entities {
   def dec(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast(Money)
   def decD(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column = c.cast(DiscDec)
 
-  // Per-session memo of the base parquet frames: every `spark.read
-  // .parquet` call costs a footer/schema-listing job plus a fresh
-  // analysis of the relation, and the mart pipelines re-read the same
-  // 4 tables on every invocation (4 × ~35 ms of jobs per apply() at
-  // bench cadence). DataFrames are immutable plans, so sharing one per
-  // (session, path) is safe; the WeakHashMap key lets a stopped
-  // session's entries be collected. Schema changes on disk between
-  // reads of the SAME path within one session are not supported (they
-  // never happen in a fixture run — re-create the session to re-list).
+  // Per-(session, path) memo of the base parquet frames: every
+  // `spark.read.parquet` call costs a footer/schema-listing job plus a
+  // fresh analysis of the relation, and the mart pipelines re-read the
+  // same 4 tables on every invocation (4 × ~35 ms of jobs per apply()
+  // at bench cadence). DataFrames are immutable plans, so sharing one
+  // per (session, path) is safe. Residency is a BOUNDED LRU — a weak
+  // session key would be illusory here because each memoized Dataset
+  // strongly references its own session (the CacheWindows scaladoc
+  // documents the same trap), so eviction is what actually frees a
+  // stopped session's plans; 64 entries cover many sessions × the
+  // fixture tables, and an evicted entry just re-lists on next use.
+  // Schema changes on disk for a LIVE entry are not supported (they
+  // never happen in a fixture run).
   private val readMemo =
-    new java.util.WeakHashMap[SparkSession,
-      java.util.HashMap[String, DataFrame]]
+    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+      16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
+        size() > 64
+    }
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
     readMemo.synchronized {
-      val bySession = readMemo.computeIfAbsent(spark,
-        _ => new java.util.HashMap[String, DataFrame])
-      bySession.computeIfAbsent(s"$dir/$table.parquet",
-        p => spark.read.parquet(p))
+      val key = (spark, s"$dir/$table.parquet")
+      val hit = readMemo.get(key)
+      if (hit != null) hit
+      else {
+        val df = spark.read.parquet(s"$dir/$table.parquet")
+        readMemo.put(key, df)
+        df
+      }
     }
 
   /** suppliers (reference `raw.suppliers_pre`): SUPPLIER_ID, SUPPLIER_NAME.

@@ -577,26 +577,29 @@ object Dedup {
           .filter(col("df") > cap).select("shash")
         val stopGuard = 1 << 20
         val stop = overCap.limit(stopGuard + 1).collect().map(_.getLong(0))
-        val cappedRaw =
+        val (cappedRaw, fellBack) =
           if (stop.length <= stopGuard) {
             val spark = index.sparkSession
             import spark.implicits._
-            index.join(broadcast(stop.toSeq.toDF("shash")),
-              Seq("shash"), "left_anti")
-          } else index.join(
-            overCap.select("shash"), Seq("shash"), "left_anti")
-        // NOT persisted: the capped index has three consumers (both
-        // self-join sides + the per-doc rare counts), but with the
-        // broadcast stop-set each re-derivation is a WARM compact-cache
-        // read + codegen explode + map-side anti filter — no shuffle,
-        // no re-tokenization (the stop-set collect above already
-        // materialized the underlying shingle cache, so the NOTES_r5
-        // cold-cache race can't happen). The old second persist wrote
-        // the whole EXPLODED index to cache a second time, which was
-        // the dominant data-proportional cost at 10× data (the sweep's
-        // one >3× cell); three explodes of a warm array cache cost
-        // less than one exploded-cache write at every scale measured.
-        val capped = cappedRaw
+            (index.join(broadcast(stop.toSeq.toDF("shash")),
+              Seq("shash"), "left_anti"), false)
+          } else (index.join(
+            overCap.select("shash"), Seq("shash"), "left_anti"), true)
+        // Broadcast branch: NOT persisted — each of the three consumers
+        // (both self-join sides + the per-doc rare counts) re-derives
+        // via a WARM compact-cache read + codegen explode + map-side
+        // anti filter — no shuffle, no re-tokenization (the stop-set
+        // collect above already materialized the underlying shingle
+        // cache, so the NOTES_r5 cold-cache race can't happen). The old
+        // second persist wrote the whole EXPLODED index to cache a
+        // second time — the dominant data-proportional cost at 10× data.
+        // Fallback branch: the anti-join is a SHUFFLE (overCap past the
+        // broadcast guard), so re-derivation per consumer would re-run
+        // the df aggregation + join 3× — persist + materialize exactly
+        // as the pre-r13 form did.
+        val capped =
+          if (!fellBack) cappedRaw
+          else { val c = registerShingleCache(cappedRaw); c.count(); c }
         // count shared RARE shingles per pair directly (map-side-combined
         // aggregation, like the uncapped path — no distinct-then-rejoin:
         // materializing every co-occurring pair for the full verify made

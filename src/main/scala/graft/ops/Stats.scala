@@ -32,23 +32,40 @@ import org.apache.spark.sql.types.DecimalType
 object Stats {
 
   private val Dec = DecimalType(38, 0)
+  private def zeroDec: Column = lit(0L).cast(Dec)
 
-  /** round(value*scale) as a LONG, loudly refusing magnitudes past the
-    * long fast path (the double compare is exact at this magnitude —
-    * 4e18 < 2^63 leaves a 2.3x margin over the estimate's ulp error). */
-  private def fixedLong(cn: String, scale: Long): Column = {
+  /** TWO-LANE fixed-point representation: the exact DECIMAL(38,0) lane
+    * (the r12 domain — anything the decimal arithmetic could express)
+    * and a LONG fast lane that is NULL when |round(v·scale)| exceeds
+    * 4e18 (the double compare is exact at this magnitude; 4e18 < 2⁶³
+    * leaves a 2.3× margin over the estimate's ulp error). Sums route
+    * each row to exactly one lane, so the fast path never wraps and the
+    * domain never shrinks below the decimal form's. */
+  private def fixedLanes(cn: String, scale: Long): (Column, Column) = {
     val scaled = round(col(cn) * scale)
-    when(abs(scaled) <= lit(4.0e18), scaled.cast("long"))
-      .otherwise(raise_error(lit(s"Stats: |$cn * $scale| exceeds the " +
-        "4e18 long fast path - reduce scale")).cast("long"))
+    (scaled.cast(Dec),
+      when(abs(scaled) <= lit(4.0e18), scaled.cast("long")))
   }
 
-  /** Per-row moment product in LONG, guarded by a double-magnitude
-    * estimate (relative error ~1e-16 against a 2.3x headroom). */
-  private def guardedProduct(a: Column, b: Column): Column =
-    when(abs(a.cast("double") * b.cast("double")) < lit(4.0e18), a * b)
-      .otherwise(raise_error(lit("Stats: per-row moment product exceeds " +
-        "the 4e18 long fast path - reduce scale")).cast("long"))
+  /** Exact Σ value over `cond` rows: Sum128 for rows whose long lane is
+    * defined, a decimal sum for the (rare) rest — added post-agg. */
+  private def valueSum(cond: Column, aL: Column, aD: Column): Column = {
+    import graft.functions.Sum128.sum128
+    sum128(when(cond && aL.isNotNull, aL).otherwise(lit(0L))) +
+      coalesce(sum(when(cond && aL.isNull, aD)), zeroDec)
+  }
+
+  /** Exact Σ a·b over `cond` rows: the long lane takes products whose
+    * double-magnitude estimate clears 4e18 (ulp error ≪ the 2.3×
+    * headroom), everything else rides the exact decimal product. */
+  private def momentSum(cond: Column, aL: Column, bL: Column,
+                        aD: Column, bD: Column): Column = {
+    import graft.functions.Sum128.sum128
+    val safe = aL.isNotNull && bL.isNotNull &&
+      abs(aL.cast("double") * bL.cast("double")) < lit(4.0e18)
+    sum128(when(cond && safe, aL * bL).otherwise(lit(0L))) +
+      coalesce(sum(when(cond && !safe, aD * bD)), zeroDec)
+  }
 
   /** Per-group exact moments + derived corr/slope/intercept.
     * `scale` is the fixed-point multiplier (100 for 2-decimal money);
@@ -67,25 +84,25 @@ object Stats {
     // into the exact 128-bit sum aggregate ([[graft.functions.Sum128]]:
     // primitive two-long buffers, codegen'd carry) — Spark's decimal sum
     // with a 38-digit buffer pays a BigDecimal deserialize/add/serialize
-    // per row (measured 3x this form on the sf0.1 moments scan). The
-    // guards keep the fast path HONEST: a value or per-row product past
-    // ~4e18 raises rather than silently wrapping the long (reduce
-    // `scale` for such domains).
-    val x = fixedLong(xCol, scale)
-    val y = fixedLong(yCol, scale)
+    // per row (measured 3x this form on the sf0.1 moments scan). Rows
+    // past the long fast path's range route to an exact DECIMAL lane
+    // (momentSum/valueSum), so the supported domain is identical to the
+    // all-decimal r12 form.
+    val (xD, xL) = fixedLanes(xCol, scale)
+    val (yD, yL) = fixedLanes(yCol, scale)
     def finite(c: String) = {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
-    import graft.functions.Sum128.sum128
+    val t = lit(true)
     val filtered = df.filter(finite(xCol) && finite(yCol))
     val m = filtered
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(Dec).as("n"),
-        sum128(x).as("sx"), sum128(y).as("sy"),
-        sum128(guardedProduct(x, x)).as("sxx"),
-        sum128(guardedProduct(y, y)).as("syy"),
-        sum128(guardedProduct(x, y)).as("sxy"))
+        valueSum(t, xL, xD).as("sx"), valueSum(t, yL, yD).as("sy"),
+        momentSum(t, xL, xL, xD, xD).as("sxx"),
+        momentSum(t, yL, yL, yD, yD).as("syy"),
+        momentSum(t, xL, yL, xD, yD).as("sxy"))
     // exact integer numerators/denominators, cast to double ONCE each
     val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -130,22 +147,21 @@ object Stats {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
-    import graft.functions.Sum128.sum128
-    val v = fixedLong(valueCol, scale)
-    val vv = guardedProduct(v, v)
+    val (vD, vL) = fixedLanes(valueCol, scale)
     val isA = col(variantCol) === 0
     // NULL variants are excluded outright: `=== 0` would silently route
     // them to the B side while a SQL `<> 0` replay drops them — the
     // engine must not depend on that divergence. Moments ride the
-    // Sum128 long fast path (see groupedCorrSlope).
+    // Sum128 long fast path with the decimal lane for out-of-range rows
+    // (see groupedCorrSlope).
     val m = df.filter(finite(valueCol) && col(variantCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(when(isA, 1L).otherwise(0L)).cast(Dec).as("na"),
         sum(when(!isA, 1L).otherwise(0L)).cast(Dec).as("nb"),
-        sum128(when(isA, v).otherwise(lit(0L))).as("sa"),
-        sum128(when(!isA, v).otherwise(lit(0L))).as("sb"),
-        sum128(when(isA, vv).otherwise(lit(0L))).as("qa"),
-        sum128(when(!isA, vv).otherwise(lit(0L))).as("qb"))
+        valueSum(isA, vL, vD).as("sa"),
+        valueSum(!isA, vL, vD).as("sb"),
+        momentSum(isA, vL, vL, vD, vD).as("qa"),
+        momentSum(!isA, vL, vL, vD, vD).as("qb"))
     def mean(s: String, n: String) =
       (col(s).cast("double") / col(n).cast("double")) / scale
     def variance(n: String, s: String, q: String) =
@@ -202,10 +218,11 @@ object Stats {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
+    val (bvD, bvL) = fixedLanes(valueCol, scale)
     val base = df.filter(finite(valueCol))
-      .select(col(idCol).as("__id"), fixedLong(valueCol, scale).as("__v"))
+      .select(col(idCol).as("__id"), bvD.as("__vd"), bvL.as("__v"))
 
-    val rep = base.select(col("__id"), col("__v"),
+    val rep = base.select(col("__id"), col("__vd"), col("__v"),
       explode(sequence(lit(1), lit(b))).as("r"))
     val h52 = conv(substring(Composition.shuffleKey(
         concat(col("__id").cast("string"), lit(":"), col("r").cast("string")),
@@ -216,13 +233,12 @@ object Stats {
         chain.when(u < lit(cdf.toDouble), k)
       }.otherwise(9).cast("long")
 
-    // __m <= 9, so v*m stays within the guarded long domain (the v
-    // guard leaves 2.3x headroom; magnitudes near it raise in fixedLong
-    // long before the x9 multiplier can wrap)
-    import graft.functions.Sum128.sum128
+    // v·m routes by magnitude like every moment: the long lane while
+    // |v·m| clears 4e18 (m <= 9), the exact decimal lane past it
     val means = rep.withColumn("__m", m)
       .groupBy("r")
-      .agg(sum128(guardedProduct(col("__v"), col("__m"))).as("__sv"),
+      .agg(momentSum(lit(true), col("__v"), col("__m"),
+          col("__vd"), col("__m").cast(Dec)).as("__sv"),
         sum("__m").as("__sm"))
       .select(when(col("__sm") > 0,
         (col("__sv").cast("double") / col("__sm").cast("double")) / scale)
@@ -231,7 +247,8 @@ object Stats {
     val kLo = math.max(1, (b * alpha / 2).toInt)
     val kHi = b + 1 - kLo
     val point = base.agg(count(lit(1)).as("n_rows"),
-      ((sum128(col("__v")).cast("double") / count(lit(1)).cast("double")) / scale)
+      ((valueSum(lit(true), col("__v"), col("__vd")).cast("double")
+        / count(lit(1)).cast("double")) / scale)
         .as("mean"))
     means.agg(sort_array(collect_list(col("__mean"))).as("__s"))
       .crossJoin(broadcast(point))

@@ -133,11 +133,15 @@ object CustomerSalesReport {
     // No final sort: the reference writes the target frame UNORDERED
     // (`m_customer_sales_report_task.py:142-166` — the tgt select goes
     // straight to the duplicate gate and load), so the mart ends
-    // map-side: cache scan → broadcast argmin join → projection. The
-    // oracle's ORDER BY is presentational only (the driver compare
-    // sorts rows before hashing).
+    // map-side: cache scan → argmin join → projection. The oracle's
+    // ORDER BY is presentational only (the driver compare sorts rows
+    // before hashing). NO broadcast hint on `tops`: it is one struct
+    // row per distinct customer, which AQE broadcasts at this scale but
+    // which a forced hint would broadcast even at 10⁹ customers —
+    // exceeding the broadcast limit exactly where the argmin rewrite is
+    // supposed to out-scale the window it replaced.
     keyed
-      .join(broadcast(tops), Seq("CUSTOMER_ID"))
+      .join(tops, Seq("CUSTOMER_ID"))
       .withColumn("TOP_PERFORMER",
         when(col("__ord") === col("__ord_min"), "Yes").otherwise("No"))
       .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",

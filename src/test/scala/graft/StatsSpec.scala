@@ -17,6 +17,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - 0.5) < 1e-12)
   }
 
+  test("huge magnitudes route to the exact decimal lane (r12 domain kept)") {
+    // the r13 review scenario: a $20M-class column at scale=100 puts
+    // per-row squares past the 4e18 long fast path (x_scaled = 2e9,
+    // x^2 = 4e18) — r12's decimal sums handled it, the first r13 cut
+    // raised. The product lane must carry it exactly.
+    val money = Seq(("g", 2.0e7, 4.0e7), ("g", 4.0e7, 8.0e7),
+      ("g", 6.0e7, 12.0e7)).toDF("k", "x", "y")
+    val r = Stats.groupedCorrSlope(money, Seq("k"), "x", "y").head()
+    assert(r.getAs[Long]("n") == 3L)
+    assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
+    // VALUE lane: one row whose scaled value exceeds 4e18 (long lane
+    // NULL) mixed with long-lane rows, all inside the operator's
+    // n*sum(x^2) < 1e38 envelope; y = x/2 keeps y on mixed lanes too
+    val mixed = Seq(("g", 2.0, 1.0), ("g", 4.0, 2.0),
+      ("g", 4.5e16, 2.25e16)).toDF("k", "x", "y")
+    val r2 = Stats.groupedCorrSlope(mixed, Seq("k"), "x", "y").head()
+    assert(math.abs(r2.getAs[Double]("corr") - 1.0) < 1e-9)
+    assert(math.abs(r2.getAs[Double]("slope") - 0.5) < 1e-9)
+  }
+
   test("degenerate variance yields NULL statistics, not NaN") {
     val constX = Seq(("g", 5.0, 1.0), ("g", 5.0, 2.0)).toDF("k", "x", "y")
     val r = Stats.groupedCorrSlope(constX, Seq("k"), "x", "y").head()

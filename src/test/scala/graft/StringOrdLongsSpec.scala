@@ -25,7 +25,8 @@ class StringOrdLongsSpec extends SparkSpec {
     "(ascii, digits, unicode, empty)") {
     val rnd = new scala.util.Random(13)
     val alphabet = "abcXYZ019 _-äßøπ漢字"
-    val strs = (Seq("", "a", "ab", "abc", "b", "ä", "漢", "z" * 64) ++
+    val strs = (Seq("", "a", "ab", "abc", "b", "ä", "漢", "z" * 64,
+      "a\u0000", "a\u0000\u0000", "a\u0000b", "\u0000") ++
       (1 to 300).map { _ =>
         val len = rnd.nextInt(12)
         (1 to len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
@@ -52,7 +53,7 @@ class StringOrdLongsSpec extends SparkSpec {
     // 64 ASCII bytes fit 8 longs exactly; 65 must raise
     val ok = Seq("x" * 64).toDF("s")
       .select(StringOrdLongs.stringOrdAsc(col("s"), 8)).collect()
-    assert(ok.head.getSeq[Long](0).size == 8)
+    assert(ok.head.getSeq[Long](0).size == 9) // 8 prefix longs + length
     val over = Seq("x" * 65).toDF("s")
       .select(StringOrdLongs.stringOrdAsc(col("s"), 8))
     val e = intercept[Exception] { over.collect() }
