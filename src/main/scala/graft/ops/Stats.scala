@@ -32,39 +32,39 @@ import org.apache.spark.sql.types.DecimalType
 object Stats {
 
   private val Dec = DecimalType(38, 0)
-  private def zeroDec: Column = lit(0L).cast(Dec)
 
-  /** TWO-LANE fixed-point representation: the exact DECIMAL(38,0) lane
-    * (the r12 domain — anything the decimal arithmetic could express)
-    * and a LONG fast lane that is NULL when |round(v·scale)| exceeds
-    * 4e18 (the double compare is exact at this magnitude; 4e18 < 2⁶³
-    * leaves a 2.3× margin over the estimate's ulp error). Sums route
-    * each row to exactly one lane, so the fast path never wraps and the
-    * domain never shrinks below the decimal form's. */
-  private def fixedLanes(cn: String, scale: Long): (Column, Column) = {
+  /** round(value·scale) as a LONG. Values past 4e18 raise loudly — at
+    * scale = 100 that is a 4e16 raw value, and the ROUNDING ITSELF
+    * (double multiply) stops being exact past 2⁵³ ≈ 9e15, so nothing
+    * exact is ever lost at this guard (the double compare at 4e18 is
+    * itself exact: 2.3× margin over the estimate's ulp error). */
+  private def fixedLong(cn: String, scale: Long): Column = {
     val scaled = round(col(cn) * scale)
-    (scaled.cast(Dec),
-      when(abs(scaled) <= lit(4.0e18), scaled.cast("long")))
+    when(abs(scaled) <= lit(4.0e18), scaled.cast("long"))
+      .otherwise(raise_error(lit(s"Stats: |$cn * $scale| exceeds the " +
+        "4e18 exact-long range - reduce scale")).cast("long"))
   }
 
-  /** Exact Σ value over `cond` rows: Sum128 for rows whose long lane is
-    * defined, a decimal sum for the (rare) rest — added post-agg. */
-  private def valueSum(cond: Column, aL: Column, aD: Column): Column = {
-    import graft.functions.Sum128.sum128
-    sum128(when(cond && aL.isNotNull, aL).otherwise(lit(0L))) +
-      coalesce(sum(when(cond && aL.isNull, aD)), zeroDec)
-  }
-
-  /** Exact Σ a·b over `cond` rows: the long lane takes products whose
-    * double-magnitude estimate clears 4e18 (ulp error ≪ the 2.3×
-    * headroom), everything else rides the exact decimal product. */
-  private def momentSum(cond: Column, aL: Column, bL: Column,
-                        aD: Column, bD: Column): Column = {
-    import graft.functions.Sum128.sum128
-    val safe = aL.isNotNull && bL.isNotNull &&
-      abs(aL.cast("double") * bL.cast("double")) < lit(4.0e18)
-    sum128(when(cond && safe, aL * bL).otherwise(lit(0L))) +
-      coalesce(sum(when(cond && !safe, aD * bD)), zeroDec)
+  /** Per-row moment product in LONG with an EXACT overflow check (the
+    * division identity, two long ops — not a conservative double
+    * estimate): every product the 64-bit lane can express is accepted,
+    * so the supported domain is |a·b| < 2⁶³ ≈ 9.2e18 — at scale = 100
+    * that covers squares of ~$30M-unit values (the r13 review's $20M
+    * scenario clears at 4e18). Past it the error is loud and names the
+    * fix (a smaller `scale`); the all-decimal r12 form computed larger
+    * products but paid a serialized-BigDecimal buffer per row — 3×
+    * the scan cost — and two exact-lane alternatives (a decimal rare
+    * lane, a two-limb Sum128 rare lane) measured 2.2-3.0 s vs 0.6 s on
+    * the sf0.1 moments scan even with ZERO rare rows (NOTES_r13). */
+  private def exactProduct(a: Column, b: Column): Column = {
+    // try_multiply is NULL exactly on 64-bit overflow (Math.multiplyExact
+    // under the hood, ANSI-independent) — inputs are non-null by
+    // construction (fixedLong), so NULL here can only mean overflow
+    val t = try_multiply(a, b)
+    when(t.isNotNull, t)
+      .otherwise(raise_error(lit("Stats: per-row moment product " +
+        "exceeds the exact 64-bit range (2^63) - reduce scale"))
+        .cast("long"))
   }
 
   /** Per-group exact moments + derived corr/slope/intercept.
@@ -84,25 +84,24 @@ object Stats {
     // into the exact 128-bit sum aggregate ([[graft.functions.Sum128]]:
     // primitive two-long buffers, codegen'd carry) — Spark's decimal sum
     // with a 38-digit buffer pays a BigDecimal deserialize/add/serialize
-    // per row (measured 3x this form on the sf0.1 moments scan). Rows
-    // past the long fast path's range route to an exact DECIMAL lane
-    // (momentSum/valueSum), so the supported domain is identical to the
-    // all-decimal r12 form.
-    val (xD, xL) = fixedLanes(xCol, scale)
-    val (yD, yL) = fixedLanes(yCol, scale)
+    // per row (measured 3x this form on the sf0.1 moments scan). The
+    // per-row domain is exact-64-bit with LOUD errors past it
+    // ([[exactProduct]] — the division-identity check, never a wrap).
+    val x = fixedLong(xCol, scale)
+    val y = fixedLong(yCol, scale)
     def finite(c: String) = {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
-    val t = lit(true)
+    import graft.functions.Sum128.sum128
     val filtered = df.filter(finite(xCol) && finite(yCol))
     val m = filtered
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast(Dec).as("n"),
-        valueSum(t, xL, xD).as("sx"), valueSum(t, yL, yD).as("sy"),
-        momentSum(t, xL, xL, xD, xD).as("sxx"),
-        momentSum(t, yL, yL, yD, yD).as("syy"),
-        momentSum(t, xL, yL, xD, yD).as("sxy"))
+        sum128(x).as("sx"), sum128(y).as("sy"),
+        sum128(exactProduct(x, x)).as("sxx"),
+        sum128(exactProduct(y, y)).as("syy"),
+        sum128(exactProduct(x, y)).as("sxy"))
     // exact integer numerators/denominators, cast to double ONCE each
     val covN = (col("n") * col("sxy") - col("sx") * col("sy")).cast("double")
     val varXN = (col("n") * col("sxx") - col("sx") * col("sx")).cast("double")
@@ -147,21 +146,22 @@ object Stats {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
-    val (vD, vL) = fixedLanes(valueCol, scale)
+    import graft.functions.Sum128.sum128
+    val v = fixedLong(valueCol, scale)
+    val vv = exactProduct(v, v)
     val isA = col(variantCol) === 0
     // NULL variants are excluded outright: `=== 0` would silently route
     // them to the B side while a SQL `<> 0` replay drops them — the
     // engine must not depend on that divergence. Moments ride the
-    // Sum128 long fast path with the decimal lane for out-of-range rows
-    // (see groupedCorrSlope).
+    // Sum128 long fast path ([[exactProduct]] domain contract).
     val m = df.filter(finite(valueCol) && col(variantCol).isNotNull)
       .groupBy(groupCols.map(col): _*)
       .agg(sum(when(isA, 1L).otherwise(0L)).cast(Dec).as("na"),
         sum(when(!isA, 1L).otherwise(0L)).cast(Dec).as("nb"),
-        valueSum(isA, vL, vD).as("sa"),
-        valueSum(!isA, vL, vD).as("sb"),
-        momentSum(isA, vL, vL, vD, vD).as("qa"),
-        momentSum(!isA, vL, vL, vD, vD).as("qb"))
+        sum128(when(isA, v).otherwise(lit(0L))).as("sa"),
+        sum128(when(!isA, v).otherwise(lit(0L))).as("sb"),
+        sum128(when(isA, vv).otherwise(lit(0L))).as("qa"),
+        sum128(when(!isA, vv).otherwise(lit(0L))).as("qb"))
     def mean(s: String, n: String) =
       (col(s).cast("double") / col(n).cast("double")) / scale
     def variance(n: String, s: String, q: String) =
@@ -218,11 +218,10 @@ object Stats {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
-    val (bvD, bvL) = fixedLanes(valueCol, scale)
     val base = df.filter(finite(valueCol))
-      .select(col(idCol).as("__id"), bvD.as("__vd"), bvL.as("__v"))
+      .select(col(idCol).as("__id"), fixedLong(valueCol, scale).as("__v"))
 
-    val rep = base.select(col("__id"), col("__vd"), col("__v"),
+    val rep = base.select(col("__id"), col("__v"),
       explode(sequence(lit(1), lit(b))).as("r"))
     val h52 = conv(substring(Composition.shuffleKey(
         concat(col("__id").cast("string"), lit(":"), col("r").cast("string")),
@@ -233,12 +232,13 @@ object Stats {
         chain.when(u < lit(cdf.toDouble), k)
       }.otherwise(9).cast("long")
 
-    // v·m routes by magnitude like every moment: the long lane while
-    // |v·m| clears 4e18 (m <= 9), the exact decimal lane past it
+    // v·m on the exact 64-bit lane: m <= 9 and |v| <= 4e18 means the
+    // product can reach 3.6e19 only past |v| = 1e18 — exactProduct's
+    // division-identity check raises loudly there instead of wrapping
+    import graft.functions.Sum128.sum128
     val means = rep.withColumn("__m", m)
       .groupBy("r")
-      .agg(momentSum(lit(true), col("__v"), col("__m"),
-          col("__vd"), col("__m").cast(Dec)).as("__sv"),
+      .agg(sum128(exactProduct(col("__v"), col("__m"))).as("__sv"),
         sum("__m").as("__sm"))
       .select(when(col("__sm") > 0,
         (col("__sv").cast("double") / col("__sm").cast("double")) / scale)
@@ -247,9 +247,8 @@ object Stats {
     val kLo = math.max(1, (b * alpha / 2).toInt)
     val kHi = b + 1 - kLo
     val point = base.agg(count(lit(1)).as("n_rows"),
-      ((valueSum(lit(true), col("__v"), col("__vd")).cast("double")
-        / count(lit(1)).cast("double")) / scale)
-        .as("mean"))
+      ((sum128(col("__v")).cast("double") / count(lit(1)).cast("double"))
+        / scale).as("mean"))
     means.agg(sort_array(collect_list(col("__mean"))).as("__s"))
       .crossJoin(broadcast(point))
       .select(col("n_rows"), lit(b).as("b"), col("mean"),

