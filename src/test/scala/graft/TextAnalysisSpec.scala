@@ -325,28 +325,34 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows((3L, "other")) == wq(tf = 1, df = 1, dl = 2))
   }
 
-  test("tfidf tokenizes the corpus ONCE: tf frame cached, no text scan " +
-    "in the consuming plan") {
+  test("tfidf deliberately does NOT cache its tf frame (2-consumer " +
+    "break-even): tokenize is in-plan, no persisted scan") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    // same contract as bm25 below: AQE does not apply the planner-level
-    // ReuseExchange the old shared-exchange shape relied on, so the
-    // cached tf frame is the one-tokenize guarantee at runtime
+    // INVERSE of the bm25 pin below, and on purpose: with only two
+    // corpus-scale consumers (row side + vocab-sized df agg) the cache
+    // write costs about what the one saved tokenize earns — measured
+    // r12→r13 committed pair 1.09 → 1.73 s when tfidf briefly adopted
+    // bm25's eager persist, reverted r14. The break-even is 3+ consumers
+    // (bm25's shape). This test pins the NO-cache contract so a future
+    // "make it match bm25" cleanup trips over the measurement history.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     try {
       val df = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
       val plan = df.queryExecution.executedPlan
       val cacheScans = plan.collect { case s: InMemoryTableScanExec => s }
-      assert(cacheScans.size >= 2,
-        s"expected both tf consumers on the cache, found ${cacheScans.size}")
+      assert(cacheScans.isEmpty,
+        s"tfidf must not persist its tf frame, found ${cacheScans.size} " +
+          "cache scans — see the 2-consumer break-even scaladoc")
       val textScans = plan.collect {
         case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
       }
-      assert(textScans.isEmpty,
-        s"tokenize must run only inside the cached tf frame, found " +
-          s"${textScans.size} corpus text scans in the consuming plan")
+      // AQE-off planner ReuseExchange dedupes the shared subtree here
+      // (runtime AQE executes it twice — the accepted 2-consumer cost)
+      assert(textScans.nonEmpty,
+        "tokenize must be in-plan (not cached) for tfidf")
     } finally {
       spark.conf.set("spark.sql.adaptive.enabled", prev)
       TextAnalysis.releaseCaches()
