@@ -55,22 +55,30 @@ object Entities {
   // documents the same trap), so eviction is what actually frees a
   // stopped session's plans; 64 entries cover many sessions × the
   // fixture tables, and an evicted entry just re-lists on next use.
-  // Schema changes on disk for a LIVE entry are not supported (they
-  // never happen in a fixture run).
+  // The key carries the path's LAST-MODIFIED time, so a rewrite of the
+  // parquet directory during a live session gets a FRESH file listing /
+  // schema snapshot on next read instead of a stale memoized frame (the
+  // stale entry ages out of the LRU). One filesystem stat per call —
+  // microseconds against the ~35 ms listing job the memo avoids.
   private val readMemo =
-    new java.util.LinkedHashMap[(SparkSession, String), DataFrame](
+    new java.util.LinkedHashMap[(SparkSession, String, Long), DataFrame](
       16, 0.75f, true) {
       override def removeEldestEntry(
-          e: java.util.Map.Entry[(SparkSession, String), DataFrame]): Boolean =
-        size() > 64
+          e: java.util.Map.Entry[(SparkSession, String, Long), DataFrame])
+          : Boolean = size() > 64
     }
   def read(spark: SparkSession, dir: String, table: String): DataFrame =
     readMemo.synchronized {
-      val key = (spark, s"$dir/$table.parquet")
+      val path = s"$dir/$table.parquet"
+      val mtime =
+        try java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(path)).toMillis
+        catch { case _: Throwable => 0L } // non-local/missing: memo on path
+      val key = (spark, path, mtime)
       val hit = readMemo.get(key)
       if (hit != null) hit
       else {
-        val df = spark.read.parquet(s"$dir/$table.parquet")
+        val df = spark.read.parquet(path)
         readMemo.put(key, df)
         df
       }

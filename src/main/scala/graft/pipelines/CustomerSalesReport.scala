@@ -116,10 +116,10 @@ object CustomerSalesReport {
     // tiny struct per customer, and the row side goes straight from
     // the metrics cache to the final sort. At 100 TB this is the
     // difference between shuffling the whole mart and shuffling
-    // |customers| 32-byte structs. (Under a true full-key tie —
-    // impossible here, rows would be identical in every output column —
-    // all tied rows flag "Yes", where row_number's pick among identical
-    // rows is arbitrary-and-nondeterministic anyway.)
+    // |customers| 32-byte structs. A true full-key tie (rows identical
+    // in every output column) is impossible in the verified fixtures but
+    // not provable in general — it fails LOUDLY via the fused tie count
+    // below rather than silently flagging extra 'Yes' rows.
     val ordKey = struct(
       // null amount (unmatched product) sorts LAST under desc in both
       // engines → flipped-bits MaxValue
@@ -128,8 +128,18 @@ object CustomerSalesReport {
       col("SALE_ID").as("s"), col("PRODUCT_ID").as("p"),
       col("QUANTITY").as("q"))
     val keyed = tiered.withColumn("__ord", ordKey)
+    // min + tie count in ONE aggregation (graft.functions.MinTieCount):
+    // uniqueness of the ordering key is a DATA property (verified at
+    // sf0.01/sf0.1, not provable for arbitrary inputs), and under a tie
+    // the equality flag would mark every tied row 'Yes' where the
+    // reference's row_number marks one — a silent multiset divergence.
+    // No deterministic per-row expression can pick among identical rows,
+    // so a tie fails LOUDLY below instead (r13 advice). Same plan shape
+    // and execution class as the plain min(struct) it replaces.
     val tops = keyed.groupBy("CUSTOMER_ID")
-      .agg(min(col("__ord")).as("__ord_min"))
+      .agg(graft.functions.MinTieCount.minTieCount(col("__ord")).as("__mt"))
+      .select(col("CUSTOMER_ID"), col("__mt.min").as("__ord_min"),
+        col("__mt.ties").as("__ord_ties"))
     // No final sort: the reference writes the target frame UNORDERED
     // (`m_customer_sales_report_task.py:142-166` — the tgt select goes
     // straight to the duplicate gate and load), so the mart ends
@@ -143,7 +153,17 @@ object CustomerSalesReport {
     keyed
       .join(tops, Seq("CUSTOMER_ID"))
       .withColumn("TOP_PERFORMER",
-        when(col("__ord") === col("__ord_min"), "Yes").otherwise("No"))
+        when(col("__ord") === col("__ord_min") && col("__ord_ties") > 1,
+          raise_error(concat(
+            lit("customer_sales_report: TOP_PERFORMER ordering key " +
+              "(SALE_AMOUNT desc, SALE_ID, PRODUCT_ID, QUANTITY) is not " +
+              "unique for CUSTOMER_ID="), col("CUSTOMER_ID").cast("string"),
+            lit(" ("), col("__ord_ties").cast("string"),
+            lit(" tied rows) — the argmin flag would mark them all " +
+              "'Yes' where row_number marks one; extend the tiebreak " +
+              "chain for this dataset"))).cast("string"))
+        .when(col("__ord") === col("__ord_min"), "Yes")
+        .otherwise("No"))
       .select("DAY_DT", "CUSTOMER_ID", "CUSTOMER_NAME", "SALE_ID", "CITY",
         "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
         "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
