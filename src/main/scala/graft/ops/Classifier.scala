@@ -380,10 +380,33 @@ object Classifier {
     // own-fold count subtracts via the row-local map lookup. Null-fold
     // (null-id) docs are train-only — the grid join below drops them
     // null-unsafely — so they're filtered BEFORE the token fan-out
-    // rather than carried through the join and dropped at the end
+    // rather than carried through the join and dropped at the end.
+    // Null-CLASS rows are dropped pre-aggregation: the 3-key null-
+    // UNSAFE join below never matches them, so carrying them through
+    // the groupBy was dead work.
+    //
+    // NEGATIVE PROBES (r14, measured — keep this shape): two rewrites
+    // of the tail were built and benched isolated at sf0.1 (best-of-4,
+    // same host window; this form = 2.40 s):
+    //   (a) pivot pos_bits into a per-(doc, fold) MAP so the argmin
+    //       groups on the row-side join keys exchange-free → 2.74 s:
+    //       at this scale AQE BROADCASTS the per-doc frame, so the
+    //       partitioning-reuse never engages and the pivot's
+    //       collect_list aggregation is pure added cost;
+    //   (b) (a) plus n_tok routed through the probe side so the row
+    //       side is a text-free (id, label) projection — two corpus
+    //       text scans instead of three → 2.94 s: the saved scan is
+    //       smaller than the pivot overhead at sf0.1.
+    // At true corpus scale (b) wins on I/O (the text column dominates
+    // and the pivot frame is doc-grain), so revisit the pivot form IF
+    // the corpus outgrows the broadcast threshold — the crossover is
+    // precisely the point where AQE stops broadcasting presentMap. The
+    // residual sf0.1 floor is ~10 AQE stage-scheduler jobs plus the two
+    // corpus-scale cache/probe stages, not dataflow volume.
     val present = base.filter(col("fold").isNotNull)
       .select(col("__id"), col("fold"), explode(col("__tk")).as("tok"))
       .join(enriched, "tok")
+      .filter(col("cls").isNotNull)
       .groupBy(col("__id"), col("fold"), col("cls"))
       .agg(sum(bits2(col("c_all")
         - coalesce(element_at(col("f_map"), col("fold")), lit(0L))
