@@ -81,16 +81,19 @@ object Drift {
     joinedBins(a, b, valueCol, lo, hi, bins)
       .withColumn("a_frac", col("a_n").cast("double") / col("a_total"))
       .withColumn("b_frac", col("b_n").cast("double") / col("b_total"))
+      // exact long×long products ride the codegen'd Mul128 primitive
+      // (identical integers; the decimal path paid a serialized-
+      // BigDecimal multiply per bin)
       .withColumn("__d",
-        abs(col("a_n").cast(dec) * col("b_total").cast(dec) -
-          col("b_n").cast(dec) * col("a_total").cast(dec)))
+        abs(graft.functions.Mul128.mul128(col("a_n"), col("b_total")) -
+          graft.functions.Mul128.mul128(col("b_n"), col("a_total"))))
       .agg(max("a_total").as("a_total"), max("b_total").as("b_total"),
         sum("__d").as("__sum_d"),
         max(abs(col("a_frac") - col("b_frac"))).as("max_gap"))
       .select(col("a_total"), col("b_total"),
         (col("__sum_d").cast("double") /
-          (col("a_total").cast(dec) * col("b_total").cast(dec) * lit(2))
-            .cast("double")).as("tvd"),
+          (graft.functions.Mul128.mul128(col("a_total"), col("b_total"))
+            * lit(2)).cast("double")).as("tvd"),
         col("max_gap"))
   }
 

@@ -171,18 +171,21 @@ object Privacy {
       .join(gTot, qCond)
       .join(sTot, col(s"c.$sensitive") <=> col(s"s.$sensitive"))
       .crossJoin(broadcast(nTot))
-    // signed per-cell adjustment vs the all-absent baseline n_g·N
-    val term = abs(dec(col("c_gs")) * dec(col("n_total")) -
-        dec(col("c_s")) * dec(col("group_n"))) -
-      dec(col("c_s")) * dec(col("group_n"))
+    // signed per-cell adjustment vs the all-absent baseline n_g·N; the
+    // long×long products ride the codegen'd Mul128 primitive (identical
+    // integers, no serialized-BigDecimal multiply per cell)
+    val m128 = graft.functions.Mul128.mul128 _
+    val term = abs(m128(col("c_gs"), col("n_total")) -
+        m128(col("c_s"), col("group_n"))) -
+      m128(col("c_s"), col("group_n"))
     joined.groupBy(quasi.map(q => col(s"g.$q").as(q)): _*)
       .agg(max("group_n").as("group_n"), max("n_total").as("n_total"),
         sum(term).as("__adj"))
       .withColumn("__num",
-        (col("__adj") + dec(col("group_n")) * dec(col("n_total"))) *
+        (col("__adj") + m128(col("group_n"), col("n_total"))) *
           dec(lit(10000L)))
       .withColumn("__den",
-        dec(lit(2L)) * dec(col("group_n")) * dec(col("n_total")))
+        dec(lit(2L)) * m128(col("group_n"), col("n_total")))
       // numerator ≥ 0 (it is Σ of absolute gaps), so trunc == floor on
       // both engines; IntegralDivide on decimals yields BIGINT
       .withColumn("tvd_bp", expr("__num div __den"))

@@ -296,24 +296,26 @@ object TextAnalysis {
     *            ───────────────────────────────────  = wNum / wDen
     *            (2df + 1)·(10·tf·T + 3·T + 9·dl·N)
     *
-    * Both sides are computed in DECIMAL(38,0) integer arithmetic and the
-    * emitted `weight_q` = wNum·10¹² div wDen is a BIGINT — no doubles
-    * anywhere on the rank path, so a DuckDB oracle running the same
-    * integer ops is bit-identical (the r8/r9 driver-hash divergence was
-    * exactly cross-engine double drift). `rk` orders by
-    * (weight_q DESC, token ASC). A `weight` double is still emitted for
-    * human consumption (same value to ~1e-12 relative). Headroom:
-    * wNum·10¹² < 44·N·tf·T·10¹² must stay under 10³⁸ — true up to
-    * ~10⁹ docs × 10¹² tokens at tf ≤ 10². Past that, non-ANSI Spark
-    * (this repo's sessions) turns DECIMAL(38,0) overflow into NULL, not
-    * an exception — which would silently drop exactly the hottest
-    * tokens from the top-k — so the weight computation guards the edge
-    * itself: all rational inputs are non-null by construction (pure
-    * count aggregates), hence a NULL product proves overflow and
-    * raise_error fires instead of a corrupted ranking. */
+    * The emitted `weight_q` = wNum·10¹² div wDen is a BIGINT — no
+    * doubles anywhere on the rank path, so a DuckDB oracle running the
+    * same integer ops (HUGEINT `//`) is bit-identical (the r8/r9
+    * driver-hash divergence was exactly cross-engine double drift).
+    * `rk` orders by (weight_q DESC, token ASC). A `weight` double is
+    * emitted for human consumption (weight_q/10¹² — within 1e-12
+    * relative of the true rational). Since r14 the whole rational runs
+    * in the fused primitive-long expression
+    * [[graft.functions.Bm25WeightQ]] (128-bit mul/div inside
+    * whole-stage codegen; the old DECIMAL(38,0) form paid five
+    * serialized-BigDecimal multiplies per (doc, token) row). Headroom:
+    * wNum·10¹² < 44·N·tf·T·10¹² must stay under 2¹²⁷ — true up to
+    * ~10⁹ docs × 10¹² tokens at tf ≤ 10² — and any intermediate past it
+    * (or a quotient past BIGINT) fails LOUDLY inside the expression
+    * rather than silently dropping the hottest tokens from the top-k
+    * (the old form proved overflow via NULL products and raise_error;
+    * the fused form throws directly, and also catches the too-big-
+    * quotient case the old BIGINT cast would have nulled). */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
                    k: Int = 3): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // dl (doc length in tokens) = size of the token array, carried
     // through the explode and folded into the SAME (id, token)
@@ -337,35 +339,27 @@ object TextAnalysis {
     val dfByToken = counts.groupBy("token").agg(count(lit(1)).as("df"))
     // total token count from the compact tf frame, not a corpus rescan
     val totToks = counts.agg(sum("tf").as("total_tokens"))
-    def dec(c: Column): Column = c.cast(DecimalType(38, 0))
-    // exact integer rational: all Long pre-products are overflow-safe
-    // (2N, 22·tf, 10·tf, 3·T, 9·dl small multiples of counts); the big
-    // cross-terms happen in DECIMAL(38,0)
-    val wNum = dec(lit(2L) * col("n_docs") - lit(2L) * col("df") + lit(1L)) *
-      dec(lit(22L) * col("tf")) * dec(col("total_tokens"))
-    val wDen = dec(lit(2L) * col("df") + lit(1L)) *
-      (dec(lit(10L) * col("tf")) * dec(col("total_tokens")) +
-        dec(lit(3L) * col("total_tokens")) +
-        dec(lit(9L) * col("dl")) * dec(col("n_docs")))
+    // The whole rational rides the fused 128-bit primitive expression
+    // [[graft.functions.Bm25WeightQ]] (r14): the old DECIMAL(38,0) form
+    // paid five serialized-BigDecimal multiplies + a decimal
+    // IntegralDivide per (doc, token) row; the fused form is
+    // allocation-free primitive long arithmetic inside whole-stage
+    // codegen with the SAME loud-failure headroom contract (any
+    // intermediate past 2¹²⁷ or a quotient past BIGINT throws — the old
+    // NULL-product proof fired at 10³⁸ and silently nulled a too-big
+    // quotient). Values are bit-identical inside the headroom: floor
+    // division of the same exact integers.
     val weighted = counts
       .join(dfByToken, "token")
       .crossJoin(broadcast(nDocs))
       .crossJoin(broadcast(totToks))
-      .withColumn("__wnum", wNum * dec(lit(1000000000000L)))
-      .withColumn("__wden", wDen)
-      // IntegralDivide on decimals yields BIGINT; weight positive
-      // (df ≤ N ⇒ 2N−2df+1 ≥ 1) so trunc == floor on both engines.
-      // Every input to the rational is a non-null count, so a NULL
-      // product can only mean non-ANSI decimal overflow — fail loudly
-      // rather than let the hottest tokens vanish from the top-k
-      .withColumn("weight_q", expr(
-        "CASE WHEN __wnum IS NULL OR __wden IS NULL THEN " +
-          "CAST(raise_error('bm25TopTerms: DECIMAL(38,0) overflow in " +
-          "the weight rational — corpus exceeds the ~1e9 docs x 1e12 " +
-          "tokens headroom') AS BIGINT) " +
-          "ELSE __wnum div __wden END"))
-      .withColumn("weight",
-        col("__wnum").cast("double") / col("__wden").cast("double") / 1e12)
+      .withColumn("weight_q", graft.functions.Bm25WeightQ.bm25WeightQ(
+        col("tf"), col("df"), col("dl").cast("long"),
+        col("n_docs"), col("total_tokens").cast("long")))
+      // human-consumption double, derived from the exact quotient (the
+      // rank path never touches it); within 1e-12 relative of the true
+      // rational by the quantization itself
+      .withColumn("weight", col("weight_q").cast("double") / 1e12)
     // Per-doc top-k through the bounded-heap TopKRows aggregate instead
     // of `row_number() over (partition by id order by ...) <= k`: the
     // window form shuffles and sorts the FULL weighted tf frame; the
