@@ -23,9 +23,13 @@ object Scratch {
     val starts = new java.util.concurrent.ConcurrentHashMap[Int, (Long, String)]()
     val rows = new java.util.concurrent.ConcurrentLinkedQueue[(Int, Double, String)]()
     spark.sparkContext.addSparkListener(new SparkListener {
-      override def onJobStart(js: SparkListenerJobStart): Unit =
+      override def onJobStart(js: SparkListenerJobStart): Unit = {
+        val stages = js.stageInfos.map(si =>
+          s"${si.name.takeWhile(_ != ' ')}:${si.numTasks}").mkString(",")
         starts.put(js.jobId, (System.nanoTime(),
-          Option(js.properties.getProperty("spark.job.description")).getOrElse("")))
+          Option(js.properties.getProperty("spark.job.description"))
+            .filter(_.nonEmpty).getOrElse(stages)))
+      }
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val s = starts.remove(je.jobId)
         if (s != null)

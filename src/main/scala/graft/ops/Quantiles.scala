@@ -188,8 +188,17 @@ object Quantiles {
                                ): Seq[(Double, Long)] = {
     qs.foreach(q => require(q > 0.0 && q <= 1.0, s"quantile out of (0,1]: $q"))
     val names = qs.indices.map(i => s"__q$i")
+    // Ungrouped = ONE group, so the whole ≤2²⁰-counters-per-round reduce
+    // budget belongs to it: grow the histogram to the full budget. Only
+    // non-empty buckets ship, so a round's reduce input never exceeds
+    // min(2²⁰, rows-in-range) counters either way, while a wide sketch
+    // bracket (IEEE-bits doubles span ~2⁴⁰ after verify) resolves in 1-2
+    // rounds instead of the ~4 that 1024 bins pay (measured on the
+    // customer mart at 10×: the per-round full-column scans were the
+    // cell's whole superlinear residue).
     val out = groupedExactQuantilesImpl(df.withColumn("__cg", lit(1)),
-      "__cg", valueCol, names.zip(qs), bins, relError, known, knownSketch)
+      "__cg", valueCol, names.zip(qs), math.max(bins, 1 << 20), relError,
+      known, knownSketch)
     val rows = out.collect()
     require(rows.nonEmpty, "column has no non-null values")
     val r = rows.head
@@ -409,6 +418,14 @@ object Quantiles {
     // exactQuantilesSeeded protocol, grouped). Bracket endpoints widen
     // by one ulp (bracketLong) so the long→double conversion of wide
     // bits-values can't shave the target.
+    // EXACT in-range row counts per still-active (group, rank), kept
+    // only where a job measured them (bracket verify, zero-split
+    // arithmetic, a refinement round's selected bucket): any active key
+    // whose CURRENT range provably holds ≤ GatherCapPerKey values
+    // resolves by direct gather inside the refinement loop instead of
+    // refining the range to width 1. Never estimated — an optimistic
+    // count would un-bound the gather's executor buffer.
+    var exactCnt = Map.empty[(Any, String), Long]
     seedRelError.foreach { re =>
       val activeGs = state.collect {
         case ((gv, _), (lo, hi, _)) if lo < hi => gv }.toSet
@@ -474,7 +491,6 @@ object Quantiles {
         val fusedVals: Map[(Any, String), Seq[Long]] = rawCnts.iterator
           .filter(!_.isNullAt(4))
           .map(r => (r.get(0), r.getString(1)) -> r.getSeq[Long](4)).toMap
-        var verifiedInR = Map.empty[(Any, String), Long]
         state = state.map { case (key, full @ (_, _, k)) =>
           brackets.get(key) match {
             case Some((blo, bhi)) =>
@@ -486,48 +502,15 @@ object Quantiles {
                     val x = vs((kk - 1).toInt)
                     key -> ((x, x, 1L))
                   case None =>
-                    verifiedInR += key -> inRange
+                    // verified but past the fused cap: the refinement
+                    // loop's gather phase picks it up the moment its
+                    // exact count fits (often immediately — one gather
+                    // job where the pre-r14 shape refined to width 1)
+                    exactCnt += key -> inRange
                     key -> ((blo, bhi, kk))
                 }
               } else key -> full // bracket disproved: exact fallback
             case None => key -> full
-          }
-        }
-        // gather fast path: a VERIFIED bracket with few survivors needs
-        // no refinement rounds at all — one bounded job collects the
-        // in-bracket values per key and the driver indexes the kk-th.
-        // Airtight against skew/duplicates because the cap tests the
-        // EXACT verified count (never the sketch's promise): a key whose
-        // bracket holds ≤ 2¹⁶ values may gather, total pull ≤ 2²⁰ values
-        // (8 MB of longs), everything else falls through to the
-        // refinement rounds — so at 100 TB (ε·n_g past the cap) this
-        // degrades to the scale-safe protocol, while at monitoring scale
-        // it collapses ~5 histogram rounds into one job.
-        val gatherOrder = verifiedInR.toSeq
-          .filter { case (key, inR) =>
-            inR <= GatherCapPerKey && state(key)._1 < state(key)._2 }
-          .sortBy { case ((gv, name), _) => (String.valueOf(gv), name) }
-        var budget = GatherCapTotal
-        val gatherKeys = gatherOrder.takeWhile { case (_, inR) =>
-          val ok = inR <= budget; if (ok) budget -= inR; ok }.map(_._1)
-        if (gatherKeys.nonEmpty) {
-          val gRows = gatherKeys.map { key =>
-            val (blo, bhi, _) = state(key)
-            Row(key._1, key._2, blo, bhi)
-          }
-          val vals = df.select(g.as("__gv"), v.as("__v"))
-            .join(broadcast(localRows(spark, gRows, vSchema)),
-              col("__gv") <=> col("__g") &&
-                col("__v") >= col("__blo") && col("__v") <= col("__bhi"))
-            .groupBy("__g", "__rank")
-            .agg(sort_array(collect_list(col("__v"))).as("vs"))
-            .collect()
-            .map(r => (r.get(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
-          state = state.map {
-            case (key, (_, _, kk)) if vals.contains(key) =>
-              val x = vals(key)((kk - 1).toInt)
-              key -> ((x, x, 1L))
-            case other => other
           }
         }
       }
@@ -556,6 +539,14 @@ object Quantiles {
       state = state.map {
         case (key, (lo, hi, kk)) if lo < 0 && hi > 0 =>
           val nNeg = negCounts.getOrElse(key, 0L)
+          // keep the exact-count ledger consistent with the halved
+          // range: the negative half's count was just measured; the
+          // non-negative half is old − nNeg only if old was exact
+          if (kk <= nNeg) exactCnt += key -> nNeg
+          else exactCnt.get(key) match {
+            case Some(c) => exactCnt += key -> (c - nNeg)
+            case None => ()
+          }
           key -> (if (kk <= nNeg) (lo, -1L, kk) else (0L, hi, kk - nNeg))
         case other => other
       }
@@ -565,8 +556,51 @@ object Quantiles {
       StructField("__rank", StringType),
       StructField("__lo", LongType), StructField("__hi", LongType),
       StructField("__width", LongType)))
+    val gatherSchema = StructType(Seq(groupField,
+      StructField("__rank", StringType),
+      StructField("__blo", LongType), StructField("__bhi", LongType)))
     while (state.exists { case (_, (lo, hi, _)) => lo < hi }) {
+      // gather phase: any active key whose EXACT in-range count fits the
+      // caps resolves in one bounded job — one collect of the in-range
+      // values, driver indexes the kk-th. Airtight against
+      // skew/duplicates because the cap tests a MEASURED count (never
+      // the sketch's promise): ≤ 2¹⁶ values per key, ≤ 2²⁰ total (8 MB
+      // of longs) per pass; everything else refines. A verified sketch
+      // bracket enters here directly (collapsing refinement entirely at
+      // monitoring scale), and a bracket whose count only drops under
+      // the cap after a round enters then — at 10-100× that saves the
+      // deep tail of rounds, at 100 TB (ε·n_g ≫ cap for several rounds)
+      // it degrades to the bounded-round protocol unchanged.
+      val gatherOrder = state.toSeq
+        .collect { case (key, (lo, hi, _)) if lo < hi &&
+            exactCnt.get(key).exists(c => c >= 1 && c <= GatherCapPerKey) =>
+          key -> exactCnt(key) }
+        .sortBy { case ((gv, name), _) => (String.valueOf(gv), name) }
+      var budget = GatherCapTotal
+      val gatherKeys = gatherOrder.takeWhile { case (_, inR) =>
+        val ok = inR <= budget; if (ok) budget -= inR; ok }.map(_._1)
+      if (gatherKeys.nonEmpty) {
+        val gRows = gatherKeys.map { key =>
+          val (blo, bhi, _) = state(key)
+          Row(key._1, key._2, blo, bhi)
+        }
+        val vals = df.select(g.as("__gv"), v.as("__v"))
+          .join(broadcast(localRows(spark, gRows, gatherSchema)),
+            col("__gv") <=> col("__g") &&
+              col("__v") >= col("__blo") && col("__v") <= col("__bhi"))
+          .groupBy("__g", "__rank")
+          .agg(sort_array(collect_list(col("__v"))).as("vs"))
+          .collect()
+          .map(r => (r.get(0), r.getString(1)) -> r.getSeq[Long](2)).toMap
+        state = state.map {
+          case (key, (_, _, kk)) if vals.contains(key) =>
+            val x = vals(key)((kk - 1).toInt)
+            key -> ((x, x, 1L))
+          case other => other
+        }
+      }
       val active = state.filter { case (_, (lo, hi, _)) => lo < hi }
+      if (active.isEmpty) () else {
       val rangeRows = active.map { case ((gv, name), (lo, hi, _)) =>
         Row(gv, name, lo, hi, math.max(1L, (hi - lo) / effBins + 1L))
       }.toSeq
@@ -592,7 +626,11 @@ object Quantiles {
           var i = 0
           while (cum + hist(i)._2 < kk) { cum += hist(i)._2; i += 1 }
           val newLo = lo + hist(i)._1 * width
+          // the selected bucket's count is exact — next iteration's
+          // gather phase fires as soon as it fits the cap
+          exactCnt += key -> hist(i)._2
           key -> ((newLo, math.min(hi, satAdd(newLo, width - 1)), kk - cum))
+      }
       }
     }
     } // withProtocolConf (zero-split + refinement)
