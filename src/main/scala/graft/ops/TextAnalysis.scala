@@ -224,16 +224,20 @@ object TextAnalysis {
     * order — a total order, so deterministic): groupBy (doc, token) then
     * a per-doc window — both shuffles are keyed by doc id. */
   def docTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                  k: Int = 3): DataFrame = {
+                  k: Int = 3, ordLongs: Int = 32): DataFrame = {
     val counts = docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     // bounded-heap top-k (the bm25/tfidf shape) instead of a per-doc
     // row_number window: no second full-frame shuffle+sort, map-side
-    // partials ship <= k rows per doc per partition
+    // partials ship <= k rows per doc per partition. `ordLongs` sizes
+    // the token-ASC tiebreak's sortable-long capacity (8·ordLongs
+    // bytes; loud failure past it) — raise it for corpora whose
+    // whitespace-free runs (base64 blobs, minified payloads) exceed
+    // the 256-byte default, at 8 bytes/long of per-row ordering cost.
     val ord = concat(
       array(graft.ops.TopK.ordDesc(col("tf"))),
-      graft.functions.StringOrdLongs.stringOrdAsc(col("token")))
+      graft.functions.StringOrdLongs.stringOrdAsc(col("token"), ordLongs))
     counts
       .groupBy(col(idCol))
       .agg(graft.functions.TopKRows.topKRows(ord,
@@ -315,7 +319,7 @@ object TextAnalysis {
     * the fused form throws directly, and also catches the too-big-
     * quotient case the old BIGINT cast would have nulled). */
   def bm25TopTerms(docs: DataFrame, idCol: String, textCol: String,
-                   k: Int = 3): DataFrame = {
+                   k: Int = 3, ordLongs: Int = 32): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // dl (doc length in tokens) = size of the token array, carried
     // through the explode and folded into the SAME (id, token)
@@ -367,11 +371,13 @@ object TextAnalysis {
     // partition. The ordering (weight_q DESC, token ASC) is total —
     // token is unique within a doc by the groupBy — and the string
     // tiebreak rides [[graft.functions.StringOrdLongs]] (order-
-    // preserving sortable longs, loud failure past 256 bytes), so the
-    // rows are bit-identical to the window form's.
+    // preserving sortable longs, loud failure past 8·`ordLongs` bytes —
+    // raise `ordLongs` for corpora with whitespace-free runs past the
+    // 256-byte default), so the rows are bit-identical to the window
+    // form's.
     val ord = concat(
       array(graft.ops.TopK.ordDesc(col("weight_q"))),
-      graft.functions.StringOrdLongs.stringOrdAsc(col("token")))
+      graft.functions.StringOrdLongs.stringOrdAsc(col("token"), ordLongs))
     weighted
       .groupBy(col(idCol))
       .agg(graft.functions.TopKRows.topKRows(ord,
@@ -475,7 +481,7 @@ object TextAnalysis {
     * one-tokenize guarantee at any scale. N arrives via a broadcast
     * 1-row cross join, not a driver action. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
-                    k: Int = 3): DataFrame = {
+                    k: Int = 3, ordLongs: Int = 32): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
     // NOT persisted — deliberately different from bm25's eager-cached tf
     // frame. AQE's runtime stage cache does not reuse the branches'
@@ -508,7 +514,7 @@ object TextAnalysis {
         (col("tf") * col("n_docs")).cast("double") / col("df"))
     val ord = concat(
       array(graft.ops.TopK.ordDescDouble(col("weight"))),
-      graft.functions.StringOrdLongs.stringOrdAsc(col("token")))
+      graft.functions.StringOrdLongs.stringOrdAsc(col("token"), ordLongs))
     weighted
       .groupBy(col(idCol))
       .agg(graft.functions.TopKRows.topKRows(ord,

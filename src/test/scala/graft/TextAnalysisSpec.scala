@@ -106,6 +106,27 @@ class TextAnalysisSpec extends SparkSpec {
     assert(top == Map((1L, 1) -> "a", (1L, 2) -> "b", (2L, 1) -> "b", (2L, 2) -> "a"))
   }
 
+  test("top-terms ordLongs knob admits tokens past the 256-byte default") {
+    // a whitespace-free 300-byte run (URL/base64-shaped) crashes the
+    // default ordering capacity LOUDLY, and succeeds with the knob
+    // raised — the r13-advice contract: totality is the caller's one
+    // explicit choice away, never a silent misranking
+    val blob = "x" * 300
+    val docs = Seq((1L, s"$blob $blob a")).toDF("doc_id", "text")
+    val e = intercept[org.apache.spark.SparkException] {
+      TextAnalysis.docTopTerms(docs, "doc_id", "text", 2).collect()
+    }
+    assert(e.getMessage.contains("string_ord_longs") ||
+      Option(e.getCause).exists(_.getMessage.contains("ordering capacity")))
+    val ok = TextAnalysis.docTopTerms(docs, "doc_id", "text", 2, ordLongs = 64)
+      .collect().map(r => (r.getLong(0), r.getInt(3)) -> r.getString(1)).toMap
+    assert(ok == Map((1L, 1) -> blob, (1L, 2) -> "a"))
+    assert(TextAnalysis.bm25TopTerms(docs, "doc_id", "text", 1, ordLongs = 64)
+      .count() == 1L)
+    assert(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 1, ordLongs = 64)
+      .count() == 1L)
+  }
+
   test("dupGramFraction counts repeated n-gram occurrences") {
     val df = Seq(
       ("a b a b a", 0.6, 0.5),  // tokens: (5-2)/5; 2-grams ab,ba,ab,ba: (4-2)/4
