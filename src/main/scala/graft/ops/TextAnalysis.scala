@@ -473,33 +473,39 @@ object TextAnalysis {
     * memory and Spark's broadcast limit — the planner (AQE) picks BHJ
     * when the vocab measures small and a token-partitioned shuffle join
     * otherwise, and the skew fix never depended on the hint (the groupBy
-    * removed the hot-token window). The df branch does NOT re-tokenize
-    * the corpus: the compact tf frame is PERSISTED (bounded window) and
-    * both branches read the cache — the planner-level ReuseExchange the
-    * old shape relied on is not applied by AQE's runtime stage cache
-    * (two tokenize scans at runtime, measured r13), so the cache is the
-    * one-tokenize guarantee at any scale. N arrives via a broadcast
-    * 1-row cross join, not a driver action. */
+    * removed the hot-token window). Whether the df branch re-tokenizes
+    * the corpus or reads a persisted compact tf frame is decided by the
+    * planner's size estimate of the input against a measured crossover
+    * — see the in-body comment (AQE's runtime stage cache never reuses
+    * the branches' shared exchange, r13, so it is a real either/or).
+    * N arrives via a broadcast 1-row cross join, not a driver action. */
   def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
                     k: Int = 3, ordLongs: Int = 32): DataFrame = {
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
-    // NOT persisted — deliberately different from bm25's eager-cached tf
-    // frame. AQE's runtime stage cache does not reuse the branches'
-    // shared exchange (measured r13: two tokenize scans at runtime), so
-    // the choice here is {cache-write + 1 tokenize} vs {2 tokenizes}.
-    // With only TWO consumers (the row side and the vocab-sized df
-    // aggregation) the cache write costs about what it saves and LOST in
-    // the r12→r13 committed suite pair (1.09 → 1.73 s; isolated probes
-    // r14: none 1.43 / eager 1.46 / lazy 1.65) — the break-even is 3+
-    // corpus-scale consumers, which is why bm25TopTerms (row side + df +
-    // corpus-total scalar) keeps the eager persist and this op does not.
-    // At 100 TB the same arithmetic holds: materializing a corpus-scale
-    // derived frame writes+reads roughly what one extra tokenize scan
-    // costs, while adding memory/disk pressure — recompute is the
-    // correct 2-consumer shape, not a missed optimization.
-    val counts = docs
+    // CONDITIONALLY persisted — the 2-consumer arithmetic is
+    // scale-dependent, measured both ways in one r14 window (AQE's
+    // runtime stage cache does not reuse the branches' shared exchange,
+    // r13, so the choice is {cache-write + 1 tokenize} vs {2
+    // tokenizes}): at sf0.1 (~0.6 MB corpus) the cache write LOSES
+    // (1.28 s no-persist vs 1.48 s persisted — the r12→r13 committed
+    // pair's 1.09 → 1.73 s regression was this same sign), at the 10×
+    // disjoint corpus (~6 MB) it WINS (3.87 s vs 4.55 s): the per-byte
+    // cost of the compact-tf cache write+read undercuts a second
+    // corpus-scale tokenize once the text column dominates the scan.
+    // The branch keys on the PLANNER's size estimate for the input
+    // (stats.sizeInBytes — no action, exact for parquet-backed frames)
+    // against the measured ~2 MiB crossover, overridable via
+    // -Dgraft.text.tfidfCacheBytes for tests and adversarial corpora.
+    // bm25TopTerms (3 corpus-scale consumers) persists unconditionally.
+    val crossover = sys.props.get("graft.text.tfidfCacheBytes")
+      .map(_.toLong).getOrElse(2L << 20)
+    val raw = docs
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
+    val counts =
+      if (docs.queryExecution.optimizedPlan.stats.sizeInBytes
+          <= BigInt(crossover)) raw
+      else tfCacheWindow.add(raw)
     val dfByToken = counts.groupBy("token").agg(count(lit(1)).as("df"))
     // Per-doc top-k through the bounded-heap TopKRows aggregate (the
     // bm25 shape): map-side partials ship <= k rows per doc per map

@@ -511,6 +511,13 @@ object OperatorQueries {
     // E6 — cast family
     "q_expr_cast" -> (
       ((s: SparkSession, dir: String) =>
+        // Bare orderBy KEPT (r14 A/B): the sort child is a map-side cast
+        // projection off the scan, so range-sampling re-executes it —
+        // but a ResultSort persist of this 8-column string-heavy result
+        // frame measured WORSE (2.19 → 3.68 s isolated best-of-4): the
+        // cache write of the widened strings costs more than the one
+        // saved scan+cast. The persisted-child rule pays only when the
+        // re-executed child is expensive relative to its result bytes.
         li(s, dir).select(
           col("l_orderkey"), col("l_linenumber"), col("l_partkey"),
           col("l_quantity").cast("int").as("qty_int"),

@@ -346,35 +346,47 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows((3L, "other")) == wq(tf = 1, df = 1, dl = 2))
   }
 
-  test("tfidf deliberately does NOT cache its tf frame (2-consumer " +
-    "break-even): tokenize is in-plan, no persisted scan") {
+  test("tfidf tf-frame persist is conditional on the corpus size " +
+    "estimate: no cache below the crossover, cache above it") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     import org.apache.spark.sql.execution.columnar.InMemoryTableScanExec
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    // INVERSE of the bm25 pin below, and on purpose: with only two
-    // corpus-scale consumers (row side + vocab-sized df agg) the cache
-    // write costs about what the one saved tokenize earns — measured
-    // r12→r13 committed pair 1.09 → 1.73 s when tfidf briefly adopted
-    // bm25's eager persist, reverted r14. The break-even is 3+ consumers
-    // (bm25's shape). This test pins the NO-cache contract so a future
-    // "make it match bm25" cleanup trips over the measurement history.
+    // The 2-consumer cache arithmetic is SCALE-DEPENDENT (r14, both
+    // sides measured in one window): below the ~2 MiB crossover the
+    // cache write loses (sf0.1 1.28 s no-persist vs 1.48 s persisted —
+    // the r12→r13 pair's 1.09 → 1.73 s regression), above it the saved
+    // second tokenize wins (10× corpus 3.87 s vs 4.55 s). This test
+    // pins BOTH branches so a future unconditional cleanup in either
+    // direction trips over the measurement history. bm25 (3 consumers)
+    // stays unconditionally cached — its pin is below.
     val prev = spark.conf.get("spark.sql.adaptive.enabled")
     spark.conf.set("spark.sql.adaptive.enabled", "false")
-    try {
-      val df = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+    def plansOf(df: org.apache.spark.sql.DataFrame) = {
       val plan = df.queryExecution.executedPlan
-      val cacheScans = plan.collect { case s: InMemoryTableScanExec => s }
+      (plan.collect { case s: InMemoryTableScanExec => s },
+        plan.collect {
+          case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
+        })
+    }
+    try {
+      // fixture corpus is far below the default crossover → no cache
+      val (cacheScans, textScans) =
+        plansOf(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3))
       assert(cacheScans.isEmpty,
-        s"tfidf must not persist its tf frame, found ${cacheScans.size} " +
-          "cache scans — see the 2-consumer break-even scaladoc")
-      val textScans = plan.collect {
-        case f: FileSourceScanExec if f.output.exists(_.name == "text") => f
-      }
+        s"sub-crossover tfidf must not persist its tf frame, found " +
+          s"${cacheScans.size} cache scans")
       // AQE-off planner ReuseExchange dedupes the shared subtree here
-      // (runtime AQE executes it twice — the accepted 2-consumer cost)
+      // (runtime AQE executes it twice — the accepted sub-crossover cost)
       assert(textScans.nonEmpty,
-        "tokenize must be in-plan (not cached) for tfidf")
+        "tokenize must be in-plan (not cached) below the crossover")
+      // forced-tiny crossover → the same corpus takes the cached branch
+      sys.props("graft.text.tfidfCacheBytes") = "1"
+      val (cacheScans2, _) =
+        plansOf(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3))
+      assert(cacheScans2.nonEmpty,
+        "above-crossover tfidf must read its tf frame from the cache")
     } finally {
+      sys.props.remove("graft.text.tfidfCacheBytes")
       spark.conf.set("spark.sql.adaptive.enabled", prev)
       TextAnalysis.releaseCaches()
     }
