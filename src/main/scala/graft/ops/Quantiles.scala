@@ -27,8 +27,17 @@ object Quantiles {
     * 8 MB). Everything past the caps refines as usual, so the fast path
     * never weakens the 100-TB posture — it only deletes the fixed
     * per-round job overhead that dominates at monitoring scale. */
-  private val GatherCapPerKey: Long = 1L << 16
-  private val GatherCapTotal: Long = 1L << 20
+  // defs with sys-prop overrides (`graft.quantiles.gatherCapPerKey` /
+  // `.gatherCapTotal`) so tests can force the over-cap branch — a
+  // verified bracket whose count exceeds the per-key cap must refine
+  // and re-enter the gather only once a round's measured bucket count
+  // fits — on fixture-sized data
+  private def GatherCapPerKey: Long =
+    sys.props.get("graft.quantiles.gatherCapPerKey").map(_.toLong)
+      .getOrElse(1L << 16)
+  private def GatherCapTotal: Long =
+    sys.props.get("graft.quantiles.gatherCapTotal").map(_.toLong)
+      .getOrElse(1L << 20)
 
   /** Small-group gate for the grouped protocol: a group whose PROVEN
     * value count (from the bounds job) is ≤ this sorts in-executor via

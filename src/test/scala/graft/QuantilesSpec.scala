@@ -204,6 +204,38 @@ class QuantilesSpec extends SparkSpec {
     } finally System.clearProperty("graft.quantiles.smallGroupCap")
   }
 
+  test("over-cap brackets refine then gather: tiny gather caps are " +
+    "bit-identical to the fast path") {
+    // r14 branch coverage: a VERIFIED sketch bracket whose exact count
+    // exceeds GatherCapPerKey may not gather immediately — it must run
+    // refinement rounds and re-enter the gather only once a round's
+    // measured bucket count fits the cap (duplicate-heavy values keep
+    // counts high across rounds, exercising the deep path). Caps of
+    // 4/8 force that on 600 rows; output must match the unforced run
+    // exactly, per the protocol's bit-identical contract.
+    val rng = new scala.util.Random(41)
+    // heavy duplication: 40 distinct values, 15 copies each
+    val rows = (1 to 600).map(i => (s"g${i % 3}", (rng.nextInt(40) * 97).toLong))
+    val df = rows.toDF("grp", "v")
+    val specs = Seq("p25" -> 0.25, "p50" -> 0.5, "p90" -> 0.9)
+    def run() = Quantiles.groupedExactQuantiles(df, "grp", "v", specs)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(_._1).toSeq
+    val fast = run()
+    System.setProperty("graft.quantiles.smallGroupCap", "0")
+    System.setProperty("graft.quantiles.gatherCapPerKey", "4")
+    System.setProperty("graft.quantiles.gatherCapTotal", "8")
+    try {
+      assert(run() == fast)
+      assert(Quantiles.exactQuantilesSeeded(df, "v", Seq(0.25, 0.5, 0.99))
+        == Quantiles.exactQuantiles(df, "v", Seq(0.25, 0.5, 0.99)))
+    } finally {
+      System.clearProperty("graft.quantiles.smallGroupCap")
+      System.clearProperty("graft.quantiles.gatherCapPerKey")
+      System.clearProperty("graft.quantiles.gatherCapTotal")
+    }
+  }
+
   test("groupedExactQuantile agrees with exactQuantiles on one group") {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val single = docs.select(lit("all").as("grp"), col("n_chars"))
