@@ -380,11 +380,16 @@ class TextAnalysisSpec extends SparkSpec {
       assert(textScans.nonEmpty,
         "tokenize must be in-plan (not cached) below the crossover")
       // forced-tiny crossover → the same corpus takes the cached branch
+      val below = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+        .collect().map(_.toSeq).toSet
       sys.props("graft.text.tfidfCacheBytes") = "1"
-      val (cacheScans2, _) =
-        plansOf(TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3))
+      val aboveDf = TextAnalysis.tfidfTopTerms(docs, "doc_id", "text", 3)
+      val (cacheScans2, _) = plansOf(aboveDf)
       assert(cacheScans2.nonEmpty,
         "above-crossover tfidf must read its tf frame from the cache")
+      // the branch is a pure execution choice: values bit-identical
+      assert(aboveDf.collect().map(_.toSeq).toSet == below,
+        "cached and uncached tfidf branches must return identical rows")
     } finally {
       sys.props.remove("graft.text.tfidfCacheBytes")
       spark.conf.set("spark.sql.adaptive.enabled", prev)
