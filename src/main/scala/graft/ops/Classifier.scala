@@ -296,7 +296,13 @@ object Classifier {
     // collect (their branches scan the persisted frame in parallel
     // inside a single job), disambiguated by a `kind` tag; the doc-count
     // scan reads a different source (the corpus, pruned to id+label)
-    // and stays a concurrent second action — 4 scheduler jobs → 2
+    // and stays a concurrent second action — 4 scheduler jobs → 2.
+    // NEGATIVE PROBE (r14, measured): folding the doc-count scan into
+    // the union as a fourth kind-tagged branch (2 jobs → 1) LOSES —
+    // same-window best-of-5 at sf0.1: 2.41 s (this form) vs 2.97 s
+    // (merged). Two independent jobs overlap their stages strictly
+    // better than one union job whose final stage barriers on all four
+    // branches; the saved scheduler action doesn't cover that.
     val labelT = base.schema("__label").dataType
     val (dcRows, gridRaw) =
       ConfWindows.withOverrides(spark,
