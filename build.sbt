@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass the forked program's stdout STRAIGHT THROUGH instead of routing it
+// via sbt's logger: the default LoggedOutput prefixes every line with
+// "[info] ", which made the round driver's tail-parse of Bench's one-line
+// JSON summary fail (BENCH_r14.json: "parsed": null). StdoutOutput keeps
+// Bench/Verify stdout byte-exact machine-parseable.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -23,6 +23,68 @@ object Bench {
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+
+    // --- same-window DuckDB pairing (VERDICT r14 item 1) -----------------
+    // Host load drifts BOTH engines' totals by ±15% with zero code change
+    // (r14: DuckDB 143.9–163.6 s across three windows on one tree), so a
+    // ratio against a denominator measured in a DIFFERENT window is not a
+    // measurement. Before the spark passes, this refreshes the duck side
+    // back-to-back in THIS window by invoking scripts/bench_duck.py (a
+    // dev/driver-side oracle tool, not engine code — the library itself
+    // has zero Python deps). Falls back to the committed file — flagged
+    // unpaired, ratio refused when stale — if python3/duckdb is absent.
+    // SPARK_GRAFT_DUCK_REFRESH=0 skips (dev loops); subset runs skip.
+    def load1: Double = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
+    val tsStart = java.time.Instant.now().toString
+    val load1Start = load1
+    val refreshMode = sys.env.getOrElse("SPARK_GRAFT_DUCK_REFRESH", "auto")
+    // "force" pairs even a SPARK_GRAFT_ONLY subset (per-cell reconciliation
+    // loops) — a subset pair lands in /tmp so it can never masquerade as,
+    // or clobber, the committed full-suite denominator.
+    val duckPath =
+      if (only.isDefined && refreshMode == "force") "/tmp/duck_subset.json"
+      else sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "bench/duck_times.json")
+    val duckScript = java.nio.file.Paths.get("scripts/bench_duck.py")
+    val wantRefresh = refreshMode != "0" &&
+      (only.isEmpty || refreshMode == "force") &&
+      java.nio.file.Files.exists(duckScript)
+    var duckRefreshSec = -1.0
+    val duckPaired: Boolean = wantRefresh && {
+      try {
+        val oraclePath = "/tmp/graft_bench_oracle_sql.json"
+        java.nio.file.Files.write(java.nio.file.Paths.get(oraclePath),
+          OracleJson.dump(SparkEntry.oracleSql
+            .filter { case (k, _) => only.forall(_.contains(k)) })
+            .getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        val t0 = System.nanoTime()
+        val pb = new ProcessBuilder("python3", duckScript.toString,
+          sfDir, oraclePath, duckPath, runs.toString)
+        pb.redirectErrorStream(true)
+        val p = pb.start()
+        // forward child output to STDERR so this process's stdout stays
+        // machine-parseable JSON only (the driver tail-parses stdout)
+        val br = new java.io.BufferedReader(
+          new java.io.InputStreamReader(p.getInputStream))
+        Iterator.continually(br.readLine()).takeWhile(_ != null)
+          .foreach(l => System.err.println(s"[duck] $l"))
+        val rc = p.waitFor()
+        duckRefreshSec = (System.nanoTime() - t0) / 1e9
+        if (rc != 0) System.err.println(
+          s"[bench] duck refresh exit $rc — falling back to committed $duckPath")
+        rc == 0
+      } catch { case e: Throwable =>
+        System.err.println(
+          s"[bench] duck refresh failed: ${e.getMessage} — using committed $duckPath")
+        false
+      }
+    }
+    val duckAgeSec: Long =
+      try {
+        val mt = java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(duckPath)).toMillis
+        (System.currentTimeMillis() - mt) / 1000
+      } catch { case _: Throwable => -1L }
     // a failed query records -1.0 — NEVER a near-zero "fast" timing.
     // Each pass starts from COLD graft cache windows: operators persist
     // working frames (shingle/gram indexes, rank buckets) and the query
@@ -77,11 +139,11 @@ object Bench {
     val fs = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = best.map(_._2).filter(_ >= 0).sum
 
-    // DuckDB-side per-query times (scripts/bench_duck.py artifact, committed
-    // per round): merged so ONE line carries both engines and the 2x gate
-    // is machine-checkable per query. Flat {"name": secs} extraction is all
-    // we need — the artifact nests them under "queries".
-    val duckPath = sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "bench/duck_times.json")
+    // DuckDB-side per-query times (freshly paired above when possible,
+    // else the committed artifact): merged so ONE line carries both
+    // engines and the 2x gate is machine-checkable per query. Flat
+    // {"name": secs} extraction is all we need — the artifact nests them
+    // under "queries".
     val duck: Map[String, Double] =
       try {
         val txt = new String(java.nio.file.Files.readAllBytes(
@@ -92,19 +154,30 @@ object Bench {
           .filter { case (k, _) => best.exists(_._1 == k) }
           .toMap
       } catch { case _: Throwable => Map.empty }
+    // Ratio policy (VERDICT r14 item 1c): a same-window pair emits the
+    // ratio plainly; an UNPAIRED denominator older than 2 h is refused —
+    // ratio forced to -1 with the refusal named — so a fresh spark run
+    // can never again be graded against a stale committed duck window.
+    val duckStale = !duckPaired && (duckAgeSec < 0 || duckAgeSec > 7200)
+    val pairMeta = s""","duck_paired":$duckPaired,"duck_age_sec":$duckAgeSec""" +
+      (if (duckRefreshSec >= 0) s""","duck_refresh_sec":$duckRefreshSec""" else "") +
+      (if (duckStale) s""","ratio_refused":"unpaired denominator ${duckAgeSec}s old (>2h)"""" else "")
     val duckJson =
       if (duck.isEmpty) ""
       else {
         val shared = best.filter { case (k, t) => t >= 0 && duck.get(k).exists(_ >= 0) }
         val sparkShared = shared.map(_._2).sum
         val duckShared = shared.map { case (k, _) => duck(k) }.sum
-        val ratio = if (duckShared > 0) sparkShared / duckShared else -1.0
+        val ratio =
+          if (duckStale || duckShared <= 0) -1.0 else sparkShared / duckShared
         val ds = duck.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s""","duck":$ds,"duck_total":$duckShared,"spark_vs_duck_ratio":$ratio,"duck_from":"$duckPath""""
+        s""","duck":$ds,"duck_total":$duckShared,"spark_vs_duck_ratio":$ratio,"duck_from":"$duckPath"$pairMeta"""
       }
 
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$fs,"runs":$runs,"sf":"$sfDir"$duckJson}"""
+    val loadEnd = load1
+    val stamp = s""","ts":"$tsStart","load1_start":$load1Start,"load1_end":$loadEnd"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"spread":$spread,"failed":$fs,"runs":$runs,"sf":"$sfDir"$stamp$duckJson}"""
     println(line)
     // The round driver stores only a ~2 KB TAIL of stdout and tries to
     // parse JSON out of it: the full line above (~20 KB at 187 queries)
@@ -125,14 +198,18 @@ object Bench {
         val shared = best.filter { case (k, t) => t >= 0 && duck.get(k).exists(_ >= 0) }
         Some((shared.map(_._2).sum, shared.map { case (k, _) => duck(k) }.sum))
       }
-    def r3(v: Double): String = f"$v%.3f"
+    // explicit ROOT locale: the f-interpolator formats with the JVM
+    // default locale, and a comma-decimal locale would turn this
+    // machine-parsed line into invalid JSON (ADVICE r14)
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val worst = best.filter(_._2 >= 0).sortBy(-_._2).take(12)
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val pairPart = duckTotalOpt.map { case (s, d) =>
-      val ratio = if (d > 0) s / d else -1.0
-      s""","spark_paired_total":${r3(s)},"duck_total":${r3(d)},"spark_vs_duck_ratio":${r3(ratio)}"""
+      val ratio = if (duckStale || d <= 0) -1.0 else s / d
+      s""","spark_paired_total":${r3(s)},"duck_total":${r3(d)},"spark_vs_duck_ratio":${r3(ratio)}$pairMeta"""
     }.getOrElse("")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":$fs,"runs":$runs,"sf":"$sfDir"$pairPart,"worst_spark":$worst,"full_artifact":"BENCH_FULL.json"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":$fs,"runs":$runs,"sf":"$sfDir"$stamp$pairPart,"worst_spark":$worst,"full_artifact":"BENCH_FULL.json"}""")
     // the driver's BENCH_r{N}.json stores a TAIL of stdout that can cut
     // mid-JSON — persist the full line to its own file too
     // A SUBSET run must never masquerade as the full-suite artifact: with

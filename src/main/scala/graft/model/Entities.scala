@@ -60,6 +60,16 @@ object Entities {
   // schema snapshot on next read instead of a stale memoized frame (the
   // stale entry ages out of the LRU). One filesystem stat per call —
   // microseconds against the ~35 ms listing job the memo avoids.
+  // KNOWN COVERAGE BOUNDS of the mtime key (deliberate, ADVICE r14): a
+  // rewrite landing in the SAME millisecond as the memoized listing, or
+  // one that rewrites part-file BYTES without creating/deleting any
+  // directory entry (dir mtime unchanged), still serves the memoized
+  // frame; a stat failure maps all error cases onto the shared mtime=0
+  // key. Spark's own writers always create/delete entries (temp dirs,
+  // _SUCCESS), so every fixture/driver rewrite bumps the dir mtime; a
+  // listing digest (names+sizes+mtimes) would close the residual gap at
+  // a per-call directory-walk cost that grows with part-file count —
+  // wrong trade for an engine whose inputs are immutable-at-scale.
   private val readMemo =
     new java.util.LinkedHashMap[(SparkSession, String, Long), DataFrame](
       16, 0.75f, true) {

@@ -44,6 +44,13 @@ private[graft] object ConfWindows {
       // finally — those keys' depths would leak forever and the override
       // would stay pinned on the session for its lifetime. Both loops
       // run under one monitor hold, so the check-then-act is atomic.
+      // agreement is checked against open windows AND against earlier
+      // occurrences in THIS overrides seq: a duplicated key with two
+      // values would otherwise pass validation (validate only consulted
+      // pre-existing windows), silently bump depth twice, and pin the
+      // FIRST value on exit while the body ran with the SECOND — the
+      // exact silent flip this module exists to prevent (ADVICE r14)
+      val inCall = scala.collection.mutable.HashMap.empty[String, String]
       overrides.foreach { case (k, v) =>
         val s = saved.get((spark, k))
         if (s != null)
@@ -52,6 +59,12 @@ private[graft] object ConfWindows {
               s"window holds $k=${s.value} — overlapping windows must " +
               "agree on the override value (it is pinned for the whole " +
               "overlap)")
+        inCall.get(k).foreach { prev =>
+          require(prev == v,
+            s"ConfWindows: overrides list this window sets $k twice with " +
+              s"disagreeing values ($prev then $v)")
+        }
+        inCall(k) = v
       }
       // conf.set can still throw (e.g. a static/immutable key): roll back
       // the keys already applied in THIS call before rethrowing, so a

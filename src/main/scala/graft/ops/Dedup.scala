@@ -1017,15 +1017,36 @@ object Dedup {
                    pMiss: Double = 1e-4): (Int, Int) = {
     require(threshold > -1.0 && threshold < 1.0, s"cos threshold in (-1,1): $threshold")
     require(n > 0 && targetOccupancy > 0 && pMiss > 0 && pMiss < 1)
-    val planes = math.max(2, math.min(30,
-      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
-    val pPlane = 1.0 - math.acos(threshold) / math.Pi
-    val p1 = math.pow(pPlane, planes)
+    val planes = lshPlanesFor(n, targetOccupancy)
+    val p1 = math.pow(1.0 - math.acos(threshold) / math.Pi, planes)
     val tables =
       if (p1 >= 1.0) 1
       else math.max(1, math.min(512,
         math.ceil(math.log(pMiss) / math.log1p(-p1)).toInt))
     (tables, planes)
+  }
+
+  /** The planes half of [[lshConfigFor]] alone: ⌈log₂(n/occupancy)⌉,
+    * clamped to [2, 30] (bucket ids are sign bits packed in an Int).
+    * Constant bucket occupancy ⇒ per-table candidates ≈ n·occ/2, LINEAR
+    * in n — the knob both the recall-constant auto mode and the
+    * pinned-tables linear mode share. */
+  def lshPlanesFor(n: Long, targetOccupancy: Long = 8L): Int = {
+    require(n > 0 && targetOccupancy > 0)
+    math.max(2, math.min(30,
+      math.ceil(math.log(n.toDouble / targetOccupancy) / math.log(2.0)).toInt))
+  }
+
+  /** P[a true pair at `threshold` collides in NO table] for a hyperplane
+    * LSH configuration: (1 − p₁^planes)^tables with p₁ = 1 − θ/π. The
+    * recall a [[cosinePairsLshPinned]] caller is buying at a given
+    * corpus size — evaluate it at `lshPlanesFor(n)` BEFORE pinning, and
+    * re-evaluate as n (and thus planes) grows to see the decay. */
+  def lshMissProbability(threshold: Double, tables: Int, planes: Int): Double = {
+    require(threshold > -1.0 && threshold < 1.0, s"cos threshold in (-1,1): $threshold")
+    require(tables > 0 && planes > 0)
+    val p1 = math.pow(1.0 - math.acos(threshold) / math.Pi, planes)
+    math.pow(1.0 - p1, tables)
   }
 
   /** [[cosinePairsLsh]] with the (tables, planes) sized by [[lshConfigFor]]
@@ -1042,6 +1063,39 @@ object Dedup {
     // vectors-fit-broadcast heuristic: id + norm + dims floats per row,
     // capped at 128 MB (a comfortable executor broadcast; beyond it the
     // shuffled verify join is the right plan)
+    val bcast = n * (dims * 4L + 24L) <= (128L << 20)
+    cosinePairsLsh(embeddings, idCol, vecCol, threshold, tables, planes, dims,
+      broadcastVerify = bcast)
+  }
+
+  /** The LINEAR-at-decaying-recall scaling mode (VERDICT r14 item 4 —
+    * first-class API, not a SCALE.md footnote): planes stay
+    * occupancy-sized from the corpus count ([[lshPlanesFor]] — constant
+    * bucket occupancy keeps per-table candidates linear in n) but TABLES
+    * are pinned by the caller, so total cost is O(tables·n·occ) — truly
+    * linear in corpus size — while P[miss] RISES as the growing planes
+    * depth prunes harder without compensating tables
+    * ([[lshMissProbability]] quantifies the decay; at threshold 0.9,
+    * 32 pinned tables read P[miss] ≈ 4e-3 at n = 20k (12 planes) and
+    * ≈ 0.13 at n = 2M (18 planes)). This is the budget-capped 100 TB
+    * choice: a recall-constant sweep ([[cosinePairsLshAuto]]) grows
+    * tables ≈ n^0.2 and its wall super-linearly by design, which a
+    * production owner may refuse — the two modes are the two ends of
+    * the n^(1+ρ) trade and both deserve a name.
+    *
+    * Do NOT confuse with pinning (tables, planes) BOTH — that is
+    * [[cosinePairsLsh]] called raw, and at fixed planes the candidate
+    * join is QUADRATIC in n (the measured 102×-for-30× cliff, SCALE.md
+    * round 4). Pinned-tables + auto-planes is the only pinning that
+    * scales. */
+  def cosinePairsLshPinned(embeddings: DataFrame, idCol: String, vecCol: String,
+                           threshold: Double = 0.95, tables: Int = 32,
+                           targetOccupancy: Long = 8L,
+                           dims: Int = 64): DataFrame = {
+    require(tables > 0 && tables <= 512, s"tables in [1, 512]: $tables")
+    val n = embeddings.count()
+    val planes = lshPlanesFor(n, targetOccupancy)
+    // same vectors-fit-broadcast heuristic as the auto mode
     val bcast = n * (dims * 4L + 24L) <= (128L << 20)
     cosinePairsLsh(embeddings, idCol, vecCol, threshold, tables, planes, dims,
       broadcastVerify = bcast)

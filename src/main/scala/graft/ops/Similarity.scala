@@ -46,10 +46,28 @@ object Similarity {
           .as(Seq("table", "bucket")))
 
   /** Exact cosine top-k neighbors for each query vector (self excluded).
-    * Queries are expected to be a small frame → broadcast. */
+    * Queries are expected to be a small frame → broadcast.
+    *
+    * CONTRACT (eval/oracle path, not a production sweep): the plan is
+    * `corpus.crossJoin(broadcast(queries))` — |corpus| × |queries| dot
+    * products BY DEFINITION. That is the right baseline exactly because
+    * the broadcast side is a bounded query set; it is the wrong tool the
+    * moment |queries| stops being bounded. The call therefore COUNTS the
+    * query frame (one eager job — the [[Dedup.cosinePairs]] probe
+    * contract) and refuses more than `maxQueries` (default 10⁴: at 10⁴
+    * queries × a 10⁹-vector corpus the sweep is already 10¹³ folds).
+    * Raise it explicitly if you accept the arithmetic; use [[lshTopK]] /
+    * [[ivfTopK]] for anything query-heavy — recall measured against THIS
+    * baseline in SimilaritySpec. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                     vecCol: String, k: Int = 5): DataFrame = {
+                     vecCol: String, k: Int = 5,
+                     maxQueries: Long = 10000L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"bruteForceTopK is the O(|corpus|x|queries|) exact baseline: " +
+        s"$nQ query vectors > maxQueries=$maxQueries; use lshTopK/ivfTopK " +
+        "for query-heavy sweeps or raise maxQueries explicitly")
     val c = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
       Dedup.l2norm(col(vecCol)).as("nn_nrm"))
     val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),

@@ -505,7 +505,15 @@ object TextAnalysis {
     val counts =
       if (docs.queryExecution.optimizedPlan.stats.sizeInBytes
           <= BigInt(crossover)) raw
-      else tfCacheWindow.add(raw)
+      else {
+        val cached = tfCacheWindow.add(raw)
+        // eager materialization, cached branch only: without it the two
+        // consumers can race the COLD cache and each replay the
+        // corpus-scale tokenize (the NOTES_r5 convoy bm25TopTerms also
+        // guards against with its eager count) — ADVICE r14
+        cached.count()
+        cached
+      }
     val dfByToken = counts.groupBy("token").agg(count(lit(1)).as("df"))
     // Per-doc top-k through the bounded-heap TopKRows aggregate (the
     // bm25 shape): map-side partials ship <= k rows per doc per map

@@ -504,6 +504,21 @@ object ExtensionQueries {
         Dedup.cosinePairsLshAuto(embWithPlanted(s, dir), "vec_id", "embedding",
           CosineThresholdProd), col("vec_i"), col("vec_j"))),
 
+    // the LINEAR-at-decaying-recall pinned-tables mode (VERDICT r14 item
+    // 4): planes stay occupancy-sized, tables pinned at 32 — cost
+    // O(tables·n·occ) instead of the auto mode's recall-constant
+    // super-linear tables growth. Same planted oracle: companions are
+    // exact 0.5× scalings of their source (identical direction ⇒
+    // identical sign bits ⇒ same bucket in EVERY table), so recall on
+    // the planted pairs is structural at any pinned table count — the
+    // mode's recall decay only bites threshold-EDGE pairs, quantified by
+    // Dedup.lshMissProbability and spec-pinned in DedupSpec.
+    "q_dedup_cosine_lsh_pinned" -> ((s, dir) =>
+      ResultSort.sortedSmall(
+        Dedup.cosinePairsLshPinned(embWithPlanted(s, dir), "vec_id",
+          "embedding", CosineThresholdProd, tables = 32),
+        col("vec_i"), col("vec_j"))),
+
     // SemDeDup (cluster-then-dedup): k-means cells bound the pair sweep
     // to cluster-mates — Σ n_c² instead of n². iters=0 keeps the whole
     // dataflow (seeded centroids, argmax assignment, within-cell cosine)
@@ -1750,6 +1765,7 @@ object ExtensionQueries {
     // equals the exact pair set at cos ≥ 0.9 on corpus + planted
     // companions (bucket agreement is exact for same-direction vectors)
     "q_dedup_cosine_lsh" -> cosineOraclePlanted(CosineThresholdProd),
+    "q_dedup_cosine_lsh_pinned" -> cosineOraclePlanted(CosineThresholdProd),
 
     "q_dedup_semantic" ->
       s"""WITH ${semanticCtes(CosineThresholdProd, IvfCentroids)}

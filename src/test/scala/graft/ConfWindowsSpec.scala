@@ -59,6 +59,31 @@ class ConfWindowsSpec extends SparkSpec {
     assert(s.conf.get(other) == origOther)
   }
 
+  test("duplicate key in ONE overrides seq with disagreeing values is refused") {
+    val s = spark.newSession()
+    val orig = s.conf.get(Key)
+    // the old intra-call agreement check was lost in the validate/apply
+    // split (ADVICE r14): a same-call duplicate passed validation (which
+    // only consulted open windows), double-bumped depth, ran the body on
+    // the SECOND value and restored the FIRST on exit
+    intercept[IllegalArgumentException] {
+      ConfWindows.withOverrides(s, Seq(Key -> "false", Key -> "true")) {
+        fail("must not run")
+      }
+    }
+    assert(s.conf.get(Key) == orig, "refused window must leave conf untouched")
+    // no depth leak: a fresh window with a different value still works
+    ConfWindows.withOverrides(s, Seq(Key -> "false")) {
+      assert(s.conf.get(Key) == "false")
+    }
+    assert(s.conf.get(Key) == orig)
+    // a duplicate with AGREEING values is fine (idempotent) and unwinds
+    ConfWindows.withOverrides(s, Seq(Key -> "false", Key -> "false")) {
+      assert(s.conf.get(Key) == "false")
+    }
+    assert(s.conf.get(Key) == orig)
+  }
+
   test("throwing conf.set (static key) rolls back keys applied in this call") {
     val s = spark.newSession()
     val staticKey = "spark.sql.warehouse.dir" // immutable at runtime → set throws

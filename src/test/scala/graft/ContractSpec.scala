@@ -71,7 +71,8 @@ class ContractSpec extends SparkSpec {
     "q_contam_summary/max_containment:double",
     "q_customer_tier_scalable/TOTAL_SALES:double",
     "q_dedup_cosine/cos:double", "q_dedup_cosine_incremental/cos:double",
-    "q_dedup_cosine_lsh/cos:double", "q_dedup_incremental/jaccard:double",
+    "q_dedup_cosine_lsh/cos:double", "q_dedup_cosine_lsh_pinned/cos:double",
+    "q_dedup_incremental/jaccard:double",
     "q_dedup_jaccard/jaccard:double",
     "q_dedup_jaccard_adaptive/jaccard:double",
     "q_dedup_jaccard_capped/jaccard:double",

@@ -392,6 +392,69 @@ class DedupSpec extends SparkSpec {
       s"missing=${exact.keySet -- auto.keySet}, extra=${auto.keySet -- exact.keySet}")
   }
 
+  test("cosinePairsLshPinned: full recall on planted near-identical dups " +
+       "(pinned-tables linear mode)") {
+    val rng = new scala.util.Random(17)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    def perturb(v: Array[Float]) = v.map(x => x + 0.02f * rng.nextGaussian().toFloat)
+    val base = (0L until 60L).map(i => (i, vec()))
+    val dups = base.filter(_._1 % 3 == 0).map { case (i, v) => (1000L + i, perturb(v)) }
+    val e = spark.createDataFrame(base ++ dups).toDF("vec_id", "embedding")
+    val exact = Dedup.cosinePairs(e, "vec_id", "embedding", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val pinned = Dedup.cosinePairsLshPinned(e, "vec_id", "embedding", 0.9,
+        tables = 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(exact.size == 20)
+    assert(pinned == exact,
+      s"missing=${exact.keySet -- pinned.keySet}, extra=${pinned.keySet -- exact.keySet}")
+  }
+
+  test("pinned-tables mode scales LINEARLY: candidate volume ~n at 10x " +
+       "the vectors, recall decay quantified, auto mode grows tables") {
+    // the 10x linear-scaling pin (VERDICT r14 item 4): measure the
+    // CANDIDATE volume (the cost driver — SCALE.md's 414x lesson) of the
+    // pinned config on synthetic Gaussian corpora at n and 10n. Pinned
+    // tables + occupancy-sized planes must stay ~linear; a quadratic
+    // candidate law (the fixed-planes cliff) would read ~100x here.
+    import org.apache.spark.sql.DataFrame
+    val tables = 4
+    def corpus(n: Int, seed: Int): DataFrame = {
+      val rng = new scala.util.Random(seed)
+      spark.createDataFrame(
+        (0L until n.toLong).map(i => (i, Array.fill(16)(rng.nextGaussian().toFloat))))
+        .toDF("vec_id", "embedding").repartition(8)
+    }
+    def candidates(e: DataFrame, n: Long): Long = {
+      val planes = Dedup.lshPlanesFor(n)
+      val b = graft.ops.Similarity
+        .lshBuckets(e.select(col("vec_id").as("id"), col("embedding").as("v")),
+          "v", tables, planes, 16)
+        .select("id", "table", "bucket")
+      b.as("a").join(b.as("b"),
+        col("a.table") === col("b.table") && col("a.bucket") === col("b.bucket") &&
+          col("a.id") < col("b.id")).count()
+    }
+    val n1 = 2000L
+    val n10 = 20000L
+    val c1 = candidates(corpus(n1.toInt, 21), n1)
+    val c10 = candidates(corpus(n10.toInt, 22), n10)
+    assert(c1 > 0 && c10 > 0)
+    val ratio = c10.toDouble / c1
+    assert(ratio <= 20.0,
+      s"pinned-tables candidates must stay ~linear for 10x vectors: " +
+        s"$c1 -> $c10 (${ratio}x; quadratic would read ~100x)")
+    // the trade made explicit: planes deepen with n, pinned tables keep
+    // cost linear, so P[miss] at the threshold RISES (recall decays) —
+    // while the auto mode grows tables to hold P[miss] at the target
+    val p1 = Dedup.lshPlanesFor(n1)
+    val p10 = Dedup.lshPlanesFor(n10)
+    assert(p10 > p1)
+    assert(Dedup.lshMissProbability(0.9, tables, p10)
+      > Dedup.lshMissProbability(0.9, tables, p1))
+    assert(Dedup.lshConfigFor(n10, 0.9)._1 >= Dedup.lshConfigFor(n1, 0.9)._1)
+  }
+
   test("cosineCrossPairsLshAuto equals the exact bipartite restriction " +
        "on planted cross-side dups") {
     val rng = new scala.util.Random(13)

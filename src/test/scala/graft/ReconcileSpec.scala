@@ -110,6 +110,59 @@ class ReconcileSpec extends SparkSpec {
     assert(result.reportHtml.contains("Raptor: t @ 20250101"))
   }
 
+  test("Raptor.submit end-to-end on MIXED sources: JDBC (Derby) source " +
+       "vs dated-path parquet target, work.* + report + mail spool") {
+    // the reference's submit_raptor_request cross-source contract
+    // (Raptor.py:491-534 → 536-655): source_type "pg_admin" (JDBC SQL
+    // pushdown) compared against target_type "reporting" (bucket parquet
+    // behind the reporting.<view> rewrite) in ONE run — dated-path
+    // resolution, the 6-artifact diff, work.*_{runstamp} persistence,
+    // HTML report, and delivery through the injected mailer.
+    val url = "jdbc:derby:memory:graft_raptor_mixed;create=true"
+    val props = Map("driver" -> "org.apache.derby.jdbc.EmbeddedDriver")
+    graft.io.Sinks.jdbc(src, url, "raptor_src",
+      org.apache.spark.sql.SaveMode.Overwrite, props)
+    val base = java.nio.file.Files.createTempDirectory("graft_raptor_mixed_").toString
+    // target lands at the reference's {bucket}/{yyyymmdd}/{entity}_{yyyymmdd}
+    // dated-path convention (S9) before the compare reads it back
+    val dated = graft.io.Sources.datedPath(base, "orders",
+      java.time.LocalDate.of(2025, 1, 2), "parquet")
+    tgt.write.mode("overwrite").parquet(dated)
+    var sent: Option[graft.io.Mail.Message] = None
+    val runstamp = "20250102120000"
+    val result = graft.ops.Raptor.submitAndDeliver(spark,
+      // Derby folds unquoted identifiers to uppercase; Spark's JDBC
+      // writer created quoted case-exact columns, so the database-side
+      // SQL quotes them (the JdbcSpec S5 lesson)
+      graft.ops.Raptor.JdbcSide(url,
+        "SELECT \"id\", \"name\", \"amt\" FROM raptor_src", props),
+      graft.ops.Raptor.ParquetSide(dated, "orders_v3",
+        "select id, name, amt from reporting.orders_v3"),
+      keys = Seq("id"), name = "orders_mixed", runstamp = runstamp,
+      baseDir = base, from = "raptor@example.invalid",
+      to = Seq("team@example.invalid"), mailer = m => sent = Some(m))
+    // findings bit-equal to the in-memory frame diff: the source mode
+    // must not change the comparison semantics
+    assert(result.diff.rowDiff.collect().map(_.getString(0)).toSet == Set("2"))
+    assert(result.diff.srcExtra.collect().map(_.getString(0)).toSet == Set("4"))
+    assert(result.diff.tgtExtra.collect().map(_.getString(0)).toSet == Set("5"))
+    val cm = result.diff.colMismatch.collect()
+    assert(cm.length == 1 &&
+      cm.head.getAs[String]("mismatch_column_name") == "name")
+    // work.*_{runstamp} artifacts persisted and re-readable
+    assert(result.deltaTables.keySet == Set(
+      s"col_orders_mixed_$runstamp", s"col_lvl_orders_mixed_$runstamp",
+      s"src_orders_mixed_$runstamp", s"tgt_orders_mixed_$runstamp"))
+    val srcExtraBack = spark.read
+      .parquet(result.deltaTables(s"src_orders_mixed_$runstamp"))
+    assert(srcExtraBack.collect().map(_.getString(0)).toSet == Set("4"))
+    // report + delivery
+    assert(result.reportHtml.contains(s"Raptor: orders_mixed @ $runstamp"))
+    val msg = sent.getOrElse(fail("mailer never invoked"))
+    assert(msg.subject == s"Raptor comparison report: orders_mixed @ $runstamp")
+    assert(msg.htmlBody == result.reportHtml)
+  }
+
   test("Raptor.submitAndDeliver hands the report to the injected mailer") {
     val base = java.nio.file.Files.createTempDirectory("graft_raptor_mail_").toString
     src.write.mode("overwrite").parquet(s"$base/src_in")

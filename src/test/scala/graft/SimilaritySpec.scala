@@ -23,6 +23,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bruteForceTopK refuses an unbounded query set (|queries| cap)") {
+    // the O(|corpus|x|queries|) baseline is an eval/oracle path by
+    // contract — a query frame past the cap must fail loudly instead of
+    // silently becoming a production all-pairs sweep (VERDICT r14 item 6)
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.bruteForceTopK(emb, emb, "vec_id", "embedding", 5,
+        maxQueries = 10L)
+    }
+    assert(ex.getMessage.contains("lshTopK"))
+    // raising the cap explicitly is the caller accepting the arithmetic
+    val out = Similarity.bruteForceTopK(emb.limit(30), queries, "vec_id",
+      "embedding", 2, maxQueries = 8L)
+    assert(out.count() > 0)
+  }
+
   test("lshTopK neighbors carry exact cosines and reasonable recall") {
     val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap

@@ -3,7 +3,9 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 /** Dev probe (r11 VERDICT task 5): q_join_composite strategy shootout —
   * default (static BHJ), shuffle_hash, merge, and the no-join window
-  * form, steady-state best-of-3. args: [sfDir]. */
+  * form, steady-state best-of-3. args: [sfDir].
+  * Backs: NOTES_r11 composite-join strategy decision record.
+  */
 object CompositeJoinProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions.col
   * shape (benchmarks are fixed artifacts; only the crawl grows). The
   * benched `q_contam_*` fixture slices eval out of the SAME corpus, so
   * its eval side scales with the train side and understates the bloom
-  * reduction. args: evalDir trainDir [variants ⊆ exact,bloom] */
+  * reduction. args: evalDir trainDir [variants ⊆ exact,bloom]
+  * Backs: SCALE.md contamination fixed-eval scaling rows.
+  */
 object ContamTime {
   def main(args: Array[String]): Unit = {
     val evalDir = args(0)

@@ -6,7 +6,9 @@ import org.apache.spark.sql.functions._
 import java.util.concurrent.atomic.AtomicInteger
 
 /** Dev probe: phase timing inside q_nb_cv — how much of the wall is the
-  * constant-grid collects vs the scoring DAG. args: [sfDir]. */
+  * constant-grid collects vs the scoring DAG. args: [sfDir].
+  * Backs: Classifier.nbCrossValidate scheduler-floor documentation + NOTES job-count profiles (r13-r15).
+  */
 object CvPhaseProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

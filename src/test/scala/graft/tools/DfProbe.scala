@@ -5,7 +5,9 @@ import org.apache.spark.sql.functions._
 
 /** Dev tool: print the adaptive-jaccard probe statistics for a fixture
   * dir — Σdf, Σdf², the projected uncapped/capped volumes, and the
-  * engage decision at the given cap/factor. args: sfDir [cap] [factor]. */
+  * engage decision at the given cap/factor. args: sfDir [cap] [factor].
+  * Backs: the adaptive-cap engage thresholds in Dedup.jaccardPairsAdaptive scaladoc + SCALE.md df-cap rows.
+  */
 object DfProbe {
   def main(args: Array[String]): Unit = {
     val dir = args(0)

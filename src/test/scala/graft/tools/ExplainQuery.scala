@@ -5,7 +5,9 @@ import org.apache.spark.sql.SparkSession
 /** Dev tool: print the formatted physical plan of one `SparkEntry`
   * query on a fixture dir — the `.explain("formatted")` feedback loop
   * for plan-shape iteration (broadcasts landed, filters pushed, codegen
-  * spans). args: queryName [sfDir] [mode], mode ∈ formatted|extended. */
+  * spans). args: queryName [sfDir] [mode], mode ∈ formatted|extended.
+  * Backs: the plan-shape iteration loop every SCALE.md plan claim cites (.explain evidence).
+  */
 object ExplainQuery {
   def main(args: Array[String]): Unit = {
     val name = args(0)

@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * quantile capped-sort gate falls back to the selection protocol when
   * groups outgrow it, and the graph gate reverts to the distributed CC
   * loop on a 100x pair graph, with timings for SCALE.md.
-  * Usage: runMain graft.tools.GateScaleProbe [dir] */
+  * Usage: runMain graft.tools.GateScaleProbe [dir]
+  * Backs: NOTES_r10 small-input gate fallbacks at replica scale.
+  */
 object GateScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/r8x100")

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * privacy/funnel operators are single-aggregation shapes and should
   * track the input linearly; duplicationWeights inherits the jaccard
   * sweep + CC machinery and its previously-measured law.
-  * Usage: runMain graft.tools.GovScaleProbe [dir] */
+  * Usage: runMain graft.tools.GovScaleProbe [dir]
+  * Backs: SCALE.md governance-family replica rows.
+  */
 object GovScaleProbe {
   def main(args: Array[String]): Unit = {
     val dir = args.headOption.getOrElse("/tmp/r8x100")

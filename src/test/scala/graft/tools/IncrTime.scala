@@ -18,6 +18,7 @@ import org.apache.spark.sql.functions._
   * splits into `batches` (default 3) round-robin batches. Caches are
   * released between FORMS, kept across a form's batches (that's each
   * form's steady state). Numbers feed SCALE.md's A/B table.
+  * Backs: SCALE.md incremental corpus-index rows (inline vs persisted index A/B).
   */
 object IncrTime {
   def main(args: Array[String]): Unit = {

@@ -6,7 +6,9 @@ import org.apache.spark.sql.SparkSession
   * (scale replicas included) in one JVM, cache-cold per variant.
   * args: dir [variants]  where variants ⊆ uncapped,capped,adaptive
   * (default adaptive). Mirrors the SCALE.md round-5 protocol (isolated
-  * timing per variant, releaseCaches between). */
+  * timing per variant, releaseCaches between).
+  * Backs: SCALE.md dedup-family replica tables (round-5 isolated protocol; r15 100x refresh).
+  */
 object JaccardTime {
   def main(args: Array[String]): Unit = {
     val dir = args(0)

@@ -8,7 +8,9 @@ import org.apache.spark.sql.functions._
   * vs plain uncapped — to pick the adaptive `smallVolume` threshold from
   * measurement. args: [sfDir [variantSubstrings [runs]]] — variants is a
   * comma-list matched by substring against the tags below (default:
-  * all), runs per variant (default 3). */
+  * all), runs per variant (default 3).
+  * Backs: Linkage adaptive smallVolume threshold (NOTES_r12 measurement) + SCALE.md fuzzy rows.
+  */
 object LinkTime {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.1"

@@ -10,6 +10,7 @@ import graft.ops.{Dedup, Similarity}
   * scale point misbehaves.
   *
   * Usage: runMain graft.tools.LshProbe <sfDir>
+  * Backs: SCALE.md 414x-candidates analysis + lshConfigFor sizing-law rows.
   */
 object LshProbe {
   def main(args: Array[String]): Unit = {

@@ -6,7 +6,9 @@ import java.util.concurrent.atomic.AtomicInteger
 
 /** Dev probe: job count + wall time of customer_sales_report phases at a
   * fixture dir (args: [sfDir]) — the measurement behind the r10 mart
-  * wall-clock work. */
+  * wall-clock work.
+  * Backs: SCALE.md customer-mart phase walls + NOTES_r14 item 2 (gather-in-loop fix).
+  */
 object MartJobProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * times each stage of the customer mart tail in a single warmed JVM so
   * plan-shape choices are made on numbers, not guesses. Diagnostic only —
   * not part of the library surface.
+  * Backs: SCALE.md/NOTES_r10 mart presentational-sort decision record.
   */
 object MartTime {
   def main(args: Array[String]): Unit = {

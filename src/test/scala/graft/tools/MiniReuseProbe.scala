@@ -9,7 +9,9 @@ import org.apache.spark.sql.functions._
   * {persisted, unpersisted} × {AQE on, AQE off}, with broadcast joins
   * disabled so the join always shuffles both sides. Prints whether the
   * executed plan shows one shared stage / ReusedExchange or two
-  * independent evaluations of the same subtree. */
+  * independent evaluations of the same subtree.
+  * Backs: SCALE.md/NOTES_r6 + protocol note: AQE runtime does NOT apply planner ReuseExchange.
+  */
 object MiniReuseProbe {
   def run(aqe: Boolean, cache: Boolean): Unit = {
     val spark = SparkSession.builder()

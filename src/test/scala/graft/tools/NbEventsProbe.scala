@@ -9,7 +9,9 @@ import java.util.concurrent.atomic.AtomicInteger
   * in a warmed JVM, measured twice — `cold` (graft caches released
   * first, the worst case) and `resident` (immediately re-run, the
   * within-suite/bench-pass case where plan-keyed caches are shared).
-  * args: [sfDir]. */
+  * args: [sfDir].
+  * Backs: NOTES_r11 NB/events cold-vs-resident walls; the cache-release list MUST mirror Bench.onePass (NOTES_r14).
+  */
 object NbEventsProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

@@ -4,7 +4,9 @@ import org.apache.spark.sql.SparkSession
 
 /** Dev tool: run `PlanGate.violations` over every `SparkEntry.queries`
   * entry and print the offenders — the spec (`PlanGateSpec`) asserts the
-  * same set stays within its allowlist. args: [sfDir]. */
+  * same set stays within its allowlist. args: [sfDir].
+  * Backs: PlanGateSpec's allowlist maintenance (scan offenders before editing the spec).
+  */
 object PlanGateScan {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.01")

@@ -6,7 +6,9 @@ import java.util.concurrent.atomic.AtomicInteger
 
 /** Dev probe: job count + wall time of the quantile-protocol queries at a
   * given fixture dir (args: [sfDir]) — the measurement behind the r10
-  * gather fast path. */
+  * gather fast path.
+  * Backs: NOTES_r14 selection-protocol job profile (18->12 jobs) + SCALE.md mart scheduler-profile claim.
+  */
 object QuantJobProbe {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")

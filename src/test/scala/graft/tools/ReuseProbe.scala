@@ -6,7 +6,9 @@ import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
 /** Dev tool: execute one `SparkEntry.queries` entry and print the FINAL
   * adaptive physical plan (post-execution), where AQE stage reuse shows
   * up as ReusedExchange/StageReuse — the static `explain` cannot show it.
-  * args: queryName [sfDir]. */
+  * args: queryName [sfDir].
+  * Backs: SCALE.md/NOTES_r6 runtime-reuse evidence (post-execution adaptive plans).
+  */
 object ReuseProbe {
   def main(args: Array[String]): Unit = {
     val name = args(0)

@@ -10,6 +10,7 @@ import graft.ops.Quantiles
   * default. Alternates variants to cancel warmup drift.
   *
   * Usage: runMain graft.tools.SeedTime [eventsDir] [reps=2]
+  * Backs: SCALE.md seeded grouped-quantile default measurement.
   */
 object SeedTime {
   def main(args: Array[String]): Unit = {

@@ -9,7 +9,9 @@ import org.apache.spark.sql.SparkSession
   * replicated corpus the cell count must scale with the data or the
   * within-cell sweep re-grows quadratic). Centroids are hash-seeded
   * (uniform over replicas; id-seeding would draw every seed from
-  * replica 0). Prints pairs + survivors wall separately. */
+  * replica 0). Prints pairs + survivors wall separately.
+  * Backs: SCALE.md SemanticDedup replica rows (cell-bounded sweep scaling).
+  */
 object SemTime {
   def main(args: Array[String]): Unit = {
     val dir = args(0)

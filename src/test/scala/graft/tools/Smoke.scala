@@ -3,7 +3,9 @@ package graft.tools
 import org.apache.spark.sql.SparkSession
 
 /** Dev tool: replicate the driver's t1 smoke gate —
-  * `SparkEntry.entry(spark)` on sf0.001 must return rows. */
+  * `SparkEntry.entry(spark)` on sf0.001 must return rows.
+  * Backs: the driver's t1 smoke gate (SparkEntry.entry rows>0).
+  */
 object Smoke {
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder()
