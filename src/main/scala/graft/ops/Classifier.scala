@@ -406,9 +406,19 @@ object Classifier {
     // At true corpus scale (b) wins on I/O (the text column dominates
     // and the pivot frame is doc-grain), so revisit the pivot form IF
     // the corpus outgrows the broadcast threshold — the crossover is
-    // precisely the point where AQE stops broadcasting presentMap. The
-    // residual sf0.1 floor is ~10 AQE stage-scheduler jobs plus the two
-    // corpus-scale cache/probe stages, not dataflow volume.
+    // precisely the point where AQE stops broadcasting presentMap.
+    //   (c) r15 closes the job-count hypothesis: running THIS scoring
+    //       action inside an AQE-off window (CvAb probe, alternating
+    //       best-of-4, idle host) reaches the ≤8-job form the r14
+    //       verdict asked about — 4 build + 4 action jobs instead of
+    //       4 + 10 — and the wall does NOT improve (action 1.86–2.53 s
+    //       AQE-off vs 1.79–2.01 s AQE-on at sf0.1): AQE's runtime
+    //       broadcast of `present` buys back more than its per-stage
+    //       scheduler jobs cost. The sf0.1 residue is therefore the
+    //       corpus dataflow itself (two text-bearing scans + the
+    //       (id,fold,cls) aggregation exchange), not scheduler floor —
+    //       structural for the subtraction contract, which needs the
+    //       probe side and the row side to see every test doc.
     val present = base.filter(col("fold").isNotNull)
       .select(col("__id"), col("fold"), explode(col("__tk")).as("tok"))
       .join(enriched, "tok")

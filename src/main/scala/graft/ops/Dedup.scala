@@ -1185,6 +1185,29 @@ object Dedup {
       batch, idCol, vecCol, threshold, broadcastBatch = bcast)
   }
 
+  /** [[cosinePairsLshPinned]]'s bipartite twin — the incremental shape
+    * production dedup actually runs at 100 TB, under the same
+    * linear-at-decaying-recall budget: tables pinned by the owner,
+    * planes occupancy-sized from the CORPUS count (the big side), so
+    * per-batch cost stays O(tables·|batch|·occ) as the corpus grows
+    * while P[miss] decays with the deepening planes
+    * ([[lshMissProbability]]). Pipelines that persist an
+    * [[EmbeddingIndex]] get the same behavior by building it with
+    * `(tables, lshPlanesFor(nCorpus))` — the index records its config,
+    * so batches can't mismatch. */
+  def cosineCrossPairsLshPinned(corpus: DataFrame, batch: DataFrame,
+                                idCol: String, vecCol: String,
+                                threshold: Double = 0.95, tables: Int = 32,
+                                targetOccupancy: Long = 8L,
+                                dims: Int = 64): DataFrame = {
+    require(tables > 0 && tables <= 512, s"tables in [1, 512]: $tables")
+    val planes = lshPlanesFor(corpus.count(), targetOccupancy)
+    val bcast = batch.count() * (dims * 4L + 24L) * (tables + 1L) <= (128L << 20)
+    cosineCrossPairsIndexed(
+      buildEmbeddingIndex(corpus, idCol, vecCol, tables, planes, dims),
+      batch, idCol, vecCol, threshold, broadcastBatch = bcast)
+  }
+
   /** The persisted side of incremental EMBEDDING dedup — the analog of
     * [[CorpusIndex]] for the cosine family: the corpus's (id, table,
     * bucket) LSH assignments plus its normed vectors, each a plain

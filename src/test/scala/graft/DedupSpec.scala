@@ -455,6 +455,24 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.lshConfigFor(n10, 0.9)._1 >= Dedup.lshConfigFor(n1, 0.9)._1)
   }
 
+  test("cosineCrossPairsLshPinned: bipartite pinned-tables mode keeps " +
+       "planted cross-side recall") {
+    val rng = new scala.util.Random(19)
+    def vec() = Array.fill(64)(rng.nextGaussian().toFloat)
+    val corpusRows = (0L until 50L).map(i => (2 * i, vec())) // even ids
+    // batch = odd-id near-copies of every 5th corpus vector (exact 0.5x
+    // scalings: identical direction => structural bucket agreement)
+    val batchRows = corpusRows.filter(_._1 % 10 == 0)
+      .map { case (i, v) => (i + 1, v.map(_ * 0.5f)) }
+    val corpus = spark.createDataFrame(corpusRows).toDF("vec_id", "embedding")
+    val batch = spark.createDataFrame(batchRows).toDF("vec_id", "embedding")
+    val out = Dedup.cosineCrossPairsLshPinned(corpus, batch, "vec_id",
+        "embedding", 0.95, tables = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(out == corpusRows.filter(_._1 % 10 == 0)
+      .map { case (i, _) => (i, i + 1) }.toSet)
+  }
+
   test("cosineCrossPairsLshAuto equals the exact bipartite restriction " +
        "on planted cross-side dups") {
     val rng = new scala.util.Random(13)
