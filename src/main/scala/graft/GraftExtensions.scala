@@ -102,6 +102,12 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 1, "sum128 takes one argument")
         graft.functions.Sum128(args.head).toAggregateExpression()
+      }),
+    "argmax_long" -> (info("argmax_long",
+      "argmax_long(ord, value) - value at the lexicographic max of (ord, value), both BIGINT; hash-aggregable replacement for max(struct(ord, value)).value (aggregate)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "argmax_long takes (ord, value)")
+        graft.functions.ArgMaxLong(args(0), args(1)).toAggregateExpression()
       }))
 
   /** Register the functions on an existing session's catalog. */

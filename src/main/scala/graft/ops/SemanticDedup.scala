@@ -92,6 +92,13 @@ object SemanticDedup {
                     iters: Int = 0, seedByHash: Boolean = false): DataFrame = {
     val a = cacheWindow.add(
       assignClusters(emb, idCol, vecCol, nCentroids, iters, seedByHash))
+    // eager materialization (the cosinePairsLsh/bm25 convoy guard): the
+    // cell self-join below scans `a` once per side — and semanticSurvivors
+    // adds an anti-join third scan — so without this action the cold
+    // cache is raced and the centroid-assignment pass (the dominant
+    // |corpus|×k dot-fold cost) can evaluate per consumer. Measured at
+    // the 200k-vector replica (r15): survivors 92 s → see SCALE.md.
+    a.count()
     val l = a.select(col("cid"), col("id").as("vec_i"), col("v").as("v_i"),
       col("nrm").as("n_i"))
     val r = a.select(col("cid"), col("id").as("vec_j"), col("v").as("v_j"),

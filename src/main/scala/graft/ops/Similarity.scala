@@ -121,7 +121,22 @@ object Similarity {
     * `max(struct(cos, cid))` aggregate has a map-side partial, so the
     * crossJoin's |corpus|·k intermediate rows combine back to |corpus|
     * rows inside their input partitions before anything shuffles.
-    * Shared with [[SemanticDedup]] (same assignment, different tail). */
+    * Shared with [[SemanticDedup]] (same assignment, different tail).
+    *
+    * NEGATIVE PROBE (r15, measured — keep this shape): the struct
+    * aggregation buffer forces SortAggregate, and a rewrite through the
+    * hash-aggregable [[graft.functions.ArgMaxLong]] over
+    * `(sortableDoubleBits(cos), cid)` (+ a vector join-back by id) was
+    * built expecting to delete a 312M-row map-side sort at the
+    * 200k-vector replica. It LOST: isolated best-of-3 at 100×,
+    * 32.5 s (this form) vs 41–45 s (ArgMaxLong form). The crossJoin
+    * emits each vector's k cells CONSECUTIVELY, so SortAggregate's sort
+    * runs on already-sorted runs (~linear) and the wall is the 312M
+    * exact dot FOLDS — which no aggregate shape changes — while the
+    * rewrite added hash probes per cross row plus the join-back
+    * exchange. ArgMaxLong survives in functions/ for genuinely
+    * SHUFFLE-FED argmax shapes, where pre-agg rows arrive unsorted and
+    * SortAggregate would pay a real sort. */
   private[graft] def assignCells(c: DataFrame, cents: DataFrame): DataFrame = {
     val cellCos = Dedup.dot(col("nn_vec"), col("c_vec")) /
       (col("nn_nrm") * col("c_nrm"))
