@@ -930,6 +930,13 @@ object Dedup {
     // over the corpus once per join side
     val sigs = registerShingleCache(docs.select(col(idCol).as("id"),
       graft.functions.SimHash64.simhash64(col(textCol)).as("sig")))
+    // NO eager-materialization guard here, on measurement (r15): the
+    // cosinePairsLsh/semanticPairs convoy does not manifest on this
+    // shape — A/B at the 500k-doc replica, best-of-3: 3.09 s without
+    // the count vs 3.17 s with it (the extra job is pure cost). The
+    // banded self-join's two sides end up sharing the one simhash64
+    // materialization through the BlockManager's per-partition
+    // get-or-compute lock; don't re-add the count without a replica A/B.
     val chunks = (0 until 4).map { c =>
       struct(lit(c).as("c"),
         shiftrightunsigned(col("sig"), 16 * c).bitwiseAND(lit(0xffffL)).as("v"))
