@@ -41,6 +41,12 @@ object GraftExtensions {
         require(args.length == 2, "dot_product takes two arguments")
         graft.functions.DotProduct(args(0), args(1))
       }),
+    "l2_sq" -> (info("l2_sq",
+      "l2_sq(a, b) - sequential-fold squared L2 distance of two numeric arrays"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "l2_sq takes two arguments")
+        graft.functions.L2Sq(args(0), args(1))
+      }),
     "shingle_hashes" -> (info("shingle_hashes",
       "shingle_hashes(text, n) - distinct xxhash64'd word n-grams"),
       (args: Seq[Expression]) => {

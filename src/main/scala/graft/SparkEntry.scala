@@ -43,7 +43,8 @@ object SparkEntry {
     baseQueries ++
     graft.pipelines.OperatorQueries.all.map { case (k, (q, _)) => k -> q } ++
     graft.pipelines.ExtensionQueries.queries ++
-    graft.pipelines.ModelQueries.queries
+    graft.pipelines.ModelQueries.queries ++
+    graft.pipelines.CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -61,5 +62,6 @@ object SparkEntry {
     "reconcile_col_summary" -> ReconcileQueries.colSummaryOracle,
   ) ++ graft.pipelines.OperatorQueries.all.map { case (k, (_, o)) => k -> o } ++
     graft.pipelines.ExtensionQueries.oracles ++
-    graft.pipelines.ModelQueries.oracles
+    graft.pipelines.ModelQueries.oracles ++
+    graft.pipelines.CurationQueries.oracles
 }

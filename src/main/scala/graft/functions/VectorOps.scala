@@ -68,10 +68,76 @@ case class DotProduct(left: Expression, right: Expression)
   override def prettyName: String = "dot_product"
 }
 
+/** Sequential-fold squared L2 distance `Σ (aᵢ − bᵢ)²` — the PQ/ADC
+  * distance kernel ([[graft.ops.Similarity.pqTopK]]). Same contract as
+  * [[DotProduct]]: elements widen to double and accumulate
+  * LEFT-TO-RIGHT, so DuckDB's `list_reduce` over `list_zip` replays the
+  * fold bit-for-bit and the oracle hash-compare stays exact. One fused
+  * subtract-square-accumulate loop beats the `dot(a,a) − 2·dot(a,b) +
+  * dot(b,b)` expansion on both rounding (single fold, no catastrophic
+  * cancellation) and traffic (one pass over both arrays). */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    val lf = elemType(left) == FloatType
+    val rf = elemType(right) == FloatType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val xv = if (lf) x.getFloat(i).toDouble else x.getDouble(i)
+      val yv = if (rf) y.getFloat(i).toDouble else y.getDouble(i)
+      val d = xv - yv
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val lGet = if (elemType(left) == FloatType) "getFloat" else "getDouble"
+    val rGet = if (elemType(right) == FloatType) "getFloat" else "getDouble"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val d = ctx.freshName("d")
+      s"""
+         |int $n = $a.numElements() < $b.numElements()
+         |  ? $a.numElements() : $b.numElements();
+         |double $acc = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);
+         |  $acc += $d * $d;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): L2Sq =
+    copy(left = newLeft, right = newRight)
+
+  override def prettyName: String = "l2_sq"
+}
+
 object VectorOps {
   import org.apache.spark.sql.graftbridge.ColumnBridge
 
   /** `dot(a, b)` — codegen'd sequential-fold dot product. */
   def dot(a: Column, b: Column): Column =
     ColumnBridge.column(DotProduct(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** `l2sq(a, b)` — codegen'd sequential-fold squared L2 distance. */
+  def l2sq(a: Column, b: Column): Column =
+    ColumnBridge.column(L2Sq(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 }

@@ -218,4 +218,98 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "nn_id", "cos", "rk")
   }
+
+  /** (id, j, sv): the m `dims/m`-wide subvectors of each vector. */
+  private def subvectors(df: DataFrame, idName: String, vecCol: String,
+                         m: Int, sub: Int): DataFrame =
+    df.select(col(idName), col(vecCol),
+        explode(sequence(lit(0), lit(m - 1))).as("j"))
+      .select(col(idName), col("j"),
+        slice(col(vecCol), col("j") * sub + 1, lit(sub)).as("sv"))
+
+  /** Per-subspace codebooks seeded from the first `codebookSize` corpus
+    * vectors by id (the [[ivfTopK]] `iters=0` deterministic-seed
+    * convention): (j, cid, cv). */
+  private[graft] def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                                 m: Int, codebookSize: Int, sub: Int): DataFrame =
+    subvectors(corpus.filter(col(idCol) < codebookSize)
+        .select(col(idCol).cast("long").as("cid"), col(vecCol)),
+      "cid", vecCol, m, sub)
+      .select(col("j"), col("cid"), col("sv").as("cv"))
+
+  /** PQ codes: each corpus vector's nearest codeword per subspace by
+    * squared L2, ties to the lower cid — `min(struct(d, cid))` is the
+    * total order. Output (nn_id, j, cid): the m-small-ints-per-vector
+    * compressed representation that makes PQ the 100 TB scan format. */
+  private[graft] def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
+                              m: Int, codebookSize: Int, sub: Int): DataFrame = {
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub)
+    subvectors(corpus.select(col(idCol).as("nn_id"), col(vecCol)),
+        "nn_id", vecCol, m, sub)
+      .join(broadcast(cb), "j")
+      .groupBy(col("nn_id"), col("j"))
+      .agg(min(struct(graft.functions.VectorOps.l2sq(col("sv"), col("cv")).as("d"),
+        col("cid").as("cid"))).as("best"))
+      .select(col("nn_id"), col("j"), col("best.cid").as("cid"))
+  }
+
+  /** Product-quantization ANN top-k (Jégou/Douze/Schmid, PAMI'11):
+    * vectors compress to `m` codeword ids (one per `dims/m`-wide
+    * subspace, `codebookSize` codewords each — seeded from the first
+    * corpus vectors by id, the deterministic-dataflow convention shared
+    * with [[ivfTopK]]), and each query ranks the corpus by the
+    * asymmetric (ADC) distance — the sum of its per-subspace
+    * query-to-codeword lookup-table entries — WITHOUT touching raw
+    * corpus vectors.
+    *
+    * Why this is the 100 TB shape: the scanned side is m small ints per
+    * vector (64-dim float → 4 bytes at the defaults, a 64× cut); the
+    * per-query work is a `m × codebookSize` LUT (here built once for the
+    * whole bounded query set and broadcast) plus one integer join
+    * against the code table; raw embeddings are only needed at encode
+    * time. Like [[bruteForceTopK]], the query frame is counted and
+    * bounded (`maxQueries`) — the LUT broadcast is |Q|·m·codebookSize
+    * rows; stream query batches through repeated calls past that.
+    *
+    * Determinism (oracle hash-compare): every distance is one
+    * sequential [[graft.functions.L2Sq]] fold; the ADC sum is a FIXED
+    * left-to-right add over the m pivoted subspace distances (a
+    * `groupBy.sum` over doubles would re-associate across partitions and
+    * lose run-to-run bit equality — same reason [[assignCells]] pins its
+    * tie order); ranks tie-break on nn_id.
+    *
+    * Output: query_id, nn_id, adist (DOUBLE — smaller is nearer), rk. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+             vecCol: String, k: Int = 5, m: Int = 4, codebookSize: Int = 16,
+             dims: Int = 64, maxQueries: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"pqTopK broadcasts a per-query LUT: $nQ query vectors > " +
+        s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
+
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub)
+    val coded = pqEncode(corpus, idCol, vecCol, m, codebookSize, sub)
+    val lut = subvectors(queries.select(col(idCol).as("query_id"), col(vecCol)),
+        "query_id", vecCol, m, sub)
+      .join(broadcast(cb), "j")
+      .select(col("query_id"), col("j"), col("cid"),
+        graft.functions.VectorOps.l2sq(col("sv"), col("cv")).as("d"))
+
+    val dcols = (0 until m).map(j =>
+      max(when(col("j") === j, col("d"))).as(s"__d$j"))
+    val adist = (0 until m).map(j => col(s"__d$j")).reduceLeft(_ + _)
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("nn_id").asc)
+    coded.join(broadcast(lut), Seq("j", "cid"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("nn_id"))
+      .agg(dcols.head, dcols.tail: _*)
+      .select(col("query_id"), col("nn_id"), adist.as("adist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id", "adist", "rk")
+  }
 }

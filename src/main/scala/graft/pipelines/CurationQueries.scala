@@ -1,0 +1,228 @@
+package graft.pipelines
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.Entities
+import graft.ops.{Retrieval, Selection, Similarity}
+
+/** Corpus-curation queries round 15 added beyond the r14 surface:
+  * hybrid lexical+vector retrieval (RRF), DSIR importance selection,
+  * and product-quantization ANN. Every row keeps the repo's exactness
+  * contract — integer bits / integer-rational scores on the hash-
+  * compared edge, sequential IEEE folds for the doubles that remain —
+  * so all four are full DuckDB hash rows, not rows-only checks.
+  */
+object CurationQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, dir: String) = Entities.read(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String) = Entities.read(s, dir, "embeddings")
+
+  // hybrid-RRF operating point: 8 query docs (the ANN SimQueryIds
+  // convention), 10-deep arms fused to top-5, boilerplate tokens capped
+  // at the measured df the segment-prune row also uses
+  val HybridQueryIds = 8
+  val HybridArmK = 10
+  val HybridK = 5
+  val HybridMaxDf = 395L
+  val RrfK0 = 60
+
+  // DSIR operating point: target = English documents, 2^10 hash buckets
+  val DsirBuckets = 1024
+  val DsirTopN = 50
+
+  // PQ operating point: 64 dims → 4×16-wide subspaces, 16 codewords
+  // seeded from the first corpus vectors, 8 queries, top-5
+  val PqM = 4
+  val PqCodebook = 16
+  val PqDims = 64
+
+  val queries: Map[String, Q] = Map(
+    // ── hybrid retrieval ─────────────────────────────────────────────
+    // lexical idf-bits arm ∪ exact-cosine arm → reciprocal-rank fusion;
+    // integer fused scores, nullable INT arm ranks on the edge
+    "q_hybrid_rrf" -> ((s, dir) =>
+      Retrieval.hybridTopK(docs(s, dir), emb(s, dir), "doc_id", "text",
+          "vec_id", "embedding", queryMaxId = HybridQueryIds,
+          kArm = HybridArmK, k = HybridK, maxDf = HybridMaxDf, k0 = RrfK0)
+        .orderBy("query_id", "rk")),
+
+    // ── DSIR importance selection ────────────────────────────────────
+    // per-doc hashed-bigram importance weight against the lang='en'
+    // target — pure BIGINT bits arithmetic end to end
+    "q_select_dsir" -> ((s, dir) =>
+      Selection.dsirWeights(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", buckets = DsirBuckets)
+        .orderBy("doc_id")),
+
+    // the actual selection: 50 most target-like docs (sort-limit —
+    // TakeOrderedAndProject per-partition heaps, nothing global sorts)
+    "q_select_dsir_topn" -> ((s, dir) =>
+      Selection.dsirSelectTopN(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", n = DsirTopN, buckets = DsirBuckets)
+        .orderBy("doc_id")),
+
+    // ── product-quantization ANN ─────────────────────────────────────
+    // ADC top-5 over 4-byte PQ codes; adist doubles are fixed-order
+    // sums of sequential L2 folds, so the hash-compare is exact
+    "q_sim_pq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopK(e, e.filter(col("vec_id") < HybridQueryIds),
+          "vec_id", "embedding", k = HybridK, m = PqM,
+          codebookSize = PqCodebook, dims = PqDims)
+        .orderBy("query_id", "rk")
+    }),
+  )
+
+  /** DuckDB sequential-fold dot product (mirrors [[graft.ops.Dedup.dot]]). */
+  private def sqlDot(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  [CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE) FOR x IN list_zip($a, $b)]),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** DuckDB sequential-fold squared L2 distance (mirrors
+    * [[graft.functions.L2Sq]] bit-for-bit: float→double widening,
+    * in-order subtract-square-accumulate). */
+  private def sqlL2(a: String, b: String): String =
+    s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |  [(CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |   * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+       |   FOR x IN list_zip($a, $b)]),
+       |  (acc, v) -> acc + v)""".stripMargin
+
+  /** Shared DSIR weight CTEs ending in a `weights` relation
+    * (doc_id, n_grams, dsir_bits) — the md5-bucket + bin-length-bits
+    * replay of [[graft.ops.Selection.dsirWeights]]. */
+  private def dsirCtes: String =
+    s"""toks AS (
+       |  SELECT doc_id, lang,
+       |         [t FOR t IN string_split(text, ' ') IF t <> ''] AS tk
+       |  FROM documents),
+       |grams AS (
+       |  SELECT doc_id, lang, unnest(tk) AS g FROM toks
+       |  UNION ALL
+       |  SELECT doc_id, lang, unnest(CASE WHEN len(tk) >= 2
+       |    THEN [concat_ws(' ', tk[i], tk[i+1]) FOR i IN generate_series(1, len(tk)-1)]
+       |    ELSE [] END) AS g FROM toks),
+       |hb AS (
+       |  SELECT doc_id, lang,
+       |         CAST(CAST(('0x' || substr(md5(g), 1, 8)) AS UBIGINT) % $DsirBuckets AS BIGINT) AS f
+       |  FROM grams),
+       |feat AS (
+       |  SELECT f, CAST(COUNT(*) AS BIGINT) AS r_f,
+       |         CAST(SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS t_f
+       |  FROM hb GROUP BY 1),
+       |tot AS (
+       |  SELECT (length(bin(CAST(SUM(r_f) AS BIGINT) + $DsirBuckets)) - 1)
+       |       - (length(bin(CAST(SUM(t_f) AS BIGINT) + $DsirBuckets)) - 1) AS norm_bits
+       |  FROM feat),
+       |docf AS (SELECT doc_id, f, CAST(COUNT(*) AS BIGINT) AS c FROM hb GROUP BY 1, 2),
+       |agg AS (
+       |  SELECT d.doc_id, SUM(d.c) AS n_grams,
+       |         SUM(d.c * ((length(bin(ft.t_f + 1)) - 1)
+       |                  - (length(bin(ft.r_f + 1)) - 1))) AS num_bits
+       |  FROM docf d JOIN feat ft USING (f) GROUP BY 1),
+       |weights AS (
+       |  SELECT dd.doc_id,
+       |         CAST(COALESCE(a.n_grams, 0) AS BIGINT) AS n_grams,
+       |         CAST(COALESCE(a.num_bits + a.n_grams * t.norm_bits, 0) AS BIGINT) AS dsir_bits
+       |  FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id CROSS JOIN tot t)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" ->
+      s"""WITH ctoks AS (
+         |  SELECT doc_id,
+         |         unnest(list_distinct([t FOR t IN string_split(text, ' ') IF t <> ''])) AS tok
+         |  FROM documents),
+         |n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+         |dfreq AS (
+         |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS df
+         |  FROM ctoks GROUP BY 1 HAVING COUNT(*) <= $HybridMaxDf),
+         |post AS (
+         |  SELECT c.doc_id, c.tok,
+         |         (length(bin(n.n_docs)) - 1) - (length(bin(d.df)) - 1) AS idf_bits
+         |  FROM ctoks c JOIN dfreq d USING (tok) CROSS JOIN n),
+         |lexs AS (
+         |  SELECT q.doc_id AS query_id, p.doc_id AS nn_id,
+         |         CAST(SUM(p.idf_bits) AS BIGINT) AS lex_bits
+         |  FROM ctoks q JOIN post p ON p.tok = q.tok AND p.doc_id <> q.doc_id
+         |  WHERE q.doc_id < $HybridQueryIds GROUP BY 1, 2),
+         |lex AS (
+         |  SELECT query_id, nn_id, rk_lex FROM (
+         |    SELECT query_id, nn_id,
+         |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY lex_bits DESC, nn_id) AS INT) AS rk_lex
+         |    FROM lexs) WHERE rk_lex <= $HybridArmK),
+         |norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |vscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM norms q CROSS JOIN norms c
+         |  WHERE q.vec_id < $HybridQueryIds AND c.vec_id <> q.vec_id),
+         |vec AS (
+         |  SELECT query_id, nn_id, rk_vec FROM (
+         |    SELECT query_id, nn_id,
+         |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, nn_id) AS INT) AS rk_vec
+         |    FROM vscored) WHERE rk_vec <= $HybridArmK),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |         COALESCE(l.nn_id, v.nn_id) AS nn_id, l.rk_lex, v.rk_vec,
+         |         CAST(COALESCE(1000000000000 // ($RrfK0 + l.rk_lex), 0)
+         |            + COALESCE(1000000000000 // ($RrfK0 + v.rk_vec), 0) AS BIGINT) AS rrf_score
+         |  FROM lex l FULL OUTER JOIN vec v
+         |    ON l.query_id = v.query_id AND l.nn_id = v.nn_id)
+         |SELECT query_id, nn_id, rk_lex, rk_vec, rrf_score, rk FROM (
+         |  SELECT query_id, nn_id, rk_lex, rk_vec, rrf_score,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY rrf_score DESC, nn_id) AS INT) AS rk
+         |  FROM fused) WHERE rk <= $HybridK
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q_select_dsir" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_grams, dsir_bits FROM weights
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_select_dsir_topn" ->
+      s"""WITH $dsirCtes,
+         |top AS (SELECT doc_id, n_grams, dsir_bits FROM weights
+         |        ORDER BY dsir_bits DESC, doc_id LIMIT $DsirTopN)
+         |SELECT doc_id, n_grams, dsir_bits FROM top ORDER BY doc_id""".stripMargin,
+
+    "q_sim_pq_topk" ->
+      s"""WITH sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+         |parts AS (
+         |  SELECT vec_id, j,
+         |         embedding[j * ${PqDims / PqM} + 1 : j * ${PqDims / PqM} + ${PqDims / PqM}] AS sv
+         |  FROM embeddings CROSS JOIN sub),
+         |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM parts WHERE vec_id < $PqCodebook),
+         |enc AS (
+         |  SELECT vec_id AS nn_id, j, cid FROM (
+         |    SELECT p.vec_id, p.j, c.cid,
+         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.j
+         |             ORDER BY ${sqlL2("p.sv", "c.cv")} ASC, c.cid ASC) AS rn
+         |    FROM parts p JOIN cb c ON c.j = p.j) WHERE rn = 1),
+         |lut AS (
+         |  SELECT q.vec_id AS query_id, c.j, c.cid, ${sqlL2("q.sv", "c.cv")} AS d
+         |  FROM parts q JOIN cb c ON c.j = q.j WHERE q.vec_id < $HybridQueryIds),
+         |piv AS (
+         |  SELECT l.query_id, e.nn_id,
+         |         MAX(CASE WHEN e.j = 0 THEN l.d END) AS d0,
+         |         MAX(CASE WHEN e.j = 1 THEN l.d END) AS d1,
+         |         MAX(CASE WHEN e.j = 2 THEN l.d END) AS d2,
+         |         MAX(CASE WHEN e.j = 3 THEN l.d END) AS d3
+         |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.cid
+         |  WHERE e.nn_id <> l.query_id GROUP BY 1, 2),
+         |scored AS (SELECT query_id, nn_id, ((d0 + d1) + d2) + d3 AS adist FROM piv)
+         |SELECT query_id, nn_id, adist, rk FROM (
+         |  SELECT query_id, nn_id, adist,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |           ORDER BY adist ASC, nn_id) AS INT) AS rk
+         |  FROM scored) WHERE rk <= $HybridK
+         |ORDER BY query_id, rk""".stripMargin,
+  )
+}

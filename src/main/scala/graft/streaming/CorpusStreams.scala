@@ -186,4 +186,21 @@ object CorpusStreams {
     classifyBatch(stream, model, idCol, textCol)
       .filter(col("predicted").isin(keep: _*))
       .drop("predicted", "score")
+
+  /** Keep only stream documents whose DSIR importance weight against a
+    * PRE-TRAINED feature table clears `minBits` — the streaming face of
+    * [[graft.ops.Selection.dsirGate]]: "only ingest what moves the
+    * corpus toward the target distribution". The feature table
+    * ([[graft.ops.Selection.dsirFeatureTable]], built once from the
+    * target/raw corpora and typically read back from parquet) is a
+    * ≤ buckets-row broadcast; per-batch work is one |batch|-bounded
+    * explode + aggregation + broadcast join — the corpus that trained
+    * the table is never rescanned. Same `foreachBatch` contract as the
+    * other aggregate-shaped gates (the per-doc weight groupBy and the
+    * join-back derive from the stream). Verdicts are identical to the
+    * batch call over the union — the weight is per-row decidable given
+    * the fixed table (spec-pinned). */
+  def dsirGate(stream: DataFrame, featureTable: DataFrame, idCol: String,
+               textCol: String = "text", minBits: Long = 0L): DataFrame =
+    graft.ops.Selection.dsirGate(stream, idCol, textCol, featureTable, minBits)
 }

@@ -22,7 +22,8 @@ class ContractSpec extends SparkSpec {
       SparkEntry.baseQueries.keySet,
       graft.pipelines.OperatorQueries.all.keySet,
       graft.pipelines.ExtensionQueries.queries.keySet,
-      graft.pipelines.ModelQueries.queries.keySet)
+      graft.pipelines.ModelQueries.queries.keySet,
+      graft.pipelines.CurationQueries.queries.keySet)
     val pairwise = maps.combinations(2).flatMap { case Seq(a, b) => a & b }.toSet
     assert(pairwise.isEmpty, s"shadowed query names: ${pairwise.toSeq.sorted}")
     // and the union must be size-additive — catches any collision the
@@ -115,6 +116,9 @@ class ContractSpec extends SparkSpec {
     "q_scale_minmax/value:double", "q_scale_robust/robust_z:double",
     "q_scd2_merge/s_acctbal:double", "q_sim_bruteforce_topk/cos:double",
     "q_sim_ivf_topk/cos:double", "q_sim_lsh_topk/cos:double",
+    // PQ/ADC distance: fixed-order sum of sequential L2Sq folds, oracle
+    // mirrors the pivot + left-assoc addition (r15)
+    "q_sim_pq_topk/adist:double",
     "q_sort_limit_topk/o_totalprice:double",
     "q_star_revenue/revenue:double", "q_stats_bootstrap/ci_hi:double",
     "q_stats_bootstrap/ci_lo:double", "q_stats_bootstrap/mean:double",

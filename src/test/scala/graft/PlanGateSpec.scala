@@ -29,6 +29,10 @@ class PlanGateSpec extends SparkSpec {
   private val allow: Map[String, Seq[String]] = Map(
     "q_dedup_cosine"       -> Seq("broadcast-nested-loop"),
     "q_sim_bruteforce_topk" -> Seq("broadcast-nested-loop"),
+    // hybrid RRF's vector arm is the same bounded-query brute-force
+    // crossJoin (counted query frame, maxQueries guard); the lexical arm
+    // is all equi-joins and the fusion is a keyed full-outer (r15)
+    "q_hybrid_rrf"         -> Seq("broadcast-nested-loop"),
     // recall eval embeds the brute-force exact side (its ANN-query-set
     // broadcast crossJoin) — the LSH side is all equi-joins
     "q_eval_ann_recall"    -> Seq("broadcast-nested-loop"),

@@ -125,4 +125,63 @@ class SimilaritySpec extends SparkSpec {
       val v = r.getInt(0); v >= 0 && v < 256
     })
   }
+
+  // ── product quantization (r15) ─────────────────────────────────────
+
+  test("pqTopK: k rows per query, ascending ADC distance, no self, deterministic") {
+    def run() = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(r => (r._1, r._4))
+    val a = run()
+    assert(a == run(), "ADC ranking must be deterministic (fixed-order sums)")
+    val byQ = a.groupBy(_._1)
+    assert(byQ.size == 8)
+    byQ.foreach { case (q, rows) =>
+      assert(rows.size == 5)
+      assert(rows.map(_._3).sliding(2).forall(p => p.head <= p.last),
+        s"query $q not ascending by adist")
+      assert(rows.forall(_._2 != q), "self must be excluded")
+      assert(rows.forall(_._3 >= 0.0), "squared distances are non-negative")
+    }
+  }
+
+  test("pqEncode: codebook seed vectors encode to themselves at distance 0") {
+    // a vector that IS codeword c has per-subspace distance 0 to itself;
+    // min(struct(d, cid)) can only prefer an EARLIER codeword that is
+    // bit-identical in that subspace, so the re-encoded distance must be 0
+    val coded = Similarity.pqEncode(emb, "vec_id", "embedding",
+      m = 4, codebookSize = 16, sub = 16)
+    val cb = Similarity.pqCodebooks(emb, "vec_id", "embedding",
+      m = 4, codebookSize = 16, sub = 16)
+    val seeds = coded.filter(col("nn_id") < 16)
+      .join(cb, Seq("j", "cid"))
+      .join(Similarity.pqCodebooks(emb, "vec_id", "embedding", 4, 16, 16)
+          .withColumnRenamed("cid", "nn_id").withColumnRenamed("cv", "own_sv"),
+        Seq("j", "nn_id"))
+      .select(graft.functions.VectorOps.l2sq(col("cv"), col("own_sv")).as("d"))
+      .collect()
+    assert(seeds.length == 16 * 4)
+    assert(seeds.forall(_.getDouble(0) == 0.0),
+      "seed vectors must re-encode losslessly")
+  }
+
+  test("pqTopK recall vs brute force is usable and distances are plausible") {
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pq = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = pq.count(bf.contains).toDouble / bf.size
+    info(f"PQ recall@5 vs brute force (m=4, 16 codewords): $recall%.3f")
+    assert(recall > 0.05, s"PQ recall degenerate: $recall")
+  }
+
+  test("pqTopK refuses an unbounded query set (LUT broadcast cap)") {
+    val ex = intercept[IllegalArgumentException] {
+      Similarity.pqTopK(emb, emb, "vec_id", "embedding", 5, maxQueries = 10L)
+    }
+    assert(ex.getMessage.contains("maxQueries"))
+    val out = Similarity.pqTopK(emb, queries, "vec_id", "embedding", 2,
+      maxQueries = 8L)
+    assert(out.count() > 0)
+  }
 }

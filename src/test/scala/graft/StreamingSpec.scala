@@ -503,4 +503,55 @@ class StreamingSpec extends SparkSpec {
       assert(gateBatch(b1 ++ b2).toMap.apply(11L))
     } finally q.stop()
   }
+
+  test("dsirGate admits target-like stream docs per micro-batch (batch ≡ stream)") {
+    // target speaks {tq,uq,vq}; raw remainder speaks {xq,yq,zq}
+    val corpus = Seq(
+      (1L, "tq uq vq tq uq", "en"), (2L, "tq vq uq vq tq", "en"),
+      (3L, "uq tq vq uq", "en"), (4L, "xq yq zq xq", "xx"),
+      (5L, "yq zq xq yq zq", "xx"), (6L, "zq xq yq", "xx")
+    ).toDF("doc_id", "text", "lang")
+    val table = graft.ops.Selection.dsirFeatureTable(corpus, "doc_id", "text",
+      col("lang") === "en", buckets = 256)
+    val incoming = Seq(
+      (10L, "tq uq vq tq"),   // target-like: admit
+      (11L, "xq yq zq yq"),   // off-target: drop
+      (12L, "uq vq tq uq vq"),
+      (13L, "zq xq yq zq"))
+    val batchIn = incoming.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    // the gate keeps dsir_bits on the admitted rows: read the actual
+    // weights first (hash-bucket collisions shift absolute values, the
+    // CONTRACT is the ordering) and derive a cut that splits the sets
+    val w = graft.streaming.CorpusStreams
+      .dsirGate(batchIn, table, "doc_id", "text", minBits = Long.MinValue)
+      .select("doc_id", "dsir_bits").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(10L) > w(11L) && w(10L) > w(13L) &&
+      w(12L) > w(11L) && w(12L) > w(13L),
+      s"target-like docs must outweigh off-target docs: $w")
+    val cut = math.min(w(10L), w(12L))
+    assert(cut > math.max(w(11L), w(13L)))
+    val exact = ids(graft.streaming.CorpusStreams
+      .dsirGate(batchIn, table, "doc_id", "text", minBits = cut))
+    assert(exact == Seq(10L, 12L), s"target-like docs admitted: $exact")
+    // streaming: same rows in two micro-batches, table built ONCE
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(Long, String)]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("doc_id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.CorpusStreams
+          .dsirGate(b, table, "doc_id", "text", minBits = cut)
+          .select("doc_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData(incoming.take(2): _*); q.processAllAvailable()
+      mem.addData(incoming.drop(2): _*); q.processAllAvailable()
+      assert(got.sorted.toSeq == exact,
+        "per-micro-batch gating equals the one-shot batch gate")
+    } finally q.stop()
+  }
 }
