@@ -32,37 +32,61 @@ import org.apache.spark.sql.functions._
   */
 object Retrieval {
 
+  private[graft] val postCacheWindow = new CacheWindows(2)
+
+  /** Release Retrieval's persisted posting frames (test hygiene). */
+  def releaseCaches(): Unit = postCacheWindow.releaseAll()
+
   private val bits = (c: org.apache.spark.sql.Column) => length(bin(c)) - 1
 
   /** Lexical top-k: rank corpus docs per query doc by the summed
     * integer idf-bits of their shared DISTINCT tokens.
     *
-    * Plan: corpus postings (doc, token) → df counts → df-capped postings
-    * with an attached idf weight → inverted-index join against the query
-    * postings → one (query_id, nn_id) aggregation → per-query rank.
-    * `n_docs` enters as a broadcast literal frame (one count job, the
-    * [[Similarity.bruteForceTopK]] eager-probe convention).
+    * Plan — query-driven inverted-index probe: the bounded query-token
+    * set broadcasts, so corpus postings not matching ANY query token die
+    * MAP-SIDE at the explode (no corpus-wide shuffle anywhere; the first
+    * shape shuffled every posting into a df join and benched 2.9× DuckDB
+    * at the 500k-doc replica — this one probes it). df counts come from
+    * the pruned postings and are IDENTICAL for surviving tokens (df is
+    * the per-token corpus-wide count; pruning keeps every row of a
+    * surviving token), so the df cap and the weights match the full-scan
+    * definition bit-for-bit and the oracle replays the unpruned form.
+    * Everything downstream of the prune is bounded by the postings of
+    * the query vocabulary. `n_docs` enters as a broadcast literal frame;
+    * like [[Similarity.bruteForceTopK]], the query frame is counted and
+    * bounded (`maxQueries` — the broadcast-side contract).
     *
     * Output: query_id, nn_id, lex_bits (BIGINT), n_shared (BIGINT),
     * rk_lex (INT ≤ k) — ties broken by nn_id ascending.
     */
   def lexicalTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
-                  textCol: String, k: Int = 5, maxDf: Long = Long.MaxValue): DataFrame = {
+                  textCol: String, k: Int = 5, maxDf: Long = Long.MaxValue,
+                  maxQueries: Long = 10000L): DataFrame = {
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"lexicalTopK broadcasts the query token set: $nQ query docs > " +
+        s"maxQueries=$maxQueries; batch the queries or raise it explicitly")
     val cTok = corpus.select(col(idCol).as("nn_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
     val qTok = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
 
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
-    // vocabulary-sized (≤ distinct tokens), weight attached once per
-    // posting; the df cap drops boilerplate lists before the query join
-    val dfreq = cTok.groupBy("tok").agg(count(lit(1)).as("df"))
+    // broadcast prune: only postings of query tokens survive the scan;
+    // persisted + eagerly materialized (two consumers — the df count and
+    // the scoring join — must not each rescan the corpus)
+    val post = postCacheWindow.add(
+      cTok.join(broadcast(qTok.select("tok").distinct()), "tok"))
+    post.count()
+    // df over the pruned postings ≡ corpus-wide df for those tokens;
+    // ≤ |query vocabulary| rows → broadcast back
+    val dfreq = post.groupBy("tok").agg(count(lit(1)).as("df"))
       .filter(col("df") <= maxDf)
       .crossJoin(broadcast(nDocs))
       .select(col("tok"), (bits(col("n_docs")) - bits(col("df"))).cast("long").as("idf_bits"))
 
-    val post = cTok.join(dfreq, "tok")
-    val scored = post.join(qTok, Seq("tok"))
+    val scored = post.join(broadcast(dfreq), "tok")
+      .join(broadcast(qTok), Seq("tok"))
       .filter(col("nn_id") =!= col("query_id"))
       .groupBy("query_id", "nn_id")
       .agg(sum(col("idf_bits")).as("lex_bits"), count(lit(1)).as("n_shared"))

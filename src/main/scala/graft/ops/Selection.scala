@@ -46,16 +46,26 @@ object Selection {
   private val bits = (c: Column) => (length(bin(c)) - 1).cast("long")
 
   /** Hashed (unigram ∪ bigram) feature stream: one row per gram
-    * occurrence — (idCol, carry..., f) with f ∈ [0, buckets). */
+    * occurrence — (idCol, carry..., f) with f ∈ [0, buckets).
+    *
+    * Bigrams come from `zip_with(tk, slice(tk, 2, …))`, NOT from the
+    * `transform(sequence(…), i => element_at(tk, i+1) …)` index form:
+    * HOF lambdas are interpreted, so an `element_at(tk, …)` INSIDE the
+    * lambda re-evaluates the whole `filter(split(text))` token pipeline
+    * per position — O(tokens²) per document (measured: the index form's
+    * cold pass at the 50k-doc replica read 394 s; this form 13 s). Every
+    * HOF here consumes `tk` as a whole-array argument, evaluated a
+    * constant number of times per row. The zip pads the shifted slice
+    * with one trailing null → `when(y isNotNull …)` + `filter` drop it. */
   private def gramFeatures(docs: DataFrame, idCol: String, textCol: String,
                            buckets: Int, carry: Seq[String] = Nil): DataFrame = {
     val tk = TextAnalysis.tokens(col(textCol))
-    val grams = docs.select(col(idCol) +: carry.map(col) :+ explode(concat(
-      tk,
-      when(size(tk) >= 2,
-        transform(sequence(lit(0), size(tk) - 2),
-          i => concat_ws(" ", element_at(tk, i + 1), element_at(tk, i + 2))))
-        .otherwise(array().cast("array<string>")))).as("g"): _*)
+    val bigrams = filter(
+      zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
+        (x, y) => when(y.isNotNull, concat_ws(" ", x, y))),
+      g => g.isNotNull)
+    val grams = docs.select(col(idCol) +: carry.map(col) :+
+      explode(concat(tk, bigrams)).as("g"): _*)
     grams.select(col(idCol) +: carry.map(col) :+
       (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("f"): _*)
   }
