@@ -73,6 +73,19 @@ object CurationQueries {
           codebookSize = PqCodebook, dims = PqDims)
         .orderBy("query_id", "rk")
     }),
+
+    // PQ quality, measured not asserted: per-query recall@5 of the ADC
+    // ranking against the exact-cosine top-5 — the compression-vs-recall
+    // report a 100 TB owner reads before switching the scan to codes
+    "q_eval_pq_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < HybridQueryIds)
+      graft.ops.Eval.recallAtK(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", HybridK),
+        Similarity.pqTopK(e, q, "vec_id", "embedding", k = HybridK,
+          m = PqM, codebookSize = PqCodebook, dims = PqDims),
+        "query_id", "nn_id").orderBy("query_id")
+    }),
   )
 
   /** DuckDB sequential-fold dot product (mirrors [[graft.ops.Dedup.dot]]). */
@@ -194,35 +207,69 @@ object CurationQueries {
          |SELECT doc_id, n_grams, dsir_bits FROM top ORDER BY doc_id""".stripMargin,
 
     "q_sim_pq_topk" ->
-      s"""WITH sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
-         |parts AS (
-         |  SELECT vec_id, j,
-         |         embedding[j * ${PqDims / PqM} + 1 : j * ${PqDims / PqM} + ${PqDims / PqM}] AS sv
-         |  FROM embeddings CROSS JOIN sub),
-         |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM parts WHERE vec_id < $PqCodebook),
-         |enc AS (
-         |  SELECT vec_id AS nn_id, j, cid FROM (
-         |    SELECT p.vec_id, p.j, c.cid,
-         |           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.j
-         |             ORDER BY ${sqlL2("p.sv", "c.cv")} ASC, c.cid ASC) AS rn
-         |    FROM parts p JOIN cb c ON c.j = p.j) WHERE rn = 1),
-         |lut AS (
-         |  SELECT q.vec_id AS query_id, c.j, c.cid, ${sqlL2("q.sv", "c.cv")} AS d
-         |  FROM parts q JOIN cb c ON c.j = q.j WHERE q.vec_id < $HybridQueryIds),
-         |piv AS (
-         |  SELECT l.query_id, e.nn_id,
-         |         MAX(CASE WHEN e.j = 0 THEN l.d END) AS d0,
-         |         MAX(CASE WHEN e.j = 1 THEN l.d END) AS d1,
-         |         MAX(CASE WHEN e.j = 2 THEN l.d END) AS d2,
-         |         MAX(CASE WHEN e.j = 3 THEN l.d END) AS d3
-         |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.cid
-         |  WHERE e.nn_id <> l.query_id GROUP BY 1, 2),
-         |scored AS (SELECT query_id, nn_id, ((d0 + d1) + d2) + d3 AS adist FROM piv)
-         |SELECT query_id, nn_id, adist, rk FROM (
-         |  SELECT query_id, nn_id, adist,
-         |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |           ORDER BY adist ASC, nn_id) AS INT) AS rk
-         |  FROM scored) WHERE rk <= $HybridK
+      s"""WITH $pqCtes
+         |SELECT query_id, nn_id, adist, rk FROM pqtop
          |ORDER BY query_id, rk""".stripMargin,
+
+    // exact brute-force chain + the PQ chain, recall counted per query
+    // (mirrors q_eval_ann_recall's structure with the ADC ranking)
+    "q_eval_pq_recall" ->
+      s"""WITH $pqCtes,
+         |norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM norms q CROSS JOIN norms c
+         |  WHERE q.vec_id < $HybridQueryIds AND c.vec_id <> q.vec_id),
+         |exact AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT query_id, nn_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, nn_id) AS rk
+         |    FROM bscored) WHERE rk <= $HybridK)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(a.query_id) AS BIGINT) AS n_hits,
+         |       CAST(COUNT(a.query_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM exact e LEFT JOIN pqtop a
+         |  ON e.query_id = a.query_id AND e.nn_id = a.nn_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
+
+  /** Shared PQ/ADC CTE chain ending in a ranked `pqtop` relation —
+    * the DuckDB replay of [[graft.ops.Similarity.pqTopK]] at this
+    * file's operating point (seeded codebooks, pivoted left-assoc ADC
+    * sums, (adist, nn_id) rank order). */
+  private def pqCtes: String =
+    s"""sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
+       |parts AS (
+       |  SELECT vec_id, j,
+       |         embedding[j * ${PqDims / PqM} + 1 : j * ${PqDims / PqM} + ${PqDims / PqM}] AS sv
+       |  FROM embeddings CROSS JOIN sub),
+       |cb AS (SELECT j, vec_id AS cid, sv AS cv FROM parts WHERE vec_id < $PqCodebook),
+       |enc AS (
+       |  SELECT vec_id AS nn_id, j, cid FROM (
+       |    SELECT p.vec_id, p.j, c.cid,
+       |           ROW_NUMBER() OVER (PARTITION BY p.vec_id, p.j
+       |             ORDER BY ${sqlL2("p.sv", "c.cv")} ASC, c.cid ASC) AS rn
+       |    FROM parts p JOIN cb c ON c.j = p.j) WHERE rn = 1),
+       |lut AS (
+       |  SELECT q.vec_id AS query_id, c.j, c.cid, ${sqlL2("q.sv", "c.cv")} AS d
+       |  FROM parts q JOIN cb c ON c.j = q.j WHERE q.vec_id < $HybridQueryIds),
+       |piv AS (
+       |  SELECT l.query_id, e.nn_id,
+       |         MAX(CASE WHEN e.j = 0 THEN l.d END) AS d0,
+       |         MAX(CASE WHEN e.j = 1 THEN l.d END) AS d1,
+       |         MAX(CASE WHEN e.j = 2 THEN l.d END) AS d2,
+       |         MAX(CASE WHEN e.j = 3 THEN l.d END) AS d3
+       |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.cid
+       |  WHERE e.nn_id <> l.query_id GROUP BY 1, 2),
+       |adc AS (SELECT query_id, nn_id, ((d0 + d1) + d2) + d3 AS adist FROM piv),
+       |pqtop AS (
+       |  SELECT query_id, nn_id, adist, rk FROM (
+       |    SELECT query_id, nn_id, adist,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY adist ASC, nn_id) AS INT) AS rk
+       |    FROM adc) WHERE rk <= $HybridK)""".stripMargin
 }
