@@ -312,4 +312,92 @@ object Similarity {
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "nn_id", "adist", "rk")
   }
+
+  /** IVF-PQ ANN top-k (the FAISS `IVFx,PQy` composite, L2 metric
+    * throughout): the corpus partitions into the L2-Voronoi cells of
+    * `nCentroids` seeded centroids; each query probes its `nProbe`
+    * nearest cells and ranks ONLY their members, by the PQ asymmetric
+    * distance over `m`-byte codes — so a scan touches neither the whole
+    * corpus (IVF bounds candidates) nor any raw vector (PQ compresses
+    * the payload). This is the composition actually deployed at
+    * billion-vector scale; [[ivfTopK]] (exact rerank, cosine) and
+    * [[pqTopK]] (full-corpus ADC) are its two halves measured alone.
+    *
+    * Determinism: centroids and codebooks seed from the first corpus
+    * vectors by id (the iters=0 replay convention), every distance is a
+    * sequential [[graft.functions.L2Sq]] fold, cell assignment is
+    * `min(struct(d, cid))`, the ADC sum is the pivoted fixed-order
+    * addition from [[pqTopK]] — the oracle replays the whole dataflow.
+    *
+    * Scale posture: two broadcast passes (cells, codebooks) build the
+    * index frames; the query side is a bounded LUT broadcast
+    * (`maxQueries` — counted, like [[pqTopK]]); the one data-sized
+    * shuffle keys candidate cells' members by id. Recall compounds the
+    * IVF probe miss and the PQ quantization miss — measured against the
+    * exact L2 top-k in SimilaritySpec.
+    *
+    * Output: query_id, nn_id, adist (DOUBLE — smaller is nearer), rk. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
+                vecCol: String, k: Int = 5, nCentroids: Int = 16,
+                nProbe: Int = 4, m: Int = 4, codebookSize: Int = 16,
+                dims: Int = 64, maxQueries: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"ivfPqTopK broadcasts a per-query LUT: $nQ query vectors > " +
+        s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
+
+    val l2 = graft.functions.VectorOps.l2sq _
+    val cents = corpus.filter(col(idCol) < nCentroids)
+      .select(col(idCol).cast("long").as("ccid"), col(vecCol).as("c_vec"))
+
+    // one broadcast pass: nearest cell per corpus vector by L2
+    val assigned = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("nn_id"))
+      .agg(min(struct(l2(col("nn_vec"), col("c_vec")).as("d"),
+        col("ccid").as("ccid"))).as("best"))
+      .select(col("nn_id"), col("best.ccid").as("ccid"))
+
+    // PQ codes for every corpus vector (codeword id renamed: `code` —
+    // `cid` is the CELL id in this operator)
+    val coded = pqEncode(corpus, idCol, vecCol, m, codebookSize, sub)
+      .withColumnRenamed("cid", "code")
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub)
+      .withColumnRenamed("cid", "code")
+
+    // nProbe nearest cells per query, L2 ascending, cell-id tie-break
+    val probeW = Window.partitionBy("query_id")
+      .orderBy(col("p_d").asc, col("ccid").asc)
+    val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
+      .crossJoin(broadcast(cents))
+      .select(col("query_id"), col("ccid"),
+        l2(col("q_vec"), col("c_vec")).as("p_d"))
+      .withColumn("p_rk", row_number().over(probeW)).filter(col("p_rk") <= nProbe)
+      .select("query_id", "ccid")
+
+    val lut = subvectors(queries.select(col(idCol).as("query_id"), col(vecCol)),
+        "query_id", vecCol, m, sub)
+      .join(broadcast(cb), "j")
+      .select(col("query_id"), col("j"), col("code"),
+        l2(col("sv"), col("cv")).as("d"))
+
+    val dcols = (0 until m).map(j =>
+      max(when(col("j") === j, col("d"))).as(s"__d$j"))
+    val adist = (0 until m).map(j => col(s"__d$j")).reduceLeft(_ + _)
+
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("nn_id").asc)
+    probed.join(assigned, "ccid")
+      .filter(col("nn_id") =!= col("query_id"))
+      .join(coded, "nn_id")
+      .join(broadcast(lut), Seq("query_id", "j", "code"))
+      .groupBy(col("query_id"), col("nn_id"))
+      .agg(dcols.head, dcols.tail: _*)
+      .select(col("query_id"), col("nn_id"), adist.as("adist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id", "adist", "rk")
+  }
 }

@@ -38,6 +38,10 @@ object CurationQueries {
   val PqCodebook = 16
   val PqDims = 64
 
+  // IVF-PQ composite: 16 L2-Voronoi cells, 4 probed per query
+  val IvfPqCells = 16
+  val IvfPqProbe = 4
+
   val queries: Map[String, Q] = Map(
     // ── hybrid retrieval ─────────────────────────────────────────────
     // lexical idf-bits arm ∪ exact-cosine arm → reciprocal-rank fusion;
@@ -71,6 +75,17 @@ object CurationQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < HybridQueryIds),
           "vec_id", "embedding", k = HybridK, m = PqM,
           codebookSize = PqCodebook, dims = PqDims)
+        .orderBy("query_id", "rk")
+    }),
+
+    // the FAISS-style composite: probe 4 of 16 L2 cells, rank members by
+    // ADC over 4-byte codes — candidates bounded AND payload compressed
+    "q_sim_ivfpq_topk" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopK(e, e.filter(col("vec_id") < HybridQueryIds),
+          "vec_id", "embedding", k = HybridK, nCentroids = IvfPqCells,
+          nProbe = IvfPqProbe, m = PqM, codebookSize = PqCodebook,
+          dims = PqDims)
         .orderBy("query_id", "rk")
     }),
 
@@ -211,6 +226,11 @@ object CurationQueries {
          |SELECT query_id, nn_id, adist, rk FROM pqtop
          |ORDER BY query_id, rk""".stripMargin,
 
+    "q_sim_ivfpq_topk" ->
+      s"""WITH $ivfPqCtes
+         |SELECT query_id, nn_id, adist, rk FROM pqtop
+         |ORDER BY query_id, rk""".stripMargin,
+
     // exact brute-force chain + the PQ chain, recall counted per query
     // (mirrors q_eval_ann_recall's structure with the ADC ranking)
     "q_eval_pq_recall" ->
@@ -237,11 +257,9 @@ object CurationQueries {
          |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
 
-  /** Shared PQ/ADC CTE chain ending in a ranked `pqtop` relation —
-    * the DuckDB replay of [[graft.ops.Similarity.pqTopK]] at this
-    * file's operating point (seeded codebooks, pivoted left-assoc ADC
-    * sums, (adist, nn_id) rank order). */
-  private def pqCtes: String =
+  /** Shared PQ encode CTEs (subspaces, codebooks, corpus codes, query
+    * LUT) — the common prefix of the pqTopK and ivfPqTopK replays. */
+  private def pqEncCtes: String =
     s"""sub AS (SELECT unnest(generate_series(0, ${PqM - 1})) AS j),
        |parts AS (
        |  SELECT vec_id, j,
@@ -256,15 +274,14 @@ object CurationQueries {
        |    FROM parts p JOIN cb c ON c.j = p.j) WHERE rn = 1),
        |lut AS (
        |  SELECT q.vec_id AS query_id, c.j, c.cid, ${sqlL2("q.sv", "c.cv")} AS d
-       |  FROM parts q JOIN cb c ON c.j = q.j WHERE q.vec_id < $HybridQueryIds),
-       |piv AS (
-       |  SELECT l.query_id, e.nn_id,
-       |         MAX(CASE WHEN e.j = 0 THEN l.d END) AS d0,
-       |         MAX(CASE WHEN e.j = 1 THEN l.d END) AS d1,
-       |         MAX(CASE WHEN e.j = 2 THEN l.d END) AS d2,
-       |         MAX(CASE WHEN e.j = 3 THEN l.d END) AS d3
-       |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.cid
-       |  WHERE e.nn_id <> l.query_id GROUP BY 1, 2),
+       |  FROM parts q JOIN cb c ON c.j = q.j WHERE q.vec_id < $HybridQueryIds)""".stripMargin
+
+  /** The pivoted fixed-order ADC sum + rank tail shared by both PQ
+    * replays; `src` must expose (query_id, nn_id, j-matched lut rows)
+    * as FROM-able join text producing l.query_id, nn_id, e.j, l.d. */
+  private def adcTail(fromSql: String): String =
+    s"""piv AS (
+       |  SELECT $fromSql GROUP BY 1, 2),
        |adc AS (SELECT query_id, nn_id, ((d0 + d1) + d2) + d3 AS adist FROM piv),
        |pqtop AS (
        |  SELECT query_id, nn_id, adist, rk FROM (
@@ -272,4 +289,49 @@ object CurationQueries {
        |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY adist ASC, nn_id) AS INT) AS rk
        |    FROM adc) WHERE rk <= $HybridK)""".stripMargin
+
+  private def pivCols: String =
+    s"""MAX(CASE WHEN e.j = 0 THEN l.d END) AS d0,
+       |         MAX(CASE WHEN e.j = 1 THEN l.d END) AS d1,
+       |         MAX(CASE WHEN e.j = 2 THEN l.d END) AS d2,
+       |         MAX(CASE WHEN e.j = 3 THEN l.d END) AS d3""".stripMargin
+
+  /** Full-corpus PQ/ADC chain ending in the ranked `pqtop` relation —
+    * the DuckDB replay of [[graft.ops.Similarity.pqTopK]]. */
+  private def pqCtes: String =
+    s"""$pqEncCtes,
+       |${adcTail(
+      s"""l.query_id, e.nn_id,
+         |         $pivCols
+         |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.cid
+         |  WHERE e.nn_id <> l.query_id""".stripMargin)}""".stripMargin
+
+  /** IVF-PQ chain — [[graft.ops.Similarity.ivfPqTopK]]'s replay: L2
+    * cell assignment (min-(d, cell) total order), nProbe probed cells,
+    * then the ADC tail restricted to the probed cells' members. */
+  private def ivfPqCtes: String =
+    s"""$pqEncCtes,
+       |cents AS (SELECT vec_id AS ccid, embedding AS c_vec
+       |          FROM embeddings WHERE vec_id < $IvfPqCells),
+       |assigned AS (
+       |  SELECT nn_id, ccid FROM (
+       |    SELECT e.vec_id AS nn_id, t.ccid,
+       |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+       |             ORDER BY ${sqlL2("e.embedding", "t.c_vec")} ASC, t.ccid ASC) AS rn
+       |    FROM embeddings e CROSS JOIN cents t) WHERE rn = 1),
+       |probed AS (
+       |  SELECT query_id, ccid FROM (
+       |    SELECT q.vec_id AS query_id, t.ccid,
+       |           ROW_NUMBER() OVER (PARTITION BY q.vec_id
+       |             ORDER BY ${sqlL2("q.embedding", "t.c_vec")} ASC, t.ccid ASC) AS rn
+       |    FROM embeddings q CROSS JOIN cents t
+       |    WHERE q.vec_id < $HybridQueryIds) WHERE rn <= $IvfPqProbe),
+       |cand AS (
+       |  SELECT p.query_id, a.nn_id FROM probed p
+       |  JOIN assigned a ON a.ccid = p.ccid WHERE a.nn_id <> p.query_id),
+       |${adcTail(
+      s"""c.query_id, c.nn_id,
+         |         $pivCols
+         |  FROM cand c JOIN enc e ON e.nn_id = c.nn_id
+         |  JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.cid = e.cid""".stripMargin)}""".stripMargin
 }

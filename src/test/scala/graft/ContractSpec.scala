@@ -118,7 +118,7 @@ class ContractSpec extends SparkSpec {
     "q_sim_ivf_topk/cos:double", "q_sim_lsh_topk/cos:double",
     // PQ/ADC distance: fixed-order sum of sequential L2Sq folds, oracle
     // mirrors the pivot + left-assoc addition (r15)
-    "q_sim_pq_topk/adist:double",
+    "q_sim_pq_topk/adist:double", "q_sim_ivfpq_topk/adist:double",
     "q_sort_limit_topk/o_totalprice:double",
     "q_star_revenue/revenue:double", "q_stats_bootstrap/ci_hi:double",
     "q_stats_bootstrap/ci_lo:double", "q_stats_bootstrap/mean:double",

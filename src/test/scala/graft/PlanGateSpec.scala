@@ -40,6 +40,9 @@ class PlanGateSpec extends SparkSpec {
     // broadcast crossJoin) — the LSH side is all equi-joins
     "q_eval_ann_recall"    -> Seq("broadcast-nested-loop"),
     "q_sim_ivf_topk"       -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    // IVF-PQ: the same two centroid-broadcast fan-outs as q_sim_ivf_topk
+    // (cell assignment + query probe); codes/LUT are broadcast equi-joins
+    "q_sim_ivfpq_topk"     -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_dedup_semantic"     -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_dedup_semantic_survivors" -> Seq("broadcast-nested-loop",
       "broadcast-nested-loop", "broadcast-nested-loop"),

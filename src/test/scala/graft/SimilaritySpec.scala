@@ -175,6 +175,35 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.05, s"PQ recall degenerate: $recall")
   }
 
+  test("ivfPqTopK: k rows per probe-covered query, deterministic, usable L2 recall") {
+    def run() = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(r => (r._1, r._4))
+    val a = run()
+    assert(a == run(), "IVF-PQ must be deterministic")
+    a.groupBy(_._1).foreach { case (q, rows) =>
+      assert(rows.size <= 5 && rows.nonEmpty)
+      assert(rows.forall(_._2 != q), "self excluded")
+      assert(rows.map(_._3).sliding(2).forall(p => p.head <= p.last))
+    }
+    // exact L2 top-5 computed locally (the fixture is small): IVF-PQ
+    // compounds probe miss + quantization miss, so the floor is modest
+    val vecs = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    def l2(x: Array[Float], y: Array[Float]) =
+      x.zip(y).map { case (a, b) => (a.toDouble - b) * (a.toDouble - b) }.sum
+    val exact = (0L until 8L).flatMap { q =>
+      vecs.keys.filter(_ != q).toSeq
+        .map(n => (q, n, l2(vecs(q), vecs(n)))).sortBy(t => (t._3, t._2))
+        .take(5).map(t => (t._1, t._2))
+    }.toSet
+    val got = a.map(r => (r._1, r._2)).toSet
+    val recall = got.count(exact.contains).toDouble / exact.size
+    info(f"IVF-PQ recall@5 vs exact L2 (nProbe=8/16): $recall%.3f")
+    assert(recall > 0.05, s"IVF-PQ recall degenerate: $recall")
+  }
+
   test("pqTopK refuses an unbounded query set (LUT broadcast cap)") {
     val ex = intercept[IllegalArgumentException] {
       Similarity.pqTopK(emb, emb, "vec_id", "embedding", 5, maxQueries = 10L)
