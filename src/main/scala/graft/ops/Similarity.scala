@@ -313,6 +313,59 @@ object Similarity {
       .select("query_id", "nn_id", "adist", "rk")
   }
 
+  /** Persistable PQ index — the two frames [[pqTopK]] derives from the
+    * raw vectors, reified so a 100 TB corpus is ENCODED ONCE (the only
+    * pass that touches raw embeddings) and then queried forever from
+    * parquet: `codebooks` is m·codebookSize tiny rows, `codes` is m
+    * small ints per vector. Build with [[buildPqIndex]], persist both
+    * frames with any sink, reload, and [[pqTopKIndexed]] returns
+    * bit-identical rankings to the direct call (spec-pinned) — the
+    * [[graft.ops.Dedup.EmbeddingIndex]] convention for the ADC path. */
+  final case class PqIndex(codebooks: DataFrame, codes: DataFrame,
+                           m: Int, codebookSize: Int, dims: Int)
+
+  /** One encode pass over the corpus → [[PqIndex]]. */
+  def buildPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                   m: Int = 4, codebookSize: Int = 16, dims: Int = 64): PqIndex = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    PqIndex(pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub),
+      pqEncode(corpus, idCol, vecCol, m, codebookSize, sub),
+      m, codebookSize, dims)
+  }
+
+  /** ADC top-k against a prebuilt (typically parquet-reloaded)
+    * [[PqIndex]] — the per-query-batch cost is the LUT broadcast plus
+    * one integer join against the code table; raw corpus vectors are
+    * never touched. Same contract and output as [[pqTopK]]. */
+  def pqTopKIndexed(index: PqIndex, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 5,
+                    maxQueries: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"pqTopKIndexed broadcasts a per-query LUT: $nQ query vectors > " +
+        s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
+    val sub = index.dims / index.m
+    val lut = subvectors(queries.select(col(idCol).as("query_id"), col(vecCol)),
+        "query_id", vecCol, index.m, sub)
+      .join(broadcast(index.codebooks), "j")
+      .select(col("query_id"), col("j"), col("cid"),
+        graft.functions.VectorOps.l2sq(col("sv"), col("cv")).as("d"))
+    val dcols = (0 until index.m).map(j =>
+      max(when(col("j") === j, col("d"))).as(s"__d$j"))
+    val adist = (0 until index.m).map(j => col(s"__d$j")).reduceLeft(_ + _)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adist").asc, col("nn_id").asc)
+    index.codes.join(broadcast(lut), Seq("j", "cid"))
+      .filter(col("nn_id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("nn_id"))
+      .agg(dcols.head, dcols.tail: _*)
+      .select(col("query_id"), col("nn_id"), adist.as("adist"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id", "adist", "rk")
+  }
+
   /** IVF-PQ ANN top-k (the FAISS `IVFx,PQy` composite, L2 metric
     * throughout): the corpus partitions into the L2-Voronoi cells of
     * `nCentroids` seeded centroids; each query probes its `nProbe`

@@ -78,6 +78,18 @@ object CurationQueries {
         .orderBy("query_id", "rk")
     }),
 
+    // same ranking through the persistable index path (encode once,
+    // query from the code table) — semantically identical to the direct
+    // call, proven by sharing its oracle (the q_join_salted convention)
+    "q_sim_pq_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.buildPqIndex(e, "vec_id", "embedding",
+        m = PqM, codebookSize = PqCodebook, dims = PqDims)
+      Similarity.pqTopKIndexed(idx, e.filter(col("vec_id") < HybridQueryIds),
+          "vec_id", "embedding", k = HybridK)
+        .orderBy("query_id", "rk")
+    }),
+
     // the FAISS-style composite: probe 4 of 16 L2 cells, rank members by
     // ADC over 4-byte codes — candidates bounded AND payload compressed
     "q_sim_ivfpq_topk" -> ((s, dir) => {
@@ -228,6 +240,12 @@ object CurationQueries {
 
     "q_sim_ivfpq_topk" ->
       s"""WITH $ivfPqCtes
+         |SELECT query_id, nn_id, adist, rk FROM pqtop
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // indexed path ≡ direct PQ ranking — same oracle
+    "q_sim_pq_indexed" ->
+      s"""WITH $pqCtes
          |SELECT query_id, nn_id, adist, rk FROM pqtop
          |ORDER BY query_id, rk""".stripMargin,
 

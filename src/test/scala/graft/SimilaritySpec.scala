@@ -204,6 +204,25 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.05, s"IVF-PQ recall degenerate: $recall")
   }
 
+  test("pqTopKIndexed over a parquet round-tripped index equals pqTopK bit-for-bit") {
+    val direct = Similarity.pqTopK(emb, queries, "vec_id", "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("pqidx").toString
+    idx.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val reloaded = Similarity.PqIndex(
+      spark.read.parquet(s"$dir/codebooks"), spark.read.parquet(s"$dir/codes"),
+      idx.m, idx.codebookSize, idx.dims)
+    val indexed = Similarity.pqTopKIndexed(reloaded, queries, "vec_id",
+        "embedding", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(indexed == direct,
+      "the persisted-index path must replay the direct ranking bit-for-bit")
+  }
+
   test("pqTopK refuses an unbounded query set (LUT broadcast cap)") {
     val ex = intercept[IllegalArgumentException] {
       Similarity.pqTopK(emb, emb, "vec_id", "embedding", 5, maxQueries = 10L)
