@@ -173,7 +173,10 @@ object Selection {
     * t_f = r_f = 0 — smoothing keeps the term defined.
     *
     * Scale: |batch| explode → one (id, f) aggregation → broadcast join —
-    * the corpus that built the table is never rescanned. */
+    * the corpus that built the table is never rescanned. The bucket
+    * arity is read from the table with one 1-row first() job per call
+    * (the table is self-describing by design); a per-micro-batch caller
+    * pays that tiny local job each batch. */
   def dsirGate(docs: DataFrame, idCol: String, textCol: String,
                featureTable: DataFrame, minBits: Long): DataFrame = {
     val nBuckets = featureTable.select(first(col("n_buckets")).as("nb"))

@@ -282,7 +282,6 @@ object Similarity {
   def pqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
              vecCol: String, k: Int = 5, m: Int = 4, codebookSize: Int = 16,
              dims: Int = 64, maxQueries: Long = 10000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
     val nQ = queries.count()
@@ -290,11 +289,21 @@ object Similarity {
       s"pqTopK broadcasts a per-query LUT: $nQ query vectors > " +
         s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
 
-    val cb = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub)
-    val coded = pqEncode(corpus, idCol, vecCol, m, codebookSize, sub)
+    adcRank(pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub),
+      pqEncode(corpus, idCol, vecCol, m, codebookSize, sub),
+      queries, idCol, vecCol, k, m, sub)
+  }
+
+  /** The shared ADC tail of [[pqTopK]] / [[pqTopKIndexed]]: LUT from the
+    * query subvectors × codebooks, one integer join against the code
+    * table, pivoted fixed-order distance sum, (adist, nn_id) rank. */
+  private def adcRank(codebooks: DataFrame, codes: DataFrame,
+                      queries: DataFrame, idCol: String, vecCol: String,
+                      k: Int, m: Int, sub: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val lut = subvectors(queries.select(col(idCol).as("query_id"), col(vecCol)),
         "query_id", vecCol, m, sub)
-      .join(broadcast(cb), "j")
+      .join(broadcast(codebooks), "j")
       .select(col("query_id"), col("j"), col("cid"),
         graft.functions.VectorOps.l2sq(col("sv"), col("cv")).as("d"))
 
@@ -304,7 +313,7 @@ object Similarity {
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("nn_id").asc)
-    coded.join(broadcast(lut), Seq("j", "cid"))
+    codes.join(broadcast(lut), Seq("j", "cid"))
       .filter(col("nn_id") =!= col("query_id"))
       .groupBy(col("query_id"), col("nn_id"))
       .agg(dcols.head, dcols.tail: _*)
@@ -341,29 +350,12 @@ object Similarity {
   def pqTopKIndexed(index: PqIndex, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int = 5,
                     maxQueries: Long = 10000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val nQ = queries.count()
     require(nQ <= maxQueries,
       s"pqTopKIndexed broadcasts a per-query LUT: $nQ query vectors > " +
         s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
-    val sub = index.dims / index.m
-    val lut = subvectors(queries.select(col(idCol).as("query_id"), col(vecCol)),
-        "query_id", vecCol, index.m, sub)
-      .join(broadcast(index.codebooks), "j")
-      .select(col("query_id"), col("j"), col("cid"),
-        graft.functions.VectorOps.l2sq(col("sv"), col("cv")).as("d"))
-    val dcols = (0 until index.m).map(j =>
-      max(when(col("j") === j, col("d"))).as(s"__d$j"))
-    val adist = (0 until index.m).map(j => col(s"__d$j")).reduceLeft(_ + _)
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("adist").asc, col("nn_id").asc)
-    index.codes.join(broadcast(lut), Seq("j", "cid"))
-      .filter(col("nn_id") =!= col("query_id"))
-      .groupBy(col("query_id"), col("nn_id"))
-      .agg(dcols.head, dcols.tail: _*)
-      .select(col("query_id"), col("nn_id"), adist.as("adist"))
-      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
-      .select("query_id", "nn_id", "adist", "rk")
+    adcRank(index.codebooks, index.codes, queries, idCol, vecCol, k,
+      index.m, index.dims / index.m)
   }
 
   /** IVF-PQ ANN top-k (the FAISS `IVFx,PQy` composite, L2 metric
