@@ -350,12 +350,72 @@ object Similarity {
   def pqTopKIndexed(index: PqIndex, queries: DataFrame, idCol: String,
                     vecCol: String, k: Int = 5,
                     maxQueries: Long = 10000L): DataFrame = {
+    // metadata-drift guard (ADVICE r15): a hand-built or mis-reloaded
+    // index whose m/dims disagree would silently mis-slice the query
+    // subvectors below — fail fast like pqTopK/buildPqIndex do
+    require(index.m > 0 && index.dims % index.m == 0,
+      s"PqIndex metadata invalid: dims=${index.dims} must split into " +
+        s"m=${index.m} subspaces")
     val nQ = queries.count()
     require(nQ <= maxQueries,
       s"pqTopKIndexed broadcasts a per-query LUT: $nQ query vectors > " +
         s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
     adcRank(index.codebooks, index.codes, queries, idCol, vecCol, k,
       index.m, index.dims / index.m)
+  }
+
+  /** Exact re-rank of an ANN shortlist — the refine stage every
+    * production PQ deployment runs, because ADC distances are codebook
+    * approximations (recall@5 measured at 2000–8000 bp unrefined at the
+    * m=4/16 config). `shortlist` is any (query_id, nn_id) candidate
+    * frame; the true vectors are fetched by ONE equi-join of the
+    * BROADCAST shortlist against the raw-vector frame — |Q|·k′ rows on
+    * the build side, so the 100 TB corpus is streamed map-side once and
+    * only candidate rows survive; no corpus shuffle, no full rescan per
+    * query. Scores are exact sequential-fold cosines (bit-identical to
+    * [[bruteForceTopK]]'s for the same pair), ranked desc with the
+    * nn_id tie-break.
+    *
+    * Output: query_id, nn_id, cos (DOUBLE), rk — the [[bruteForceTopK]]
+    * shape, so recall evals swap rankings without adapters. */
+  private[graft] def refineExact(shortlist: DataFrame, corpus: DataFrame,
+                                 queries: DataFrame, idCol: String,
+                                 vecCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cand = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"),
+        Dedup.l2norm(col(vecCol)).as("nn_nrm"))
+      .join(broadcast(shortlist.select("query_id", "nn_id")), "nn_id")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"),
+      Dedup.l2norm(col(vecCol)).as("q_nrm"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("nn_id").asc)
+    cand.join(broadcast(q), "query_id")
+      .select(col("query_id"), col("nn_id"),
+        (Dedup.dot(col("q_vec"), col("nn_vec")) / (col("q_nrm") * col("nn_nrm")))
+          .as("cos"))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select("query_id", "nn_id", "cos", "rk")
+  }
+
+  /** [[pqTopK]] with an exact refine tail: ADC ranks a shortlist of
+    * `kPrime` (default 8×k) candidates per query from the code table
+    * alone, then [[refineExact]] re-ranks the shortlist by true cosine
+    * and keeps k. The corpus pays one extra map-side candidate fetch
+    * (the broadcast-shortlist equi-join) on top of [[pqTopK]]'s cost —
+    * the standard recall-repair trade: quantization error only matters
+    * if the true neighbor fell OUT of the top-k′, and k′ a small
+    * multiple of k already makes that rare (measured in
+    * `q_eval_pq_refined_recall`). Output: the [[bruteForceTopK]] shape
+    * (query_id, nn_id, cos, rk). */
+  def pqTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+                    vecCol: String, k: Int = 5, kPrime: Int = 40,
+                    m: Int = 4, codebookSize: Int = 16, dims: Int = 64,
+                    maxQueries: Long = 10000L): DataFrame = {
+    require(kPrime >= k, s"shortlist kPrime=$kPrime must be >= k=$k")
+    refineExact(
+      pqTopK(corpus, queries, idCol, vecCol, kPrime, m, codebookSize,
+        dims, maxQueries),
+      corpus, queries, idCol, vecCol, k)
   }
 
   /** IVF-PQ ANN top-k (the FAISS `IVFx,PQy` composite, L2 metric
@@ -385,15 +445,35 @@ object Similarity {
   def ivfPqTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                 vecCol: String, k: Int = 5, nCentroids: Int = 16,
                 nProbe: Int = 4, m: Int = 4, codebookSize: Int = 16,
-                dims: Int = 64, maxQueries: Long = 10000L): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
+                dims: Int = 64, maxQueries: Long = 10000L): DataFrame =
+    ivfPqTopKIndexed(
+      buildIvfPqIndex(corpus, idCol, vecCol, nCentroids, m, codebookSize, dims),
+      queries, idCol, vecCol, k, nProbe, maxQueries)
+
+  /** Persistable IVF-PQ index — the four frames [[ivfPqTopK]] derives
+    * from the raw vectors, reified so the composite gets the same
+    * encode-once contract as the flat [[PqIndex]]: `cents` is
+    * nCentroids tiny rows (the only frame carrying raw vectors — the
+    * probe stage needs them, and it is centroid-sized, not
+    * corpus-sized), `assigned` is (nn_id, ccid) cell membership,
+    * `codebooks`/`codes` are the PQ halves. Persist all four to
+    * parquet, reload, and [[ivfPqTopKIndexed]] replays the direct
+    * ranking bit-for-bit (spec-pinned). At 100 TB the index build is
+    * the ONLY pass over raw embeddings; every query batch afterwards
+    * touches nCentroids vectors + integer tables. */
+  final case class IvfPqIndex(cents: DataFrame, assigned: DataFrame,
+                              codebooks: DataFrame, codes: DataFrame,
+                              nCentroids: Int, m: Int, codebookSize: Int,
+                              dims: Int)
+
+  /** Two broadcast passes over the corpus (cell assignment, PQ encode)
+    * → [[IvfPqIndex]]. Centroids and codebooks seed from the first
+    * corpus vectors by id — the deterministic replay convention. */
+  def buildIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                      nCentroids: Int = 16, m: Int = 4,
+                      codebookSize: Int = 16, dims: Int = 64): IvfPqIndex = {
     require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
     val sub = dims / m
-    val nQ = queries.count()
-    require(nQ <= maxQueries,
-      s"ivfPqTopK broadcasts a per-query LUT: $nQ query vectors > " +
-        s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
-
     val l2 = graft.functions.VectorOps.l2sq _
     val cents = corpus.filter(col(idCol) < nCentroids)
       .select(col(idCol).cast("long").as("ccid"), col(vecCol).as("c_vec"))
@@ -412,37 +492,79 @@ object Similarity {
       .withColumnRenamed("cid", "code")
     val cb = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub)
       .withColumnRenamed("cid", "code")
+    IvfPqIndex(cents, assigned, cb, coded, nCentroids, m, codebookSize, dims)
+  }
+
+  /** IVF-PQ ADC top-k against a prebuilt (typically parquet-reloaded)
+    * [[IvfPqIndex]]: probe `nProbe` nearest cells against the tiny
+    * centroid frame, rank their members by the pivoted fixed-order ADC
+    * sum over the code table. Same contract, determinism, and output
+    * as [[ivfPqTopK]] — which is now literally this call over a fresh
+    * [[buildIvfPqIndex]]. */
+  def ivfPqTopKIndexed(index: IvfPqIndex, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int = 5, nProbe: Int = 4,
+                       maxQueries: Long = 10000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    // metadata-drift guard (the pqTopKIndexed convention): mismatched
+    // m/dims would mis-slice query subvectors, not error
+    require(index.m > 0 && index.dims % index.m == 0,
+      s"IvfPqIndex metadata invalid: dims=${index.dims} must split into " +
+        s"m=${index.m} subspaces")
+    val sub = index.dims / index.m
+    val nQ = queries.count()
+    require(nQ <= maxQueries,
+      s"ivfPqTopKIndexed broadcasts a per-query LUT: $nQ query vectors > " +
+        s"maxQueries=$maxQueries; stream query batches or raise it explicitly")
+    val l2 = graft.functions.VectorOps.l2sq _
 
     // nProbe nearest cells per query, L2 ascending, cell-id tie-break
     val probeW = Window.partitionBy("query_id")
       .orderBy(col("p_d").asc, col("ccid").asc)
     val probed = queries.select(col(idCol).as("query_id"), col(vecCol).as("q_vec"))
-      .crossJoin(broadcast(cents))
+      .crossJoin(broadcast(index.cents))
       .select(col("query_id"), col("ccid"),
         l2(col("q_vec"), col("c_vec")).as("p_d"))
       .withColumn("p_rk", row_number().over(probeW)).filter(col("p_rk") <= nProbe)
       .select("query_id", "ccid")
 
     val lut = subvectors(queries.select(col(idCol).as("query_id"), col(vecCol)),
-        "query_id", vecCol, m, sub)
-      .join(broadcast(cb), "j")
+        "query_id", vecCol, index.m, sub)
+      .join(broadcast(index.codebooks), "j")
       .select(col("query_id"), col("j"), col("code"),
         l2(col("sv"), col("cv")).as("d"))
 
-    val dcols = (0 until m).map(j =>
+    val dcols = (0 until index.m).map(j =>
       max(when(col("j") === j, col("d"))).as(s"__d$j"))
-    val adist = (0 until m).map(j => col(s"__d$j")).reduceLeft(_ + _)
+    val adist = (0 until index.m).map(j => col(s"__d$j")).reduceLeft(_ + _)
 
     val w = Window.partitionBy("query_id")
       .orderBy(col("adist").asc, col("nn_id").asc)
-    probed.join(assigned, "ccid")
+    probed.join(index.assigned, "ccid")
       .filter(col("nn_id") =!= col("query_id"))
-      .join(coded, "nn_id")
+      .join(index.codes, "nn_id")
       .join(broadcast(lut), Seq("query_id", "j", "code"))
       .groupBy(col("query_id"), col("nn_id"))
       .agg(dcols.head, dcols.tail: _*)
       .select(col("query_id"), col("nn_id"), adist.as("adist"))
       .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
       .select("query_id", "nn_id", "adist", "rk")
+  }
+
+  /** [[ivfPqTopK]] with the exact refine tail ([[pqTopKRefined]]'s
+    * rationale): the composite's recall compounds the probe miss and
+    * the quantization miss, and the refine repairs only the latter —
+    * candidates outside the probed cells stay unseen, so size `nProbe`
+    * for the probe miss and `kPrime` for the ADC miss independently.
+    * Output: (query_id, nn_id, cos, rk). */
+  def ivfPqTopKRefined(corpus: DataFrame, queries: DataFrame, idCol: String,
+                       vecCol: String, k: Int = 5, kPrime: Int = 40,
+                       nCentroids: Int = 16, nProbe: Int = 4, m: Int = 4,
+                       codebookSize: Int = 16, dims: Int = 64,
+                       maxQueries: Long = 10000L): DataFrame = {
+    require(kPrime >= k, s"shortlist kPrime=$kPrime must be >= k=$k")
+    refineExact(
+      ivfPqTopK(corpus, queries, idCol, vecCol, kPrime, nCentroids, nProbe,
+        m, codebookSize, dims, maxQueries),
+      corpus, queries, idCol, vecCol, k)
   }
 }

@@ -42,6 +42,21 @@ object CurationQueries {
   val IvfPqCells = 16
   val IvfPqProbe = 4
 
+  // refine stage (r16): ADC shortlist depth, exact-cosine re-rank.
+  // The fixture's embeddings are ISOTROPIC RANDOM unit vectors — the
+  // PQ worst case: at the m=4/16 config a code carries 16 bits, ADC
+  // distances concentrate, and the shortlist needs unusual depth
+  // (measured at sf0.01, recall@5 of the refined top-5 vs exact:
+  // k′=40 → 0.625, 160 → 0.925, 250 → 1.000; clustered real-world
+  // embeddings sit near the operator's 8×k default). k′ prices recall
+  // against ONE broadcast equi-join of |Q|·k′ candidate ids — at a
+  // 100 TB corpus 250 ids/query is noise, so depth is the cheap knob.
+  val PqRefineK = 250
+  // IVF-PQ refined: nProbe=4/16 bounds candidates to ~25% of the
+  // corpus, so the probe miss dominates and the 8×k shortlist keeps
+  // the ADC ranking doing real selection inside the probed cells
+  val IvfPqRefineK = 40
+
   val queries: Map[String, Q] = Map(
     // ── hybrid retrieval ─────────────────────────────────────────────
     // lexical idf-bits arm ∪ exact-cosine arm → reciprocal-rank fusion;
@@ -111,6 +126,57 @@ object CurationQueries {
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", HybridK),
         Similarity.pqTopK(e, q, "vec_id", "embedding", k = HybridK,
           m = PqM, codebookSize = PqCodebook, dims = PqDims),
+        "query_id", "nn_id").orderBy("query_id")
+    }),
+
+    // ── refine stage (r16) ───────────────────────────────────────────
+    // ADC shortlist (depth per the PqRefineK note) → exact-cosine
+    // re-rank of the candidates via one broadcast-shortlist equi-join —
+    // the recall repair every production PQ deployment runs
+    "q_sim_pq_refined" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqTopKRefined(e, e.filter(col("vec_id") < HybridQueryIds),
+          "vec_id", "embedding", k = HybridK, kPrime = PqRefineK, m = PqM,
+          codebookSize = PqCodebook, dims = PqDims)
+        .orderBy("query_id", "rk")
+    }),
+
+    // the composite with the same refine tail — probe miss and
+    // quantization miss sized independently (nProbe vs kPrime)
+    "q_sim_ivfpq_refined" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.ivfPqTopKRefined(e, e.filter(col("vec_id") < HybridQueryIds),
+          "vec_id", "embedding", k = HybridK, kPrime = IvfPqRefineK,
+          nCentroids = IvfPqCells, nProbe = IvfPqProbe, m = PqM,
+          codebookSize = PqCodebook, dims = PqDims)
+        .orderBy("query_id", "rk")
+    }),
+
+    // the composite through the persistable index path (encode once,
+    // probe the tiny centroid frame, rank from the code table) —
+    // semantically identical to the direct call, proven by sharing its
+    // oracle (the q_sim_pq_indexed convention)
+    "q_sim_ivfpq_indexed" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+        nCentroids = IvfPqCells, m = PqM, codebookSize = PqCodebook,
+        dims = PqDims)
+      Similarity.ivfPqTopKIndexed(idx, e.filter(col("vec_id") < HybridQueryIds),
+          "vec_id", "embedding", k = HybridK, nProbe = IvfPqProbe)
+        .orderBy("query_id", "rk")
+    }),
+
+    // refined-path recall — the number that justifies the refine stage:
+    // unrefined ADC reads 2000–8000 bp here, the refined path must read
+    // production-grade (>=9000 bp, asserted in SimilaritySpec)
+    "q_eval_pq_refined_recall" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") < HybridQueryIds)
+      graft.ops.Eval.recallAtK(
+        Similarity.bruteForceTopK(e, q, "vec_id", "embedding", HybridK),
+        Similarity.pqTopKRefined(e, q, "vec_id", "embedding", k = HybridK,
+          kPrime = PqRefineK, m = PqM, codebookSize = PqCodebook,
+          dims = PqDims),
         "query_id", "nn_id").orderBy("query_id")
     }),
   )
@@ -234,25 +300,44 @@ object CurationQueries {
          |SELECT doc_id, n_grams, dsir_bits FROM top ORDER BY doc_id""".stripMargin,
 
     "q_sim_pq_topk" ->
-      s"""WITH $pqCtes
+      s"""WITH ${pqCtes()}
          |SELECT query_id, nn_id, adist, rk FROM pqtop
          |ORDER BY query_id, rk""".stripMargin,
 
     "q_sim_ivfpq_topk" ->
-      s"""WITH $ivfPqCtes
+      s"""WITH ${ivfPqCtes()}
          |SELECT query_id, nn_id, adist, rk FROM pqtop
          |ORDER BY query_id, rk""".stripMargin,
 
     // indexed path ≡ direct PQ ranking — same oracle
     "q_sim_pq_indexed" ->
-      s"""WITH $pqCtes
+      s"""WITH ${pqCtes()}
          |SELECT query_id, nn_id, adist, rk FROM pqtop
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // indexed composite ≡ direct IVF-PQ ranking — same oracle
+    "q_sim_ivfpq_indexed" ->
+      s"""WITH ${ivfPqCtes()}
+         |SELECT query_id, nn_id, adist, rk FROM pqtop
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // ADC shortlist at depth $PqRefineK, exact-cosine re-rank to top-k
+    "q_sim_pq_refined" ->
+      s"""WITH ${pqCtes(PqRefineK)},
+         |$refineTail
+         |SELECT query_id, nn_id, cos, rk FROM refined
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q_sim_ivfpq_refined" ->
+      s"""WITH ${ivfPqCtes(IvfPqRefineK)},
+         |$refineTail
+         |SELECT query_id, nn_id, cos, rk FROM refined
          |ORDER BY query_id, rk""".stripMargin,
 
     // exact brute-force chain + the PQ chain, recall counted per query
     // (mirrors q_eval_ann_recall's structure with the ADC ranking)
     "q_eval_pq_recall" ->
-      s"""WITH $pqCtes,
+      s"""WITH ${pqCtes()},
          |norms AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
@@ -271,6 +356,32 @@ object CurationQueries {
          |       CAST(COUNT(a.query_id) AS BIGINT) AS n_hits,
          |       CAST(COUNT(a.query_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
          |FROM exact e LEFT JOIN pqtop a
+         |  ON e.query_id = a.query_id AND e.nn_id = a.nn_id
+         |GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    // same recall report over the REFINED ranking — the before/after
+    // pair that prices the refine stage
+    "q_eval_pq_refined_recall" ->
+      s"""WITH ${pqCtes(PqRefineK)},
+         |$refineTail,
+         |norms AS (
+         |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+         |  FROM embeddings),
+         |bscored AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id AS nn_id,
+         |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+         |  FROM norms q CROSS JOIN norms c
+         |  WHERE q.vec_id < $HybridQueryIds AND c.vec_id <> q.vec_id),
+         |exact AS (
+         |  SELECT query_id, nn_id FROM (
+         |    SELECT query_id, nn_id,
+         |           ROW_NUMBER() OVER (PARTITION BY query_id
+         |             ORDER BY cos DESC, nn_id) AS rk
+         |    FROM bscored) WHERE rk <= $HybridK)
+         |SELECT e.query_id, CAST(COUNT(*) AS BIGINT) AS n_exact,
+         |       CAST(COUNT(a.query_id) AS BIGINT) AS n_hits,
+         |       CAST(COUNT(a.query_id) * 10000 // COUNT(*) AS BIGINT) AS recall_bp
+         |FROM exact e LEFT JOIN refined a
          |  ON e.query_id = a.query_id AND e.nn_id = a.nn_id
          |GROUP BY 1 ORDER BY 1""".stripMargin,
   )
@@ -296,8 +407,10 @@ object CurationQueries {
 
   /** The pivoted fixed-order ADC sum + rank tail shared by both PQ
     * replays; `src` must expose (query_id, nn_id, j-matched lut rows)
-    * as FROM-able join text producing l.query_id, nn_id, e.j, l.d. */
-  private def adcTail(fromSql: String): String =
+    * as FROM-able join text producing l.query_id, nn_id, e.j, l.d.
+    * `kTop` is the ranking depth — k for direct rankings, the
+    * $PqRefineK shortlist for the refined paths. */
+  private def adcTail(fromSql: String, kTop: Int): String =
     s"""piv AS (
        |  SELECT $fromSql GROUP BY 1, 2),
        |adc AS (SELECT query_id, nn_id, ((d0 + d1) + d2) + d3 AS adist FROM piv),
@@ -306,7 +419,27 @@ object CurationQueries {
        |    SELECT query_id, nn_id, adist,
        |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY adist ASC, nn_id) AS INT) AS rk
-       |    FROM adc) WHERE rk <= $HybridK)""".stripMargin
+       |    FROM adc) WHERE rk <= $kTop)""".stripMargin
+
+  /** Exact-cosine re-rank of the `pqtop` shortlist — the replay of
+    * [[graft.ops.Similarity.refineExact]]: true vectors fetched by id,
+    * sequential-fold cosine, rank desc with the nn_id tie-break. */
+  private def refineTail: String =
+    s"""rnorms AS (
+       |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
+       |  FROM embeddings),
+       |rscored AS (
+       |  SELECT p.query_id, p.nn_id,
+       |         ${sqlDot("q.embedding", "c.embedding")} / (q.nrm * c.nrm) AS cos
+       |  FROM pqtop p
+       |  JOIN rnorms c ON c.vec_id = p.nn_id
+       |  JOIN rnorms q ON q.vec_id = p.query_id),
+       |refined AS (
+       |  SELECT query_id, nn_id, cos, rk FROM (
+       |    SELECT query_id, nn_id, cos,
+       |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |             ORDER BY cos DESC, nn_id) AS INT) AS rk
+       |    FROM rscored) WHERE rk <= $HybridK)""".stripMargin
 
   private def pivCols: String =
     s"""MAX(CASE WHEN e.j = 0 THEN l.d END) AS d0,
@@ -316,18 +449,18 @@ object CurationQueries {
 
   /** Full-corpus PQ/ADC chain ending in the ranked `pqtop` relation —
     * the DuckDB replay of [[graft.ops.Similarity.pqTopK]]. */
-  private def pqCtes: String =
+  private def pqCtes(kTop: Int = HybridK): String =
     s"""$pqEncCtes,
        |${adcTail(
       s"""l.query_id, e.nn_id,
          |         $pivCols
          |  FROM enc e JOIN lut l ON l.j = e.j AND l.cid = e.cid
-         |  WHERE e.nn_id <> l.query_id""".stripMargin)}""".stripMargin
+         |  WHERE e.nn_id <> l.query_id""".stripMargin, kTop)}""".stripMargin
 
   /** IVF-PQ chain — [[graft.ops.Similarity.ivfPqTopK]]'s replay: L2
     * cell assignment (min-(d, cell) total order), nProbe probed cells,
     * then the ADC tail restricted to the probed cells' members. */
-  private def ivfPqCtes: String =
+  private def ivfPqCtes(kTop: Int = HybridK): String =
     s"""$pqEncCtes,
        |cents AS (SELECT vec_id AS ccid, embedding AS c_vec
        |          FROM embeddings WHERE vec_id < $IvfPqCells),
@@ -351,5 +484,5 @@ object CurationQueries {
       s"""c.query_id, c.nn_id,
          |         $pivCols
          |  FROM cand c JOIN enc e ON e.nn_id = c.nn_id
-         |  JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.cid = e.cid""".stripMargin)}""".stripMargin
+         |  JOIN lut l ON l.query_id = c.query_id AND l.j = e.j AND l.cid = e.cid""".stripMargin, kTop)}""".stripMargin
 }

@@ -232,4 +232,87 @@ class SimilaritySpec extends SparkSpec {
       maxQueries = 8L)
     assert(out.count() > 0)
   }
+
+  // ── refine stage + persistable IVF-PQ index (r16) ───────────────────
+
+  test("pqTopKRefined: exact cosines, production-grade recall, deterministic") {
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val kPrime = graft.pipelines.CurationQueries.PqRefineK
+    def run() = Similarity.pqTopKRefined(emb, queries, "vec_id", "embedding",
+        k = 5, kPrime = kPrime)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sortBy(r => (r._1, r._4))
+    val a = run()
+    assert(a == run(), "refined ranking must be deterministic")
+    // every refined pair also present in brute force scores IDENTICALLY
+    // (both are the same sequential cosine fold)
+    a.foreach { t =>
+      bf.get((t._1, t._2)).foreach(exact =>
+        assert(exact == t._3, s"refined cosine must be exact at ${(t._1, t._2)}"))
+    }
+    // the target that justifies the stage: >= 9000 bp refined recall at
+    // the m=4/16 config (shortlist depth per the PqRefineK note — the
+    // isotropic fixture is the 16-bit-code worst case)
+    val got = a.map(t => (t._1, t._2)).toSet
+    val recall = got.count(bf.keySet.contains).toDouble / bf.size
+    info(f"refined PQ recall@5 (kPrime=$kPrime): $recall%.3f")
+    assert(recall >= 0.9, s"refined recall below 9000 bp: $recall")
+  }
+
+  test("ivfPqTopKRefined: exact cosines on the probed candidates, recall improves") {
+    val bf = Similarity.bruteForceTopK(emb, queries, "vec_id", "embedding", 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val unrefined = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val refined = Similarity.ivfPqTopKRefined(emb, queries, "vec_id",
+        "embedding", k = 5, kPrime = 40, nCentroids = 16, nProbe = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val rU = unrefined.count(bf.contains).toDouble / bf.size
+    val rR = refined.count(bf.contains).toDouble / bf.size
+    info(f"IVF-PQ recall@5 vs cosine exact: unrefined $rU%.3f -> refined $rR%.3f")
+    // refine repairs the quantization miss; the probe miss stays, so the
+    // floor is the unrefined recall, not 1.0
+    assert(rR >= rU, "refine must not lose recall")
+    assert(rR > 0.3, s"refined IVF-PQ recall degenerate: $rR")
+  }
+
+  test("ivfPqTopKIndexed over a parquet round-tripped index equals ivfPqTopK bit-for-bit") {
+    val direct = Similarity.ivfPqTopK(emb, queries, "vec_id", "embedding",
+        k = 5, nCentroids = 16, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val idx = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val dir = java.nio.file.Files.createTempDirectory("ivfpqidx").toString
+    idx.cents.write.mode("overwrite").parquet(s"$dir/cents")
+    idx.assigned.write.mode("overwrite").parquet(s"$dir/assigned")
+    idx.codebooks.write.mode("overwrite").parquet(s"$dir/codebooks")
+    idx.codes.write.mode("overwrite").parquet(s"$dir/codes")
+    val reloaded = Similarity.IvfPqIndex(
+      spark.read.parquet(s"$dir/cents"), spark.read.parquet(s"$dir/assigned"),
+      spark.read.parquet(s"$dir/codebooks"), spark.read.parquet(s"$dir/codes"),
+      idx.nCentroids, idx.m, idx.codebookSize, idx.dims)
+    val indexed = Similarity.ivfPqTopKIndexed(reloaded, queries, "vec_id",
+        "embedding", k = 5, nProbe = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    assert(indexed == direct,
+      "the persisted IVF-PQ index must replay the direct ranking bit-for-bit")
+  }
+
+  test("indexed paths fail fast on drifted index metadata (ADVICE r15)") {
+    val pq = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    val badPq = pq.copy(m = 5) // 64 % 5 != 0 — would mis-slice silently
+    val e1 = intercept[IllegalArgumentException] {
+      Similarity.pqTopKIndexed(badPq, queries, "vec_id", "embedding", 5)
+    }
+    assert(e1.getMessage.contains("metadata"))
+    val ivf = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      Similarity.ivfPqTopKIndexed(ivf.copy(m = 5), queries, "vec_id",
+        "embedding", 5)
+    }
+    assert(e2.getMessage.contains("metadata"))
+  }
 }
