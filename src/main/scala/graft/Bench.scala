@@ -162,17 +162,44 @@ object Bench {
     val pairMeta = s""","duck_paired":$duckPaired,"duck_age_sec":$duckAgeSec""" +
       (if (duckRefreshSec >= 0) s""","duck_refresh_sec":$duckRefreshSec""" else "") +
       (if (duckStale) s""","ratio_refused":"unpaired denominator ${duckAgeSec}s old (>2h)"""" else "")
+    // (name, spark, duck) for every query both engines timed — the base
+    // for the headline ratio and its robustness companions
+    val sharedPairs: Seq[(String, Double, Double)] =
+      best.flatMap { case (k, t) =>
+        if (t >= 0) duck.get(k).filter(_ >= 0).map(d => (k, t, d)) else None
+      }
+    // Robust secondary ratios (VERDICT r15 item 5): duck_total is
+    // dominated by a few pathologically slow ORACLES (r15: two
+    // recursive-CTE cells were 57% of the denominator), so the headline
+    // sum-ratio moves round-over-round with oracle cost, not engine
+    // speed. ratio_trimmed drops the 3 slowest DUCK cells from BOTH
+    // sides; ratio_median_cell is the per-query ratio median — neither
+    // can be moved by one oracle's pathology.
+    val trimmedCells = sharedPairs.sortBy(-_._3).take(3).map(_._1)
+    val robustJson =
+      if (sharedPairs.isEmpty || duckStale) ""
+      else {
+        val kept = sharedPairs.filterNot(p => trimmedCells.contains(p._1))
+        val keptDuck = kept.map(_._3).sum
+        val rTrim = if (keptDuck > 0) kept.map(_._2).sum / keptDuck else -1.0
+        val cellRatios = sharedPairs.filter(_._3 > 0).map(p => p._2 / p._3).sorted
+        val rMed =
+          if (cellRatios.isEmpty) -1.0
+          else if (cellRatios.size % 2 == 1) cellRatios(cellRatios.size / 2)
+          else (cellRatios(cellRatios.size / 2 - 1) + cellRatios(cellRatios.size / 2)) / 2.0
+        val tc = trimmedCells.map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","ratio_trimmed":$rTrim,"ratio_median_cell":$rMed,"trimmed_cells":$tc"""
+      }
     val duckJson =
       if (duck.isEmpty) ""
       else {
-        val shared = best.filter { case (k, t) => t >= 0 && duck.get(k).exists(_ >= 0) }
-        val sparkShared = shared.map(_._2).sum
-        val duckShared = shared.map { case (k, _) => duck(k) }.sum
+        val sparkShared = sharedPairs.map(_._2).sum
+        val duckShared = sharedPairs.map(_._3).sum
         val ratio =
           if (duckStale || duckShared <= 0) -1.0 else sparkShared / duckShared
         val ds = duck.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s""","duck":$ds,"duck_total":$duckShared,"spark_vs_duck_ratio":$ratio,"duck_from":"$duckPath"$pairMeta"""
+        s""","duck":$ds,"duck_total":$duckShared,"spark_vs_duck_ratio":$ratio$robustJson,"duck_from":"$duckPath"$pairMeta"""
       }
 
     val loadEnd = load1
@@ -193,11 +220,8 @@ object Bench {
     // artifact. `n_queries` marks subset runs so a truncated suite can't
     // masquerade as a full one.
     val duckTotalOpt =
-      if (duck.isEmpty) None
-      else {
-        val shared = best.filter { case (k, t) => t >= 0 && duck.get(k).exists(_ >= 0) }
-        Some((shared.map(_._2).sum, shared.map { case (k, _) => duck(k) }.sum))
-      }
+      if (sharedPairs.isEmpty) None
+      else Some((sharedPairs.map(_._2).sum, sharedPairs.map(_._3).sum))
     // explicit ROOT locale: the f-interpolator formats with the JVM
     // default locale, and a comma-decimal locale would turn this
     // machine-parsed line into invalid JSON (ADVICE r14)
@@ -207,7 +231,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val pairPart = duckTotalOpt.map { case (s, d) =>
       val ratio = if (duckStale || d <= 0) -1.0 else s / d
-      s""","spark_paired_total":${r3(s)},"duck_total":${r3(d)},"spark_vs_duck_ratio":${r3(ratio)}$pairMeta"""
+      s""","spark_paired_total":${r3(s)},"duck_total":${r3(d)},"spark_vs_duck_ratio":${r3(ratio)}$robustJson$pairMeta"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":$fs,"runs":$runs,"sf":"$sfDir"$stamp$pairPart,"worst_spark":$worst,"full_artifact":"BENCH_FULL.json"}""")
     // the driver's BENCH_r{N}.json stores a TAIL of stdout that can cut

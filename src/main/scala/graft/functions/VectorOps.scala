@@ -16,6 +16,12 @@ import org.apache.spark.sql.types.{DataType, DoubleType, FloatType, ArrayType}
   * widened to double, multiplied, and accumulated LEFT-TO-RIGHT (IEEE
   * sequential fold — the same order DuckDB's `list_reduce` uses, so the
   * oracle hash-compare stays exact).
+  *
+  * Ragged inputs THROW (ADVICE r15): truncating to the shorter array
+  * would silently diverge from DuckDB's `list_zip`, which NULL-pads the
+  * shorter list and turns the whole fold NULL — a latent hash mismatch
+  * masked only while every fixture is uniformly 64-dim. A length
+  * mismatch is a data bug either way; fail loudly with both lengths.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -28,7 +34,10 @@ case class DotProduct(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"dot_product: ragged arrays (${n} vs ${y.numElements()} elements)")
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0.0
@@ -50,8 +59,12 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = $a.numElements() < $b.numElements()
-         |  ? $a.numElements() : $b.numElements();
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "dot_product: ragged arrays (" + $n + " vs " +
+         |    $b.numElements() + " elements)");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  $acc += (double) $a.$lGet($i) * (double) $b.$rGet($i);
@@ -75,7 +88,8 @@ case class DotProduct(left: Expression, right: Expression)
   * fold bit-for-bit and the oracle hash-compare stays exact. One fused
   * subtract-square-accumulate loop beats the `dot(a,a) − 2·dot(a,b) +
   * dot(b,b)` expansion on both rounding (single fold, no catastrophic
-  * cancellation) and traffic (one pass over both arrays). */
+  * cancellation) and traffic (one pass over both arrays). Ragged inputs
+  * THROW — same contract and rationale as [[DotProduct]]. */
 case class L2Sq(left: Expression, right: Expression)
     extends BinaryExpression {
 
@@ -87,7 +101,10 @@ case class L2Sq(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (n != y.numElements())
+      throw new IllegalArgumentException(
+        s"l2_sq: ragged arrays (${n} vs ${y.numElements()} elements)")
     val lf = elemType(left) == FloatType
     val rf = elemType(right) == FloatType
     var acc = 0.0
@@ -111,8 +128,12 @@ case class L2Sq(left: Expression, right: Expression)
       val acc = ctx.freshName("acc")
       val d = ctx.freshName("d")
       s"""
-         |int $n = $a.numElements() < $b.numElements()
-         |  ? $a.numElements() : $b.numElements();
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException(
+         |    "l2_sq: ragged arrays (" + $n + " vs " +
+         |    $b.numElements() + " elements)");
+         |}
          |double $acc = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  double $d = (double) $a.$lGet($i) - (double) $b.$rGet($i);

@@ -179,8 +179,16 @@ object Selection {
     * pays that tiny local job each batch. */
   def dsirGate(docs: DataFrame, idCol: String, textCol: String,
                featureTable: DataFrame, minBits: Long): DataFrame = {
-    val nBuckets = featureTable.select(first(col("n_buckets")).as("nb"))
-      .collect()(0).getLong(0).toInt
+    // ADVICE r15: an empty feature table (e.g. a bad parquet path that
+    // reloaded to zero rows) makes first() return a NULL row and the
+    // getLong below an opaque NPE — and this runs per micro-batch in the
+    // streaming gate, so fail with a message that names the cause.
+    val nbRow = featureTable.select(first(col("n_buckets")).as("nb"))
+      .collect()(0)
+    require(!nbRow.isNullAt(0),
+      "dsirGate: featureTable is empty or has NULL n_buckets — " +
+        "rebuild it with dsirWeights or check the reload path")
+    val nBuckets = nbRow.getLong(0).toInt
     val feat = featureTable.select(col("f"), col("t_f"), col("r_f"))
     val norm = featureTable.select(first(col("norm_bits")).as("norm_bits"))
     val perDoc = gramFeatures(docs.select(col(idCol), col(textCol)), idCol,

@@ -30,6 +30,25 @@ class ExtensionsSpec extends SparkSpec {
     assert(viaSql == 11.0 && viaCol == 11.0)
   }
 
+  test("dot_product and l2_sq throw loudly on ragged arrays (ADVICE r15)") {
+    // truncating would silently diverge from the DuckDB oracle's
+    // NULL-padding list_zip; a length mismatch must be a loud data bug
+    val df = Seq((Array(1.0f, 2.0f, 3.0f), Array(3.0f, 4.0f))).toDF("a", "b")
+    val eDot = intercept[Exception] {
+      df.select(graft.functions.VectorOps.dot($"a", $"b")).collect()
+    }
+    val eL2 = intercept[Exception] {
+      df.select(graft.functions.VectorOps.l2sq($"a", $"b")).collect()
+    }
+    def rootMsg(t: Throwable): String = {
+      var c: Throwable = t
+      while (c.getCause != null) c = c.getCause
+      c.getMessage
+    }
+    assert(rootMsg(eDot).contains("ragged arrays (3 vs 2"))
+    assert(rootMsg(eL2).contains("ragged arrays (3 vs 2"))
+  }
+
   test("min_gram_hash64 in SQL matches the Column API") {
     GraftExtensions.register(spark)
     val df = Seq(Tuple1("long enough text here")).toDF("text")

@@ -43,6 +43,14 @@ class PlanGateSpec extends SparkSpec {
     // IVF-PQ: the same two centroid-broadcast fan-outs as q_sim_ivf_topk
     // (cell assignment + query probe); codes/LUT are broadcast equi-joins
     "q_sim_ivfpq_topk"     -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    // indexed/refined IVF-PQ variants build the index in-query, so the
+    // same two centroid fan-outs appear; the refine stage itself is a
+    // broadcast-shortlist EQUI-join (no new BNLJ)
+    "q_sim_ivfpq_indexed"  -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    "q_sim_ivfpq_refined"  -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    // refined-PQ recall eval embeds the brute-force exact side, same as
+    // q_eval_pq_recall; the refined chain adds only equi-joins
+    "q_eval_pq_refined_recall" -> Seq("broadcast-nested-loop"),
     "q_dedup_semantic"     -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_dedup_semantic_survivors" -> Seq("broadcast-nested-loop",
       "broadcast-nested-loop", "broadcast-nested-loop"),
@@ -84,6 +92,8 @@ class PlanGateSpec extends SparkSpec {
     graft.ops.Dedup.releaseCaches()
     graft.ops.Linkage.releaseCaches()
     graft.ops.Ranks.releaseCaches()
+    graft.ops.Retrieval.releaseCaches()
+    graft.ops.Selection.releaseCaches()
     graft.pipelines.ResultSort.releaseCaches()
     val docs = spark.read.parquet(s"$gateSf/documents.parquet")
     graft.ops.Dedup.jaccardPairsAdaptive(docs, "doc_id", "text", 3, 0.8,
@@ -98,10 +108,19 @@ class PlanGateSpec extends SparkSpec {
     graft.ops.Ranks.globalPercentRank(docs, "n_chars").count()
     graft.pipelines.ResultSort.sortedSmall(
       docs.select("doc_id", "n_chars"), col("doc_id")).count()
+    // populate the retrieval postings + selection feature windows
+    // (ADVICE r15: these persisted frames were only gated when reachable
+    // from a query's own plan)
+    graft.ops.Retrieval.lexicalTopK(docs,
+      docs.filter(col("doc_id") < 20), "doc_id", "text", k = 3).count()
+    graft.ops.Selection.dsirWeights(docs, "doc_id", "text",
+      col("doc_id") % 2 === 0, buckets = 64).count()
     val windows = Map(
       "dedup" -> graft.ops.Dedup.shingleCacheWindow,
       "linkage" -> graft.ops.Linkage.cacheWindow,
       "ranks" -> graft.ops.Ranks.cacheWindow,
+      "retrieval" -> graft.ops.Retrieval.postCacheWindow,
+      "selection" -> graft.ops.Selection.featCacheWindow,
       "resultsort" -> graft.pipelines.ResultSort.window)
     var checked = 0
     for ((mod, w) <- windows; (df, i) <- w.registered(spark).zipWithIndex) {
@@ -111,7 +130,7 @@ class PlanGateSpec extends SparkSpec {
           PlanGate.staticPlan(df).toString.linesIterator.take(40).mkString("\n"))
       checked += 1
     }
-    assert(checked >= 4, s"expected every module window populated, gated $checked")
+    assert(checked >= 6, s"expected every module window populated, gated $checked")
     windows.values.foreach(_.release(spark))
   }
 }
