@@ -265,7 +265,22 @@ object Ranks {
   def tiersByPercentRankEager(df: DataFrame, valueCol: String,
                               thresholds: Seq[Double], labels: Seq[String],
                               descending: Boolean = true,
-                              outCol: String = "tier"): DataFrame = {
+                              outCol: String = "tier"): DataFrame =
+    percentRankTierColumn(df, valueCol, thresholds, labels, descending) match {
+      case Some(tier) => df.withColumn(outCol, tier)
+      case None => tiersByPercentRank(df, valueCol, thresholds, labels,
+        descending, outCol)
+    }
+
+  /** The eager protocol decomposed (r16, mart persist A/B): run the
+    * boundary computation against `df` — which may be a PRUNED persisted
+    * projection of the real row side — and return the compiled
+    * literal-comparison tier Column to apply to ANY frame carrying
+    * `valueCol`. None when the value type has no order-preserving long
+    * mapping (callers fall back to [[tiersByPercentRank]]). */
+  private[graft] def percentRankTierColumn(df: DataFrame, valueCol: String,
+      thresholds: Seq[Double], labels: Seq[String],
+      descending: Boolean): Option[org.apache.spark.sql.Column] = {
     require(thresholds.nonEmpty && labels.size == thresholds.size + 1,
       s"need labels.size == thresholds.size + 1, got ${thresholds.size} " +
         s"thresholds / ${labels.size} labels")
@@ -288,9 +303,7 @@ object Ranks {
           (b: Long) => lit(java.math.BigDecimal.valueOf(b, d.scale))))
       case _ => None
     }
-    if (mapping.isEmpty)
-      return tiersByPercentRank(df, valueCol, thresholds, labels,
-        descending, outCol)
+    if (mapping.isEmpty) return None
     val (selCol, toLit) = mapping.get
 
     // The count agg is the FIRST action over `df` — when the caller
@@ -331,7 +344,7 @@ object Ranks {
     val nullLabel = bandOf(
       if (n <= 1L || !descending) 0.0 else nn.toDouble / (n - 1).toDouble)
     if (nn == 0L)
-      return df.withColumn(outCol, lit(nullLabel))
+      return Some(lit(nullLabel))
 
     // largest strict-predecessor count whose pr clears t, by the SAME
     // IEEE comparison `cnt/(n−1) <= t` both engines evaluate — the
@@ -422,7 +435,6 @@ object Ranks {
         case None => acc
       }
     }.fold(lit(labels.last))(_.otherwise(labels.last))
-    df.withColumn(outCol,
-      when(v.isNull, lit(nullLabel)).otherwise(chain))
+    Some(when(v.isNull, lit(nullLabel)).otherwise(chain))
   }
 }

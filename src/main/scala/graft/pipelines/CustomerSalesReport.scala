@@ -35,70 +35,44 @@ import graft.model.Entities.{dec, decD, decQ}
 object CustomerSalesReport {
 
   def apply(spark: SparkSession, dir: String): DataFrame = {
-    val sales = Entities.sales(spark, dir)
-      .select("SALE_ID", "SALE_DATE", "QUANTITY", "CUSTOMER_ID",
-        "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT")
-    val products = Entities.products(spark, dir)
-      .select("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "SELLING_PRICE")
-    val customers = Entities.customers(spark, dir)
-
-    val filtered = sales.filter(col("ORDER_STATUS").isin("Delivered", "Shipped"))
-
-    val withProducts = filtered
-      .join(broadcast(products), Seq("PRODUCT_ID"), "left")
-      .select("SALE_ID", "SALE_DATE", "QUANTITY", "SELLING_PRICE",
-        "CUSTOMER_ID", "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT",
-        "PRODUCT_NAME", "CATEGORY")
-
-    val allData = withProducts
-      .join(customers, Seq("CUSTOMER_ID"), "inner")
-      .select(col("SALE_ID"), col("SALE_DATE"), col("QUANTITY"),
-        col("SELLING_PRICE"), col("CUSTOMER_ID"), col("PRODUCT_ID"),
-        col("DISCOUNT"), col("PRODUCT_NAME"), col("CATEGORY"),
-        col("NAME").as("CUSTOMER_NAME"), col("CITY"))
-
-    val dayDt = java.sql.Date.valueOf(Entities.DayDtLit)
-    val metrics = allData
-      .withColumn("DAY_DT", lit(dayDt))
-      .withColumn("SALE_DATE", date_sub(lit(dayDt), 1))
-      .withColumn("SALE_MONTH", month(col("SALE_DATE")))
-      .withColumn("SALE_YEAR", year(col("SALE_DATE")))
-      // reference: PRICE = round(SELLING_PRICE, 2) — done as a decimal(12,2)
-      // cast so Spark and DuckDB share one rounding rule
-      .withColumn("PRICE",
-        col("SELLING_PRICE").cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("double"))
-      .withColumn("SALE_AMOUNT",
-        round(decQ(col("QUANTITY")) * dec(col("SELLING_PRICE")) *
-          (lit(100).cast(Entities.DiscDec) - decD(col("DISCOUNT"))) *
-          lit(new java.math.BigDecimal("0.01")), 2).cast("double"))
-      .withColumn("LOAD_TSTMP",
-        lit(java.sql.Timestamp.valueOf(Entities.LoadTstmpLit)))
+    val metricsDf = metrics(spark, dir)
 
     // Global percent_rank tiering via the DISTRIBUTED rank protocol
     // ([[graft.ops.Ranks.tiersByPercentRank]]): bit-identical to the
     // reference's mandated `percent_rank() OVER (ORDER BY amount DESC)`
     // tiers but with no single-partition exchange — rank ties collapse
     // into per-distinct-amount counts and only boundary VALUES come back
-    // (broadcast). metrics is persisted because the protocol's compact
-    // frame and the row side both consume it and its lineage (two joins
-    // + decimal math) is worth not recomputing.
+    // (broadcast).
+    // Persist layout (r16 A/B, VERDICT r15 item 4): the protocol's agg
+    // + selection sweeps and the argmin need only FIVE narrow columns,
+    // so that projection persists and the 16-column row side executes
+    // the lineage lazily ONCE — measured best-of-3 at sf0.1: pruned
+    // 3.37 s vs full-width persist 4.25/4.35 s (~22%). One extra lineage
+    // execution (scan + two joins + decimal math) costs less than
+    // building and re-scanning full-width cache blocks; at 100 TB the
+    // pruned blocks are also the difference between caching the mart
+    // and caching a fifth of it.
     // Cache residency note: Spark's CacheManager keys entries by
     // CANONICALIZED PLAN, so repeated apply() calls over the same dir
     // share ONE entry (re-persist is a no-op; measured — an explicit
     // unpersist-previous scheme here defeated that cross-call reuse and
     // ~2.5×'d the mart). Residency is bounded by #distinct dirs per
     // session, evictable under memory pressure either way.
-    val cached = metrics.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val pruned = metricsDf
+      .select("CUSTOMER_ID", "SALE_ID", "PRODUCT_ID", "QUANTITY", "SALE_AMOUNT")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Band membership only needs the boundary VALUES — not a per-row
-    // rank join. The EAGER form computes them up front via the exact
-    // selection protocol (one fused job on the cached column at this
-    // scale) and compiles the bands to literal comparisons: bit-identical
-    // to `percent_rank() <= 0.2 / <= 0.5` tiering (RanksSpec), zero
+    // rank join. The EAGER protocol computes them up front from the
+    // pruned frame via the exact selection protocol (one fused job on
+    // the cached column at this scale) and compiles the bands to literal
+    // comparisons applied to the row side: bit-identical to
+    // `percent_rank() <= 0.2 / <= 0.5` tiering (RanksSpec), zero
     // row-data shuffle AND zero in-plan boundary machinery — at 100 TB
     // the tiering costs one selection sweep plus a map-side projection.
-    val tiered = graft.ops.Ranks.tiersByPercentRankEager(cached, "SALE_AMOUNT",
+    // (.get is safe: SALE_AMOUNT is double, always long-mappable.)
+    val tier = graft.ops.Ranks.percentRankTierColumn(pruned, "SALE_AMOUNT",
       thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
-      descending = true, outCol = "LOYALTY_TIER")
+      descending = true).get
 
     // TOP_PERFORMER = the row_number()=1 row per customer under
     // (SALE_AMOUNT desc, SALE_ID asc, PRODUCT_ID asc, QUANTITY asc) —
@@ -127,7 +101,11 @@ object CustomerSalesReport {
         col("SALE_AMOUNT")).bitwiseXOR(lit(-1L)), lit(Long.MaxValue)).as("a"),
       col("SALE_ID").as("s"), col("PRODUCT_ID").as("p"),
       col("QUANTITY").as("q"))
-    val keyed = tiered.withColumn("__ord", ordKey)
+    // argmin inputs come from the PRUNED cache (all five ordering-key
+    // fields live there); the row side applies the same ordKey to the
+    // lazy full-width frame for the equality flag
+    val keyed = metricsDf.withColumn("LOYALTY_TIER", tier)
+      .withColumn("__ord", ordKey)
     // min + tie count in ONE aggregation (graft.functions.MinTieCount):
     // uniqueness of the ordering key is a DATA property (verified at
     // sf0.01/sf0.1, not provable for arbitrary inputs), and under a tie
@@ -136,7 +114,7 @@ object CustomerSalesReport {
     // No deterministic per-row expression can pick among identical rows,
     // so a tie fails LOUDLY below instead (r13 advice). Same plan shape
     // and execution class as the plain min(struct) it replaces.
-    val tops = keyed.groupBy("CUSTOMER_ID")
+    val tops = pruned.withColumn("__ord", ordKey).groupBy("CUSTOMER_ID")
       .agg(graft.functions.MinTieCount.minTieCount(col("__ord")).as("__mt"))
       .select(col("CUSTOMER_ID"), col("__mt.min").as("__ord_min"),
         col("__mt.ties").as("__ord_ties"))
@@ -168,6 +146,50 @@ object CustomerSalesReport {
         "PRODUCT_NAME", "CATEGORY", "SALE_DATE", "SALE_MONTH", "SALE_YEAR",
         "QUANTITY", "PRICE", "SALE_AMOUNT", "TOP_PERFORMER", "LOYALTY_TIER",
         "LOAD_TSTMP")
+  }
+
+  /** The mart's pre-tiering frame (joins + clock + decimal metrics) —
+    * factored out so the persist-layout A/B probe can assemble
+    * alternative tails from the identical lineage. */
+  private[graft] def metrics(spark: SparkSession, dir: String): DataFrame = {
+    val sales = Entities.sales(spark, dir)
+      .select("SALE_ID", "SALE_DATE", "QUANTITY", "CUSTOMER_ID",
+        "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT")
+    val products = Entities.products(spark, dir)
+      .select("PRODUCT_ID", "PRODUCT_NAME", "CATEGORY", "SELLING_PRICE")
+    val customers = Entities.customers(spark, dir)
+
+    val filtered = sales.filter(col("ORDER_STATUS").isin("Delivered", "Shipped"))
+
+    val withProducts = filtered
+      .join(broadcast(products), Seq("PRODUCT_ID"), "left")
+      .select("SALE_ID", "SALE_DATE", "QUANTITY", "SELLING_PRICE",
+        "CUSTOMER_ID", "PRODUCT_ID", "ORDER_STATUS", "DISCOUNT",
+        "PRODUCT_NAME", "CATEGORY")
+
+    val allData = withProducts
+      .join(customers, Seq("CUSTOMER_ID"), "inner")
+      .select(col("SALE_ID"), col("SALE_DATE"), col("QUANTITY"),
+        col("SELLING_PRICE"), col("CUSTOMER_ID"), col("PRODUCT_ID"),
+        col("DISCOUNT"), col("PRODUCT_NAME"), col("CATEGORY"),
+        col("NAME").as("CUSTOMER_NAME"), col("CITY"))
+
+    val dayDt = java.sql.Date.valueOf(Entities.DayDtLit)
+    allData
+      .withColumn("DAY_DT", lit(dayDt))
+      .withColumn("SALE_DATE", date_sub(lit(dayDt), 1))
+      .withColumn("SALE_MONTH", month(col("SALE_DATE")))
+      .withColumn("SALE_YEAR", year(col("SALE_DATE")))
+      // reference: PRICE = round(SELLING_PRICE, 2) — done as a decimal(12,2)
+      // cast so Spark and DuckDB share one rounding rule
+      .withColumn("PRICE",
+        col("SELLING_PRICE").cast(org.apache.spark.sql.types.DecimalType(12, 2)).cast("double"))
+      .withColumn("SALE_AMOUNT",
+        round(decQ(col("QUANTITY")) * dec(col("SELLING_PRICE")) *
+          (lit(100).cast(Entities.DiscDec) - decD(col("DISCOUNT"))) *
+          lit(new java.math.BigDecimal("0.01")), 2).cast("double"))
+      .withColumn("LOAD_TSTMP",
+        lit(java.sql.Timestamp.valueOf(Entities.LoadTstmpLit)))
   }
 
   val oracle: String = Entities.sqlCtes + """
