@@ -103,6 +103,13 @@ object GraftExtensions {
         graft.functions.StringOrdLongs(args.head,
           lit(args(1), "nLongs").toInt, lit(args(2), "invert").toBoolean)
       }),
+    "bpe_tokens" -> (info("bpe_tokens",
+      "bpe_tokens(text) - merge-table BPE subword tokens (default fixture merges) as array<string>"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "bpe_tokens takes one argument")
+        graft.functions.BpeTokens(args.head,
+          graft.functions.Bpe.DefaultMerges)
+      }),
     "sum128" -> (info("sum128",
       "sum128(v) - exact 128-bit integer sum of a BIGINT column as DECIMAL(38,0) (aggregate)"),
       (args: Seq[Expression]) => {

@@ -1,0 +1,150 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Merge-table byte-pair-encoding tokenizer — the real subword
+  * tokenization the regex proxy [[graft.ops.TextAnalysis.bpeishTokens]]
+  * stood in for (VERDICT r15 item 6): token budgets, packing bins and
+  * vocab coverage all consume token counts, and "word-ish" counts
+  * misprice every one of them against a model's actual context window.
+  *
+  * Algorithm (the public GPT-2 `encoder.py` merge loop): pre-split text
+  * into words with [[graft.ops.TextAnalysis.BpeishPattern]] (letter
+  * runs / digit runs / single glyphs — the proxy's own classes, so the
+  * two tokenizers are comparable), explode each word into characters,
+  * then repeatedly merge the adjacent pair with the LOWEST merge-table
+  * rank until no ranked pair remains. Each iteration merges every
+  * disjoint left-to-right occurrence of the chosen pair.
+  *
+  * Oracle replayability: the merge table is REQUIRED to contain no
+  * `x == y` pair. With distinct sides, occurrences of a pair can never
+  * overlap (an overlap at i, i+1 forces toks(i+1) = y = x), so the
+  * sequential GPT-2 scan equals a SIMULTANEOUS disjoint rewrite — which
+  * is exactly what the DuckDB differential oracle replays per recursion
+  * step with pure list functions (`q_text_bpe`). A table with (l, l)
+  * style pairs fails fast here rather than silently diverging from the
+  * replay.
+  *
+  * Scale posture: a pure per-row expression (no shuffle, no UDF) with a
+  * per-task word memo — word frequency is Zipfian, so the O(len²) merge
+  * loop runs once per DISTINCT word per task, not once per occurrence.
+  * The memo is capped; past the cap rare words just pay their own loop.
+  * The merge table serializes with the expression (rank map rebuilt
+  * lazily per task): fine for the 10⁴–10⁵ pairs real vocabularies carry.
+  */
+case class BpeTokens(child: Expression, merges: Seq[(String, String)])
+    extends UnaryExpression with CodegenFallback {
+
+  require(merges.forall { case (x, y) => x != y },
+    "BPE merge table must not contain x == x pairs: self-pairs make the " +
+      "sequential merge order observable and break the simultaneous-" +
+      "rewrite equivalence the differential oracle replays")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val wordRe =
+    java.util.regex.Pattern.compile(graft.ops.TextAnalysis.BpeishPattern)
+
+  @transient private lazy val ranks: java.util.HashMap[String, Integer] = {
+    val m = new java.util.HashMap[String, Integer](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((x, y), r) =>
+      //  never occurs in tokens (words are letter/digit runs or
+      // single glyphs; the splitter never emits control chars as parts
+      // of multi-char tokens) — safe pair separator
+      m.putIfAbsent(x + "\u0001" + y, Integer.valueOf(r))
+    }
+    m
+  }
+
+  private val MemoCap = 1 << 16
+  @transient private lazy val memo =
+    new java.util.HashMap[String, Array[String]](4096)
+
+  private def encodeWord(word: String): Array[String] = {
+    val hit = memo.get(word)
+    if (hit != null) return hit
+    var toks = Array.tabulate(word.length)(i => word.substring(i, i + 1))
+    var done = false
+    while (!done && toks.length > 1) {
+      // lowest-rank adjacent pair present in this word
+      var best = Int.MaxValue
+      var bx: String = null
+      var by: String = null
+      var i = 0
+      while (i < toks.length - 1) {
+        val r = ranks.get(toks(i) + "\u0001" + toks(i + 1))
+        if (r != null && r.intValue() < best) {
+          best = r.intValue(); bx = toks(i); by = toks(i + 1)
+        }
+        i += 1
+      }
+      if (bx == null) done = true
+      else {
+        // merge every disjoint L2R occurrence (== simultaneous rewrite,
+        // since bx != by makes overlap impossible)
+        val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+        var j = 0
+        while (j < toks.length) {
+          if (j < toks.length - 1 && toks(j) == bx && toks(j + 1) == by) {
+            out += bx + by; j += 2
+          } else { out += toks(j); j += 1 }
+        }
+        toks = out.toArray
+      }
+    }
+    if (memo.size < MemoCap) memo.put(word, toks)
+    toks
+  }
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].toString
+    val out = new scala.collection.mutable.ArrayBuffer[UTF8String](64)
+    val m = wordRe.matcher(text)
+    while (m.find()) {
+      val toks = encodeWord(m.group())
+      var i = 0
+      while (i < toks.length) { out += UTF8String.fromString(toks(i)); i += 1 }
+    }
+    new GenericArrayData(out.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeTokens =
+    copy(child = newChild)
+
+  override def prettyName: String = "bpe_tokens"
+}
+
+object Bpe {
+  import org.apache.spark.sql.graftbridge.ColumnBridge
+
+  /** Fixture merge table: 64 rank-ordered merges over common English
+    * letter pairs (hand-written from public letter-bigram frequency
+    * tables — NOT a trained artifact; a production deployment loads a
+    * real tokenizer's merges.txt through the same API). No self-pairs
+    * (see [[BpeTokens]]). The `q_text_bpe` oracle's VALUES list is
+    * GENERATED from this Seq, so engine and replay cannot drift. */
+  val DefaultMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("e", "r"),
+    ("o", "n"), ("r", "e"), ("h", "e"), ("in", "g"), ("a", "t"),
+    ("e", "n"), ("e", "s"), ("o", "r"), ("t", "e"), ("o", "f"),
+    ("e", "d"), ("i", "s"), ("i", "t"), ("a", "l"), ("a", "r"),
+    ("s", "t"), ("t", "o"), ("n", "t"), ("n", "d"), ("an", "d"),
+    ("o", "u"), ("e", "a"), ("n", "g"), ("a", "s"), ("h", "a"),
+    ("he", "r"), ("o", "m"), ("i", "c"), ("c", "h"), ("l", "e"),
+    ("c", "e"), ("m", "e"), ("i", "r"), ("u", "r"), ("l", "i"),
+    ("w", "h"), ("wh", "i"), ("th", "i"), ("v", "e"), ("u", "s"),
+    ("m", "a"), ("s", "e"), ("f", "or"), ("w", "i"), ("wi", "th"),
+    ("b", "e"), ("w", "a"), ("y", "ou"), ("f", "r"), ("d", "e"),
+    ("n", "o"), ("l", "o"), ("l", "a"), ("e", "l"), ("p", "o"),
+    ("r", "a"), ("r", "i"), ("s", "i"), ("t", "i"))
+
+  /** `bpe_tokens(text)` over the given merge table (array<string>). */
+  def tokens(text: Column,
+             merges: Seq[(String, String)] = DefaultMerges): Column =
+    ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))
+}

@@ -130,6 +130,60 @@ object ExtensionQueries {
        |              THEN p.fill + t.n_tokens ELSE t.n_tokens END
        |  FROM pack p JOIN t ON t.pack_group = p.pack_group AND t.rn = p.rn + 1)""".stripMargin
 
+  /** BPE replay CTEs (consumed inside a WITH RECURSIVE): the merge
+    * table is GENERATED from [[graft.functions.Bpe.DefaultMerges]], so
+    * engine and oracle can never drift; `st` applies one
+    * lowest-rank-pair simultaneous rewrite per recursion step (equal to
+    * the GPT-2 sequential scan because the table has no self-pairs —
+    * see BpeTokens scaladoc); ends with `bpe_cnt(doc_id, n_bpe,
+    * n_uniq_bpe)` over every document (zero-word docs included). */
+  private def bpeCtes: String = {
+    val values = graft.functions.Bpe.DefaultMerges.zipWithIndex
+      .map { case ((x, y), r) => s"('$x','$y',$r)" }.mkString(",")
+    val pat = TextAnalysis.BpeishPattern
+    s"""merges(x, y, r) AS (VALUES $values),
+       |bpe_words AS (
+       |  SELECT DISTINCT w FROM (
+       |    SELECT unnest(regexp_extract_all(text, '$pat')) AS w FROM documents)),
+       |st AS (
+       |  SELECT w, list_transform(range(1, length(w)+1), i -> w[i:i]) AS toks,
+       |         0 AS it
+       |  FROM bpe_words
+       |  UNION ALL
+       |  SELECT w,
+       |    list_filter(list_transform(range(1, len(toks)+1), i ->
+       |      CASE WHEN i < len(toks) AND toks[i] = bx AND toks[i+1] = by
+       |             THEN bx || by
+       |           WHEN i > 1 AND toks[i] = by AND toks[i-1] = bx THEN NULL
+       |           ELSE toks[i] END), t -> t IS NOT NULL) AS toks,
+       |    it + 1
+       |  FROM (
+       |    SELECT w, toks, it,
+       |      (SELECT arg_min(m.x, m.r) FROM merges m
+       |        WHERE list_contains(prs, m.x || chr(1) || m.y)) AS bx,
+       |      (SELECT arg_min(m.y, m.r) FROM merges m
+       |        WHERE list_contains(prs, m.x || chr(1) || m.y)) AS by
+       |    FROM (SELECT w, toks, it,
+       |            list_transform(range(1, len(toks)),
+       |              i -> toks[i] || chr(1) || toks[i+1]) AS prs
+       |          FROM st) z) zz
+       |  WHERE bx IS NOT NULL),
+       |bpe_final AS (SELECT w, arg_max(toks, it) AS toks FROM st GROUP BY w),
+       |bpe_dt AS (
+       |  SELECT d.doc_id, unnest(f.toks) AS tok
+       |  FROM (SELECT doc_id, unnest(regexp_extract_all(text, '$pat')) AS w
+       |        FROM documents) d
+       |  JOIN bpe_final f ON d.w = f.w),
+       |bpe_cnt AS (
+       |  SELECT doc.doc_id,
+       |         COALESCE(c.n_bpe, 0) AS n_bpe,
+       |         COALESCE(c.n_uniq_bpe, 0) AS n_uniq_bpe
+       |  FROM documents doc LEFT JOIN (
+       |    SELECT doc_id, CAST(COUNT(*) AS INT) AS n_bpe,
+       |           CAST(COUNT(DISTINCT tok) AS INT) AS n_uniq_bpe
+       |    FROM bpe_dt GROUP BY 1) c ON doc.doc_id = c.doc_id)""".stripMargin
+  }
+
   private val stopLists = Map(
     "en" -> TextAnalysis.StopEn, "de" -> TextAnalysis.StopDe,
     "es" -> TextAnalysis.StopEs, "fr" -> TextAnalysis.StopFr)
@@ -727,6 +781,25 @@ object ExtensionQueries {
         length(col("text")).as("n_chars"),
         size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
         size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpe_tokens"))
+        .orderBy("doc_id")),
+
+    // real merge-table BPE (graft.functions.Bpe) — subword token and
+    // unique-subword counts per doc; the oracle replays the identical
+    // merge loop as a recursive CTE over DISTINCT words
+    "q_text_bpe" -> ((s, dir) => {
+      val tk = graft.functions.Bpe.tokens(col("text"))
+      docs(s, dir).select(
+        col("doc_id"),
+        size(tk).as("n_bpe"),
+        size(array_distinct(tk)).as("n_uniq_bpe"))
+        .orderBy("doc_id")
+    }),
+
+    // the packing family re-based on REAL subword counts: budget bins
+    // sized in model tokens instead of word-ish regex counts
+    "q_pack_bpe_budget" -> ((s, dir) =>
+      Packing.nextFitPack(docs(s, dir), "doc_id",
+        size(graft.functions.Bpe.tokens(col("text"))), PackBudget, PackGroups)
         .orderBy("doc_id")),
 
     "q_text_langid" -> ((s, dir) => {
@@ -2238,6 +2311,33 @@ object ExtensionQueries {
 
     "q_pack_nextfit" ->
       s"""WITH RECURSIVE ${packCtes(PackBudget, PackGroups)}
+         |SELECT doc_id, pack_group, n_tokens, bin_id FROM pack
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_text_bpe" ->
+      s"""WITH RECURSIVE $bpeCtes
+         |SELECT doc_id, n_bpe, n_uniq_bpe FROM bpe_cnt
+         |ORDER BY doc_id""".stripMargin,
+
+    // next-fit packing over the REAL subword counts: same pack
+    // recursion as q_pack_nextfit, sourced from bpe_cnt
+    "q_pack_bpe_budget" ->
+      s"""WITH RECURSIVE $bpeCtes,
+         |t AS (
+         |  SELECT doc_id, CAST(doc_id % $PackGroups AS INT) AS pack_group,
+         |         n_bpe AS n_tokens,
+         |         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id % $PackGroups
+         |                                 ORDER BY doc_id) AS INT) AS rn
+         |  FROM bpe_cnt),
+         |pack(pack_group, rn, doc_id, n_tokens, bin_id, fill) AS (
+         |  SELECT pack_group, rn, doc_id, n_tokens, 0, n_tokens FROM t WHERE rn = 1
+         |  UNION ALL
+         |  SELECT t.pack_group, t.rn, t.doc_id, t.n_tokens,
+         |         CASE WHEN p.fill + t.n_tokens <= $PackBudget
+         |              THEN p.bin_id ELSE p.bin_id + 1 END,
+         |         CASE WHEN p.fill + t.n_tokens <= $PackBudget
+         |              THEN p.fill + t.n_tokens ELSE t.n_tokens END
+         |  FROM pack p JOIN t ON t.pack_group = p.pack_group AND t.rn = p.rn + 1)
          |SELECT doc_id, pack_group, n_tokens, bin_id FROM pack
          |ORDER BY doc_id""".stripMargin,
 

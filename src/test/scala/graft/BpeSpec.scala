@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+class BpeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def enc(text: String,
+                  merges: Seq[(String, String)]): Seq[String] =
+    Seq(Tuple1(text)).toDF("t")
+      .select(graft.functions.Bpe.tokens($"t", merges).as("tk"))
+      .first().getSeq[String](0)
+
+  test("merge loop follows rank order, not text order") {
+    // (e,r) outranks (h,e): "her" must merge er first -> [h, er],
+    // NOT [he, r]
+    val m = Seq(("e", "r"), ("h", "e"))
+    assert(enc("her", m) == Seq("h", "er"))
+    // flip the ranks and the other factorization wins
+    assert(enc("her", m.reverse) == Seq("he", "r"))
+  }
+
+  test("merged tokens participate in later merges (multi-level)") {
+    val m = Seq(("t", "h"), ("th", "e"))
+    assert(enc("the", m) == Seq("the"))
+    assert(enc("then", m) == Seq("the", "n"))
+  }
+
+  test("one iteration merges every disjoint occurrence") {
+    val m = Seq(("a", "b"))
+    assert(enc("abab", m) == Seq("ab", "ab"))
+    assert(enc("aabba", m) == Seq("a", "ab", "b", "a"))
+  }
+
+  test("word pre-split matches the bpeish classes; merges never cross words") {
+    val m = Seq(("a", "b"))
+    // "ab ab" -> two words, each merged; space itself never tokenizes
+    assert(enc("ab ab", m) == Seq("ab", "ab"))
+    // digits and glyphs are their own words: no cross-class merge
+    assert(enc("ab12!b", m) == Seq("ab", "1", "2", "!", "b"))
+  }
+
+  test("unmergeable and empty inputs") {
+    assert(enc("xyz", Seq(("a", "b"))) == Seq("x", "y", "z"))
+    assert(enc("", graft.functions.Bpe.DefaultMerges).isEmpty)
+    assert(enc("   ", graft.functions.Bpe.DefaultMerges).isEmpty)
+  }
+
+  test("default table: hand-worked example") {
+    // "the" -> (t,h) r0 -> [th,e] -> (th,e) r1 -> [the]
+    // "everything": e v e r y t h i n g
+    //   best (e,r) r4 -> e v er y th? no: (t,h) r0 is best ->
+    //   iter1 (t,h): [e v e r y th i n g]
+    //   iter2 (i,n) r2: [e v e r y th in g]
+    //   iter3 (e,r) r4: [e v er y th in g]
+    //   iter4 (in,g) r8: [e v er y th ing]
+    assert(enc("the", graft.functions.Bpe.DefaultMerges) == Seq("the"))
+    assert(enc("everything", graft.functions.Bpe.DefaultMerges) ==
+      Seq("e", "v", "er", "y", "th", "ing"))
+  }
+
+  test("self-pairs are rejected loudly") {
+    val e = intercept[IllegalArgumentException] {
+      graft.functions.BpeTokens(
+        org.apache.spark.sql.catalyst.expressions.Literal("x"),
+        Seq(("l", "l")))
+    }
+    assert(e.getMessage.contains("self-pairs"))
+  }
+
+  test("SQL registration equals the Column API") {
+    GraftExtensions.register(spark)
+    val df = Seq(("the everything test", 1L)).toDF("text", "id")
+    df.createOrReplaceTempView("bpe_docs")
+    val viaSql = spark.sql("SELECT bpe_tokens(text) FROM bpe_docs")
+      .first().getSeq[String](0)
+    val viaCol = df.select(graft.functions.Bpe.tokens($"text"))
+      .first().getSeq[String](0)
+    assert(viaSql == viaCol && viaSql.nonEmpty)
+  }
+
+  test("null text yields null (UnaryExpression null contract)") {
+    val df = Seq(Tuple1(Option.empty[String])).toDF("t")
+    val r = df.select(graft.functions.Bpe.tokens($"t")).first()
+    assert(r.isNullAt(0))
+  }
+}
