@@ -60,6 +60,42 @@ object CorpusStreams {
     stream.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupAgainstEmbeddings]] with the corpus side held as a
+    * [[graft.ops.Similarity.PqIndex]] instead of raw bucketed vectors —
+    * the gate for corpora where even the bucketed embedding index is too
+    * large to keep resident. Memory math at 100 TB of raw embeddings
+    * (64-dim float ≈ 256 B/vector): the PQ code table carries m=4 small
+    * ints ≈ 4–8 B/vector — a 32–64× reduction — so the per-batch scan
+    * side is ~1.6–3 TB of codes streamed map-side against a BROADCAST
+    * per-batch LUT (|batch|·m·codebookSize tiny rows), with no raw-vector
+    * pass at gate time at all (the one raw pass happened at
+    * `buildPqIndex` encode time).
+    *
+    * A stream row is dropped when its nearest ADC neighbor sits within
+    * `maxAdcDist` (L2² in codebook space — calibrate against
+    * `q_eval_pq_recall`-style replays; ADC distances are approximations,
+    * so this gate trades the exact-cosine semantics of
+    * [[dedupAgainstEmbeddings]] for the 64× memory cut). Stream ids must
+    * be FRESH (not present in the index): the ADC ranker excludes
+    * self-id matches, so re-ingesting an id already encoded in the index
+    * would mask its own duplicate.
+    *
+    * Same `foreachBatch` contract as every gate here; the gate is
+    * stateless given a fixed index, so two micro-batches ≡ the one-shot
+    * batch gate (StreamingSpec pins it). */
+  def dedupAgainstPqIndex(stream: DataFrame,
+                          index: graft.ops.Similarity.PqIndex,
+                          idCol: String, vecCol: String,
+                          maxAdcDist: Double,
+                          maxQueries: Long = 10000L): DataFrame = {
+    val dupIds = graft.ops.Similarity
+      .pqTopKIndexed(index, stream, idCol, vecCol, k = 1,
+        maxQueries = maxQueries)
+      .filter(col("adist") <= maxAdcDist)
+      .select(col("query_id").as(idCol)).distinct()
+    stream.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Drop stream documents CONTAMINATED by a fixed eval suite — the
     * "never train on the benchmark" ingestion gate, the streaming face of
     * [[graft.ops.Contamination.containmentPairs]]: a document is dropped

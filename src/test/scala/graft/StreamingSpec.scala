@@ -296,6 +296,44 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstPqIndex gates micro-batches against the PQ code table") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.filter($"vec_id" % 2 === 0)
+    val idx = graft.ops.Similarity.buildPqIndex(corpus, "vec_id", "embedding",
+      m = 4, codebookSize = 16, dims = 64)
+    val incoming = e.filter($"vec_id" % 2 === 1).limit(40)
+    // calibrate a threshold that splits the batch: the median nearest
+    // ADC distance over the incoming rows
+    val dists = graft.ops.Similarity
+      .pqTopKIndexed(idx, incoming, "vec_id", "embedding", k = 1)
+      .select("adist").collect().map(_.getDouble(0)).sorted
+    val thr = dists(dists.length / 2)
+    val expected = graft.streaming.CorpusStreams
+      .dedupAgainstPqIndex(incoming, idx, "vec_id", "embedding", thr)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(expected.nonEmpty && expected.size < incoming.count(),
+      "threshold must split the batch for the test to mean anything")
+    implicit val sqlCtx = spark.sqlContext
+    val rows = incoming.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.CorpusStreams
+          .dedupAgainstPqIndex(b, idx, "vec_id", "embedding", thr)
+          .select("vec_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+      assert(got.sorted.toSeq == expected,
+        "per-micro-batch PQ gating equals the one-shot batch gate")
+    } finally q.stop()
+  }
+
   test("contaminationGate drops benchmark-quoting docs per micro-batch") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
