@@ -147,4 +147,20 @@ object Bpe {
   def tokens(text: Column,
              merges: Seq[(String, String)] = DefaultMerges): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))
+
+  /** Load a merge table from a GPT-2-style `merges.txt` body ("x y" per
+    * line, rank = line order; `#`-prefixed header lines and blanks
+    * skipped) — the production path for dropping a real tokenizer's
+    * merges into [[tokens]]. Self-pairs are rejected by [[BpeTokens]]'s
+    * constructor with the oracle-equivalence rationale. */
+  def parseMerges(body: String): Seq[(String, String)] =
+    body.linesIterator
+      .map(_.trim)
+      .filter(l => l.nonEmpty && !l.startsWith("#"))
+      .map { l =>
+        val sp = l.split(" ")
+        require(sp.length == 2, s"merges line must be 'x y', got '$l'")
+        (sp(0), sp(1))
+      }
+      .toSeq
 }

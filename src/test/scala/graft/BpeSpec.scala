@@ -79,6 +79,13 @@ class BpeSpec extends SparkSpec {
     assert(viaSql == viaCol && viaSql.nonEmpty)
   }
 
+  test("parseMerges reads a merges.txt body in rank order") {
+    val m = graft.functions.Bpe.parseMerges(
+      "#version: 0.2\n\ne r\nh e\n")
+    assert(m == Seq(("e", "r"), ("h", "e")))
+    assert(enc("her", m) == Seq("h", "er"))
+  }
+
   test("null text yields null (UnaryExpression null contract)") {
     val df = Seq(Tuple1(Option.empty[String])).toDF("t")
     val r = df.select(graft.functions.Bpe.tokens($"t")).first()
