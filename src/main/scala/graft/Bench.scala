@@ -98,6 +98,8 @@ object Bench {
       graft.ops.Dedup.releaseCaches()
       graft.ops.Linkage.releaseCaches()
       graft.ops.Ranks.releaseCaches()
+      graft.ops.Retrieval.releaseCaches()
+      graft.ops.Selection.releaseCaches()
       graft.ops.LanguageModel.releaseCaches()
       graft.ops.SemanticDedup.releaseCaches()
       graft.ops.TextAnalysis.releaseCaches()
