@@ -28,8 +28,15 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def main():
     con = duckdb.connect()
+    import os
     for t in TABLES:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{SF_DIR}/{t}.parquet'")
+        p = f"{SF_DIR}/{t}.parquet"
+        # Spark-written replicas (graft.Replicate) are DIRECTORIES of
+        # part files; the driver fixtures are single files. Glob the dir
+        # form so 100x replica pairing works in-band.
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{p}'")
     with open(ORACLES) as f:
         oracles = json.load(f)
     best = {}
