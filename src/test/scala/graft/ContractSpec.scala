@@ -119,7 +119,10 @@ class ContractSpec extends SparkSpec {
     // PQ/ADC distance: fixed-order sum of sequential L2Sq folds, oracle
     // mirrors the pivot + left-assoc addition (r15)
     "q_sim_pq_topk/adist:double", "q_sim_ivfpq_topk/adist:double",
-    "q_sim_pq_indexed/adist:double",
+    "q_sim_pq_indexed/adist:double", "q_sim_ivfpq_indexed/adist:double",
+    // refine stage: exact sequential-fold cosines, the bruteforce_topk
+    // mirrored-IEEE convention (hash-green in CORRECTNESS since r16)
+    "q_sim_pq_refined/cos:double", "q_sim_ivfpq_refined/cos:double",
     "q_sort_limit_topk/o_totalprice:double",
     "q_star_revenue/revenue:double", "q_stats_bootstrap/ci_hi:double",
     "q_stats_bootstrap/ci_lo:double", "q_stats_bootstrap/mean:double",
