@@ -148,6 +148,87 @@ object Bpe {
              merges: Seq[(String, String)] = DefaultMerges): Column =
     ColumnBridge.column(BpeTokens(ColumnBridge.expression(text), merges))
 
+  /** Learn a merge table from a corpus — the standard BPE training
+    * recipe: merges are learned from a WORD-FREQUENCY table, never from
+    * a second corpus pass per merge (this is how every public tokenizer
+    * trains — the vocabulary fits in memory even when the corpus is
+    * 100 TB). One distributed pass builds (word, freq) and takes the
+    * `maxVocabWords` most frequent words (TakeOrdered — a bounded
+    * driver collect, the stop-set convention); the merge loop then runs
+    * locally over that weighted vocabulary: per round, count adjacent
+    * pair frequencies (weighted by word freq), take the most frequent
+    * pair, append it, rewrite the vocab. Ties break lexicographically,
+    * so training is deterministic under any partitioning.
+    *
+    * Self-pairs (x == x) are SKIPPED when they win a round — the
+    * resulting table must satisfy [[BpeTokens]]'s no-self-pair
+    * constraint (the oracle-equivalence contract). The frequency mass a
+    * skipped (c, c) run merge would have claimed stays on the
+    * single-char tokens; the next-best pair wins instead. Documented
+    * deviation from GPT-2 (which allows them); everything else follows
+    * the public recipe. */
+  def train(docs: org.apache.spark.sql.DataFrame, textCol: String,
+            nMerges: Int, maxVocabWords: Int = 65536): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    require(nMerges > 0 && maxVocabWords > 0, "nMerges/maxVocabWords > 0")
+    val wordFreq: Array[(String, Long)] = docs
+      .select(explode(regexp_extract_all(col(textCol),
+        lit(graft.ops.TextAnalysis.BpeishPattern), lit(0))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c"))
+      .select(col("w"), col("c"))
+      .orderBy(col("c").desc, col("w").asc)
+      .limit(maxVocabWords)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+
+    var vocab: Array[(Array[String], Long)] =
+      wordFreq.map { case (w, c) => (w.map(_.toString).toArray, c) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val banned = scala.collection.mutable.HashSet.empty[(String, String)]
+    var rounds = 0
+    while (merges.size < nMerges && rounds < nMerges * 2) {
+      rounds += 1
+      val freq = new java.util.HashMap[(String, String), Long]()
+      vocab.foreach { case (toks, c) =>
+        var i = 0
+        while (i < toks.length - 1) {
+          val p = (toks(i), toks(i + 1))
+          if (!banned.contains(p)) freq.merge(p, c, _ + _)
+          i += 1
+        }
+      }
+      if (freq.isEmpty) rounds = nMerges * 2 // nothing left to merge
+      else {
+        var best: (String, String) = null
+        var bestC = -1L
+        freq.forEach { (p, c) =>
+          if (c > bestC || (c == bestC &&
+              (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+            best = p; bestC = c
+          }
+        }
+        if (best._1 == best._2) banned += best // self-pair: skip, retry
+        else {
+          merges += best
+          val (bx, by) = best
+          vocab = vocab.map { case (toks, c) =>
+            if (toks.length < 2) (toks, c)
+            else {
+              val out = new scala.collection.mutable.ArrayBuffer[String](toks.length)
+              var j = 0
+              while (j < toks.length) {
+                if (j < toks.length - 1 && toks(j) == bx && toks(j + 1) == by) {
+                  out += bx + by; j += 2
+                } else { out += toks(j); j += 1 }
+              }
+              (out.toArray, c)
+            }
+          }
+        }
+      }
+    }
+    merges.toSeq
+  }
+
   /** Load a merge table from a GPT-2-style `merges.txt` body ("x y" per
     * line, rank = line order; `#`-prefixed header lines and blanks
     * skipped) — the production path for dropping a real tokenizer's

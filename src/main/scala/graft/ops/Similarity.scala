@@ -567,4 +567,34 @@ object Similarity {
         m, codebookSize, dims, maxQueries),
       corpus, queries, idCol, vecCol, k)
   }
+
+  /** Refined query against a PREBUILT index — the full production
+    * shape: shortlist from the persisted codes (no raw-vector scan),
+    * exact re-rank via one broadcast-shortlist equi-join against the
+    * raw corpus (only candidate rows survive the probe). `corpus` must
+    * be the frame the index was built from — the refine stage needs the
+    * true vectors, which the index deliberately does not carry. Output
+    * is bit-identical to the direct refined call (spec-pinned). */
+  def pqTopKIndexedRefined(index: PqIndex, corpus: DataFrame,
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           k: Int = 5, kPrime: Int = 40,
+                           maxQueries: Long = 10000L): DataFrame = {
+    require(kPrime >= k, s"shortlist kPrime=$kPrime must be >= k=$k")
+    refineExact(
+      pqTopKIndexed(index, queries, idCol, vecCol, kPrime, maxQueries),
+      corpus, queries, idCol, vecCol, k)
+  }
+
+  /** [[pqTopKIndexedRefined]] for the IVF-PQ composite index. */
+  def ivfPqTopKIndexedRefined(index: IvfPqIndex, corpus: DataFrame,
+                              queries: DataFrame, idCol: String,
+                              vecCol: String, k: Int = 5, kPrime: Int = 40,
+                              nProbe: Int = 4,
+                              maxQueries: Long = 10000L): DataFrame = {
+    require(kPrime >= k, s"shortlist kPrime=$kPrime must be >= k=$k")
+    refineExact(
+      ivfPqTopKIndexed(index, queries, idCol, vecCol, kPrime, nProbe,
+        maxQueries),
+      corpus, queries, idCol, vecCol, k)
+  }
 }

@@ -86,6 +86,37 @@ class BpeSpec extends SparkSpec {
     assert(enc("her", m) == Seq("h", "er"))
   }
 
+  test("train learns frequency-ordered merges deterministically") {
+    // "the" x3, "then" x1: pair freq (t,h)=4, (h,e)=4, (e,n)=1.
+    // tie (h,e)=(t,h)=4 -> lexicographic: (h,e) first. After (h,e):
+    // (t,he)=4 wins. Then (the,n)=1.
+    val docs = Seq("the the then", "the").toDF("text")
+    val m = graft.functions.Bpe.train(docs, "text", nMerges = 3)
+    assert(m == Seq(("h", "e"), ("t", "he"), ("the", "n")))
+    assert(enc("then", m) == Seq("then"))
+  }
+
+  test("train skips self-pairs and the table passes the BpeTokens guard") {
+    // "aa" dominated corpus: (a,a) wins round 1 but is banned; next
+    // best cross pair is learned instead
+    val docs = Seq("aaaa aaaa ab").toDF("text")
+    val m = graft.functions.Bpe.train(docs, "text", nMerges = 2)
+    assert(m.forall { case (x, y) => x != y })
+    assert(enc("ab", m).nonEmpty) // table is constructible (no throw)
+  }
+
+  test("train on the documents fixture yields a usable table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val m = graft.functions.Bpe.train(docs, "text", nMerges = 32)
+    assert(m.size == 32)
+    // learned merges compress: BPE token count strictly below char count
+    val r = docs.limit(50).select(
+      size(graft.functions.Bpe.tokens(col("text"), m)).as("n_bpe"),
+      length(regexp_replace(col("text"), " ", "")).as("n_chars"))
+      .agg(sum("n_bpe"), sum("n_chars")).first()
+    assert(r.getLong(0) < r.getLong(1))
+  }
+
   test("null text yields null (UnaryExpression null contract)") {
     val df = Seq(Tuple1(Option.empty[String])).toDF("t")
     val r = df.select(graft.functions.Bpe.tokens($"t")).first()

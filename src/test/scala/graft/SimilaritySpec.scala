@@ -301,6 +301,22 @@ class SimilaritySpec extends SparkSpec {
       "the persisted IVF-PQ index must replay the direct ranking bit-for-bit")
   }
 
+  test("indexed+refined compositions equal the direct refined calls bit-for-bit") {
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+      .toSeq.sorted
+    val pq = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    assert(rows(Similarity.pqTopKIndexedRefined(pq, emb, queries, "vec_id",
+        "embedding", k = 3, kPrime = 24)) ==
+      rows(Similarity.pqTopKRefined(emb, queries, "vec_id", "embedding",
+        k = 3, kPrime = 24)))
+    val ivf = Similarity.buildIvfPqIndex(emb, "vec_id", "embedding")
+    assert(rows(Similarity.ivfPqTopKIndexedRefined(ivf, emb, queries,
+        "vec_id", "embedding", k = 3, kPrime = 24, nProbe = 4)) ==
+      rows(Similarity.ivfPqTopKRefined(emb, queries, "vec_id", "embedding",
+        k = 3, kPrime = 24, nProbe = 4)))
+  }
+
   test("indexed paths fail fast on drifted index metadata (ADVICE r15)") {
     val pq = Similarity.buildPqIndex(emb, "vec_id", "embedding")
     val badPq = pq.copy(m = 5) // 64 % 5 != 0 — would mis-slice silently
