@@ -242,16 +242,48 @@ object Similarity {
     * total order. Output (nn_id, j, cid): the m-small-ints-per-vector
     * compressed representation that makes PQ the 100 TB scan format. */
   private[graft] def pqEncode(corpus: DataFrame, idCol: String, vecCol: String,
-                              m: Int, codebookSize: Int, sub: Int): DataFrame = {
-    val cb = pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub)
-    subvectors(corpus.select(col(idCol).as("nn_id"), col(vecCol)),
+                              m: Int, codebookSize: Int, sub: Int): DataFrame =
+    encodeWithCodebooks(pqCodebooks(corpus, idCol, vecCol, m, codebookSize, sub),
+      corpus, idCol, vecCol, m, sub)
+
+  /** Nearest-codeword assignment of `frame`'s vectors against FIXED
+    * codebooks — the shared core of [[pqEncode]] (train + encode) and
+    * [[pqEncodeBatch]] (encode-only append path). */
+  private def encodeWithCodebooks(cb: DataFrame, frame: DataFrame,
+                                  idCol: String, vecCol: String,
+                                  m: Int, sub: Int): DataFrame =
+    subvectors(frame.select(col(idCol).as("nn_id"), col(vecCol)),
         "nn_id", vecCol, m, sub)
       .join(broadcast(cb), "j")
       .groupBy(col("nn_id"), col("j"))
       .agg(min(struct(graft.functions.VectorOps.l2sq(col("sv"), col("cv")).as("d"),
         col("cid").as("cid"))).as("best"))
       .select(col("nn_id"), col("j"), col("best.cid").as("cid"))
+
+  /** Encode a NEW batch with an existing index's codebooks — NO
+    * re-training, no pass over the original corpus: the append path of
+    * the encode-once contract (ingest loop: gate the batch against the
+    * index, encode the survivors, append their codes). Returns rows in
+    * the index's `codes` schema; compose with [[appendToPqIndex]] for
+    * the in-session form or `write.mode("append")` against the
+    * persisted code table. Batch ids must be fresh — codes are keyed by
+    * nn_id and a duplicate id would double-count in the ADC pivot. */
+  def pqEncodeBatch(index: PqIndex, batch: DataFrame,
+                    idCol: String, vecCol: String): DataFrame = {
+    require(index.m > 0 && index.dims % index.m == 0,
+      s"PqIndex metadata invalid: dims=${index.dims} must split into " +
+        s"m=${index.m} subspaces")
+    encodeWithCodebooks(index.codebooks, batch, idCol, vecCol,
+      index.m, index.dims / index.m)
   }
+
+  /** [[pqEncodeBatch]] + union: the in-session index after accepting a
+    * batch. Codebooks are untouched (they are the trained artifact;
+    * re-training on every batch would re-encode the world). */
+  def appendToPqIndex(index: PqIndex, batch: DataFrame,
+                      idCol: String, vecCol: String): PqIndex =
+    index.copy(codes = index.codes.unionByName(
+      pqEncodeBatch(index, batch, idCol, vecCol)))
 
   /** Product-quantization ANN top-k (Jégou/Douze/Schmid, PAMI'11):
     * vectors compress to `m` codeword ids (one per `dims/m`-wide

@@ -317,6 +317,46 @@ class SimilaritySpec extends SparkSpec {
         k = 3, kPrime = 24, nProbe = 4)))
   }
 
+  test("pqEncodeBatch with the index's codebooks reproduces the build-time codes") {
+    val idx = Similarity.buildPqIndex(emb, "vec_id", "embedding")
+    val re = Similarity.pqEncodeBatch(idx, emb, "vec_id", "embedding")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    val orig = idx.codes
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq.sorted
+    assert(re == orig, "encode-only pass must be deterministic vs build")
+  }
+
+  test("gate -> append -> gate ingest loop catches cross-batch duplicates") {
+    val corpus = emb.filter(col("vec_id") < 400)
+    val idx = Similarity.buildPqIndex(corpus, "vec_id", "embedding")
+    // batch 1: fresh vectors; all survive a tight gate, get appended
+    val b1 = emb.filter(col("vec_id") >= 400 && col("vec_id") < 420)
+    val appended = Similarity.appendToPqIndex(idx, b1, "vec_id", "embedding")
+    // batch 2: exact copies of batch-1 vectors under NEW ids. An exact
+    // copy's ADC distance to its own appended code row is its
+    // QUANTIZATION error (not 0), so the gate threshold is data-derived:
+    // the max nearest-ADC distance of b2 against the appended index
+    // (== the worst per-vector quantization error, since the copy's
+    // code row is each query's nearest).
+    val b2 = b1.select((col("vec_id") + 100000L).as("vec_id"), col("embedding"))
+    val dApp = Similarity.pqTopKIndexed(appended, b2, "vec_id", "embedding",
+        k = 1).select("adist").collect().map(_.getDouble(0))
+    val th = dApp.max
+    val survivors = graft.streaming.CorpusStreams
+      .dedupAgainstPqIndex(b2, appended, "vec_id", "embedding", th)
+    assert(survivors.count() == 0,
+      "copies of appended vectors must be caught by the gate")
+    // ...and against the UN-appended index, rows whose nearest corpus
+    // stranger sits beyond the threshold sail through — assert the
+    // exact expected survivor set AND that appending mattered
+    val dUn = Similarity.pqTopKIndexed(idx, b2, "vec_id", "embedding", k = 1)
+      .filter(col("adist") > th).count()
+    val unseen = graft.streaming.CorpusStreams
+      .dedupAgainstPqIndex(b2, idx, "vec_id", "embedding", th).count()
+    assert(unseen == dUn)
+    assert(unseen > 0, "append must change gate behavior for some row")
+  }
+
   test("indexed paths fail fast on drifted index metadata (ADVICE r15)") {
     val pq = Similarity.buildPqIndex(emb, "vec_id", "embedding")
     val badPq = pq.copy(m = 5) // 64 % 5 != 0 — would mis-slice silently
