@@ -285,6 +285,33 @@ object Similarity {
     index.copy(codes = index.codes.unionByName(
       pqEncodeBatch(index, batch, idCol, vecCol)))
 
+  /** The [[appendToPqIndex]] path for the composite: assign the batch
+    * to its nearest EXISTING cells (one broadcast pass over the tiny
+    * centroid frame) and encode against the EXISTING codebooks — the
+    * FAISS `add()` semantics: neither centroids nor codebooks move, so
+    * nothing already in the index is re-touched. Batch ids must be
+    * fresh (the [[pqEncodeBatch]] contract). */
+  def appendToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
+                         idCol: String, vecCol: String): IvfPqIndex = {
+    require(index.m > 0 && index.dims % index.m == 0,
+      s"IvfPqIndex metadata invalid: dims=${index.dims} must split into " +
+        s"m=${index.m} subspaces")
+    val l2 = graft.functions.VectorOps.l2sq _
+    val newAssigned = batch.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .crossJoin(broadcast(index.cents))
+      .groupBy(col("nn_id"))
+      .agg(min(struct(l2(col("nn_vec"), col("c_vec")).as("d"),
+        col("ccid").as("ccid"))).as("best"))
+      .select(col("nn_id"), col("best.ccid").as("ccid"))
+    val newCodes = encodeWithCodebooks(
+      index.codebooks.withColumnRenamed("code", "cid"),
+      batch, idCol, vecCol, index.m, index.dims / index.m)
+      .withColumnRenamed("cid", "code")
+    index.copy(
+      assigned = index.assigned.unionByName(newAssigned),
+      codes = index.codes.unionByName(newCodes))
+  }
+
   /** Product-quantization ANN top-k (Jégou/Douze/Schmid, PAMI'11):
     * vectors compress to `m` codeword ids (one per `dims/m`-wide
     * subspace, `codebookSize` codewords each — seeded from the first

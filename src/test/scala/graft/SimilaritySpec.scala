@@ -357,6 +357,30 @@ class SimilaritySpec extends SparkSpec {
     assert(unseen > 0, "append must change gate behavior for some row")
   }
 
+  test("appendToIvfPqIndex: appended full index equals one-shot build queries") {
+    // building on HALF the corpus fixes centroids/codebooks; appending
+    // the rest must give the same rankings as querying an index whose
+    // cells and codes were assigned against those SAME artifacts in one
+    // shot — i.e. append is pure assignment, nothing retrains
+    val half = emb.filter(col("vec_id") < 250)
+    val rest = emb.filter(col("vec_id") >= 250)
+    val base = Similarity.buildIvfPqIndex(half, "vec_id", "embedding")
+    val appended = Similarity.appendToIvfPqIndex(base, rest, "vec_id", "embedding")
+    // one-shot equivalent: assign/encode the FULL corpus against the
+    // half-trained artifacts via the same append path from an empty base
+    val oneShot = Similarity.appendToIvfPqIndex(
+      base.copy(
+        assigned = base.assigned.limit(0), codes = base.codes.limit(0)),
+      emb, "vec_id", "embedding")
+    def rows(idx: Similarity.IvfPqIndex) =
+      Similarity.ivfPqTopKIndexed(idx, queries, "vec_id", "embedding", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getInt(3)))
+        .toSeq.sorted
+    assert(rows(appended) == rows(oneShot),
+      "append must be pure assignment against frozen artifacts")
+    assert(appended.codes.count() == emb.count() * base.m)
+  }
+
   test("indexed paths fail fast on drifted index metadata (ADVICE r15)") {
     val pq = Similarity.buildPqIndex(emb, "vec_id", "embedding")
     val badPq = pq.copy(m = 5) // 64 % 5 != 0 — would mis-slice silently
