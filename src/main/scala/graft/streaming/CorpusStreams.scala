@@ -96,6 +96,29 @@ object CorpusStreams {
     stream.join(dupIds, Seq(idCol), "left_anti")
   }
 
+  /** [[dedupAgainstPqIndex]] over the IVF-PQ composite: each batch row
+    * probes only its `nProbe` nearest cells, so the per-batch ADC join
+    * touches ~nProbe/nCentroids of the code table instead of all of it
+    * — the gate for corpora where even a full code-table scan per
+    * micro-batch is too much. Recall caveat ON TOP of the ADC
+    * approximation: a duplicate whose code rows live outside the probed
+    * cells is missed (same trade as any IVF query; size nProbe against
+    * `q_eval_*` replays). Composes with
+    * [[graft.ops.Similarity.appendToIvfPqIndex]] for the
+    * gate → append → gate ingest loop. */
+  def dedupAgainstIvfPqIndex(stream: DataFrame,
+                             index: graft.ops.Similarity.IvfPqIndex,
+                             idCol: String, vecCol: String,
+                             maxAdcDist: Double, nProbe: Int = 4,
+                             maxQueries: Long = 10000L): DataFrame = {
+    val dupIds = graft.ops.Similarity
+      .ivfPqTopKIndexed(index, stream, idCol, vecCol, k = 1,
+        nProbe = nProbe, maxQueries = maxQueries)
+      .filter(col("adist") <= maxAdcDist)
+      .select(col("query_id").as(idCol)).distinct()
+    stream.join(dupIds, Seq(idCol), "left_anti")
+  }
+
   /** Drop stream documents CONTAMINATED by a fixed eval suite — the
     * "never train on the benchmark" ingestion gate, the streaming face of
     * [[graft.ops.Contamination.containmentPairs]]: a document is dropped

@@ -334,6 +334,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dedupAgainstIvfPqIndex: probed gate ≡ one-shot, catches appended copies") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val corpus = e.filter($"vec_id" < 400)
+    val idx = graft.ops.Similarity.buildIvfPqIndex(corpus, "vec_id", "embedding")
+    val b1 = e.filter($"vec_id" >= 400 && $"vec_id" < 420)
+    val appended = graft.ops.Similarity
+      .appendToIvfPqIndex(idx, b1, "vec_id", "embedding")
+    val b2 = b1.select(($"vec_id" + 100000L).as("vec_id"), $"embedding")
+    // threshold = worst quantization error of the copies against the
+    // appended index (copies' own code rows are the nearest candidates
+    // in their probed cells — same cells, identical vectors)
+    val th = graft.ops.Similarity
+      .ivfPqTopKIndexed(appended, b2, "vec_id", "embedding", k = 1)
+      .select("adist").collect().map(_.getDouble(0)).max
+    val oneShot = graft.streaming.CorpusStreams
+      .dedupAgainstIvfPqIndex(b2, appended, "vec_id", "embedding", th)
+      .select("vec_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(oneShot.isEmpty, "copies of appended vectors must be caught")
+    // two-micro-batch ≡ one-shot (stateless given a fixed index)
+    implicit val sqlCtx = spark.sqlContext
+    val rows = b2.select("vec_id", "embedding").collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val (first, second) = rows.splitAt(rows.length / 2)
+    val mem = MemoryStream[(Long, Array[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val q = mem.toDF().toDF("vec_id", "embedding").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= graft.streaming.CorpusStreams
+          .dedupAgainstIvfPqIndex(b, appended, "vec_id", "embedding", th)
+          .select("vec_id").collect().map(_.getLong(0))
+        ()
+      }.start()
+    try {
+      mem.addData(first.toSeq); q.processAllAvailable()
+      mem.addData(second.toSeq); q.processAllAvailable()
+      assert(got.sorted.toSeq == oneShot)
+    } finally q.stop()
+  }
+
   test("contaminationGate drops benchmark-quoting docs per micro-batch") {
     val eval = Seq((100L, "alpha beta gamma delta epsilon"))
       .toDF("doc_id", "text")
