@@ -166,6 +166,31 @@ object CurationQueries {
         .orderBy("query_id", "rk")
     }),
 
+    // indexed+refined compositions — the full production query shape
+    // (shortlist from persisted codes, exact re-rank against the raw
+    // corpus); ≡ the direct refined calls, proven by sharing their
+    // oracles (the q_sim_pq_indexed convention)
+    "q_sim_pq_indexed_refined" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.buildPqIndex(e, "vec_id", "embedding",
+        m = PqM, codebookSize = PqCodebook, dims = PqDims)
+      Similarity.pqTopKIndexedRefined(idx, e,
+          e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
+          k = HybridK, kPrime = PqRefineK)
+        .orderBy("query_id", "rk")
+    }),
+
+    "q_sim_ivfpq_indexed_refined" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+        nCentroids = IvfPqCells, m = PqM, codebookSize = PqCodebook,
+        dims = PqDims)
+      Similarity.ivfPqTopKIndexedRefined(idx, e,
+          e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
+          k = HybridK, kPrime = IvfPqRefineK, nProbe = IvfPqProbe)
+        .orderBy("query_id", "rk")
+    }),
+
     // refined-path recall — the number that justifies the refine stage:
     // unrefined ADC reads 2000–8000 bp here, the refined path must read
     // production-grade (>=9000 bp, asserted in SimilaritySpec)
@@ -329,6 +354,19 @@ object CurationQueries {
          |ORDER BY query_id, rk""".stripMargin,
 
     "q_sim_ivfpq_refined" ->
+      s"""WITH ${ivfPqCtes(IvfPqRefineK)},
+         |$refineTail
+         |SELECT query_id, nn_id, cos, rk FROM refined
+         |ORDER BY query_id, rk""".stripMargin,
+
+    // indexed+refined ≡ direct refined — same oracles
+    "q_sim_pq_indexed_refined" ->
+      s"""WITH ${pqCtes(PqRefineK)},
+         |$refineTail
+         |SELECT query_id, nn_id, cos, rk FROM refined
+         |ORDER BY query_id, rk""".stripMargin,
+
+    "q_sim_ivfpq_indexed_refined" ->
       s"""WITH ${ivfPqCtes(IvfPqRefineK)},
          |$refineTail
          |SELECT query_id, nn_id, cos, rk FROM refined

@@ -123,6 +123,8 @@ class ContractSpec extends SparkSpec {
     // refine stage: exact sequential-fold cosines, the bruteforce_topk
     // mirrored-IEEE convention (hash-green in CORRECTNESS since r16)
     "q_sim_pq_refined/cos:double", "q_sim_ivfpq_refined/cos:double",
+    "q_sim_pq_indexed_refined/cos:double",
+    "q_sim_ivfpq_indexed_refined/cos:double",
     "q_sort_limit_topk/o_totalprice:double",
     "q_star_revenue/revenue:double", "q_stats_bootstrap/ci_hi:double",
     "q_stats_bootstrap/ci_lo:double", "q_stats_bootstrap/mean:double",

@@ -48,6 +48,7 @@ class PlanGateSpec extends SparkSpec {
     // broadcast-shortlist EQUI-join (no new BNLJ)
     "q_sim_ivfpq_indexed"  -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_sim_ivfpq_refined"  -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    "q_sim_ivfpq_indexed_refined" -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     // refined-PQ recall eval embeds the brute-force exact side, same as
     // q_eval_pq_recall; the refined chain adds only equi-joins
     "q_eval_pq_refined_recall" -> Seq("broadcast-nested-loop"),
