@@ -24,24 +24,30 @@ object Bench {
     val queries = SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
 
-    // --- same-window DuckDB pairing (VERDICT r14 item 1) -----------------
-    // Host load drifts BOTH engines' totals by ±15% with zero code change
-    // (r14: DuckDB 143.9–163.6 s across three windows on one tree), so a
-    // ratio against a denominator measured in a DIFFERENT window is not a
-    // measurement. Before the spark passes, this refreshes the duck side
-    // back-to-back in THIS window by invoking scripts/bench_duck.py (a
-    // dev/driver-side oracle tool, not engine code — the library itself
-    // has zero Python deps). Falls back to the committed file — flagged
-    // unpaired, ratio refused when stale — if python3/duckdb is absent.
-    // SPARK_GRAFT_DUCK_REFRESH=0 skips (dev loops); subset runs skip.
+    // --- interleaved per-cell DuckDB pairing (VERDICT r16 item 1) --------
+    // r14 moved the duck denominator into the same window as the spark
+    // passes (block refresh before the run); r15/r16 showed that is still
+    // not enough — a 240 s spark block and a 290 s duck block sit far
+    // enough apart that host-load drift moved the headline ~1.5× with
+    // zero code change. This round each query's spark and duck cells run
+    // ADJACENT: scripts/bench_duck.py runs as a line-protocol SERVER
+    // (one duckdb process, views registered once) and after every spark
+    // cell Bench requests that query's oracle timing immediately, so a
+    // load spike inflates BOTH sides of a pair or NEITHER. The server
+    // writes the per-name min map to duckPath at stdin EOF (same shape
+    // as the old batch mode, so everything downstream is unchanged).
+    // Falls back to the committed file — flagged unpaired, ratio refused
+    // when stale — if python3/duckdb is absent or the server dies.
+    // SPARK_GRAFT_DUCK_REFRESH=0 skips (dev loops); subset runs skip
+    // unless "force" (per-cell reconciliation loops).
     def load1: Double = java.lang.management.ManagementFactory
       .getOperatingSystemMXBean.getSystemLoadAverage
     val tsStart = java.time.Instant.now().toString
     val load1Start = load1
     val refreshMode = sys.env.getOrElse("SPARK_GRAFT_DUCK_REFRESH", "auto")
-    // "force" pairs even a SPARK_GRAFT_ONLY subset (per-cell reconciliation
-    // loops) — a subset pair lands in /tmp so it can never masquerade as,
-    // or clobber, the committed full-suite denominator.
+    // "force" pairs even a SPARK_GRAFT_ONLY subset — a subset pair lands
+    // in /tmp so it can never masquerade as, or clobber, the committed
+    // full-suite denominator.
     val duckPath =
       if (only.isDefined && refreshMode == "force") "/tmp/duck_subset.json"
       else sys.env.getOrElse("SPARK_GRAFT_DUCK_JSON", "bench/duck_times.json")
@@ -49,42 +55,68 @@ object Bench {
     val wantRefresh = refreshMode != "0" &&
       (only.isEmpty || refreshMode == "force") &&
       java.nio.file.Files.exists(duckScript)
-    var duckRefreshSec = -1.0
-    val duckPaired: Boolean = wantRefresh && {
-      try {
+    val oracleNames = SparkEntry.oracleSql.keySet
+    var duckSpentSec = 0.0
+    // (proc, requests out, responses in) — None when serving is off/dead
+    var duckServer: Option[(Process, java.io.BufferedWriter, java.io.BufferedReader)] =
+      if (!wantRefresh) None
+      else try {
         val oraclePath = "/tmp/graft_bench_oracle_sql.json"
         java.nio.file.Files.write(java.nio.file.Paths.get(oraclePath),
           OracleJson.dump(SparkEntry.oracleSql
             .filter { case (k, _) => only.forall(_.contains(k)) })
             .getBytes(java.nio.charset.StandardCharsets.UTF_8))
-        val t0 = System.nanoTime()
         val pb = new ProcessBuilder("python3", duckScript.toString,
-          sfDir, oraclePath, duckPath, runs.toString)
-        pb.redirectErrorStream(true)
+          sfDir, oraclePath, duckPath, runs.toString, "--serve")
+        // server stderr (per-cell log) inherits ours; its stdout is the
+        // response channel, so Bench stdout stays machine-parseable JSON
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val p = pb.start()
-        // forward child output to STDERR so this process's stdout stays
-        // machine-parseable JSON only (the driver tail-parses stdout)
-        val br = new java.io.BufferedReader(
-          new java.io.InputStreamReader(p.getInputStream))
-        Iterator.continually(br.readLine()).takeWhile(_ != null)
-          .foreach(l => System.err.println(s"[duck] $l"))
-        val rc = p.waitFor()
-        duckRefreshSec = (System.nanoTime() - t0) / 1e9
-        if (rc != 0) System.err.println(
-          s"[bench] duck refresh exit $rc — falling back to committed $duckPath")
-        rc == 0
+        Some((p,
+          new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+            p.getOutputStream, java.nio.charset.StandardCharsets.UTF_8)),
+          new java.io.BufferedReader(new java.io.InputStreamReader(
+            p.getInputStream, java.nio.charset.StandardCharsets.UTF_8))))
       } catch { case e: Throwable =>
         System.err.println(
-          s"[bench] duck refresh failed: ${e.getMessage} — using committed $duckPath")
-        false
+          s"[bench] duck server failed to start: ${e.getMessage} — " +
+            s"falling back to committed $duckPath")
+        None
       }
-    }
-    val duckAgeSec: Long =
-      try {
-        val mt = java.nio.file.Files.getLastModifiedTime(
-          java.nio.file.Paths.get(duckPath)).toMillis
-        (System.currentTimeMillis() - mt) / 1000
-      } catch { case _: Throwable => -1L }
+    // run this query's oracle on the duck server NOW (adjacent to the
+    // spark cell that just finished); a dead server downgrades the run
+    // to unpaired rather than failing the bench
+    def duckCell(name: String): Unit =
+      duckServer.foreach { case (p, w, r) =>
+        try {
+          w.write(name); w.newLine(); w.flush()
+          val resp = r.readLine()
+          if (resp == null) throw new java.io.EOFException("server closed stdout")
+          val sec = resp.split("\t")(1).toDouble
+          if (sec >= 0) duckSpentSec += sec
+        } catch { case e: Throwable =>
+          System.err.println(
+            s"[bench] duck server lost at $name: ${e.getMessage} — " +
+              "run downgraded to unpaired")
+          try p.destroy() catch { case _: Throwable => }
+          duckServer = None
+        }
+      }
+    // close stdin → server writes the per-name min map to duckPath; a
+    // nonzero exit (or an already-lost server) means unpaired
+    def duckFinish(): Boolean =
+      duckServer.exists { case (p, w, _) =>
+        try {
+          w.close()
+          val rc = p.waitFor()
+          if (rc != 0) System.err.println(
+            s"[bench] duck server exit $rc — falling back to committed $duckPath")
+          rc == 0
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] duck server finish failed: ${e.getMessage}")
+          false
+        }
+      }
     // a failed query records -1.0 — NEVER a near-zero "fast" timing.
     // Each pass starts from COLD graft cache windows: operators persist
     // working frames (shingle/gram indexes, rank buckets) and the query
@@ -118,10 +150,21 @@ object Bench {
             System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
             false
         }
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // the interleave: this query's duck oracle runs NOW, in the same
+      // load window as the spark cell above
+      if (oracleNames.contains(name)) duckCell(name)
+      name -> (if (ok) sec else -1.0)
       }.toMap
     }
     val passes = (1 to runs).map(_ => onePass())
+    val duckPaired = duckFinish()
+    val duckAgeSec: Long =
+      try {
+        val mt = java.nio.file.Files.getLastModifiedTime(
+          java.nio.file.Paths.get(duckPath)).toMillis
+        (System.currentTimeMillis() - mt) / 1000
+      } catch { case _: Throwable => -1L }
     val best = queries.map { case (name, _) =>
       val ok = passes.map(_(name)).filter(_ >= 0)
       name -> (if (ok.nonEmpty) ok.min else -1.0)
@@ -162,7 +205,7 @@ object Bench {
     // can never again be graded against a stale committed duck window.
     val duckStale = !duckPaired && (duckAgeSec < 0 || duckAgeSec > 7200)
     val pairMeta = s""","duck_paired":$duckPaired,"duck_age_sec":$duckAgeSec""" +
-      (if (duckRefreshSec >= 0) s""","duck_refresh_sec":$duckRefreshSec""" else "") +
+      (if (duckPaired) s""","pairing":"interleaved","duck_spent_sec":$duckSpentSec""" else "") +
       (if (duckStale) s""","ratio_refused":"unpaired denominator ${duckAgeSec}s old (>2h)"""" else "")
     // (name, spark, duck) for every query both engines timed — the base
     // for the headline ratio and its robustness companions
@@ -177,7 +220,9 @@ object Bench {
     // speed. ratio_trimmed drops the 3 slowest DUCK cells from BOTH
     // sides; ratio_median_cell is the per-query ratio median — neither
     // can be moved by one oracle's pathology.
-    val trimmedCells = sharedPairs.sortBy(-_._3).take(3).map(_._1)
+    // (-duck, name) sort: equal duck timings would otherwise make the
+    // trim set — and ratio_trimmed — nondeterministic run to run (ADVICE r16)
+    val trimmedCells = sharedPairs.sortBy(p => (-p._3, p._1)).take(3).map(_._1)
     val robustJson =
       if (sharedPairs.isEmpty || duckStale) ""
       else {
@@ -190,7 +235,11 @@ object Bench {
           else if (cellRatios.size % 2 == 1) cellRatios(cellRatios.size / 2)
           else (cellRatios(cellRatios.size / 2 - 1) + cellRatios(cellRatios.size / 2)) / 2.0
         val tc = trimmedCells.map("\"" + _ + "\"").mkString("[", ",", "]")
-        s""","ratio_trimmed":$rTrim,"ratio_median_cell":$rMed,"trimmed_cells":$tc"""
+        // locale-safe fixed formatting (ADVICE r16): these land in the
+        // machine-parsed stdout tail line too
+        def r3r(v: Double): String =
+          String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+        s""","ratio_trimmed":${r3r(rTrim)},"ratio_median_cell":${r3r(rMed)},"trimmed_cells":$tc"""
       }
     val duckJson =
       if (duck.isEmpty) ""

@@ -184,9 +184,13 @@ object Bpe {
       wordFreq.map { case (w, c) => (w.map(_.toString).toArray, c) }
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     val banned = scala.collection.mutable.HashSet.empty[(String, String)]
-    var rounds = 0
-    while (merges.size < nMerges && rounds < nMerges * 2) {
-      rounds += 1
+    // ADVICE r16: banned self-pair rounds must NOT count against the
+    // merge budget (a self-pair-heavy corpus would silently truncate the
+    // table) — every round either learns a merge, bans a NEW pair, or
+    // exhausts the pair supply, so the loop terminates without a round
+    // cap and the only early exit is genuine frequency exhaustion.
+    var exhausted = false
+    while (merges.size < nMerges && !exhausted) {
       val freq = new java.util.HashMap[(String, String), Long]()
       vocab.foreach { case (toks, c) =>
         var i = 0
@@ -196,8 +200,12 @@ object Bpe {
           i += 1
         }
       }
-      if (freq.isEmpty) rounds = nMerges * 2 // nothing left to merge
-      else {
+      if (freq.isEmpty) {
+        exhausted = true // nothing left to merge
+        if (merges.size < nMerges) System.err.println(
+          s"[bpe] train: pair supply exhausted at ${merges.size} merges " +
+            s"(requested $nMerges, ${banned.size} self-pairs skipped)")
+      } else {
         var best: (String, String) = null
         var bestC = -1L
         freq.forEach { (p, c) =>

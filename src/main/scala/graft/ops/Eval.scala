@@ -41,6 +41,82 @@ object Eval {
       .withColumn("recall_bp", expr("n_hits * 10000L div n_exact"))
   }
 
+  /** Recall@k decay under frozen-codebook append — the index-maintenance
+    * instrument for [[Similarity.appendToIvfPqIndex]] (VERDICT r16
+    * item 4): production IVF-PQ deployments carry a retrain trigger
+    * because FAISS-`add()` appends never move centroids or codebooks, so
+    * an appended batch drawn from a DRIFTED distribution lands in stale
+    * cells and ADC distances quantize against codewords trained on data
+    * that no longer looks like the corpus.
+    *
+    * Protocol: build the index on `build`, then append `batches` one at
+    * a time; after the build and after every append, measure mean
+    * recall@k of (a) the indexed ADC ranking and (b) the indexed+refined
+    * ranking against the exact-cosine top-k over everything indexed so
+    * far. Output one row per step:
+    *
+    *   (step INT — 0 = build-only, i = after batch i;
+    *    n_indexed BIGINT; recall_indexed_bp BIGINT;
+    *    recall_refined_bp BIGINT)
+    *
+    * recall bp = Σ hits · 10⁴ div Σ exact over the query set (the
+    * [[recallAtK]] integer contract).
+    *
+    * Retrain rule this measures (documented, SimilaritySpec pins the
+    * curve): an IID append holds recall ≈ flat — appends are free; a
+    * drifted append shows monotone decay in recall_indexed_bp, and the
+    * index owner retrains when the refined recall falls below the
+    * build-time value by more than their recall budget. Note this
+    * engine's build seeds centroids/codebooks deterministically from the
+    * id-prefix (no Lloyd pass), so "retrain on the grown corpus" with
+    * unchanged seed ids yields the SAME index as append — the decay
+    * reference is the exact ground truth, not a retrained twin.
+    *
+    * Driver-side loop bounded by |batches| (an eval instrument over a
+    * bounded query set, like the recall queries — each step is two
+    * bounded ANN evals, not a corpus sweep). Append uses
+    * `checkFreshIds = false`: the caller constructs disjoint batches by
+    * contract, and the guard would add one code-table scan per step. */
+  def ivfPqAppendDrift(build: DataFrame, batches: Seq[DataFrame],
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int = 5, kPrime: Int = 40, nCentroids: Int = 16,
+                       nProbe: Int = 4, m: Int = 4, codebookSize: Int = 16,
+                       dims: Int = 64): DataFrame = {
+    val spark = build.sparkSession
+    var idx = Similarity.buildIvfPqIndex(build, idCol, vecCol,
+      nCentroids, m, codebookSize, dims)
+    var corpus = build.select(col(idCol), col(vecCol))
+    def meanBp(exact: DataFrame, approx: DataFrame): Long = {
+      val r = recallAtK(exact, approx, "query_id", "nn_id")
+        .agg(sum("n_hits").as("h"), sum("n_exact").as("e"))
+        .select(expr("h * 10000L div e")).collect()(0)
+      if (r.isNullAt(0)) -1L else r.getLong(0)
+    }
+    def stepRow(step: Int): org.apache.spark.sql.Row = {
+      val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      val adc = Similarity.ivfPqTopKIndexed(idx, queries, idCol, vecCol,
+        k, nProbe = nProbe)
+      val refined = Similarity.ivfPqTopKIndexedRefined(idx, corpus, queries,
+        idCol, vecCol, k, kPrime = kPrime, nProbe = nProbe)
+      org.apache.spark.sql.Row(step, corpus.count(),
+        meanBp(exact, adc), meanBp(exact, refined))
+    }
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    rows.add(stepRow(0))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      idx = Similarity.appendToIvfPqIndex(idx, b, idCol, vecCol,
+        checkFreshIds = false)
+      corpus = corpus.unionByName(b.select(col(idCol), col(vecCol)))
+      rows.add(stepRow(i + 1))
+    }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("n_indexed", LongType, nullable = false),
+      StructField("recall_indexed_bp", LongType, nullable = false),
+      StructField("recall_refined_bp", LongType, nullable = false))))
+  }
+
   /** One-row precision/recall/F1 of a predicted pair set against a
     * truth pair set (canonical `i < j` orientation on both sides, as
     * every `*Pairs` operator in [[Dedup]] emits): (n_truth, n_pred,

@@ -62,21 +62,49 @@ object Retrieval {
   def lexicalTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   textCol: String, k: Int = 5, maxDf: Long = Long.MaxValue,
                   maxQueries: Long = 10000L): DataFrame = {
+    val cTok = corpus.select(col(idCol).as("nn_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
+    lexicalTopKFromPostings(cTok, nDocs, queries, idCol, textCol, k,
+      maxDf, maxQueries)
+  }
+
+  /** The persistable lexical-arm index: one (nn_id, tok) row per DISTINCT
+    * token per document — the full inverted index a 100 TB deployment
+    * writes once (ideally bucketed by `tok` so the query probe is a
+    * co-located join) and queries for months. Build cost is the
+    * token-explode scan over raw text that [[lexicalTopK]] otherwise pays
+    * per call; [[lexicalTopKFromPostings]] is the read side. */
+  def postingsIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
+    corpus.select(col(idCol).as("nn_id"),
+      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
+
+  /** [[lexicalTopK]] against a PRECOMPUTED postings frame (the output of
+    * [[postingsIndex]], typically parquet-reloaded): identical output,
+    * zero corpus-text scans. `nDocs` is a 1-row (n_docs BIGINT) frame —
+    * the corpus cardinality the idf needs, which the postings alone
+    * cannot recover (zero-token docs have no postings); callers keep it
+    * next to the index or count the corpus ids (a metadata-only parquet
+    * count). df still comes from the QUERY-PRUNED postings — pruning
+    * keeps every row of a surviving token, so df ≡ the corpus-wide count
+    * and the maxDf cap matches the full-scan definition bit-for-bit. */
+  def lexicalTopKFromPostings(postings: DataFrame, nDocs: DataFrame,
+                              queries: DataFrame, idCol: String,
+                              textCol: String, k: Int = 5,
+                              maxDf: Long = Long.MaxValue,
+                              maxQueries: Long = 10000L): DataFrame = {
     val nQ = queries.count()
     require(nQ <= maxQueries,
       s"lexicalTopK broadcasts the query token set: $nQ query docs > " +
         s"maxQueries=$maxQueries; batch the queries or raise it explicitly")
-    val cTok = corpus.select(col(idCol).as("nn_id"),
-      explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
     val qTok = queries.select(col(idCol).as("query_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
 
-    val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
     // broadcast prune: only postings of query tokens survive the scan;
     // persisted + eagerly materialized (two consumers — the df count and
-    // the scoring join — must not each rescan the corpus)
+    // the scoring join — must not each rescan the postings)
     val post = postCacheWindow.add(
-      cTok.join(broadcast(qTok.select("tok").distinct()), "tok"))
+      postings.join(broadcast(qTok.select("tok").distinct()), "tok"))
     post.count()
     // df over the pruned postings ≡ corpus-wide df for those tokens;
     // ≤ |query vocabulary| rows → broadcast back

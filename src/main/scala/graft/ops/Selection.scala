@@ -101,6 +101,33 @@ object Selection {
       sum(col("c")).as("r_f"),
       sum(when(col("__tgt"), col("c")).otherwise(0L)).as("t_f"))
 
+  /** The weights tail shared by [[dsirWeights]] (in-session docf) and
+    * [[dsirWeightsFromIndex]] (parquet-reloaded docf): feature table +
+    * folded normalizer from the compact frame, per-doc bit sums, zero-gram
+    * left-join repair against `docIds`. */
+  private def weightsFromDocf(docf: DataFrame, docIds: DataFrame,
+                              idCol: String, buckets: Int): DataFrame = {
+    val feat = featureCounts(docf)
+    // 1 row: smoothed totals, pre-folded into the per-gram constant
+    val tot = feat.agg(
+      (bits(sum(col("r_f")) + buckets) - bits(sum(col("t_f")) + buckets))
+        .as("norm_bits"))
+
+    val perDoc = docf
+      .join(broadcast(feat), "f")
+      .groupBy(idCol).agg(
+        sum(col("c")).as("n_grams"),
+        sum(col("c") * (bits(col("t_f") + 1) - bits(col("r_f") + 1))).as("num_bits"))
+
+    docIds.select(col(idCol))
+      .join(perDoc, Seq(idCol), "left")
+      .crossJoin(broadcast(tot))
+      .select(col(idCol),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("num_bits") + col("n_grams") * col("norm_bits"), lit(0L))
+          .as("dsir_bits"))
+  }
+
   /** Per-document DSIR importance weight in integer bits.
     *
     * `isTarget` marks the target subset (e.g. `col("lang") === "en"`);
@@ -114,25 +141,49 @@ object Selection {
     require(buckets > 0 && buckets <= (1 << 24),
       s"buckets=$buckets out of (0, 2^24]: the feature table must stay broadcastable")
     val docf = docFeatureCounts(docs, idCol, textCol, isTarget, buckets)
-    val feat = featureCounts(docf)
-    // 1 row: smoothed totals, pre-folded into the per-gram constant
-    val tot = feat.agg(
-      (bits(sum(col("r_f")) + buckets) - bits(sum(col("t_f")) + buckets))
-        .as("norm_bits"))
+    weightsFromDocf(docf, docs, idCol, buckets)
+  }
 
-    val perDoc = docf
-      .join(broadcast(feat), "f")
-      .groupBy(idCol).agg(
-        sum(col("c")).as("n_grams"),
-        sum(col("c") * (bits(col("t_f") + 1) - bits(col("r_f") + 1))).as("num_bits"))
+  /** The persistable DSIR corpus index: the compact per-document feature
+    * frame (idCol, is_target, f, c) the scaladoc above calls "the narrow
+    * integer frame you would persist to parquet at 100 TB", made
+    * self-describing with an `n_buckets` column (the [[dsirFeatureTable]]
+    * convention — a reloaded index needs no side-channel config).
+    *
+    * This is the build-once artifact of the DSIR lifecycle: the expensive
+    * token-explode + md5 pass over raw text runs at BUILD time; every
+    * subsequent weight/selection query ([[dsirWeightsFromIndex]]) runs
+    * over these integers without touching text again — the same
+    * amortization contract as [[Similarity.PqIndex]]. */
+  def dsirIndexFrame(docs: DataFrame, idCol: String, textCol: String,
+                     isTarget: Column, buckets: Int = 1024): DataFrame = {
+    require(buckets > 0 && buckets <= (1 << 24),
+      s"buckets=$buckets out of (0, 2^24]: the feature table must stay broadcastable")
+    gramFeatures(docs.select(col(idCol), col(textCol),
+        isTarget.cast("boolean").as("is_target")),
+        idCol, textCol, buckets, carry = Seq("is_target"))
+      .groupBy(col(idCol), col("is_target"), col("f"))
+      .agg(count(lit(1)).as("c"))
+      .select(col(idCol), col("is_target"), col("f"), col("c"),
+        lit(buckets.toLong).as("n_buckets"))
+  }
 
-    docs.select(col(idCol))
-      .join(perDoc, Seq(idCol), "left")
-      .crossJoin(broadcast(tot))
-      .select(col(idCol),
-        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
-        coalesce(col("num_bits") + col("n_grams") * col("norm_bits"), lit(0L))
-          .as("dsir_bits"))
+  /** [[dsirWeights]] against a PRECOMPUTED index (the output of
+    * [[dsirIndexFrame]], typically read back from parquet): identical
+    * output, zero text scans — two passes over the narrow integer index
+    * (feature-table rollup, per-doc bit sums) plus one column-pruned id
+    * scan of `docIds` for the zero-gram repair. The bucket arity is read
+    * from the self-describing index with one 1-row first() job (the
+    * [[dsirGate]] convention). */
+  def dsirWeightsFromIndex(index: DataFrame, docIds: DataFrame,
+                           idCol: String): DataFrame = {
+    val nbRow = index.select(first(col("n_buckets")).as("nb")).collect()(0)
+    require(!nbRow.isNullAt(0),
+      "dsirWeightsFromIndex: index is empty or has NULL n_buckets — " +
+        "rebuild it with dsirIndexFrame or check the reload path")
+    val buckets = nbRow.getLong(0).toInt
+    weightsFromDocf(index.withColumnRenamed("is_target", "__tgt"),
+      docIds, idCol, buckets)
   }
 
   /** Keep the `n` most target-like documents: rank by

@@ -277,25 +277,58 @@ object Similarity {
       index.m, index.dims / index.m)
   }
 
+  /** Fail-fast fresh-id guard for the append path (ADVICE r16): a
+    * re-appended (or within-batch duplicate) nn_id yields two code rows
+    * per (nn_id, j), and the ADC pivot's `max(when(...))` then silently
+    * returns a WRONG distance for that id — which also masks real
+    * duplicates in the dedupAgainst*Index gates. The check is one
+    * batch-sized distinct-count plus one broadcast semi-join probe of
+    * the code table with an early-exit take(1) — O(scan of codes) worst
+    * case, so callers that guarantee freshness upstream (monotone ingest
+    * ids) may pass `checkFreshIds = false` to skip it per batch. */
+  private def requireFreshIds(codes: DataFrame, batch: DataFrame,
+                              idCol: String, enabled: Boolean): Unit =
+    if (enabled) {
+      val ids = batch.select(col(idCol).as("nn_id"))
+      val Array(n, nd) = ids.agg(count(lit(1)), countDistinct(col("nn_id")))
+        .collect()(0) match { case r => Array(r.getLong(0), r.getLong(1)) }
+      require(n == nd,
+        s"append batch has duplicate $idCol values ($n rows, $nd distinct) — " +
+          "codes are keyed by nn_id and duplicates corrupt the ADC pivot")
+      val clash = codes.select(col("nn_id"))
+        .join(broadcast(ids.distinct()), Seq("nn_id"), "left_semi")
+        .take(1)
+      require(clash.isEmpty,
+        s"append batch re-uses indexed $idCol=${clash.headOption.map(_.get(0))} — " +
+          "appended ids must be fresh (pass checkFreshIds=false only when " +
+          "freshness is guaranteed upstream)")
+    }
+
   /** [[pqEncodeBatch]] + union: the in-session index after accepting a
     * batch. Codebooks are untouched (they are the trained artifact;
     * re-training on every batch would re-encode the world). */
   def appendToPqIndex(index: PqIndex, batch: DataFrame,
-                      idCol: String, vecCol: String): PqIndex =
+                      idCol: String, vecCol: String,
+                      checkFreshIds: Boolean = true): PqIndex = {
+    requireFreshIds(index.codes, batch, idCol, checkFreshIds)
     index.copy(codes = index.codes.unionByName(
       pqEncodeBatch(index, batch, idCol, vecCol)))
+  }
 
   /** The [[appendToPqIndex]] path for the composite: assign the batch
     * to its nearest EXISTING cells (one broadcast pass over the tiny
     * centroid frame) and encode against the EXISTING codebooks — the
     * FAISS `add()` semantics: neither centroids nor codebooks move, so
     * nothing already in the index is re-touched. Batch ids must be
-    * fresh (the [[pqEncodeBatch]] contract). */
+    * fresh (the [[pqEncodeBatch]] contract — guarded fail-fast here,
+    * opt out via `checkFreshIds` when freshness is upstream-guaranteed). */
   def appendToIvfPqIndex(index: IvfPqIndex, batch: DataFrame,
-                         idCol: String, vecCol: String): IvfPqIndex = {
+                         idCol: String, vecCol: String,
+                         checkFreshIds: Boolean = true): IvfPqIndex = {
     require(index.m > 0 && index.dims % index.m == 0,
       s"IvfPqIndex metadata invalid: dims=${index.dims} must split into " +
         s"m=${index.m} subspaces")
+    requireFreshIds(index.codes, batch, idCol, checkFreshIds)
     val l2 = graft.functions.VectorOps.l2sq _
     val newAssigned = batch.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
       .crossJoin(broadcast(index.cents))

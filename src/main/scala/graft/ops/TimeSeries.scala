@@ -154,7 +154,10 @@ object TimeSeries {
                  valCol: String, step: String = "hour"): DataFrame = {
     require(Steps.contains(step), s"step must be one of $Steps, got '$step'")
     val observed = df
-      .filter(col(keyCol).isNotNull)
+      // null ts would truncate to a NULL bucket that joins the observed
+      // set (inflating n_observed/n_buckets); the grid form silently
+      // dropped such rows, so the lag form must too (ADVICE r16)
+      .filter(col(keyCol).isNotNull && col(tsCol).isNotNull)
       .select(col(keyCol), date_trunc(step, col(tsCol)).as("bucket"))
       .groupBy(col(keyCol), col("bucket")).agg(count(lit(1)).as("n_events"))
     val w = Window.partitionBy(keyCol).orderBy(col("bucket"))

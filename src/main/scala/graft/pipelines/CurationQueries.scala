@@ -82,6 +82,44 @@ object CurationQueries {
           col("lang") === "en", n = DsirTopN, buckets = DsirBuckets)
         .orderBy("doc_id")),
 
+    // the same weights through the persisted-index path (r17): the
+    // token-explode + md5 build runs ONCE into the IndexStore; this
+    // query pays only the integer-index read — the steady-state cost of
+    // a deployed DSIR selection, vs q_select_dsir's build-included cell.
+    // Semantically identical, proven by sharing its oracle (the
+    // q_sim_pq_indexed convention).
+    "q_select_dsir_indexed" -> ((s, dir) => {
+      val idx = graft.io.IndexStore.getOrBuild(s,
+        s"dsir-b$DsirBuckets-v1-${graft.io.IndexStore.keyOf(dir)}") {
+        Selection.dsirIndexFrame(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", buckets = DsirBuckets)
+      }
+      Selection.dsirWeightsFromIndex(idx, docs(s, dir).select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // hybrid retrieval through the persisted postings index (r17): the
+    // corpus token-explode runs once into the IndexStore; the query pays
+    // the probe (broadcast query tokens against reloaded postings), the
+    // vector arm, and the fusion. Same oracle as q_hybrid_rrf.
+    "q_hybrid_rrf_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val post = graft.io.IndexStore.getOrBuild(s,
+        s"postings-v1-${graft.io.IndexStore.keyOf(dir)}") {
+        Retrieval.postingsIndex(d, "doc_id", "text")
+      }
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val lex = Retrieval.lexicalTopKFromPostings(post, nDocs,
+        d.filter(col("doc_id") < HybridQueryIds), "doc_id", "text",
+        k = HybridArmK, maxDf = HybridMaxDf)
+      val e = emb(s, dir)
+      val vec = Similarity.bruteForceTopK(e,
+        e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
+        HybridArmK)
+      Retrieval.rrfFuse(lex, vec, k = HybridK, k0 = RrfK0)
+        .orderBy("query_id", "rk")
+    }),
+
     // ── product-quantization ANN ─────────────────────────────────────
     // ADC top-5 over 4-byte PQ codes; adist doubles are fixed-order
     // sums of sequential L2 folds, so the hash-compare is exact
@@ -260,9 +298,10 @@ object CurationQueries {
        |         CAST(COALESCE(a.num_bits + a.n_grams * t.norm_bits, 0) AS BIGINT) AS dsir_bits
        |  FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id CROSS JOIN tot t)""".stripMargin
 
-  val oracles: Map[String, String] = Map(
-    "q_hybrid_rrf" ->
-      s"""WITH ctoks AS (
+  /** One definition, two rows: q_hybrid_rrf and its indexed variant are
+    * semantically identical by construction (q_sim_pq_indexed convention). */
+  private def hybridRrfOracle: String =
+    s"""WITH ctoks AS (
          |  SELECT doc_id,
          |         unnest(list_distinct([t FOR t IN string_split(text, ' ') IF t <> ''])) AS tok
          |  FROM documents),
@@ -311,7 +350,13 @@ object CurationQueries {
          |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |           ORDER BY rrf_score DESC, nn_id) AS INT) AS rk
          |  FROM fused) WHERE rk <= $HybridK
-         |ORDER BY query_id, rk""".stripMargin,
+         |ORDER BY query_id, rk""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_hybrid_rrf" -> hybridRrfOracle,
+
+    // indexed path ≡ direct fusion — same oracle
+    "q_hybrid_rrf_indexed" -> hybridRrfOracle,
 
     "q_select_dsir" ->
       s"""WITH $dsirCtes
@@ -323,6 +368,12 @@ object CurationQueries {
          |top AS (SELECT doc_id, n_grams, dsir_bits FROM weights
          |        ORDER BY dsir_bits DESC, doc_id LIMIT $DsirTopN)
          |SELECT doc_id, n_grams, dsir_bits FROM top ORDER BY doc_id""".stripMargin,
+
+    // indexed path ≡ direct weights — same oracle (q_sim_pq_indexed convention)
+    "q_select_dsir_indexed" ->
+      s"""WITH $dsirCtes
+         |SELECT doc_id, n_grams, dsir_bits FROM weights
+         |ORDER BY doc_id""".stripMargin,
 
     "q_sim_pq_topk" ->
       s"""WITH ${pqCtes()}

@@ -33,6 +33,9 @@ class PlanGateSpec extends SparkSpec {
     // crossJoin (counted query frame, maxQueries guard); the lexical arm
     // is all equi-joins and the fusion is a keyed full-outer (r15)
     "q_hybrid_rrf"         -> Seq("broadcast-nested-loop"),
+    // indexed variant keeps the same bounded-query brute-force vector arm;
+    // the postings probe it adds is a broadcast EQUI-join (r17)
+    "q_hybrid_rrf_indexed" -> Seq("broadcast-nested-loop"),
     // PQ recall eval embeds the brute-force exact side, like
     // q_eval_ann_recall; the PQ chain itself is all broadcast equi-joins
     "q_eval_pq_recall"     -> Seq("broadcast-nested-loop"),
