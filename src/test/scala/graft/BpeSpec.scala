@@ -117,6 +117,51 @@ class BpeSpec extends SparkSpec {
     assert(r.getLong(0) < r.getLong(1))
   }
 
+  test("production vocab scale: a 50k-merge merges.txt loads, fires like " +
+    "its head, and the memo absorbs the per-word loop (VERDICT r16 item 5)") {
+    val body = graft.functions.Bpe.mergesAtScaleBody(50000)
+    val m50k = graft.functions.Bpe.parseMerges(body)
+    assert(m50k.size == 50000)
+    assert(m50k.take(graft.functions.Bpe.DefaultMerges.size) ==
+      graft.functions.Bpe.DefaultMerges)
+    assert(m50k.forall { case (x, y) => x != y })
+
+    // the honesty pin for the padded tail: token output over the corpus
+    // is IDENTICAL to the 64-merge head table (tail pairs can never fire)
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def toks(m: Seq[(String, String)]) = docs
+      .select(col("doc_id"), graft.functions.Bpe.tokens(col("text"), m).as("tk"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[String](1)).toMap
+    assert(toks(m50k) == toks(graft.functions.Bpe.DefaultMerges))
+
+    // memo/rank-map economics, measured not asserted: misses are bounded
+    // by distinct-words x tasks (the Zipfian memo claim), and each task
+    // pays one rank-map rebuild whose cost we surface
+    val bt = graft.functions.BpeTokens
+    bt.resetCounters()
+    bt.countersEnabled = true
+    try {
+      docs.select(size(graft.functions.Bpe.tokens(col("text"), m50k)).as("n"))
+        .agg(sum(col("n"))).collect()
+      val hits = bt.memoHits.get(); val misses = bt.memoMisses.get()
+      val builds = bt.rankMapBuilds.get()
+      val buildMs = bt.rankMapBuildNanos.get() / 1e6
+      info(f"memo: $hits%d hits / $misses%d misses " +
+        f"(${hits * 100.0 / math.max(1, hits + misses)}%.2f%% hit rate); " +
+        f"rank map: $builds%d builds, $buildMs%.1f ms total " +
+        f"(${buildMs / math.max(1, builds)}%.2f ms/build at 50k entries)")
+      assert(hits + misses > 0)
+      // 31-word fixture vocabulary: misses bounded by vocab x tasks
+      assert(misses <= 64 * spark.sparkContext.defaultParallelism,
+        s"memo miss count $misses exceeds distinct-word x task bound")
+      assert(hits > misses * 10, "Zipfian corpus must be memo-dominated")
+      assert(builds >= 1)
+    } finally {
+      bt.countersEnabled = false
+      bt.resetCounters()
+    }
+  }
+
   test("null text yields null (UnaryExpression null contract)") {
     val df = Seq(Tuple1(Option.empty[String])).toDF("t")
     val r = df.select(graft.functions.Bpe.tokens($"t")).first()
