@@ -85,12 +85,27 @@ object Bench {
       }
     // run this query's oracle on the duck server NOW (adjacent to the
     // spark cell that just finished); a dead server downgrades the run
-    // to unpaired rather than failing the bench
+    // to unpaired rather than failing the bench. The response wait is
+    // BOUNDED (default 300 s/request, SPARK_GRAFT_DUCK_CELL_TIMEOUT):
+    // one pathological oracle (the 100x locf grid replay ran 8.5 min)
+    // must cost the pairing, never hang the whole driver round.
+    val duckCellTimeoutMs =
+      sys.env.getOrElse("SPARK_GRAFT_DUCK_CELL_TIMEOUT", "300").toLong * 1000L
+    val duckReaderPool = java.util.concurrent.Executors.newSingleThreadExecutor(
+      (r: Runnable) => { val t = new Thread(r, "duck-reader"); t.setDaemon(true); t })
     def duckCell(name: String): Unit =
       duckServer.foreach { case (p, w, r) =>
         try {
           w.write(name); w.newLine(); w.flush()
-          val resp = r.readLine()
+          val fut = duckReaderPool.submit(
+            new java.util.concurrent.Callable[String] { def call(): String = r.readLine() })
+          val resp =
+            try fut.get(duckCellTimeoutMs, java.util.concurrent.TimeUnit.MILLISECONDS)
+            catch { case _: java.util.concurrent.TimeoutException =>
+              fut.cancel(true)
+              throw new RuntimeException(
+                s"oracle exceeded ${duckCellTimeoutMs / 1000}s — killing server")
+            }
           if (resp == null) throw new java.io.EOFException("server closed stdout")
           val sec = resp.split("\t")(1).toDouble
           if (sec >= 0) duckSpentSec += sec

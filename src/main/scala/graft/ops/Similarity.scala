@@ -642,6 +642,42 @@ object Similarity {
       .select("query_id", "nn_id", "adist", "rk")
   }
 
+  /** Cell-occupancy report for an [[IvfPqIndex]] — the OPERATIONAL input
+    * to the retrain decision whose recall side
+    * [[graft.ops.Eval.ivfPqAppendDrift]] measures: frozen-centroid
+    * appends ([[appendToIvfPqIndex]]) can only land in existing cells,
+    * so distribution drift shows up as occupancy skew (a few cells
+    * absorbing the appended mass) and empty cells (trained structure the
+    * corpus no longer uses). FAISS deployments watch exactly this
+    * imbalance to schedule retrains; probing cost is also proportional
+    * to probed-cell size, so a skewed index loses the nProbe/nCentroids
+    * cost bound that makes IVF worth having.
+    *
+    * One row per TRAINED cell (empty cells included — they are the
+    * staleness signal): (ccid, n_members BIGINT, share_bp BIGINT =
+    * members·10⁴ div total). Pure integers on the edge — the DuckDB
+    * oracle replays the assignment and the division digit for digit.
+    *
+    * Scale: one keyed count over the assignment frame (map-side
+    * combined), a broadcast-back join against the ≤ nCentroids cell
+    * list, and a 1-row global-agg broadcast for the total — no raw
+    * vectors touched, no corpus-width shuffle. The total and the
+    * occupancy rollup each consume `assigned` (two consumers, nothing
+    * persisted): against a parquet-RELOADED index — the production
+    * shape — that is two scans of the narrow (nn_id, ccid) table; an
+    * in-query build replays the centroid fan-out twice, which only the
+    * toy/oracle path does. */
+  def ivfPqCellStats(index: IvfPqIndex): DataFrame = {
+    val occ = index.assigned.groupBy("ccid").agg(count(lit(1)).as("n_members"))
+    val tot = index.assigned.agg(count(lit(1)).as("__n"))
+    index.cents.select(col("ccid"))
+      .join(occ, Seq("ccid"), "left")
+      .select(col("ccid"), coalesce(col("n_members"), lit(0L)).as("n_members"))
+      .crossJoin(broadcast(tot))
+      .select(col("ccid"), col("n_members"),
+        expr("n_members * 10000L div __n").as("share_bp"))
+  }
+
   /** [[ivfPqTopK]] with the exact refine tail ([[pqTopKRefined]]'s
     * rationale): the composite's recall compounds the probe miss and
     * the quantization miss, and the refine repairs only the latter —

@@ -229,6 +229,17 @@ object CurationQueries {
         .orderBy("query_id", "rk")
     }),
 
+    // cell-occupancy report (r17): the operational retrain-trigger input
+    // — frozen-centroid appends show drift as occupancy skew and empty
+    // cells; pure-integer shares so the row is hash-compared exactly
+    "q_sim_ivfpq_cellstats" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+        nCentroids = IvfPqCells, m = PqM, codebookSize = PqCodebook,
+        dims = PqDims)
+      Similarity.ivfPqCellStats(idx).orderBy("ccid")
+    }),
+
     // refined-path recall — the number that justifies the refine stage:
     // unrefined ADC reads 2000–8000 bp here, the refined path must read
     // production-grade (>=9000 bp, asserted in SimilaritySpec)
@@ -422,6 +433,27 @@ object CurationQueries {
          |$refineTail
          |SELECT query_id, nn_id, cos, rk FROM refined
          |ORDER BY query_id, rk""".stripMargin,
+
+    // assignment replay (the ivfPqCtes `assigned` convention) + left join
+    // so empty cells report 0; integer share division mirrors `div`
+    "q_sim_ivfpq_cellstats" ->
+      s"""WITH cents AS (
+         |  SELECT vec_id AS ccid, embedding AS c_vec
+         |  FROM embeddings WHERE vec_id < $IvfPqCells),
+         |assigned AS (
+         |  SELECT nn_id, ccid FROM (
+         |    SELECT e.vec_id AS nn_id, t.ccid,
+         |           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+         |             ORDER BY ${sqlL2("e.embedding", "t.c_vec")} ASC, t.ccid ASC) AS rn
+         |    FROM embeddings e CROSS JOIN cents t) WHERE rn = 1),
+         |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM assigned),
+         |occ AS (
+         |  SELECT ccid, CAST(COUNT(*) AS BIGINT) AS n_members
+         |  FROM assigned GROUP BY 1)
+         |SELECT c.ccid, CAST(COALESCE(o.n_members, 0) AS BIGINT) AS n_members,
+         |       CAST(COALESCE(o.n_members, 0) * 10000 // t.n AS BIGINT) AS share_bp
+         |FROM cents c LEFT JOIN occ o ON o.ccid = c.ccid CROSS JOIN tot t
+         |ORDER BY c.ccid""".stripMargin,
 
     // exact brute-force chain + the PQ chain, recall counted per query
     // (mirrors q_eval_ann_recall's structure with the ADC ranking)

@@ -50,6 +50,13 @@ class PlanGateSpec extends SparkSpec {
     // same two centroid fan-outs appear; the refine stage itself is a
     // broadcast-shortlist EQUI-join (no new BNLJ)
     "q_sim_ivfpq_indexed"  -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
+    // cell stats build the index in-query, so the documented centroid
+    // fan-out appears TWICE: once under the occupancy rollup and once
+    // under the 1-row total, which derives from the same assignment
+    // lineage (two consumers, nothing persisted — a parquet-reloaded
+    // index pays two narrow scans instead; see ivfPqCellStats scaladoc).
+    // The total's own crossJoin is a compact global-agg broadcast (r17)
+    "q_sim_ivfpq_cellstats" -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_sim_ivfpq_refined"  -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     "q_sim_ivfpq_indexed_refined" -> Seq("broadcast-nested-loop", "broadcast-nested-loop"),
     // refined-PQ recall eval embeds the brute-force exact side, same as

@@ -381,6 +381,31 @@ class SimilaritySpec extends SparkSpec {
     assert(appended.codes.count() == emb.count() * base.m)
   }
 
+  test("ivfPqCellStats: occupancy conserves mass, keeps empty cells, and " +
+    "drifted appends show as skew (the retrain trigger's other input)") {
+    val build = emb.filter(col("vec_id") < 250)
+    val idx = Similarity.buildIvfPqIndex(build, "vec_id", "embedding")
+    val base = Similarity.ivfPqCellStats(idx).orderBy("ccid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(base.length == 16, "one row per TRAINED cell")
+    assert(base.map(_._2).sum == 250L, "members conserve corpus mass")
+    assert(base.map(_._3).sum <= 10000L, "integer shares floor-divide")
+    // an orthant-pushed append (the drift fixture) concentrates into the
+    // cells nearest the positive orthant: max share must rise vs base
+    val driftBatch = emb.filter(col("vec_id") >= 250).select(col("vec_id"),
+      transform(col("embedding"), x => abs(x)).as("embedding"))
+    val appended = Similarity.appendToIvfPqIndex(idx, driftBatch,
+      "vec_id", "embedding")
+    val after = Similarity.ivfPqCellStats(appended).orderBy("ccid").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(after.map(_._2).sum == 500L)
+    assert(after.map(_._3).max > base.map(_._3).max,
+      s"drifted append must raise peak cell share: base max " +
+        s"${base.map(_._3).max} bp -> after ${after.map(_._3).max} bp")
+    info(s"peak cell share: ${base.map(_._3).max} bp (build) -> " +
+      s"${after.map(_._3).max} bp (after drifted append)")
+  }
+
   test("ivfPqAppendDrift: IID appends hold recall, drifted appends decay " +
     "(the retrain trigger, VERDICT r16 item 4)") {
     // build on the first half; append the second half in two batches,
