@@ -69,6 +69,23 @@ class RetrievalSpec extends SparkSpec {
     assert(a.forall(r => r._1 != r._2), "self excluded from both arms")
   }
 
+  test("postingsIndex + lexicalTopKFromPostings == lexicalTopK, bit for " +
+    "bit through a parquet round-trip (the persisted-index equivalence, r17)") {
+    val queries = docs.filter(col("doc_id") < 5)
+    val direct = Retrieval.lexicalTopK(docs, queries, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("post-idx").toString
+    Retrieval.postingsIndex(docs, "doc_id", "text")
+      .write.mode("overwrite").parquet(path)
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val indexed = Retrieval.lexicalTopKFromPostings(
+      spark.read.parquet(path), nDocs, queries, "doc_id", "text", k = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getInt(4))).sorted.toSeq
+    assert(indexed == direct)
+  }
+
   test("hybridTopK agrees with manually fused arms") {
     val lex = Retrieval.lexicalTopK(docs, docs.filter(col("doc_id") < 4),
       "doc_id", "text", k = 10, maxDf = 395L)

@@ -76,6 +76,39 @@ class SelectionSpec extends SparkSpec {
     assert(out.count() == 1)
   }
 
+  test("dsirIndexFrame + dsirWeightsFromIndex == dsirWeights, bit for bit " +
+    "(the persisted-index equivalence, r17)") {
+    val direct = Selection.dsirWeights(synth, "doc_id", "text",
+      col("lang") === "en", buckets = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    // round-trip through parquet like a real deployment would
+    val path = java.nio.file.Files.createTempDirectory("dsir-idx").toString
+    Selection.dsirIndexFrame(synth, "doc_id", "text",
+      col("lang") === "en", buckets = 64).write.mode("overwrite").parquet(path)
+    val reloaded = spark.read.parquet(path)
+    val indexed = Selection.dsirWeightsFromIndex(reloaded,
+      synth.select("doc_id"), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(indexed == direct)
+    // zero-gram repair still rides docIds, not the index: a doc id absent
+    // from the index (no grams) must still report (0, 0)
+    val extra = Selection.dsirWeightsFromIndex(reloaded,
+      Seq(1L, 99L).toDF("doc_id"), "doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(extra.exists(_ == (99L, 0L, 0L)))
+  }
+
+  test("dsirWeightsFromIndex fails loudly on an empty/NULL-arity index") {
+    val empty = spark.emptyDataFrame
+      .withColumn("doc_id", lit(0L)).withColumn("is_target", lit(true))
+      .withColumn("f", lit(0L)).withColumn("c", lit(0L))
+      .withColumn("n_buckets", lit(0L)).filter(lit(false))
+    val ex = intercept[IllegalArgumentException] {
+      Selection.dsirWeightsFromIndex(empty, synth.select("doc_id"), "doc_id")
+    }
+    assert(ex.getMessage.contains("dsirIndexFrame"))
+  }
+
   test("buckets bound is enforced") {
     val ex = intercept[IllegalArgumentException] {
       Selection.dsirWeights(synth, "doc_id", "text",

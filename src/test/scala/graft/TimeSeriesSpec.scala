@@ -82,6 +82,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert(r.getLong(1) == 7L && r.getLong(2) == 4L && r.getLong(5) == 3L)
   }
 
+  test("gapSummary drops null-timestamp rows like the grid form did " +
+    "(ADVICE r16)") {
+    // a null ts would truncate to a NULL bucket and inflate n_observed/
+    // n_buckets by one; the rejected grid form silently dropped such rows
+    // (the scaffold join never attached them), so the lag form must too
+    val df = Seq(
+      ("a", Option(ts("2024-01-01 00:10:00")), 1.0),
+      ("a", Option(ts("2024-01-01 02:40:00")), 2.0),
+      ("a", Option.empty[Timestamp], 9.0),
+      ("b", Option.empty[Timestamp], 9.0) // key with ONLY null ts: no row
+    ).toDF("k", "t", "v")
+    val out = TimeSeries.gapSummary(df, "k", "t", "v", "hour")
+      .orderBy("k").collect()
+    assert(out.length == 1, "all-null key must not report")
+    val a = out.head
+    assert(a.getString(0) == "a" && a.getLong(1) == 3L && a.getLong(2) == 1L &&
+      a.getLong(5) == 1L)
+  }
+
   test("cusum: equals the textbook recursion; flags only the planted shift") {
     // 6 on-target hours (10.0), then a sustained +5 level shift
     val vals = Seq.fill(6)(10.0) ++ Seq.fill(6)(15.0)

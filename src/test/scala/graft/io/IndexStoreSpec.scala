@@ -1,0 +1,47 @@
+package graft.io
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class IndexStoreSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("getOrBuild builds exactly once, then reads the parquet back") {
+    val key = s"spec-once-${System.nanoTime()}"
+    var builds = 0
+    def call() = IndexStore.getOrBuild(spark, key) {
+      builds += 1
+      Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    }
+    try {
+      val first = call().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      val second = call().collect().map(r => (r.getLong(0), r.getString(1))).sorted
+      assert(builds == 1, "second call must read, not rebuild")
+      assert(first.toSeq == Seq((1L, "a"), (2L, "b")) && second.toSeq == first.toSeq)
+    } finally IndexStore.invalidate(key)
+  }
+
+  test("invalidate forces a rebuild; a half-write (no _SUCCESS) rebuilds too") {
+    val key = s"spec-inv-${System.nanoTime()}"
+    var builds = 0
+    def call() = IndexStore.getOrBuild(spark, key) {
+      builds += 1
+      Seq(Tuple1(builds.toLong)).toDF("n")
+    }
+    try {
+      assert(call().first().getLong(0) == 1L)
+      IndexStore.invalidate(key)
+      assert(call().first().getLong(0) == 2L, "invalidate must force rebuild")
+      // simulate a killed half-write: drop only the _SUCCESS marker
+      val root = sys.env.getOrElse("GRAFT_INDEX_STORE", "/tmp/graft_index_store")
+      assert(new java.io.File(s"$root/$key/_SUCCESS").delete())
+      assert(call().first().getLong(0) == 3L, "missing marker must rebuild")
+    } finally IndexStore.invalidate(key)
+  }
+
+  test("keyOf produces filesystem-safe, collision-resistant-enough keys") {
+    assert(IndexStore.keyOf("/root/testdata/sf0.1") == "_root_testdata_sf0.1")
+    assert(IndexStore.keyOf("/tmp/replica100") != IndexStore.keyOf("/tmp/replica10"))
+    assert(!IndexStore.keyOf("a b/c:d").exists(c => c == ' ' || c == ':' || c == '/'))
+  }
+}

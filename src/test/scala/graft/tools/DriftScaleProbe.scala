@@ -1,0 +1,56 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Backs: the SCALE.md r17 row for Eval.ivfPqAppendDrift — the retrain
+  * trigger instrument must itself run at corpus scale, since a production
+  * owner re-evaluates recall after every append wave. Builds on half the
+  * 100x embedding replica (100k vectors), appends the other half in two
+  * 50k batches (IID and orthant-drifted arms), and reports both curves
+  * plus wall time.
+  *
+  * Usage: Test/runMain graft.tools.DriftScaleProbe [dir]
+  */
+object DriftScaleProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = if (args.nonEmpty) args(0) else "/tmp/replica100"
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val emb = spark.read.parquet(s"$dir/embeddings.parquet")
+    val n = emb.count()
+    // replica ids are base + replicaIndex * 10M (graft.Replicate) — cut
+    // by replica index, not raw id range
+    val Stride = 10000000L
+    val half = 50L * Stride
+    val q3 = 75L * Stride
+    println(s"corpus $n vectors; build on replicas 0-49, append 50-74 + 75-99")
+    val build = emb.filter(col("vec_id") < half)
+    val b1 = emb.filter(col("vec_id") >= half && col("vec_id") < q3)
+    val b2 = emb.filter(col("vec_id") >= q3)
+    def drifted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), transform(col("embedding"), x => abs(x)).as("embedding"))
+    val qIid = emb.filter(col("vec_id") >= half && col("vec_id") < half + 8)
+    require(qIid.count() == 8, "query slice must be 8 vectors")
+    // three arms: the toy operating point (m=4, 16 codewords = 16-bit
+    // codes — saturates at 200k vectors), the same under drift, and a
+    // CORPUS-SIZED config (m=8, 64 codewords = 48-bit codes, kPrime=250)
+    // showing recall is a config property, not an append property
+    for ((label, batches, qs, m, cb, kP) <- Seq(
+        ("iid      m4/16 ", Seq(b1, b2), qIid, 4, 16, 40),
+        ("drift    m4/16 ", Seq(drifted(b1), drifted(b2)), drifted(qIid), 4, 16, 40),
+        ("iid      m8/64 ", Seq(b1, b2), qIid, 8, 64, 250))) {
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Eval.ivfPqAppendDrift(build, batches, qs,
+        "vec_id", "embedding", kPrime = kP, m = m, codebookSize = cb)
+        .orderBy("step").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label: ${sec}%.1f s  " + rows.map(r =>
+        s"(step=${r.getInt(0)} n=${r.getLong(1)} adc=${r.getLong(2)}bp " +
+          s"refined=${r.getLong(3)}bp)").mkString(" "))
+    }
+    spark.stop()
+  }
+}
