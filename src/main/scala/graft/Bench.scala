@@ -21,8 +21,14 @@ object Bench {
     spark.read.parquet(s"$sfDir/lineitem.parquet").count()
     // Dev-only subset filter (full run when unset — the driver never sets it).
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    // SORTED cell order (r17): Map iteration order is compilation-
+    // dependent, and within a cache-window family (dsir, jaccard, ...)
+    // whichever member runs FIRST in a pass pays the family's one-time
+    // build — name order pins that attribution so per-cell numbers are
+    // comparable round over round.
     val queries = SparkEntry.queries
-      .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .toSeq.sortBy(_._1)
 
     // --- interleaved per-cell DuckDB pairing (VERDICT r16 item 1) --------
     // r14 moved the duck denominator into the same window as the spark
