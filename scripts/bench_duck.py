@@ -84,7 +84,11 @@ def serve(con, oracles):
         else:
             print(f"[duck] {name}: no oracle", file=sys.stderr)
         if sec >= 0:
-            best[name] = min(best.get(name, sec), sec)
+            # the -1 failure sentinel must never win the min: a query that
+            # fails once then succeeds records the success (ADVICE r17 —
+            # batch mode already mins over successful runs only)
+            prev = best.get(name, -1.0)
+            best[name] = sec if prev < 0 else min(prev, sec)
             seen_runs[name] = seen_runs.get(name, 0) + 1
         elif name not in best:
             best[name] = -1.0

@@ -119,7 +119,17 @@ object Bench {
           System.err.println(
             s"[bench] duck server lost at $name: ${e.getMessage} — " +
               "run downgraded to unpaired")
-          try p.destroy() catch { case _: Throwable => }
+          // SIGKILL, not SIGTERM (ADVICE r17): a python blocked inside a
+          // long-running duckdb C call cannot act on SIGTERM, and the
+          // pathological oracle would keep burning CPU alongside the
+          // remaining timed spark cells of the now-unpaired run —
+          // reintroducing the cross-engine load contamination the
+          // interleave exists to remove. Confirm it is gone before
+          // resuming timed cells.
+          try {
+            p.destroyForcibly()
+            p.waitFor(10, java.util.concurrent.TimeUnit.SECONDS): Unit
+          } catch { case _: Throwable => }
           duckServer = None
         }
       }
@@ -228,12 +238,24 @@ object Bench {
     val pairMeta = s""","duck_paired":$duckPaired,"duck_age_sec":$duckAgeSec""" +
       (if (duckPaired) s""","pairing":"interleaved","duck_spent_sec":$duckSpentSec""" else "") +
       (if (duckStale) s""","ratio_refused":"unpaired denominator ${duckAgeSec}s old (>2h)"""" else "")
+    // Build-amortized cells (ADVICE r17, medium): these read a build-once
+    // index persisted in the IndexStore (it survives across passes AND
+    // across bench runs) while their shared DuckDB oracle recomputes the
+    // full build pipeline every run — a pair where only one engine pays
+    // the build is not like-for-like, and counting it into the headline
+    // sum structurally flatters the ratio. They are still timed (the
+    // steady-state story SCALE.md tells) but reported in their OWN block
+    // and excluded from the headline + robust aggregates below.
+    val amortizedCells = Set("q_select_dsir_indexed", "q_hybrid_rrf_indexed",
+      "q_select_dsir_topn_indexed", "q_hybrid_rrf_ann")
     // (name, spark, duck) for every query both engines timed — the base
     // for the headline ratio and its robustness companions
-    val sharedPairs: Seq[(String, Double, Double)] =
+    val allPairs: Seq[(String, Double, Double)] =
       best.flatMap { case (k, t) =>
         if (t >= 0) duck.get(k).filter(_ >= 0).map(d => (k, t, d)) else None
       }
+    val (amortPairs, sharedPairs) =
+      allPairs.partition(p => amortizedCells.contains(p._1))
     // Robust secondary ratios (VERDICT r15 item 5): duck_total is
     // dominated by a few pathologically slow ORACLES (r15: two
     // recursive-CTE cells were 57% of the denominator), so the headline
@@ -262,6 +284,17 @@ object Bench {
           String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
         s""","ratio_trimmed":${r3r(rTrim)},"ratio_median_cell":${r3r(rMed)},"trimmed_cells":$tc"""
       }
+    // the amortized block: their own sums + per-cell ratio, never mixed
+    // into the headline (see amortizedCells above)
+    val amortJson =
+      if (amortPairs.isEmpty || duckStale) ""
+      else {
+        val as = amortPairs.map(_._2).sum
+        val ad = amortPairs.map(_._3).sum
+        val cells = amortPairs.map(_._1).sorted
+          .map("\"" + _ + "\"").mkString("[", ",", "]")
+        s""","amortized":{"cells":$cells,"spark_sec":$as,"duck_sec":$ad,"ratio":${if (ad > 0) as / ad else -1.0}}"""
+      }
     val duckJson =
       if (duck.isEmpty) ""
       else {
@@ -271,7 +304,7 @@ object Bench {
           if (duckStale || duckShared <= 0) -1.0 else sparkShared / duckShared
         val ds = duck.toSeq.sortBy(_._1)
           .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-        s""","duck":$ds,"duck_total":$duckShared,"spark_vs_duck_ratio":$ratio$robustJson,"duck_from":"$duckPath"$pairMeta"""
+        s""","duck":$ds,"duck_total":$duckShared,"spark_vs_duck_ratio":$ratio$robustJson$amortJson,"duck_from":"$duckPath"$pairMeta"""
       }
 
     val loadEnd = load1
@@ -303,7 +336,7 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val pairPart = duckTotalOpt.map { case (s, d) =>
       val ratio = if (duckStale || d <= 0) -1.0 else s / d
-      s""","spark_paired_total":${r3(s)},"duck_total":${r3(d)},"spark_vs_duck_ratio":${r3(ratio)}$robustJson$pairMeta"""
+      s""","spark_paired_total":${r3(s)},"duck_total":${r3(d)},"spark_vs_duck_ratio":${r3(ratio)}$robustJson$amortJson$pairMeta"""
     }.getOrElse("")
     println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${best.size},"failed":$fs,"runs":$runs,"sf":"$sfDir"$stamp$pairPart,"worst_spark":$worst,"full_artifact":"BENCH_FULL.json"}""")
     // the driver's BENCH_r{N}.json stores a TAIL of stdout that can cut

@@ -20,7 +20,18 @@ import org.apache.spark.sql.functions._
   *
   * Usage: runMain graft.Replicate <srcDir> <outDir> [factor=10]
   *        [corpusFactor=1] [corpusMode=verbatim|disjoint] [embFactor=1]
-  *        [eventsFactor=1]
+  *        [eventsFactor=1] [textRepeat=1]
+  *
+  * `textRepeat` > 1 makes every document `textRepeat`× LONGER (applied
+  * after any corpus replication): the text becomes the concatenation of
+  * `textRepeat` copies of itself with each copy's tokens suffixed by its
+  * repetition index — token volume AND distinct-token-per-doc count grow
+  * by the factor while document count is untouched. This is the
+  * index-wins-crossover fixture (VERDICT r17 item 4): the DSIR/postings
+  * parquet indexes break even at the driver fixture's 31-word docs
+  * because the gram explode is cheap — long documents move the build
+  * cost without moving the index-read cost (docs×buckets bounded), which
+  * is the regime the index claims to win.
   *
   * `eventsFactor` > 1 replicates `events` with shifted event_ids AND
   * user_ids (ts/type/value/props verbatim): every replica is a disjoint
@@ -84,6 +95,7 @@ object Replicate {
     val corpusMode = if (args.length > 4) args(4) else "verbatim"
     val embFactor = if (args.length > 5) args(5).toInt else 1
     val eventsFactor = if (args.length > 6) args(6).toInt else 1
+    val textRepeat = if (args.length > 7) args(7).toInt else 1
     require(corpusMode == "verbatim" || corpusMode == "disjoint",
       s"corpusMode must be verbatim|disjoint, got $corpusMode")
     val spark = SparkSession.builder()
@@ -105,7 +117,17 @@ object Replicate {
     }
     for (t <- copyTables) {
       val df = spark.read.parquet(s"$srcDir/$t.parquet")
-      val out =
+      // long-document transform (applied AFTER replication below): text =
+      // textRepeat suffixed copies of itself — empty tokens stay empty so
+      // the tokenizer's filter still drops them
+      def lengthen(d: org.apache.spark.sql.DataFrame) =
+        if (t == "documents" && textRepeat > 1)
+          d.withColumn("text", concat_ws(" ",
+            flatten(transform(sequence(lit(0), lit(textRepeat - 1)), r =>
+              transform(split(col("text"), " "), tk =>
+                when(tk === "", tk).otherwise(concat(tk, lit("_t"), r)))))))
+        else d
+      val out = lengthen(
         if (t == "documents" && corpusFactor > 1)
           (0 until corpusFactor).map { i =>
             // replica 0 is emitted VERBATIM in both modes (ids unshifted,
@@ -135,7 +157,7 @@ object Replicate {
               when(pmod(xxhash64(lit(i * 4099L) + d), lit(2)) === 0, x).otherwise(-x)
                 .cast("float")))
           }.reduce(_ union _)
-        else df
+        else df)
       out.write.mode("overwrite").parquet(s"$outDir/$t.parquet")
       val f = if (t == "documents") corpusFactor
               else if (t == "embeddings") embFactor

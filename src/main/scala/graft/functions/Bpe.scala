@@ -281,6 +281,16 @@ object Bpe {
   def mergesAtScaleBody(n: Int = 50000,
                         head: Seq[(String, String)] = DefaultMerges): String = {
     require(n >= head.size, s"n=$n smaller than head (${head.size})")
+    // the never-fires guarantee for the padded tail rests on the reserved
+    // 'zq' prefix being unreachable from head-merge OUTPUTS — enforce the
+    // contract instead of assuming it for caller-supplied trained heads
+    // (ADVICE r17: a corpus with zq-prefixed words could otherwise emit
+    // tokens that let tail merges fire and change token output)
+    head.foreach { case (x, y) =>
+      require(!(x + y).startsWith("zq"),
+        s"head merge ($x, $y) emits a 'zq'-prefixed token — the reserved " +
+          "tail prefix; rename the tail glyph or drop the merge")
+    }
     val sb = new StringBuilder(n * 12)
     sb.append("#version: graft-scale-fixture\n")
     head.foreach { case (x, y) => sb.append(x).append(' ').append(y).append('\n') }

@@ -16,6 +16,16 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * them; keys embed the fixture dir so sf0.01 / sf0.1 / replica builds
   * never collide.
   *
+  * Staleness (ADVICE r17): a key alone cannot see a REGENERATED source at
+  * the same path (e.g. /tmp/replica100 rebuilt with a different factor) —
+  * callers pass `fingerprint` (use [[dirFingerprint]]: a stat hash of the
+  * source files) and the store records it in a `_FINGERPRINT` sidecar at
+  * build time; a mismatch on read rebuilds instead of silently serving an
+  * index of data that no longer exists. Builds land in a temp dir and
+  * RENAME into place, so a concurrent builder in another process either
+  * wins the rename or discards its copy and reads the winner — never a
+  * half-visible index.
+  *
   * The store root is /tmp by default (dev/bench artifact, not engine
   * state) — point GRAFT_INDEX_STORE at durable storage for real use. */
 object IndexStore {
@@ -27,27 +37,78 @@ object IndexStore {
   def keyOf(dir: String): String =
     dir.replaceAll("[^A-Za-z0-9._-]", "_")
 
-  /** Read the index at `key`, building + persisting it first if absent.
-    * Presence = parquet _SUCCESS marker (a killed half-write rebuilds).
-    * Synchronized: concurrent first-callers in one JVM build once. */
-  def getOrBuild(spark: SparkSession, key: String)
+  /** Cheap source fingerprint: md5 over the sorted (relative path, size,
+    * mtime) triples of every regular file under `dir` (one level of
+    * recursion covers Spark-written parquet directories). Driver-side
+    * stats only — no data is read, so it is safe to compute per call even
+    * against a 100 TB source tree's manifest. */
+  def dirFingerprint(dir: String): String = {
+    def files(f: java.io.File, prefix: String): Seq[String] =
+      if (f.isDirectory)
+        Option(f.listFiles()).getOrElse(Array.empty).toSeq.sortBy(_.getName)
+          .flatMap(c => files(c, s"$prefix${f.getName}/"))
+      else Seq(s"$prefix${f.getName}:${f.length}:${f.lastModified}")
+    val manifest = files(new java.io.File(dir), "").mkString("\n")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.digest(manifest.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+  }
+
+  private def readSidecar(path: String): String = {
+    val f = java.nio.file.Paths.get(s"$path/_FINGERPRINT")
+    if (java.nio.file.Files.exists(f))
+      new String(java.nio.file.Files.readAllBytes(f),
+        java.nio.charset.StandardCharsets.UTF_8)
+    else ""
+  }
+
+  /** Read the index at `key`, building + persisting it first if absent
+    * or if the recorded source `fingerprint` no longer matches (a
+    * regenerated fixture at the same path must rebuild, not silently
+    * reuse). Presence = parquet _SUCCESS marker (a killed half-write
+    * rebuilds). Synchronized: concurrent first-callers in one JVM build
+    * once; cross-process racers resolve at the rename. */
+  def getOrBuild(spark: SparkSession, key: String, fingerprint: String = "")
                 (build: => DataFrame): DataFrame = synchronized {
     val path = s"$root/$key"
     val done = new java.io.File(s"$path/_SUCCESS")
-    if (!done.exists()) {
+    val stale = done.exists() && readSidecar(path) != fingerprint
+    if (stale) {
+      System.err.println(s"[index-store] $key fingerprint changed — rebuilding")
+      invalidate(key)
+    } else if (!done.exists() && new java.io.File(path).exists()) {
+      // killed half-write (dir present, no _SUCCESS): clear it so the
+      // rebuild's rename can land
+      invalidate(key)
+    }
+    if (!done.exists() || stale) {
       System.err.println(s"[index-store] building $key")
-      build.write.mode("overwrite").parquet(path)
+      val tmp = s"$path.tmp-${ProcessHandle.current().pid()}-${System.nanoTime()}"
+      build.write.mode("overwrite").parquet(tmp)
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/_FINGERPRINT"),
+        fingerprint.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      val won = new java.io.File(tmp).renameTo(new java.io.File(path))
+      if (!won) {
+        // another process completed the same key between our check and
+        // rename — discard our copy and read the winner (same key ⇒ same
+        // dataflow ⇒ same frame)
+        rmTree(new java.io.File(tmp))
+        if (!done.exists())
+          throw new IllegalStateException(
+            s"[index-store] could not publish $key (rename failed, no winner)")
+      }
     }
     spark.read.parquet(path)
   }
 
+  private def rmTree(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).getOrElse(Array.empty).foreach(rmTree)
+    f.delete(): Unit
+  }
+
   /** Drop one stored index (test hygiene / forced rebuild). */
   def invalidate(key: String): Unit = synchronized {
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(): Unit
-    }
     val f = new java.io.File(s"$root/$key")
-    if (f.exists()) rm(f)
+    if (f.exists()) rmTree(f)
   }
 }

@@ -86,12 +86,8 @@ object Eval {
     var idx = Similarity.buildIvfPqIndex(build, idCol, vecCol,
       nCentroids, m, codebookSize, dims)
     var corpus = build.select(col(idCol), col(vecCol))
-    def meanBp(exact: DataFrame, approx: DataFrame): Long = {
-      val r = recallAtK(exact, approx, "query_id", "nn_id")
-        .agg(sum("n_hits").as("h"), sum("n_exact").as("e"))
-        .select(expr("h * 10000L div e")).collect()(0)
-      if (r.isNullAt(0)) -1L else r.getLong(0)
-    }
+    def meanBp(exact: DataFrame, approx: DataFrame): Long =
+      meanRecallBp(exact, approx)
     def stepRow(step: Int): org.apache.spark.sql.Row = {
       val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
       val adc = Similarity.ivfPqTopKIndexed(idx, queries, idCol, vecCol,
@@ -115,6 +111,82 @@ object Eval {
       StructField("n_indexed", LongType, nullable = false),
       StructField("recall_indexed_bp", LongType, nullable = false),
       StructField("recall_refined_bp", LongType, nullable = false))))
+  }
+
+  /** [[ivfPqAppendDrift]] extended with the retrain RESPONSE (VERDICT
+    * r17 item 2 — the loop detect→decide→retrain→verify, closed): run
+    * the frozen-codebook append protocol, then REBUILD via
+    * [[Similarity.retrainIvfPqIndex]] over everything indexed — spread
+    * seeds, possibly re-sized config (`retrain*` params; they default to
+    * the build config so the two effects, re-seeding and re-sizing, can
+    * be measured separately) — and measure the retrained index against
+    * the same exact ground truth as the last append step.
+    *
+    * Output: the [[ivfPqAppendDrift]] row shape plus a leading `phase`
+    * column — 'build' (step 0), 'append' (steps 1..|batches|), 'retrain'
+    * (step |batches|+1, same n_indexed as the last append step: retrain
+    * changes the INDEX, not the corpus). Recovery = the retrain row's
+    * recall_indexed_bp rising back toward (or past) the build row's
+    * after the append rows decayed — pinned exactly in SimilaritySpec on
+    * the drifted arm, and measured at the 100× replica on the
+    * saturated-config arm (16-bit codes → 48-bit retrain) in
+    * tools/DriftScaleProbe. */
+  def ivfPqRetrainRecovery(build: DataFrame, batches: Seq[DataFrame],
+                           queries: DataFrame, idCol: String, vecCol: String,
+                           k: Int = 5, kPrime: Int = 40, nCentroids: Int = 16,
+                           nProbe: Int = 4, m: Int = 4, codebookSize: Int = 16,
+                           dims: Int = 64,
+                           retrainNCentroids: Int = -1, retrainM: Int = -1,
+                           retrainCodebookSize: Int = -1,
+                           retrainNProbe: Int = -1,
+                           retrainKPrime: Int = -1): DataFrame = {
+    val spark = build.sparkSession
+    val rnc = if (retrainNCentroids > 0) retrainNCentroids else nCentroids
+    val rm = if (retrainM > 0) retrainM else m
+    val rcb = if (retrainCodebookSize > 0) retrainCodebookSize else codebookSize
+    val rnp = if (retrainNProbe > 0) retrainNProbe else nProbe
+    val rkp = if (retrainKPrime > 0) retrainKPrime else kPrime
+    var idx = Similarity.buildIvfPqIndex(build, idCol, vecCol,
+      nCentroids, m, codebookSize, dims)
+    var corpus = build.select(col(idCol), col(vecCol))
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    def addRow(step: Int, phase: String, theIdx: Similarity.IvfPqIndex,
+               probeN: Int, kP: Int): Unit = {
+      val exact = Similarity.bruteForceTopK(corpus, queries, idCol, vecCol, k)
+      val adc = Similarity.ivfPqTopKIndexed(theIdx, queries, idCol, vecCol,
+        k, nProbe = probeN)
+      val refined = Similarity.ivfPqTopKIndexedRefined(theIdx, corpus, queries,
+        idCol, vecCol, k, kPrime = kP, nProbe = probeN)
+      rows.add(org.apache.spark.sql.Row(step, phase, corpus.count(),
+        meanRecallBp(exact, adc), meanRecallBp(exact, refined)))
+    }
+    addRow(0, "build", idx, nProbe, kPrime)
+    batches.zipWithIndex.foreach { case (b, i) =>
+      idx = Similarity.appendToIvfPqIndex(idx, b, idCol, vecCol,
+        checkFreshIds = false)
+      corpus = corpus.unionByName(b.select(col(idCol), col(vecCol)))
+      addRow(i + 1, "append", idx, nProbe, kPrime)
+    }
+    val retrained = Similarity.retrainIvfPqIndex(corpus, idCol, vecCol,
+      rnc, rm, rcb, dims)
+    addRow(batches.size + 1, "retrain", retrained, rnp, rkp)
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(rows, StructType(Seq(
+      StructField("step", IntegerType, nullable = false),
+      StructField("phase", StringType, nullable = false),
+      StructField("n_indexed", LongType, nullable = false),
+      StructField("recall_indexed_bp", LongType, nullable = false),
+      StructField("recall_refined_bp", LongType, nullable = false))))
+  }
+
+  /** Corpus-level mean recall in bp (Σ hits · 10⁴ div Σ exact — the
+    * [[recallAtK]] integer contract), −1 on an empty exact set. Shared
+    * by the drift and retrain-recovery instruments. */
+  private def meanRecallBp(exact: DataFrame, approx: DataFrame): Long = {
+    val r = recallAtK(exact, approx, "query_id", "nn_id")
+      .agg(sum("n_hits").as("h"), sum("n_exact").as("e"))
+      .select(expr("h * 10000L div e")).collect()(0)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
   }
 
   /** One-row precision/recall/F1 of a predicted pair set against a

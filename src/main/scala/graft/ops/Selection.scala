@@ -199,6 +199,18 @@ object Selection {
       .orderBy(col("dsir_bits").desc, col(idCol).asc)
       .limit(n)
 
+  /** [[dsirSelectTopN]] against a PRECOMPUTED index (the
+    * [[dsirIndexFrame]] output, typically parquet-reloaded) — the last
+    * member of the DSIR family to get the index read-path (VERDICT r17
+    * item 3): identical survivors, zero text scans; the rank is the same
+    * sort-limit (TakeOrderedAndProject per-partition heaps) over
+    * [[dsirWeightsFromIndex]]. */
+  def dsirSelectTopNFromIndex(index: DataFrame, docIds: DataFrame,
+                              idCol: String, n: Int): DataFrame =
+    dsirWeightsFromIndex(index, docIds, idCol)
+      .orderBy(col("dsir_bits").desc, col(idCol).asc)
+      .limit(n)
+
   /** Persistable DSIR feature table for [[dsirGate]]: bucket counts plus
     * the folded normalizer and the bucket arity (each row carries all —
     * the table is ≤ `buckets` rows and self-describing, so the gate

@@ -587,6 +587,84 @@ object Similarity {
     IvfPqIndex(cents, assigned, cb, coded, nCentroids, m, codebookSize, dims)
   }
 
+  /** Deterministic evenly-SPREAD seed rows — the retrain seeding policy:
+    * bucket the corpus's id RANGE into `nSeeds` equal spans and take the
+    * min-id row of each non-empty span (one broadcast-bounds pass + one
+    * keyed aggregation; `min(struct(id, vec))` is total-ordered because
+    * ids are unique). Unlike the build's id-PREFIX convention, appended
+    * mass — which lives at HIGH ids — contributes seeds, which is what
+    * makes a retrain recover from distribution drift. Output:
+    * (sid BIGINT ∈ [0, nSeeds), seed_id, seed_vec); empty spans drop out
+    * (fewer seeds than requested on a sparse id space — still valid,
+    * just a smaller codebook/cell set). Deterministic and replayable:
+    * the oracle recomputes span = (id−lo)·nSeeds div (hi−lo+1) digit for
+    * digit. */
+  private[graft] def spreadSeedRows(corpus: DataFrame, idCol: String,
+                                    vecCol: String, nSeeds: Int): DataFrame = {
+    require(nSeeds > 0, s"nSeeds=$nSeeds must be positive")
+    val bounds = corpus.agg(min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi"))
+    corpus.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__vec"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("sid",
+        expr(s"least(${nSeeds - 1}L, (__id - lo) * $nSeeds div (hi - lo + 1))"))
+      .groupBy("sid")
+      .agg(min(struct(col("__id").as("seed_id"), col("__vec").as("seed_vec")))
+        .as("m"))
+      .select(col("sid"), col("m.seed_id").as("seed_id"),
+        col("m.seed_vec").as("seed_vec"))
+  }
+
+  /** The retrain RESPONSE to the trigger [[ivfPqCellStats]] (occupancy
+    * skew) and [[graft.ops.Eval.ivfPqAppendDrift]] (recall decay)
+    * measure: rebuild the index over the CURRENT corpus — original plus
+    * every appended batch — at a possibly RE-SIZED config. Two things
+    * distinguish this from re-running [[buildIvfPqIndex]]:
+    *
+    *   1. Seeds come from [[spreadSeedRows]] (evenly spaced across the
+    *      id range), not the id prefix. Under the prefix convention a
+    *      "retrain" after appends reproduces the appended index exactly
+    *      (the [[graft.ops.Eval.ivfPqAppendDrift]] scaladoc's
+    *      observation) because appended ids sit past the seed prefix;
+    *      spread seeds give drifted appended mass its share of centroids
+    *      and codewords — the recovery [[graft.ops.Eval.ivfPqRetrainRecovery]]
+    *      pins.
+    *   2. m / codebookSize / nCentroids may GROW with the corpus — the
+    *      measured 100× lesson (tools/DriftScaleProbe) is that a 16-bit
+    *      code config saturates at 200k vectors REGARDLESS of appends:
+    *      recall at scale is a config property, and re-sizing IS the
+    *      retrain.
+    *
+    * Cost: the same two broadcast passes as [[buildIvfPqIndex]] plus two
+    * seed aggregations — one full re-encode of the corpus, the price the
+    * trigger exists to schedule rather than pay per batch. Queries and
+    * appends continue against the old index until the swap (the frames
+    * are immutable). */
+  def retrainIvfPqIndex(corpus: DataFrame, idCol: String, vecCol: String,
+                        nCentroids: Int = 16, m: Int = 4,
+                        codebookSize: Int = 16, dims: Int = 64): IvfPqIndex = {
+    require(m > 0 && dims % m == 0, s"dims=$dims must split into m=$m subspaces")
+    val sub = dims / m
+    val l2 = graft.functions.VectorOps.l2sq _
+    val cents = spreadSeedRows(corpus, idCol, vecCol, nCentroids)
+      .select(col("sid").as("ccid"), col("seed_vec").as("c_vec"))
+    val assigned = corpus.select(col(idCol).as("nn_id"), col(vecCol).as("nn_vec"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("nn_id"))
+      .agg(min(struct(l2(col("nn_vec"), col("c_vec")).as("d"),
+        col("ccid").as("ccid"))).as("best"))
+      .select(col("nn_id"), col("best.ccid").as("ccid"))
+    val cb = subvectors(
+      spreadSeedRows(corpus, idCol, vecCol, codebookSize)
+        .select(col("sid").as("cid"), col("seed_vec").as("__v")),
+      "cid", "__v", m, sub)
+      .select(col("j"), col("cid").as("code"), col("sv").as("cv"))
+    val codes = encodeWithCodebooks(cb.withColumnRenamed("code", "cid"),
+      corpus, idCol, vecCol, m, sub)
+      .withColumnRenamed("cid", "code")
+    IvfPqIndex(cents, assigned, cb, codes, nCentroids, m, codebookSize, dims)
+  }
+
   /** IVF-PQ ADC top-k against a prebuilt (typically parquet-reloaded)
     * [[IvfPqIndex]]: probe `nProbe` nearest cells against the tiny
     * centroid frame, rank their members by the pivoted fixed-order ADC

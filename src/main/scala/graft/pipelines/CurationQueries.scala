@@ -90,11 +90,30 @@ object CurationQueries {
     // q_sim_pq_indexed convention).
     "q_select_dsir_indexed" -> ((s, dir) => {
       val idx = graft.io.IndexStore.getOrBuild(s,
-        s"dsir-b$DsirBuckets-v1-${graft.io.IndexStore.keyOf(dir)}") {
+        s"dsir-b$DsirBuckets-v1-${graft.io.IndexStore.keyOf(dir)}",
+        graft.io.IndexStore.dirFingerprint(dir)) {
         Selection.dsirIndexFrame(docs(s, dir), "doc_id", "text",
           col("lang") === "en", buckets = DsirBuckets)
       }
       Selection.dsirWeightsFromIndex(idx, docs(s, dir).select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // the selection-from-index composition (r18, VERDICT r17 item 3):
+    // same survivors as q_select_dsir_topn, but the expensive token
+    // explode ran once at index-build time — removes the last
+    // first-in-pass build-attribution cell of the DSIR family. Shares
+    // q_select_dsir_topn's oracle (semantically identical by the
+    // spec-pinned index equivalence).
+    "q_select_dsir_topn_indexed" -> ((s, dir) => {
+      val idx = graft.io.IndexStore.getOrBuild(s,
+        s"dsir-b$DsirBuckets-v1-${graft.io.IndexStore.keyOf(dir)}",
+        graft.io.IndexStore.dirFingerprint(dir)) {
+        Selection.dsirIndexFrame(docs(s, dir), "doc_id", "text",
+          col("lang") === "en", buckets = DsirBuckets)
+      }
+      Selection.dsirSelectTopNFromIndex(idx, docs(s, dir).select("doc_id"),
+          "doc_id", n = DsirTopN)
         .orderBy("doc_id")
     }),
 
@@ -105,7 +124,8 @@ object CurationQueries {
     "q_hybrid_rrf_indexed" -> ((s, dir) => {
       val d = docs(s, dir)
       val post = graft.io.IndexStore.getOrBuild(s,
-        s"postings-v1-${graft.io.IndexStore.keyOf(dir)}") {
+        s"postings-v1-${graft.io.IndexStore.keyOf(dir)}",
+        graft.io.IndexStore.dirFingerprint(dir)) {
         Retrieval.postingsIndex(d, "doc_id", "text")
       }
       val nDocs = d.agg(count(lit(1)).as("n_docs"))
@@ -116,6 +136,45 @@ object CurationQueries {
       val vec = Similarity.bruteForceTopK(e,
         e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
         HybridArmK)
+      Retrieval.rrfFuse(lex, vec, k = HybridK, k0 = RrfK0)
+        .orderBy("query_id", "rk")
+    }),
+
+    // hybrid retrieval at FULL index steady state (r18, VERDICT r17
+    // item 7): BOTH arms read persisted indexes — postings for the
+    // lexical arm, the four IVF-PQ frames for the vector arm (ADC
+    // shortlist from persisted codes, exact re-rank against the raw
+    // corpus) — the real deployment shape, where q_hybrid_rrf_indexed
+    // still brute-forced the vector arm. Oracle replays both arms.
+    "q_hybrid_rrf_ann" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val e = emb(s, dir)
+      val fp = graft.io.IndexStore.dirFingerprint(dir)
+      val post = graft.io.IndexStore.getOrBuild(s,
+        s"postings-v1-${graft.io.IndexStore.keyOf(dir)}", fp) {
+        Retrieval.postingsIndex(d, "doc_id", "text")
+      }
+      val nDocs = d.agg(count(lit(1)).as("n_docs"))
+      val lex = Retrieval.lexicalTopKFromPostings(post, nDocs,
+        d.filter(col("doc_id") < HybridQueryIds), "doc_id", "text",
+        k = HybridArmK, maxDf = HybridMaxDf)
+      val key = s"ivfpq-c$IvfPqCells-m$PqM-cb$PqCodebook-v1-" +
+        graft.io.IndexStore.keyOf(dir)
+      // build lazily once; each frame persists under its own key (the
+      // IvfPqIndex is four frames — at 100 TB each is its own parquet
+      // table next to the corpus)
+      lazy val built = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
+        nCentroids = IvfPqCells, m = PqM, codebookSize = PqCodebook,
+        dims = PqDims)
+      val idx = Similarity.IvfPqIndex(
+        graft.io.IndexStore.getOrBuild(s, s"$key-cents", fp)(built.cents),
+        graft.io.IndexStore.getOrBuild(s, s"$key-assigned", fp)(built.assigned),
+        graft.io.IndexStore.getOrBuild(s, s"$key-codebooks", fp)(built.codebooks),
+        graft.io.IndexStore.getOrBuild(s, s"$key-codes", fp)(built.codes),
+        IvfPqCells, PqM, PqCodebook, PqDims)
+      val vec = Similarity.ivfPqTopKIndexedRefined(idx, e,
+        e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
+        k = HybridArmK, kPrime = IvfPqRefineK, nProbe = IvfPqProbe)
       Retrieval.rrfFuse(lex, vec, k = HybridK, k0 = RrfK0)
         .orderBy("query_id", "rk")
     }),
@@ -309,10 +368,10 @@ object CurationQueries {
        |         CAST(COALESCE(a.num_bits + a.n_grams * t.norm_bits, 0) AS BIGINT) AS dsir_bits
        |  FROM documents dd LEFT JOIN agg a ON a.doc_id = dd.doc_id CROSS JOIN tot t)""".stripMargin
 
-  /** One definition, two rows: q_hybrid_rrf and its indexed variant are
-    * semantically identical by construction (q_sim_pq_indexed convention). */
-  private def hybridRrfOracle: String =
-    s"""WITH ctoks AS (
+  /** The lexical arm's CTE chain ending in `lex` (query_id, nn_id,
+    * rk_lex) — shared by every hybrid-retrieval oracle. */
+  private def lexArmCtes: String =
+    s"""ctoks AS (
          |  SELECT doc_id,
          |         unnest(list_distinct([t FOR t IN string_split(text, ' ') IF t <> ''])) AS tok
          |  FROM documents),
@@ -334,7 +393,12 @@ object CurationQueries {
          |    SELECT query_id, nn_id,
          |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |             ORDER BY lex_bits DESC, nn_id) AS INT) AS rk_lex
-         |    FROM lexs) WHERE rk_lex <= $HybridArmK),
+         |    FROM lexs) WHERE rk_lex <= $HybridArmK)""".stripMargin
+
+  /** One definition, two rows: q_hybrid_rrf and its indexed variant are
+    * semantically identical by construction (q_sim_pq_indexed convention). */
+  private def hybridRrfOracle: String =
+    s"""WITH $lexArmCtes,
          |norms AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
@@ -386,6 +450,16 @@ object CurationQueries {
          |SELECT doc_id, n_grams, dsir_bits FROM weights
          |ORDER BY doc_id""".stripMargin,
 
+    // selection-from-index ≡ direct top-n — same oracle (r18)
+    "q_select_dsir_topn_indexed" ->
+      s"""WITH $dsirCtes,
+         |top AS (SELECT doc_id, n_grams, dsir_bits FROM weights
+         |        ORDER BY dsir_bits DESC, doc_id LIMIT $DsirTopN)
+         |SELECT doc_id, n_grams, dsir_bits FROM top ORDER BY doc_id""".stripMargin,
+
+    // full steady-state hybrid: lexical arm + IVF-PQ refined vector arm
+    "q_hybrid_rrf_ann" -> hybridRrfAnnOracle,
+
     "q_sim_pq_topk" ->
       s"""WITH ${pqCtes()}
          |SELECT query_id, nn_id, adist, rk FROM pqtop
@@ -411,26 +485,26 @@ object CurationQueries {
     // ADC shortlist at depth $PqRefineK, exact-cosine re-rank to top-k
     "q_sim_pq_refined" ->
       s"""WITH ${pqCtes(PqRefineK)},
-         |$refineTail
+         |${refineTail()}
          |SELECT query_id, nn_id, cos, rk FROM refined
          |ORDER BY query_id, rk""".stripMargin,
 
     "q_sim_ivfpq_refined" ->
       s"""WITH ${ivfPqCtes(IvfPqRefineK)},
-         |$refineTail
+         |${refineTail()}
          |SELECT query_id, nn_id, cos, rk FROM refined
          |ORDER BY query_id, rk""".stripMargin,
 
     // indexed+refined ≡ direct refined — same oracles
     "q_sim_pq_indexed_refined" ->
       s"""WITH ${pqCtes(PqRefineK)},
-         |$refineTail
+         |${refineTail()}
          |SELECT query_id, nn_id, cos, rk FROM refined
          |ORDER BY query_id, rk""".stripMargin,
 
     "q_sim_ivfpq_indexed_refined" ->
       s"""WITH ${ivfPqCtes(IvfPqRefineK)},
-         |$refineTail
+         |${refineTail()}
          |SELECT query_id, nn_id, cos, rk FROM refined
          |ORDER BY query_id, rk""".stripMargin,
 
@@ -484,7 +558,7 @@ object CurationQueries {
     // pair that prices the refine stage
     "q_eval_pq_refined_recall" ->
       s"""WITH ${pqCtes(PqRefineK)},
-         |$refineTail,
+         |${refineTail()},
          |norms AS (
          |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
          |  FROM embeddings),
@@ -544,8 +618,10 @@ object CurationQueries {
 
   /** Exact-cosine re-rank of the `pqtop` shortlist — the replay of
     * [[graft.ops.Similarity.refineExact]]: true vectors fetched by id,
-    * sequential-fold cosine, rank desc with the nn_id tie-break. */
-  private def refineTail: String =
+    * sequential-fold cosine, rank desc with the nn_id tie-break.
+    * `kOut` is the refined depth — top-k for the direct refined
+    * rankings, the arm depth for the hybrid fusion. */
+  private def refineTail(kOut: Int = HybridK): String =
     s"""rnorms AS (
        |  SELECT vec_id, embedding, sqrt(${sqlDot("embedding", "embedding")}) AS nrm
        |  FROM embeddings),
@@ -560,7 +636,29 @@ object CurationQueries {
        |    SELECT query_id, nn_id, cos,
        |           CAST(ROW_NUMBER() OVER (PARTITION BY query_id
        |             ORDER BY cos DESC, nn_id) AS INT) AS rk
-       |    FROM rscored) WHERE rk <= $HybridK)""".stripMargin
+       |    FROM rscored) WHERE rk <= $kOut)""".stripMargin
+
+  /** The r18 full-steady-state hybrid: lexical arm ∪ IVF-PQ
+    * indexed+refined vector arm (shortlist depth $IvfPqRefineK, refined
+    * to the $HybridArmK arm depth), RRF-fused — the replay of
+    * q_hybrid_rrf_ann's dataflow. */
+  private def hybridRrfAnnOracle: String =
+    s"""WITH $lexArmCtes,
+       |${ivfPqCtes(IvfPqRefineK)},
+       |${refineTail(HybridArmK)},
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |         COALESCE(l.nn_id, v.nn_id) AS nn_id, l.rk_lex, v.rk AS rk_vec,
+       |         CAST(COALESCE(1000000000000 // ($RrfK0 + l.rk_lex), 0)
+       |            + COALESCE(1000000000000 // ($RrfK0 + v.rk), 0) AS BIGINT) AS rrf_score
+       |  FROM lex l FULL OUTER JOIN refined v
+       |    ON l.query_id = v.query_id AND l.nn_id = v.nn_id)
+       |SELECT query_id, nn_id, rk_lex, rk_vec, rrf_score, rk FROM (
+       |  SELECT query_id, nn_id, rk_lex, rk_vec, rrf_score,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |           ORDER BY rrf_score DESC, nn_id) AS INT) AS rk
+       |  FROM fused) WHERE rk <= $HybridK
+       |ORDER BY query_id, rk""".stripMargin
 
   private def pivCols: String =
     s"""MAX(CASE WHEN e.j = 0 THEN l.d END) AS d0,

@@ -98,6 +98,22 @@ class SelectionSpec extends SparkSpec {
     assert(extra.exists(_ == (99L, 0L, 0L)))
   }
 
+  test("dsirSelectTopNFromIndex == dsirSelectTopN through a parquet " +
+    "round-trip (the last DSIR family member indexed, r18)") {
+    val direct = Selection.dsirSelectTopN(synth, "doc_id", "text",
+      col("lang") === "en", n = 3, buckets = 64).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val path = java.nio.file.Files.createTempDirectory("dsir-idx-topn").toString
+    Selection.dsirIndexFrame(synth, "doc_id", "text",
+      col("lang") === "en", buckets = 64).write.mode("overwrite").parquet(path)
+    val indexed = Selection.dsirSelectTopNFromIndex(
+      spark.read.parquet(path), synth.select("doc_id"), "doc_id", n = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    assert(indexed == direct)
+    assert(indexed.size == 3)
+  }
+
   test("dsirWeightsFromIndex fails loudly on an empty/NULL-arity index") {
     val empty = spark.emptyDataFrame
       .withColumn("doc_id", lit(0L)).withColumn("is_target", lit(true))

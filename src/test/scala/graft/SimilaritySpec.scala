@@ -450,6 +450,96 @@ class SimilaritySpec extends SparkSpec {
       "IID appends must hold ADC recall ~flat")
   }
 
+  test("spreadSeedRows: deterministic, evenly spread, span-keyed") {
+    val seeds = Similarity.spreadSeedRows(emb, "vec_id", "embedding", 16)
+      .orderBy("sid").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(seeds.map(_._1) == (0L until 16L), "dense span keys on a dense id space")
+    // 500 dense ids into 16 spans: seed of span s = min id of the span —
+    // ids spread across the RANGE, not the prefix (the retrain point)
+    assert(seeds.last._2 >= 468L && seeds.head._2 == 0L,
+      s"seeds must span the id range, got $seeds")
+    val again = Similarity.spreadSeedRows(emb, "vec_id", "embedding", 16)
+      .orderBy("sid").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(again == seeds, "seed selection must be deterministic")
+  }
+
+  test("ivfPqRetrainRecovery: drifted appends decay, a spread-seed retrain " +
+    "recovers (the retrain RESPONSE, VERDICT r17 item 2)") {
+    // the ivfPqAppendDrift fixture: build on the isotropic first half,
+    // append the abs()-pushed second half (distribution the frozen
+    // centroids/codebooks never saw), queries from the appended region.
+    // The retrain rebuilds over everything indexed with seeds spread
+    // across the id RANGE — drifted high-id mass now contributes
+    // centroids and codewords, which is exactly what the frozen-seed
+    // append could not do. Deterministic dataflow → exact pins.
+    val build = emb.filter(col("vec_id") < 250)
+    val b1 = emb.filter(col("vec_id") >= 250 && col("vec_id") < 375)
+    val b2 = emb.filter(col("vec_id") >= 375)
+    def drifted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"),
+        transform(col("embedding"), x => abs(x)).as("embedding"))
+    val qDrift = drifted(emb.filter(col("vec_id") >= 250 && col("vec_id") < 258))
+
+    val sameCfg = graft.ops.Eval.ivfPqRetrainRecovery(build,
+      Seq(drifted(b1), drifted(b2)), qDrift, "vec_id", "embedding")
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    info(s"same-config retrain curve: $sameCfg")
+    // append steps must reproduce ivfPqAppendDrift's pinned decay
+    assert(sameCfg.take(3).map(t => (t._1, t._3, t._4, t._5)) ==
+      Seq((0, 250L, 2500L, 5750L), (1, 375L, 1500L, 3500L),
+        (2, 500L, 1250L, 3750L)),
+      s"append prefix must match the ivfPqAppendDrift pins: $sameCfg")
+    val retrain = sameCfg.last
+    assert(retrain._2 == "retrain" && retrain._3 == 500L,
+      "retrain changes the index, not the corpus")
+    // MEASURED split of the recovery (pinned exactly — deterministic):
+    // the same-config spread-seed retrain recovers the REFINED recall
+    // (3750 -> 4250 bp: drifted mass now holds centroids, so the probe
+    // stage finds the right cells and the exact re-rank can see the true
+    // neighbors again) while the raw ADC ranking stays at the m=4/16
+    // config's saturation floor (1250 -> 1000 bp — a 16-bit code cannot
+    // rank 500 mixed-distribution vectors however it is seeded; the
+    // DriftScaleProbe 100x lesson in miniature). Re-seeding fixes the
+    // PROBE miss; only re-SIZING fixes the quantization miss — which is
+    // exactly why retrainIvfPqIndex takes a new config.
+    assert((retrain._4, retrain._5) == (1000L, 4250L),
+      s"same-config retrain point moved: $retrain")
+    assert(retrain._5 > sameCfg(2)._5,
+      s"spread-seed retrain must recover refined recall: ${sameCfg(2)._5} bp " +
+        s"(after drifted appends) -> ${retrain._5} bp (retrained)")
+
+    // config RE-SIZING is the other half of the retrain (the 100x
+    // lesson: recall at scale is a config property) — a wider code
+    // (m=8, 32 codewords = 40-bit codes) must recover the ADC ranking
+    // itself above the decayed last-append point
+    val resized = graft.ops.Eval.ivfPqRetrainRecovery(build,
+      Seq(drifted(b1), drifted(b2)), qDrift, "vec_id", "embedding",
+      retrainM = 8, retrainCodebookSize = 32)
+      .orderBy("step").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).toSeq
+    info(s"resized retrain curve: $resized")
+    assert(resized.take(3) == sameCfg.take(3),
+      "append phase is config-independent (retrain params only touch the last step)")
+    // pinned: (adc 1250, refined 5250) — the wider code recovers the
+    // refined recall to within 500 bp of BUILD time (5750) where the
+    // same-config retrain stopped at 4250, and holds ADC at the append
+    // floor rather than under it. At 8 queries x k=5 each ADC hit is
+    // 250 bp, so the toy fixture cannot resolve ADC recovery beyond the
+    // floor — the 200k-vector DriftScaleProbe retrain arm is where the
+    // config-resize ADC recovery is measured (SCALE.md r18).
+    assert((resized.last._4, resized.last._5) == (1250L, 5250L),
+      s"re-sized retrain point moved: ${resized.last}")
+    assert(resized.last._5 >= sameCfg(2)._5 + 1000,
+      s"re-sized retrain (m=8/32) must substantially recover refined " +
+        s"recall: ${sameCfg(2)._5} bp -> ${resized.last._5} bp")
+    assert(resized.last._4 >= sameCfg(2)._4,
+      "re-sized retrain must not sink ADC below the append floor")
+  }
+
   test("indexed paths fail fast on drifted index metadata (ADVICE r15)") {
     val pq = Similarity.buildPqIndex(emb, "vec_id", "embedding")
     val badPq = pq.copy(m = 5) // 64 % 5 != 0 — would mis-slice silently

@@ -39,6 +39,42 @@ class IndexStoreSpec extends SparkSpec {
     } finally IndexStore.invalidate(key)
   }
 
+  test("a changed source fingerprint rebuilds; an unchanged one reads back " +
+    "(ADVICE r17: a regenerated fixture at the same path must not serve " +
+    "a stale index)") {
+    val key = s"spec-fp-${System.nanoTime()}"
+    var builds = 0
+    def call(fp: String) = IndexStore.getOrBuild(spark, key, fp) {
+      builds += 1
+      Seq(Tuple1(builds.toLong)).toDF("n")
+    }
+    try {
+      assert(call("fp-a").first().getLong(0) == 1L)
+      assert(call("fp-a").first().getLong(0) == 1L, "same fingerprint must read")
+      assert(call("fp-b").first().getLong(0) == 2L,
+        "changed fingerprint must rebuild, not serve the stale index")
+      assert(call("fp-b").first().getLong(0) == 2L)
+      assert(builds == 2)
+    } finally IndexStore.invalidate(key)
+  }
+
+  test("dirFingerprint tracks file size/mtime changes and is stat-only") {
+    val d = java.nio.file.Files.createTempDirectory("idxfp").toFile
+    try {
+      val f = new java.io.File(d, "part-0.parquet")
+      java.nio.file.Files.write(f.toPath, "abc".getBytes)
+      val fp1 = IndexStore.dirFingerprint(d.getAbsolutePath)
+      assert(fp1 == IndexStore.dirFingerprint(d.getAbsolutePath), "stable")
+      java.nio.file.Files.write(f.toPath, "abcd".getBytes)
+      assert(f.setLastModified(f.lastModified() + 2000))
+      assert(IndexStore.dirFingerprint(d.getAbsolutePath) != fp1,
+        "regenerated file must change the fingerprint")
+    } finally {
+      d.listFiles().foreach(_.delete())
+      d.delete(): Unit
+    }
+  }
+
   test("keyOf produces filesystem-safe, collision-resistant-enough keys") {
     assert(IndexStore.keyOf("/root/testdata/sf0.1") == "_root_testdata_sf0.1")
     assert(IndexStore.keyOf("/tmp/replica100") != IndexStore.keyOf("/tmp/replica10"))

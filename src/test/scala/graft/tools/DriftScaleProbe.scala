@@ -51,6 +51,28 @@ object DriftScaleProbe {
         s"(step=${r.getInt(0)} n=${r.getLong(1)} adc=${r.getLong(2)}bp " +
           s"refined=${r.getLong(3)}bp)").mkString(" "))
     }
+
+    // retrain arms (r18, VERDICT r17 item 2): the RESPONSE measured at
+    // the same 200k scale — (a) the drifted arm retrained at the toy
+    // config (re-seeding alone: fixes the probe miss, not the 16-bit
+    // quantization floor), (b) the SATURATED-config arm retrained at the
+    // corpus-sized m=8/64 (re-sizing: the retrain that actually recovers
+    // ADC recall at scale)
+    for ((label, batches, qs, m, cb, kP, rm, rcb, rkP) <- Seq(
+        ("retrain  drift m4/16->m4/16 ",
+          Seq(drifted(b1), drifted(b2)), drifted(qIid), 4, 16, 40, 4, 16, 40),
+        ("retrain  iid   m4/16->m8/64 ",
+          Seq(b1, b2), qIid, 4, 16, 40, 8, 64, 250))) {
+      val t0 = System.nanoTime()
+      val rows = graft.ops.Eval.ivfPqRetrainRecovery(build, batches, qs,
+        "vec_id", "embedding", kPrime = kP, m = m, codebookSize = cb,
+        retrainM = rm, retrainCodebookSize = rcb, retrainKPrime = rkP)
+        .orderBy("step").collect()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"$label: ${sec}%.1f s  " + rows.map(r =>
+        s"(${r.getString(1)} n=${r.getLong(2)} adc=${r.getLong(3)}bp " +
+          s"refined=${r.getLong(4)}bp)").mkString(" "))
+    }
     spark.stop()
   }
 }
