@@ -32,6 +32,18 @@ object DriftScaleProbe {
     val b2 = emb.filter(col("vec_id") >= q3)
     def drifted(df: org.apache.spark.sql.DataFrame) =
       df.select(col("vec_id"), transform(col("embedding"), x => abs(x)).as("embedding"))
+    // abs() KILLS the replica sign-diagonals, so at this replica all 50
+    // drifted replicas become identical vector sets — ground truth
+    // degenerates to 49-fold exact duplicates and post-retrain ADC ties
+    // flood the shortlist with same-code low-id vectors (measured: the
+    // retrain rows on the abs arm read 0 bp — a dedup-before-indexing
+    // lesson, not a recall law). The SHIFT drift pushes every appended
+    // vector into the coord-0 > 1 half-space while leaving the other 63
+    // sign-diagonal coords intact: a genuine distribution shift with NO
+    // duplicate degeneracy.
+    def shiftDrifted(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("vec_id"), transform(col("embedding"), (x, i) =>
+        when(i === 0, x + lit(1.0f)).otherwise(x).cast("float")).as("embedding"))
     val qIid = emb.filter(col("vec_id") >= half && col("vec_id") < half + 8)
     require(qIid.count() == 8, "query slice must be 8 vectors")
     // three arms: the toy operating point (m=4, 16 codewords = 16-bit
@@ -61,6 +73,14 @@ object DriftScaleProbe {
     for ((label, batches, qs, m, cb, kP, rm, rcb, rkP) <- Seq(
         ("retrain  drift m4/16->m4/16 ",
           Seq(drifted(b1), drifted(b2)), drifted(qIid), 4, 16, 40, 4, 16, 40),
+        ("retrain  drift m4/16->m8/64 ",
+          Seq(drifted(b1), drifted(b2)), drifted(qIid), 4, 16, 40, 8, 64, 250),
+        ("retrain  shift m4/16->m4/16 ",
+          Seq(shiftDrifted(b1), shiftDrifted(b2)), shiftDrifted(qIid),
+          4, 16, 40, 4, 16, 40),
+        ("retrain  shift m4/16->m8/64 ",
+          Seq(shiftDrifted(b1), shiftDrifted(b2)), shiftDrifted(qIid),
+          4, 16, 40, 8, 64, 250),
         ("retrain  iid   m4/16->m8/64 ",
           Seq(b1, b2), qIid, 4, 16, 40, 8, 64, 250))) {
       val t0 = System.nanoTime()

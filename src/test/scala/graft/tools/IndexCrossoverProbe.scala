@@ -45,8 +45,12 @@ object IndexCrossoverProbe {
       graft.ops.Retrieval.releaseCaches()
       spark.sharedState.cacheManager.clearCache()
     }
-    def time(name: String)(f: => DataFrame): Double = {
-      val ts = (1 to 3).map { _ =>
+    // heavy (build-included) cells run min-of-2 — at crossover margins
+    // (build is 10-100x the read) run-to-run noise is irrelevant and a
+    // third multi-minute pass buys nothing; cheap read cells keep
+    // min-of-3
+    def time(name: String, reps: Int = 3)(f: => DataFrame): Double = {
+      val ts = (1 to reps).map { _ =>
         clear()
         val t0 = System.nanoTime()
         f.write.mode("overwrite").format("noop").save()
@@ -61,7 +65,7 @@ object IndexCrossoverProbe {
     // is an operating point of the driver fixture, not of this law)
 
     // ── DSIR ──────────────────────────────────────────────────────────
-    val direct = time("dsir direct") {
+    val direct = time("dsir direct", reps = 2) {
       graft.ops.Selection.dsirWeights(docs, "doc_id", "text",
         col("lang") === "en", buckets = buckets)
     }
@@ -80,7 +84,7 @@ object IndexCrossoverProbe {
 
     // ── lexical postings ──────────────────────────────────────────────
     val queries = docs.filter(col("doc_id") < 8)
-    val lexDirect = time("lex direct") {
+    val lexDirect = time("lex direct", reps = 2) {
       graft.ops.Retrieval.lexicalTopK(docs, queries, "doc_id", "text",
         k = 10, maxDf = maxDf)
     }

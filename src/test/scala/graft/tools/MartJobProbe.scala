@@ -23,7 +23,8 @@ object MartJobProbe {
     spark.sparkContext.addSparkListener(new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit = {
         jobs.incrementAndGet()
-        if (sys.props.contains("graft.mart.debug"))
+        if (sys.props.contains("graft.mart.debug") ||
+            sys.env.contains("GRAFT_MART_DEBUG"))
           println(s"  job ${js.jobId} t=${System.nanoTime()/1000000%100000}: " +
             js.stageInfos.map(si => s"${si.name.takeWhile(_ != '(')}x${si.numTasks}")
               .mkString(" | "))
