@@ -36,6 +36,13 @@ class PlanGateSpec extends SparkSpec {
     // indexed variant keeps the same bounded-query brute-force vector arm;
     // the postings probe it adds is a broadcast EQUI-join (r17)
     "q_hybrid_rrf_indexed" -> Seq("broadcast-nested-loop"),
+    // full-steady-state hybrid (r18): the vector arm probes the PERSISTED
+    // IVF-PQ index, so the ONE remaining BNLJ is the documented
+    // query-centroid probe fan-out (|Q| x nCentroids rows, both sides
+    // bounded — same as its q_sim_ivfpq_* siblings); cell assignment
+    // happened at index-build time, its fan-out is not in this plan, and
+    // the lexical arm + fusion are all equi-joins
+    "q_hybrid_rrf_ann"     -> Seq("broadcast-nested-loop"),
     // PQ recall eval embeds the brute-force exact side, like
     // q_eval_ann_recall; the PQ chain itself is all broadcast equi-joins
     "q_eval_pq_recall"     -> Seq("broadcast-nested-loop"),
