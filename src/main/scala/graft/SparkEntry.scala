@@ -27,8 +27,7 @@ object SparkEntry {
     "customer_sales_report" -> ((s, dir) => CustomerSalesReport(s, dir)),
     // Q1 duplicate gate — offending groups on a deliberately non-unique key
     "dup_check" -> ((s, dir) => Quality.duplicates(
-      graft.model.Entities.read(s, dir, "lineitem"), Seq("l_orderkey"))
-      .orderBy("l_orderkey")),
+      graft.model.Entities.read(s, dir, "lineitem"), Seq("l_orderkey"))),
     // Q2-Q7 Raptor reconciliation surface
     "reconcile_row_diff" -> ((s, dir) => ReconcileQueries.rowDiff(s, dir)),
     "reconcile_col_mismatch" -> ((s, dir) => ReconcileQueries.colMismatch(s, dir)),

@@ -65,7 +65,7 @@ object CurationQueries {
       Retrieval.hybridTopK(docs(s, dir), emb(s, dir), "doc_id", "text",
           "vec_id", "embedding", queryMaxId = HybridQueryIds,
           kArm = HybridArmK, k = HybridK, maxDf = HybridMaxDf, k0 = RrfK0)
-        .orderBy("query_id", "rk")),
+        ),
 
     // ── DSIR importance selection ────────────────────────────────────
     // per-doc hashed-bigram importance weight against the lang='en'
@@ -73,14 +73,14 @@ object CurationQueries {
     "q_select_dsir" -> ((s, dir) =>
       Selection.dsirWeights(docs(s, dir), "doc_id", "text",
           col("lang") === "en", buckets = DsirBuckets)
-        .orderBy("doc_id")),
+        ),
 
     // the actual selection: 50 most target-like docs (sort-limit —
     // TakeOrderedAndProject per-partition heaps, nothing global sorts)
     "q_select_dsir_topn" -> ((s, dir) =>
       Selection.dsirSelectTopN(docs(s, dir), "doc_id", "text",
           col("lang") === "en", n = DsirTopN, buckets = DsirBuckets)
-        .orderBy("doc_id")),
+        ),
 
     // the same weights through the persisted-index path (r17): the
     // token-explode + md5 build runs ONCE into the IndexStore; this
@@ -96,7 +96,7 @@ object CurationQueries {
           col("lang") === "en", buckets = DsirBuckets)
       }
       Selection.dsirWeightsFromIndex(idx, docs(s, dir).select("doc_id"), "doc_id")
-        .orderBy("doc_id")
+
     }),
 
     // the selection-from-index composition (r18, VERDICT r17 item 3):
@@ -114,7 +114,7 @@ object CurationQueries {
       }
       Selection.dsirSelectTopNFromIndex(idx, docs(s, dir).select("doc_id"),
           "doc_id", n = DsirTopN)
-        .orderBy("doc_id")
+
     }),
 
     // hybrid retrieval through the persisted postings index (r17): the
@@ -137,7 +137,7 @@ object CurationQueries {
         e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
         HybridArmK)
       Retrieval.rrfFuse(lex, vec, k = HybridK, k0 = RrfK0)
-        .orderBy("query_id", "rk")
+
     }),
 
     // hybrid retrieval at FULL index steady state (r18, VERDICT r17
@@ -176,7 +176,7 @@ object CurationQueries {
         e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
         k = HybridArmK, kPrime = IvfPqRefineK, nProbe = IvfPqProbe)
       Retrieval.rrfFuse(lex, vec, k = HybridK, k0 = RrfK0)
-        .orderBy("query_id", "rk")
+
     }),
 
     // ── product-quantization ANN ─────────────────────────────────────
@@ -187,7 +187,7 @@ object CurationQueries {
       Similarity.pqTopK(e, e.filter(col("vec_id") < HybridQueryIds),
           "vec_id", "embedding", k = HybridK, m = PqM,
           codebookSize = PqCodebook, dims = PqDims)
-        .orderBy("query_id", "rk")
+
     }),
 
     // same ranking through the persistable index path (encode once,
@@ -199,7 +199,7 @@ object CurationQueries {
         m = PqM, codebookSize = PqCodebook, dims = PqDims)
       Similarity.pqTopKIndexed(idx, e.filter(col("vec_id") < HybridQueryIds),
           "vec_id", "embedding", k = HybridK)
-        .orderBy("query_id", "rk")
+
     }),
 
     // the FAISS-style composite: probe 4 of 16 L2 cells, rank members by
@@ -210,7 +210,7 @@ object CurationQueries {
           "vec_id", "embedding", k = HybridK, nCentroids = IvfPqCells,
           nProbe = IvfPqProbe, m = PqM, codebookSize = PqCodebook,
           dims = PqDims)
-        .orderBy("query_id", "rk")
+
     }),
 
     // PQ quality, measured not asserted: per-query recall@5 of the ADC
@@ -223,7 +223,7 @@ object CurationQueries {
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", HybridK),
         Similarity.pqTopK(e, q, "vec_id", "embedding", k = HybridK,
           m = PqM, codebookSize = PqCodebook, dims = PqDims),
-        "query_id", "nn_id").orderBy("query_id")
+        "query_id", "nn_id")
     }),
 
     // ── refine stage (r16) ───────────────────────────────────────────
@@ -235,7 +235,7 @@ object CurationQueries {
       Similarity.pqTopKRefined(e, e.filter(col("vec_id") < HybridQueryIds),
           "vec_id", "embedding", k = HybridK, kPrime = PqRefineK, m = PqM,
           codebookSize = PqCodebook, dims = PqDims)
-        .orderBy("query_id", "rk")
+
     }),
 
     // the composite with the same refine tail — probe miss and
@@ -246,7 +246,7 @@ object CurationQueries {
           "vec_id", "embedding", k = HybridK, kPrime = IvfPqRefineK,
           nCentroids = IvfPqCells, nProbe = IvfPqProbe, m = PqM,
           codebookSize = PqCodebook, dims = PqDims)
-        .orderBy("query_id", "rk")
+
     }),
 
     // the composite through the persistable index path (encode once,
@@ -260,7 +260,7 @@ object CurationQueries {
         dims = PqDims)
       Similarity.ivfPqTopKIndexed(idx, e.filter(col("vec_id") < HybridQueryIds),
           "vec_id", "embedding", k = HybridK, nProbe = IvfPqProbe)
-        .orderBy("query_id", "rk")
+
     }),
 
     // indexed+refined compositions — the full production query shape
@@ -274,7 +274,7 @@ object CurationQueries {
       Similarity.pqTopKIndexedRefined(idx, e,
           e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
           k = HybridK, kPrime = PqRefineK)
-        .orderBy("query_id", "rk")
+
     }),
 
     "q_sim_ivfpq_indexed_refined" -> ((s, dir) => {
@@ -285,7 +285,7 @@ object CurationQueries {
       Similarity.ivfPqTopKIndexedRefined(idx, e,
           e.filter(col("vec_id") < HybridQueryIds), "vec_id", "embedding",
           k = HybridK, kPrime = IvfPqRefineK, nProbe = IvfPqProbe)
-        .orderBy("query_id", "rk")
+
     }),
 
     // cell-occupancy report (r17): the operational retrain-trigger input
@@ -296,7 +296,7 @@ object CurationQueries {
       val idx = Similarity.buildIvfPqIndex(e, "vec_id", "embedding",
         nCentroids = IvfPqCells, m = PqM, codebookSize = PqCodebook,
         dims = PqDims)
-      Similarity.ivfPqCellStats(idx).orderBy("ccid")
+      Similarity.ivfPqCellStats(idx)
     }),
 
     // refined-path recall — the number that justifies the refine stage:
@@ -310,7 +310,7 @@ object CurationQueries {
         Similarity.pqTopKRefined(e, q, "vec_id", "embedding", k = HybridK,
           kPrime = PqRefineK, m = PqM, codebookSize = PqCodebook,
           dims = PqDims),
-        "query_id", "nn_id").orderBy("query_id")
+        "query_id", "nn_id")
     }),
   )
 

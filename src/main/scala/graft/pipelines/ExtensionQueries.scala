@@ -358,19 +358,19 @@ object ExtensionQueries {
     "q_scale_robust" -> ((s, dir) =>
       graft.ops.Scaling.robustScale(docs(s, dir), "lang", "n_chars")
         .select("doc_id", "lang", "n_chars", "robust_z")
-        .orderBy("doc_id")),
+        ),
 
     "q_scale_minmax" -> ((s, dir) =>
       graft.ops.Scaling.minMaxScale(events(s, dir), "event_type", "value")
         .select("event_id", "event_type", "value", "minmax")
-        .orderBy("event_id")),
+        ),
 
     // winsorization: clip per-lang lengths into the exact [p05, p95]
     // band — order statistics + comparisons only, no arithmetic
     "q_scale_winsorized" -> ((s, dir) =>
       graft.ops.Scaling.winsorize(docs(s, dir), "lang", "n_chars", 0.05, 0.95)
         .select("doc_id", "lang", "n_chars", "clipped", "was_clipped")
-        .orderBy("doc_id")),
+        ),
 
     // ── behavioral analytics over the event stream ───────────────────
     // ordered funnel: min step-k time strictly after the user's step-k−1
@@ -379,46 +379,44 @@ object ExtensionQueries {
     "q_funnel_users" -> ((s, dir) =>
       graft.ops.Funnel.funnelTimes(events(s, dir), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"))
-        .orderBy("user_id")),
+        ),
 
     "q_funnel_summary" -> ((s, dir) =>
       graft.ops.Funnel.funnelSummary(events(s, dir), "user_id", "event_type",
         "ts", Seq("view", "click", "purchase"))
-        .orderBy("stage")),
+        ),
 
     "q_cohort_retention" -> ((s, dir) =>
       graft.ops.Cohort.retention(events(s, dir), "user_id", "ts")
-        .orderBy("cohort_day", "day_offset")),
+        ),
 
     // ── dataset profiling ────────────────────────────────────────────
     "q_profile_documents" -> ((s, dir) =>
       graft.ops.Profile.profile(docs(s, dir),
         Seq("doc_id", "lang", "source", "n_chars"))
-        .orderBy("col_name")),
+        ),
 
     // per-group (per-language) profile: |groups| × |cols| stats rows
     // from ONE keyed aggregation + post-agg explode
     "q_profile_by_lang" -> ((s, dir) =>
       graft.ops.Profile.profileBy(docs(s, dir), "lang",
         Seq("doc_id", "source", "n_chars"))
-        .orderBy("lang", "col_name")),
+        ),
 
     "q_histogram_chars" -> ((s, dir) =>
       graft.ops.Histogram.histogram(docs(s, dir), "n_chars", 0L, 1023L, 16)
-        .orderBy("bin")),
+        ),
 
     // ── deduplication ────────────────────────────────────────────────
     "q_dedup_exact_rows" -> ((s, dir) =>
       Dedup.exactRows(li(s, dir).select("l_returnflag", "l_linestatus"))
-        .orderBy("l_returnflag", "l_linestatus")),
+        ),
 
     "q_dedup_exact_key" -> ((s, dir) =>
-      Dedup.exactByKey(docs(s, dir), Seq("text"), "doc_id").orderBy("keep_id")),
+      Dedup.exactByKey(docs(s, dir), Seq("text"), "doc_id")),
 
     "q_dedup_jaccard" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold),
-        col("doc_i"), col("doc_j"))),
+      (Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold))),
 
     // the df-capped 100 TB mode, sharing the exact oracle: candidate
     // generation skips shingles with df > 50, the verify is exact over the
@@ -426,9 +424,8 @@ object ExtensionQueries {
     // exceeds the cap — near-dups at J ≥ 0.8 share their (mostly rare)
     // shingles, so the cap provably loses nothing here (spec-checked too)
     "q_dedup_jaccard_capped" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold,
-          maxDf = Some(50)), col("doc_i"), col("doc_j"))),
+      (Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 3, JaccardThreshold,
+          maxDf = Some(50)))),
 
     // the adaptive mode: a one-job probe over the shingle index projects
     // the candidate-join volume and engages the cap only when the exact
@@ -437,9 +434,8 @@ object ExtensionQueries {
     // (no insurance premium), on a common-shingle corpus it pays the cap
     // and keeps the measured 19× win; either branch shares this oracle
     "q_dedup_jaccard_adaptive" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.jaccardPairsAdaptive(docs(s, dir), "doc_id", "text", 3,
-          JaccardThreshold, cap = 50), col("doc_i"), col("doc_j"))),
+      (Dedup.jaccardPairsAdaptive(docs(s, dir), "doc_id", "text", 3,
+          JaccardThreshold, cap = 50))),
 
     // exact shared-passage detection via content-defined anchoring: a
     // window is an anchor iff md5 of its leading 8 chars starts with '0'
@@ -447,22 +443,20 @@ object ExtensionQueries {
     // identically wherever it sits), and candidates join on the full
     // window string so every reported pair is exact with no verify pass
     "q_dedup_passages" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.passagePairs(docs(s, dir), "doc_id", "text", window = 50),
-        col("doc_i"), col("doc_j"))),
+      (Dedup.passagePairs(docs(s, dir), "doc_id", "text", window = 50))),
 
     // incremental passage detection: the even-id "corpus" never re-pairs
     // against itself — only corpus × batch window-hash candidates
     "q_dedup_passages_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      ResultSort.sortedSmall(Dedup.passageCrossPairs(
+      (Dedup.passageCrossPairs(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", window = 50), col("doc_i"), col("doc_j"))
+        "doc_id", "text", window = 50))
     }),
 
     "q_dedup_survivors" -> ((s, dir) =>
       Dedup.exactSurvivors(docs(s, dir), Seq("text"), "doc_id")
-        .select("doc_id", "lang", "source", "n_chars").orderBy("doc_id")),
+        .select("doc_id", "lang", "source", "n_chars")),
 
     // cluster-size distribution of the near-dup graph: how much of the
     // corpus sits in dup groups of each size — the dedup-audit view
@@ -475,15 +469,14 @@ object ExtensionQueries {
         .groupBy("cluster_size")
         .agg(count(lit(1)).as("n_clusters"),
           sum("cluster_size").as("n_docs"))
-        .orderBy("cluster_size")
+
     }),
 
     "q_dedup_filtered" -> ((s, dir) => {
       val d = docs(s, dir)
-      ResultSort.sortedSmall(
-        Dedup.removeNearDups(d,
+      (Dedup.removeNearDups(d,
           Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
-          .select("doc_id", "lang", "source", "n_chars"), col("doc_id"))
+          .select("doc_id", "lang", "source", "n_chars"))
     }),
 
     // transitive clustering of the near-dup graph (connected components):
@@ -493,22 +486,21 @@ object ExtensionQueries {
       val d = docs(s, dir)
       Dedup.nearDupClusters(d,
         Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
-        .orderBy("doc_id")
+
     }),
 
     "q_dedup_minhash_lsh" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3,
-          JaccardThreshold), col("doc_i"), col("doc_j"))),
+      (Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 3,
+          JaccardThreshold))),
 
     // incremental ingestion dedup: the odd-id "new batch" checked against
     // the even-id "existing corpus" with a bipartite banded join — the
     // |batch|-proportional form that replaces corpus re-pairing at 100 TB
     "q_dedup_incremental" -> ((s, dir) => {
       val d = docs(s, dir)
-      ResultSort.sortedSmall(Dedup.minhashLshCrossPairs(
+      (Dedup.minhashLshCrossPairs(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
-        "doc_id", "text", 3, JaccardThreshold), col("doc_i"), col("doc_j"))
+        "doc_id", "text", 3, JaccardThreshold))
     }),
 
     // the embedding-side incremental form: a 10% "new batch"
@@ -525,20 +517,16 @@ object ExtensionQueries {
     // oracle row returns one real cross pair per plant.
     "q_dedup_cosine_incremental" -> ((s, dir) => {
       val e = embWithPlantedCross(s, dir)
-      ResultSort.sortedSmall(Dedup.cosineCrossPairsLshAuto(
+      (Dedup.cosineCrossPairsLshAuto(
         e.filter(col("vec_id") % 10 =!= 1), e.filter(col("vec_id") % 10 === 1),
-        "vec_id", "embedding", CosineThresholdProd), col("vec_i"), col("vec_j"))
+        "vec_id", "embedding", CosineThresholdProd))
     }),
 
     "q_dedup_simhash" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3),
-        col("doc_i"), col("doc_j"))),
+      (Dedup.simhashPairs(docs(s, dir), "doc_id", "text", 3))),
 
     "q_dedup_cosine" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.cosinePairs(emb(s, dir), "vec_id", "embedding", CosineThreshold),
-        col("vec_i"), col("vec_j"))),
+      (Dedup.cosinePairs(emb(s, dir), "vec_id", "embedding", CosineThreshold))),
 
     // the bucketed scale path at its PRODUCTION operating point: tight
     // threshold (0.9), 16 tables × 8 planes — buckets actually prune, so
@@ -556,9 +544,8 @@ object ExtensionQueries {
     // 30× replica it is what keeps the sweep linear instead of the
     // measured 102× fixed-config blow-up (SCALE.md round 4).
     "q_dedup_cosine_lsh" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.cosinePairsLshAuto(embWithPlanted(s, dir), "vec_id", "embedding",
-          CosineThresholdProd), col("vec_i"), col("vec_j"))),
+      (Dedup.cosinePairsLshAuto(embWithPlanted(s, dir), "vec_id", "embedding",
+          CosineThresholdProd))),
 
     // the LINEAR-at-decaying-recall pinned-tables mode (VERDICT r14 item
     // 4): planes stay occupancy-sized, tables pinned at 32 — cost
@@ -570,10 +557,8 @@ object ExtensionQueries {
     // mode's recall decay only bites threshold-EDGE pairs, quantified by
     // Dedup.lshMissProbability and spec-pinned in DedupSpec.
     "q_dedup_cosine_lsh_pinned" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        Dedup.cosinePairsLshPinned(embWithPlanted(s, dir), "vec_id",
-          "embedding", CosineThresholdProd, tables = 32),
-        col("vec_i"), col("vec_j"))),
+      (Dedup.cosinePairsLshPinned(embWithPlanted(s, dir), "vec_id",
+          "embedding", CosineThresholdProd, tables = 32))),
 
     // SemDeDup (cluster-then-dedup): k-means cells bound the pair sweep
     // to cluster-mates — Σ n_c² instead of n². iters=0 keeps the whole
@@ -583,30 +568,26 @@ object ExtensionQueries {
     // identical centroid cosines ⇒ same argmax cell: every planted pair
     // is structurally recalled, so the oracle rows are real pairs.
     "q_dedup_semantic" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        SemanticDedup.semanticPairs(embWithPlanted(s, dir), "vec_id",
-          "embedding", CosineThresholdProd, IvfCentroids),
-        col("vec_i"), col("vec_j"))),
+      (SemanticDedup.semanticPairs(embWithPlanted(s, dir), "vec_id",
+          "embedding", CosineThresholdProd, IvfCentroids))),
 
     // greedy keep-lowest-id survivors under the within-cell neighbor
     // relation (dominated-by-any-smaller-id — order-free, one anti-join)
     "q_dedup_semantic_survivors" -> ((s, dir) =>
-      ResultSort.sortedSmall(
-        SemanticDedup.semanticSurvivors(embWithPlanted(s, dir), "vec_id",
-          "embedding", CosineThresholdProd, IvfCentroids),
-        col("vec_id"))),
+      (SemanticDedup.semanticSurvivors(embWithPlanted(s, dir), "vec_id",
+          "embedding", CosineThresholdProd, IvfCentroids))),
 
     // ── similarity search ────────────────────────────────────────────
     "q_sim_bruteforce_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.bruteForceTopK(e, e.filter(col("vec_id") < SimQueryIds),
-        "vec_id", "embedding", SimK).orderBy("query_id", "rk")
+        "vec_id", "embedding", SimK)
     }),
 
     "q_sim_lsh_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.lshTopK(e, e.filter(col("vec_id") < SimQueryIds),
-        "vec_id", "embedding", SimK).orderBy("query_id", "rk")
+        "vec_id", "embedding", SimK)
     }),
 
     // approximation-quality eval: per-query recall of the LSH ANN
@@ -618,7 +599,7 @@ object ExtensionQueries {
       graft.ops.Eval.recallAtK(
         Similarity.bruteForceTopK(e, q, "vec_id", "embedding", SimK),
         Similarity.lshTopK(e, q, "vec_id", "embedding", SimK),
-        "query_id", "nn_id").orderBy("query_id")
+        "query_id", "nn_id")
     }),
 
     // pair-set confusion of SimHash (hamming <= 3) against exact
@@ -637,7 +618,7 @@ object ExtensionQueries {
     "q_sim_ivf_topk" -> ((s, dir) => {
       val e = emb(s, dir)
       Similarity.ivfTopK(e, e.filter(col("vec_id") < SimQueryIds),
-        "vec_id", "embedding", SimK).orderBy("query_id", "rk")
+        "vec_id", "embedding", SimK)
     }),
 
     // skew-salted join — semantically identical to the plain inner join,
@@ -647,7 +628,7 @@ object ExtensionQueries {
       val p = Entities.read(s, dir, "part").select("p_partkey", "p_name")
         .withColumnRenamed("p_partkey", "l_partkey")
       graft.ops.Skew.saltedJoin(l, p, Seq("l_partkey"), 8)
-        .orderBy("l_orderkey", "l_partkey", "l_quantity")
+
     }),
 
     // bloom-reduced anti join — semantically identical to the plain
@@ -662,7 +643,7 @@ object ExtensionQueries {
         .filter(col("o_orderstatus") === "F").select("o_custkey")
       graft.ops.BloomJoin.bloomAntiJoin(c, o, "c_custkey", "o_custkey",
         expectedItems = 200000L, fpp = 0.01)
-        .orderBy("c_custkey")
+
     }),
 
     // Scalable variant of the customer report's global percent_rank
@@ -697,28 +678,26 @@ object ExtensionQueries {
           .as("total_dec"))
         .join(Entities.customers(s, dir), Seq("CUSTOMER_ID"), "inner")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      ResultSort.sortedSmall(
-        graft.ops.Ranks.tiersByPercentRankEager(perCustomer, "total_dec",
+      (graft.ops.Ranks.tiersByPercentRankEager(perCustomer, "total_dec",
             thresholds = Seq(0.2, 0.5), labels = Seq("Gold", "Silver", "Bronze"),
             descending = true, outCol = "LOYALTY_TIER")
           .select(col("CUSTOMER_ID"), col("NAME").as("CUSTOMER_NAME"),
             col("total_dec").cast("double").as("TOTAL_SALES"),
-            col("LOYALTY_TIER")),
-        col("CUSTOMER_ID"))
+            col("LOYALTY_TIER")))
     }),
 
     // Deterministic sampling (reproducible corpus subsetting)
     "q_sample_systematic" -> ((s, dir) =>
       graft.ops.Sampling.systematicSample(
         docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id", 10L, 3L)
-        .orderBy("doc_id")),
+        ),
 
     // balanced per-language eval panel: exactly 12 docs per lang, chosen
     // by md5-key order — deterministic in (doc_id, seed)
     "q_sample_stratum_topk" -> ((s, dir) =>
       graft.ops.Sampling.stratumTopK(
         docs(s, dir).select("doc_id", "lang", "n_chars"), "lang", "doc_id", 12)
-        .orderBy("doc_id")),
+        ),
 
     // deterministic up-sampling corpus mix: src0 ×3 epochs, src1 ×2,
     // the rest ×1 — the per-source repetition weighting of data recipes
@@ -726,7 +705,7 @@ object ExtensionQueries {
       graft.ops.Sampling.repeatByStratum(
         docs(s, dir).select("doc_id", "source"), "source",
         Map("src0" -> 3, "src1" -> 2))
-        .orderBy("doc_id", "copy_idx")),
+        ),
 
     // weighted sampling without replacement (Efraimidis–Spirakis race):
     // 120 docs ∝ n_chars, deterministic in (doc_id, seed) — the
@@ -736,7 +715,7 @@ object ExtensionQueries {
       graft.ops.Sampling.weightedSample(
         docs(s, dir).select("doc_id", "lang", "n_chars"), "doc_id",
         "n_chars", 120, 42L)
-        .orderBy("doc_id")),
+        ),
 
     // ── corpus composition (training-order prep; ops/Composition) ────
     // reproducible pseudorandom training order: every doc tagged with its
@@ -744,21 +723,21 @@ object ExtensionQueries {
     // with repartitionByRange + sortWithinPartitions, never a global sort
     "q_corpus_shuffle" -> ((s, dir) =>
       graft.ops.Composition.shuffled(docs(s, dir), "doc_id", 42L)
-        .select("doc_id", "shuffle_key").orderBy("shuffle_key")),
+        .select("doc_id", "shuffle_key")),
 
     // per-source token budget: sources capped at 5000 chars, taken in
     // per-source pseudorandom order — deterministic in (doc_id, seed)
     "q_corpus_token_budget" -> ((s, dir) =>
       graft.ops.Composition.tokenBudgetPerSource(
         docs(s, dir), "doc_id", "source", "n_chars", 5000L, 42L)
-        .select("doc_id", "source", "n_chars").orderBy("doc_id")),
+        .select("doc_id", "source", "n_chars")),
 
     // round-robin source interleave: rank pseudorandomly within source;
     // global order (rank, source) mixes sources in every training window
     "q_corpus_interleave" -> ((s, dir) =>
       graft.ops.Composition.interleaved(docs(s, dir), "doc_id", "source", 42L)
         .select("doc_id", "source", "interleave_rank")
-        .orderBy("interleave_rank", "source")),
+        ),
 
     // deterministic 90/5/5 train/val/test assignment: membership is a
     // per-row function of (doc_id, seed) against fixed hex boundaries —
@@ -766,7 +745,7 @@ object ExtensionQueries {
     "q_corpus_split" -> ((s, dir) =>
       graft.ops.Composition.splitAssign(docs(s, dir), "doc_id",
         CorpusSplits, 42L)
-        .select("doc_id", "split").orderBy("doc_id")),
+        .select("doc_id", "split")),
 
     // domain reweighting: deterministic downsample to the target language
     // mix — kept total is the max achievable under the proportions, and
@@ -774,7 +753,7 @@ object ExtensionQueries {
     "q_corpus_reweight" -> ((s, dir) =>
       graft.ops.Composition.reweightToTarget(docs(s, dir), "doc_id", "lang",
         ReweightTarget, 42L)
-        .select("doc_id", "lang").orderBy("doc_id")),
+        .select("doc_id", "lang")),
 
     // ── text analysis ────────────────────────────────────────────────
     "q_text_tokens" -> ((s, dir) =>
@@ -783,7 +762,7 @@ object ExtensionQueries {
         length(col("text")).as("n_chars"),
         size(TextAnalysis.tokens(col("text"))).as("n_ws_tokens"),
         size(TextAnalysis.bpeishTokens(col("text"))).as("n_bpe_tokens"))
-        .orderBy("doc_id")),
+        ),
 
     // real merge-table BPE (graft.functions.Bpe) — subword token and
     // unique-subword counts per doc; the oracle replays the identical
@@ -794,7 +773,7 @@ object ExtensionQueries {
         col("doc_id"),
         size(tk).as("n_bpe"),
         size(array_distinct(tk)).as("n_uniq_bpe"))
-        .orderBy("doc_id")
+
     }),
 
     // the packing family re-based on REAL subword counts: budget bins
@@ -802,7 +781,7 @@ object ExtensionQueries {
     "q_pack_bpe_budget" -> ((s, dir) =>
       Packing.nextFitPack(docs(s, dir), "doc_id",
         size(graft.functions.Bpe.tokens(col("text"))), PackBudget, PackGroups)
-        .orderBy("doc_id")),
+        ),
 
     "q_text_langid" -> ((s, dir) => {
       val scores = TextAnalysis.langScores(col("text"))
@@ -810,7 +789,7 @@ object ExtensionQueries {
         col("doc_id") +:
           scores.map { case (l, c) => c.as(s"score_$l") } :+
           TextAnalysis.langId(scores).as("lang_pred"): _*)
-        .orderBy("doc_id")
+
     }),
 
     "q_text_quality" -> ((s, dir) => {
@@ -821,7 +800,7 @@ object ExtensionQueries {
         TextAnalysis.punctRatio(col("text")).as("punct_ratio"),
         TextAnalysis.stopRatio(toks, TextAnalysis.StopEn).as("stop_ratio"),
         TextAnalysis.qualityScore(col("text")).as("quality"))
-        .orderBy("doc_id")
+
     }),
 
     "q_text_fingerprint" -> ((s, dir) =>
@@ -829,20 +808,20 @@ object ExtensionQueries {
         col("doc_id"),
         TextAnalysis.fingerprint(col("text")).as("fp"),
         TextAnalysis.minGramFingerprint(col("text"), 8).as("min_gram8"))
-        .orderBy("doc_id")),
+        ),
 
     "q_text_normalize" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id"),
         TextAnalysis.normalizeText(col("text")).as("text_norm"),
         length(TextAnalysis.normalizeText(col("text"))).as("n_chars_norm"))
-        .orderBy("doc_id")),
+        ),
 
     "q_text_flags" -> ((s, dir) =>
       docs(s, dir).select(
         col("doc_id") +:
           TextAnalysis.contentFlags(col("text")).map { case (n, c) => c.as(n) }: _*)
-        .orderBy("doc_id")),
+        ),
 
     // corpus vocabulary: df/tf per token (the TF-IDF ingredients), top-100
     // by (tf, token) — a total order, so the limit is deterministic
@@ -852,7 +831,7 @@ object ExtensionQueries {
 
     "q_text_doc_topterms" -> ((s, dir) =>
       TextAnalysis.docTopTerms(docs(s, dir), "doc_id", "text", 3)
-        .orderBy("doc_id", "rk")),
+        ),
 
     // exact frequent tokens over the n/k threshold via two-pass
     // Misra–Gries (bounded-memory candidates, exact rescan) — the sketch
@@ -860,13 +839,13 @@ object ExtensionQueries {
     // positives are culled and false negatives are impossible
     "q_text_heavy_hitters" -> ((s, dir) =>
       graft.ops.HeavyHitters.frequentTokens(docs(s, dir), "text", HeavyHitterK)
-        .orderBy(col("cnt").desc, col("token"))),
+        ),
 
     // TF-IDF-style keyword extraction with the rational idf N/df (log-free
     // for bit-reproducibility — any monotone idf ranks identically per doc)
     "q_text_tfidf" -> ((s, dir) =>
       TextAnalysis.tfidfTopTerms(docs(s, dir), "doc_id", "text", 3)
-        .orderBy("doc_id", "rk")),
+        ),
 
     // Gopher-style repetition quality signals: duplicate token / 2-gram /
     // 3-gram occurrence fractions per document
@@ -875,14 +854,14 @@ object ExtensionQueries {
         TextAnalysis.dupGramFraction(col("text"), 1).as("dup_tok_frac"),
         TextAnalysis.dupGramFraction(col("text"), 2).as("dup_2gram_frac"),
         TextAnalysis.dupGramFraction(col("text"), 3).as("dup_3gram_frac"))
-        .orderBy("doc_id")),
+        ),
 
     // PII-style redaction pass (URL → email → digit-run, order matters)
     "q_text_redact" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
         TextAnalysis.redactPii(col("text")).as("text_redacted"),
         length(TextAnalysis.redactPii(col("text"))).as("n_chars_redacted"))
-        .orderBy("doc_id")),
+        ),
 
     // corpus-LM perplexity-style scoring, bit-exact across engines: the
     // per-bigram log-likelihood is floored to integer BITS (binary-string
@@ -891,18 +870,17 @@ object ExtensionQueries {
     // filters drop
     "q_text_lm_score" -> ((s, dir) =>
       graft.ops.LanguageModel.bigramBitScores(docs(s, dir), "doc_id", "text")
-        .orderBy("doc_id")),
+        ),
 
     // ── train/eval contamination (decontamination sweep) ─────────────
     // eval slice = doc_id % 7 == 0, train = the rest; containment =
     // shared-shingle fraction of the EVAL doc's shingles
     "q_contam_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
-      ResultSort.sortedSmall(Contamination.containmentPairs(
+      (Contamination.containmentPairs(
         d.filter(col("doc_id") % ContamEvalMod =!= 0),
         d.filter(col("doc_id") % ContamEvalMod === 0),
-        "doc_id", "text", 3, ContamThreshold),
-        col("eval_id"), col("train_id"))
+        "doc_id", "text", 3, ContamThreshold))
     }),
 
     // the 100 TB decontamination shape: a Bloom filter of the eval
@@ -915,35 +893,34 @@ object ExtensionQueries {
     // the probe picks the exact plan and the sketch premium vanishes
     "q_contam_bloom" -> ((s, dir) => {
       val d = docs(s, dir)
-      ResultSort.sortedSmall(Contamination.containmentPairsBloomAdaptive(
+      (Contamination.containmentPairsBloomAdaptive(
         d.filter(col("doc_id") % ContamEvalMod =!= 0),
         d.filter(col("doc_id") % ContamEvalMod === 0),
-        "doc_id", "text", 3, ContamThreshold),
-        col("eval_id"), col("train_id"))
+        "doc_id", "text", 3, ContamThreshold))
     }),
 
     "q_contam_summary" -> ((s, dir) => {
       val d = docs(s, dir)
       val eval = d.filter(col("doc_id") % ContamEvalMod === 0)
-      ResultSort.sortedSmall(Contamination.evalSummary(eval,
+      (Contamination.evalSummary(eval,
         Contamination.containmentPairs(
           d.filter(col("doc_id") % ContamEvalMod =!= 0), eval,
           "doc_id", "text", 3, ContamThreshold),
-        "doc_id"), col("eval_id"))
+        "doc_id"))
     }),
 
     // ── token-budget sequence packing ────────────────────────────────
     "q_pack_nextfit" -> ((s, dir) =>
       Packing.nextFitPack(docs(s, dir), "doc_id",
         size(TextAnalysis.tokens(col("text"))), PackBudget, PackGroups)
-        .orderBy("doc_id")),
+        ),
 
     "q_pack_bins" -> ((s, dir) =>
       Packing.binStats(
         Packing.nextFitPack(docs(s, dir), "doc_id",
           size(TextAnalysis.tokens(col("text"))), PackBudget, PackGroups),
         PackBudget)
-        .orderBy("pack_group", "bin_id")),
+        ),
 
     // bins materialized as actual training sequences (doc_id-ordered
     // concatenation); md5 at the edge keeps the row narrow for the driver
@@ -955,13 +932,13 @@ object ExtensionQueries {
         d, "doc_id", "text")
         .select(col("pack_group"), col("bin_id"), col("n_docs"), col("fill"),
           md5(col("seq_text")).as("seq_md5"))
-        .orderBy("pack_group", "bin_id")
+
     }),
 
     // sliding token-window chunking (64-token windows, stride 48)
     "q_text_chunks" -> ((s, dir) =>
       TextAnalysis.chunkTokens(docs(s, dir), "doc_id", "text", 64, 48)
-        .orderBy("doc_id", "chunk_idx")),
+        ),
 
     // the composed quality sweep every corpus runs before training:
     // length floor + quality score + repetition cap + PII-free, all
@@ -972,7 +949,7 @@ object ExtensionQueries {
     "q_corpus_filter" -> ((s, dir) =>
       graft.streaming.CorpusStreams.qualityGate(docs(s, dir))
         .select("doc_id", "lang", "n_chars")
-        .orderBy("doc_id")),
+        ),
 
     // the FLAGSHIP curation sweep — the whole pre-training pipeline as
     // one composed declarative plan Catalyst optimizes end to end:
@@ -984,7 +961,7 @@ object ExtensionQueries {
       val unique = Dedup.exactSurvivors(quality, Seq("text"), "doc_id")
       graft.ops.Composition.splitAssign(unique, "doc_id", CorpusSplits, 42L)
         .select("doc_id", "lang", "source", "n_chars", "split")
-        .orderBy("doc_id")
+
     }),
 
     // exact corpus quantiles by distributed selection (no sort, no
@@ -995,7 +972,7 @@ object ExtensionQueries {
         .exactQuantiles(docs(s, dir), "n_chars", Seq(0.50, 0.90, 0.99))
         .map { case (q, v) => (f"p${(q * 100).toInt}%02d", v) }
         .toDF("metric", "value")
-        .orderBy("metric")
+
     }),
 
     // the sketch-SEEDED exact selection: a one-pass GK sketch brackets
@@ -1010,7 +987,7 @@ object ExtensionQueries {
         .exactQuantilesSeeded(docs(s, dir), "n_chars", Seq(0.50, 0.90, 0.99))
         .map { case (q, v) => (f"p${(q * 100).toInt}%02d", v) }
         .toDF("metric", "value")
-        .orderBy("metric")
+
     }),
 
     // quantile-threshold sweep: keep docs at or above the corpus median
@@ -1020,7 +997,7 @@ object ExtensionQueries {
       val d = docs(s, dir)
       val p50 = graft.ops.Quantiles.exactQuantiles(d, "n_chars", Seq(0.5)).head._2
       d.filter(col("n_chars") >= p50)
-        .select("doc_id", "lang", "n_chars").orderBy("doc_id")
+        .select("doc_id", "lang", "n_chars")
     }),
 
     // per-group exact median: a (lang)-partitioned window — parallel
@@ -1034,7 +1011,7 @@ object ExtensionQueries {
         .withColumn("cnt", count(lit(1)).over(wc))
         .filter(col("rn") === ceil(col("cnt") * 0.5).cast("int"))
         .select(col("lang"), col("n_chars").as("median_n_chars"))
-        .orderBy("lang")
+
     }),
 
     // the SCALABLE form of the same median: per-group distributed
@@ -1047,7 +1024,7 @@ object ExtensionQueries {
       val t = d.schema("n_chars").dataType
       graft.ops.Quantiles.groupedExactQuantile(d, "lang", "n_chars", 0.5)
         .select(col("lang"), col("value").cast(t).as("median_n_chars"))
-        .orderBy("lang")
+
     }),
 
     // the DOUBLE variant: exact value quantiles via the order-preserving
@@ -1061,7 +1038,7 @@ object ExtensionQueries {
           Seq(0.50, 0.90, 0.99))
         .map { case (q, v) => (f"p${(q * 100).toInt}%02d", v) }
         .toDF("metric", "value")
-        .orderBy("metric")
+
     }),
 
     // ── embedding preprocessing ──────────────────────────────────────
@@ -1073,7 +1050,7 @@ object ExtensionQueries {
           graft.ops.Embeddings.l2Normalize(col("embedding")),
           f => floor(f.cast("double") * lit(1000000.0)).cast("string")))
           .as("norm_q6"))
-        .orderBy("vec_id")),
+        ),
 
     "q_emb_quantize" -> ((s, dir) =>
       // materialize the quantizer struct in its own projection so the
@@ -1085,7 +1062,7 @@ object ExtensionQueries {
           concat_ws(" ", transform(col("qz.q"), x => x.cast("string")))
             .as("q_str"),
           col("qz.scale").as("scale"))
-        .orderBy("vec_id")),
+        ),
 
     // ── streaming transforms, run in batch mode (same plan runs under
     //    readStream + watermark — see EventStreams / StreamingSpec) ────
@@ -1096,20 +1073,20 @@ object ExtensionQueries {
     "q_events_windowed" -> ((s, dir) =>
       EventStreams.tumblingStats(events(s, dir))
         .withColumn("total_value", col("total_value").cast("double"))
-        .orderBy("window_start", "event_type")),
+        ),
 
     "q_events_sliding" -> ((s, dir) =>
       EventStreams.slidingStats(events(s, dir))
         .withColumn("total_value", col("total_value").cast("double"))
-        .orderBy("window_start", "event_type")),
+        ),
 
     "q_events_sessionize" -> ((s, dir) =>
       EventStreams.sessionStats(events(s, dir))
         .withColumn("total_value", col("total_value").cast("double"))
-        .orderBy("user_id", "session_start")),
+        ),
 
     "q_events_props" -> ((s, dir) =>
-      EventStreams.propsK(events(s, dir)).orderBy("event_id")),
+      EventStreams.propsK(events(s, dir))),
 
     // the mapGroupsWithState operator run in batch mode (one state pass
     // per group): integer-cents accumulation is order-independent, so the
@@ -1117,7 +1094,7 @@ object ExtensionQueries {
     "q_events_running_totals" -> ((s, dir) => {
       import s.implicits._
       EventStreams.runningTotals(events(s, dir).as[EventStreams.Event])
-        .toDF().orderBy("user_id")
+        .toDF()
     }),
 
     // regular-grid resample + LOCF gap fill: dense per-user hour grid
@@ -1136,14 +1113,14 @@ object ExtensionQueries {
         .resampleLocfShared(events(s, dir), "user_id", "ts", "value", "hour")
         .withColumn("bucket_value", col("bucket_value").cast("double"))
         .withColumn("locf_value", col("locf_value").cast("double"))
-        .orderBy("user_id", "bucket")),
+        ),
 
     // per-key freshness report off the same grid: bucket counts, gap
     // counts and the longest consecutive empty run (gaps-and-islands)
     "q_events_gap_summary" -> ((s, dir) =>
       graft.ops.TimeSeries
         .gapSummary(events(s, dir), "user_id", "ts", "value", "hour")
-        .orderBy("user_id")),
+        ),
 
     // As-of join (union-window form; DuckDB's native ASOF JOIN is the
     // oracle): each event joined to the user's latest strictly-earlier
@@ -1153,7 +1130,7 @@ object ExtensionQueries {
       graft.ops.AsOf.asOfJoin(e, e, Seq("user_id"), "ts", "ts", strict = true)
         .select(col("event_id"), col("user_id"), col("ts"), col("value"),
           col("asof_ts"), col("asof_value"))
-        .orderBy("event_id")
+
     }),
 
     // Range join (bin-bucketed equi-join + exact filter): events landing
@@ -1169,7 +1146,7 @@ object ExtensionQueries {
         .filter(col("ts") > col("range_start_ts")) // strictly after, excludes self
         .select(col("event_id"), col("range_interval_id").as("interval_id"),
           col("user_id"))
-        .orderBy("event_id", "interval_id")
+
     }),
 
     // two-sided CUSUM drift over per-type hourly value sums: the
@@ -1187,7 +1164,7 @@ object ExtensionQueries {
           (col("cusum_hi") * 100).cast("long").as("cusum_hi_c"),
           (col("cusum_lo") * 100).cast("long").as("cusum_lo_c"),
           col("is_drift"))
-        .orderBy("event_type", "bucket")),
+        ),
 
     // per-hour value percentile bands (p50/p95) — the SLO-monitoring
     // shape: ~720 hour-groups through ONE multi-rank grouped selection
@@ -1198,7 +1175,7 @@ object ExtensionQueries {
       graft.ops.Quantiles
         .groupedExactQuantilesDouble(e, "hour", "value",
           Seq("p50" -> 0.5, "p95" -> 0.95))
-        .orderBy("hour")
+
     }),
 
     // Interval-overlap join (bin-bucketed, exactly-once by the
@@ -1212,7 +1189,7 @@ object ExtensionQueries {
           "start_ts", "end_ts", "start_ts", "end_ts", 1800L)
         .filter(col("event_id") < col("r_event_id"))
         .select("event_id", "r_event_id", "user_id")
-        .orderBy("event_id", "r_event_id")
+
     }),
 
     // ── multimodal binary-column plumbing ────────────────────────────
@@ -1224,14 +1201,14 @@ object ExtensionQueries {
         col("meta.width").as("width"), col("meta.height").as("height"),
         col("meta.sample_rate").as("sample_rate"),
         col("meta.duration_ms").as("duration_ms"))
-        .orderBy("media_id")
+
     }),
 
     "q_multimodal_frames" -> ((s, dir) =>
       Multimodal.frameSample(Multimodal.mediaFromDocuments(docs(s, dir)), 32)
         .select(col("media_id"), col("frame_idx"),
           md5(col("frame_bytes")).as("frame_md5"))
-        .orderBy("media_id", "frame_idx")),
+        ),
 
     // nearest-neighbor byte resize to a 64-byte budget; md5 at the edge
     // (binary columns don't survive the driver's pandas sort)
@@ -1240,7 +1217,7 @@ object ExtensionQueries {
         .select(col("media_id"), col("modality"),
           length(col("resized")).as("n_bytes"),
           md5(col("resized")).as("resized_md5"))
-        .orderBy("media_id")),
+        ),
 
     // features quantized (floor(f·1e6), exact: the stub's double math and
     // float rounding are IEEE-identical in DuckDB) and serialized at the
@@ -1252,7 +1229,7 @@ object ExtensionQueries {
           concat_ws(" ", transform(col("features"),
             f => floor(f.cast("double") * lit(1000000.0)).cast("string")))
             .as("features_q6"))
-        .orderBy("media_id")),
+        ),
 
     // ── the end-to-end curation pipeline (composition flagship) ──────
     // length gate → quality gate → jaccard near-dedup → decontamination
@@ -1289,7 +1266,7 @@ object ExtensionQueries {
       gates
         .unionByName(stage("3_near_dedup", d3))
         .unionByName(stage("4_decontaminated", d4))
-        .orderBy("stage")
+
     }),
 
     // pre-flight join cardinality audit: predicted output rows and the
@@ -1323,7 +1300,7 @@ object ExtensionQueries {
     "q_stats_corr" -> ((s, dir) =>
       graft.ops.Stats.groupedCorrSlope(li(s, dir), Seq("l_returnflag"),
         "l_quantity", "l_extendedprice", scale = 100L)
-        .orderBy("l_returnflag")),
+        ),
 
     // per-doc novelty: fraction of distinct 3-gram shingles unique to
     // the doc corpus-wide (df = 1) — the inverse-contamination
@@ -1331,7 +1308,7 @@ object ExtensionQueries {
     "q_text_novelty" -> ((s, dir) =>
       Dedup.noveltyScores(docs(s, dir), "doc_id", "text", 3)
         .withColumnRenamed("id", "doc_id")
-        .orderBy("doc_id")),
+        ),
 
     // language-ID evaluation: confusion matrix of actual vs predicted
     // language with per-actual-language fractions — the eval-table
@@ -1344,7 +1321,7 @@ object ExtensionQueries {
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .withColumn("frac", col("n").cast("double") /
           sum("n").over(Window.partitionBy("lang")).cast("double"))
-        .orderBy("lang", "lang_pred")
+
     }),
 
     // tokenizer-planning metric: what fraction of token occurrences
@@ -1366,7 +1343,7 @@ object ExtensionQueries {
     "q_events_transitions" -> ((s, dir) =>
       graft.ops.Transitions
         .transitionMatrix(events(s, dir), "user_id", "ts", "event_type", "event_id")
-        .orderBy("from_action", "to_action")),
+        ),
 
     // ── nucleus-style corpus selection ───────────────────────────────
     // per source, keep the docs carrying the top half of character
@@ -1376,7 +1353,7 @@ object ExtensionQueries {
       graft.ops.Composition
         .selectTopMass(docs(s, dir), "source", "n_chars", 1L, 2L)
         .select("doc_id", "source", "n_chars", "threshold")
-        .orderBy("doc_id")),
+        ),
 
     // session path histogram: ordered action strings per gap-session,
     // top-50 by frequency (sorted-struct collect — deterministic)
@@ -1393,7 +1370,7 @@ object ExtensionQueries {
       graft.ops.Drift.driftBins(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0),
         "n_chars", 0L, 1023L, 16)
-        .orderBy("bin")
+
     }),
 
     // one-row TVD + max-gap summary; numerator in exact integer
@@ -1421,7 +1398,7 @@ object ExtensionQueries {
       TextAnalysis.bm25TopTerms(docs(s, dir), "doc_id", "text", 3)
         .select(col("doc_id"), col("token"), col("tf"), col("df"),
           col("dl"), col("weight_q"), col("rk"))
-        .orderBy("doc_id", "rk")),
+        ),
 
     // C4-style segment pruning: drop every token whose corpus document
     // frequency exceeds 395 (measured boilerplate, not a fixed lexicon);
@@ -1430,7 +1407,7 @@ object ExtensionQueries {
     "q_text_segment_prune" -> ((s, dir) =>
       TextAnalysis.segmentPrune(docs(s, dir), "doc_id", "text",
           sep = " ", maxDf = 395L)
-        .orderBy("doc_id")),
+        ),
 
     // Gopher-rule quality flags (word count, mean word length, symbol
     // ratio, alphabetic-word fraction, stopword presence) — integer
@@ -1438,7 +1415,7 @@ object ExtensionQueries {
     "q_text_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQualityFlags(docs(s, dir), "doc_id", "text",
           minWords = 20L, maxWords = 100000L)
-        .orderBy("doc_id")),
+        ),
 
     // corpus collocations: top-100 bigrams by PMI-monotone lift,
     // min-count 5 — shuffle-free pair construction, two aggregations
@@ -1456,14 +1433,14 @@ object ExtensionQueries {
         .filter(col("is_outlier"))
         .select(col("event_id"), col("event_type"), col("value"),
           col("med"), col("mad"), col("dev"))
-        .orderBy("event_id")),
+        ),
 
     // ── equi-depth histogram ─────────────────────────────────────────
     // 8 near-equal-count buckets of document lengths; edges are exact
     // type-1 quantiles from the distributed selection protocol
     "q_histogram_equidepth" -> ((s, dir) =>
       graft.ops.Histogram.equiDepth(docs(s, dir), "n_chars", 8)
-        .orderBy("bucket")),
+        ),
 
     // ── corpus governance ────────────────────────────────────────────
     // k-anonymity release gate on (lang, source, 200-char length band)
@@ -1475,7 +1452,7 @@ object ExtensionQueries {
         docs(s, dir).select(col("doc_id"), col("lang"), col("source"),
           expr("n_chars div 200").as("band")),
         "doc_id", Seq("lang", "source", "band"), k = 4L)
-        .orderBy("doc_id")),
+        ),
 
     // l-diversity audit on the same release shape: every (lang, length
     // band) group sized and checked for >= 3 distinct sources — one
@@ -1485,7 +1462,7 @@ object ExtensionQueries {
         docs(s, dir).select(col("lang"), col("source"),
           expr("n_chars div 200").as("band")),
         Seq("lang", "band"), "source", l = 3L)
-        .orderBy("lang", "band")),
+        ),
 
     // incremental k-anonymity: the doc_id%10==1 batch gated against the
     // persisted quasi index of the other 90% — group size = corpus
@@ -1499,7 +1476,7 @@ object ExtensionQueries {
       graft.ops.Privacy.kAnonymizeAgainst(batch,
         graft.ops.Privacy.buildQuasiIndex(corpus, Seq("lang", "source", "band")),
         "doc_id", Seq("lang", "source", "band"), k = 4L)
-        .orderBy("doc_id")
+
     }),
 
     // t-closeness: every (lang, length band) group's source distribution
@@ -1510,7 +1487,7 @@ object ExtensionQueries {
         docs(s, dir).select(col("lang"), col("source"),
           expr("n_chars div 200").as("band")),
         Seq("lang", "band"), "source", tBp = 2000L)
-        .orderBy("lang", "band")),
+        ),
 
     // cross-source near-dup containment matrix over the exact Jaccard
     // pair sweep: which sources duplicate into which (diagonal = within-
@@ -1520,7 +1497,7 @@ object ExtensionQueries {
       Dedup.sourceOverlapMatrix(
         Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold),
         d, "doc_id", "source")
-        .orderBy("src_a", "src_b")
+
     }),
 
     // duplication-aware loss weights: keep every copy, downweight by
@@ -1530,7 +1507,7 @@ object ExtensionQueries {
       val d = docs(s, dir)
       Dedup.duplicationWeights(d,
           Dedup.jaccardPairs(d, "doc_id", "text", 3, JaccardThreshold), "doc_id")
-        .orderBy("doc_id")
+
     }),
 
     // filter-funnel attrition: the Gopher-rule chain as CUMULATIVE
@@ -1550,7 +1527,7 @@ object ExtensionQueries {
         "mean_word_len_3_10" -> (totC >= lit(3L) * nW && totC <= lit(10L) * nW),
         "alpha_words_80pct" -> (lit(5L) * alphaC >= lit(4L) * nW),
         "stopwords_1" -> (stopHits >= 1L)), nW)
-        .orderBy("stage_idx")
+
     }),
 
     // per-source attrition: the same Gopher chain keyed by source —
@@ -1570,7 +1547,7 @@ object ExtensionQueries {
         "mean_word_len_3_10" -> (totC >= lit(3L) * nW && totC <= lit(10L) * nW),
         "alpha_words_80pct" -> (lit(5L) * alphaC >= lit(4L) * nW),
         "stopwords_1" -> (stopHits >= 1L)), nW)
-        .orderBy("source", "stage_idx")
+
     }),
   )
 

@@ -70,7 +70,7 @@ object Ingestion {
       (lit(2020) + col("n_nationkey") % 3).cast("string").as("Year"),
       (lit(1000000L) + col("n_nationkey").cast("long") * 12345L).as("Population"),
       lower(col("n_name")).as("Slug Nation"))
-    usaPopulation(raw).orderBy("ID_NATION")
+    usaPopulation(raw)
   }
 
   val usaPopulationOracle: String =
@@ -88,7 +88,6 @@ object Ingestion {
       Entities.read(spark, dir, "supplier"),
       Seq("SUPPLIER_ID", "SUPPLIER_NAME", "S_NATIONKEY", "S_ACCTBAL"))
       .select("DAY_DT", "SUPPLIER_ID", "SUPPLIER_NAME", "S_NATIONKEY")
-      .orderBy("SUPPLIER_ID")
 
   val suppliersSnapshotOracle: String =
     """SELECT DATE '2025-01-01' AS DAY_DT, s_suppkey AS SUPPLIER_ID,

@@ -49,12 +49,12 @@ object ModelQueries {
     // doc_id%5!=0, score the rest; argmax with smallest-class tie-break
     "q_nb_predict" -> ((s, dir) =>
       Classifier.nbPredict(docs(s, dir), "doc_id", "text", "lang")
-        .orderBy("doc_id")),
+        ),
 
     // the classifier gate's shipped quality report
     "q_nb_confusion" -> ((s, dir) =>
       Classifier.nbConfusion(docs(s, dir), "doc_id", "text", "lang")
-        .orderBy("label_true", "predicted")),
+        ),
 
     // TextRank: 4 integer-PageRank rounds over the word graph, top 50
     // keywords by (rank, token) total order
@@ -91,7 +91,7 @@ object ModelQueries {
     // per-source token-distribution drift vs the corpus mix
     "q_drift_kl_source" -> ((s, dir) =>
       Drift.tokenKlBySlice(docs(s, dir), "source", "text")
-        .orderBy("slice")),
+        ),
 
     // batch-vs-reference drift tripwire (the streaming driftMonitor's
     // exact batch plan): held-out split scored against the train split
@@ -105,24 +105,24 @@ object ModelQueries {
     // 5-fold cross-validated NB accuracy, ONE pass via count subtraction
     "q_nb_cv" -> ((s, dir) =>
       Classifier.nbCrossValidate(docs(s, dir), "doc_id", "text", "lang", folds = 5)
-        .orderBy("fold")),
+        ),
 
     // active-learning signal: per-doc top1−top2 score margin
     "q_nb_margin" -> ((s, dir) =>
       Classifier.nbMargins(docs(s, dir), "doc_id", "text", "lang")
-        .orderBy("doc_id")),
+        ),
 
     // feature selection: per-class top-20 tokens by quantized PMI
     "q_text_class_terms" -> ((s, dir) =>
       Classifier.classIndicativeTerms(docs(s, dir), "text", "lang",
           k = 20, minCount = 5L)
-        .orderBy("cls", "rk")),
+        ),
 
     // reliability report: held-out accuracy per margin percent-rank band
     "q_nb_calibration" -> ((s, dir) =>
       Classifier.nbCalibration(docs(s, dir), "doc_id", "text", "lang",
           splitMod = 5, buckets = 10)
-        .orderBy("bucket")),
+        ),
 
     // perplexity-style scoring vs a FOREIGN reference corpus (train on
     // the %5!=0 split, score the held-out docs; unseen-bigram penalty)
@@ -132,7 +132,7 @@ object ModelQueries {
           d.filter(pmod(col("doc_id"), lit(5)) =!= 0),
           d.filter(pmod(col("doc_id"), lit(5)) === 0),
           "doc_id", "text")
-        .orderBy("doc_id")
+
     }),
 
     // deterministic percentile-bootstrap CI for the corpus mean length
@@ -146,13 +146,13 @@ object ModelQueries {
       graft.ops.Stats.welchTwoSample(
           events(s, dir).withColumn("variant", pmod(col("user_id"), lit(2))),
           Seq("event_type"), "variant", "value")
-        .orderBy("event_type")),
+        ),
 
     // basket mining: unordered within-session co-occurrence with lift
     "q_events_cooccurrence" -> ((s, dir) =>
       Associations.sessionCooccurrence(events(s, dir), "user_id", "ts",
           "event_id", "event_type")
-        .orderBy("item_a", "item_b")),
+        ),
 
     // semi-supervised labeling: spread the known (train-split) langs
     // through the 0.5-jaccard near-dup graph to the held-out docs
@@ -170,7 +170,7 @@ object ModelQueries {
         .select(col("node").cast("long").as("doc_id"), col("label"))
       d.select(col("doc_id"))
         .join(labels, Seq("doc_id"), "left")
-        .orderBy("doc_id")
+
     }),
 
     // related-document expansion: personalized PageRank from a seed
@@ -221,7 +221,7 @@ object ModelQueries {
         .select(col("cluster_id"), (-col("best.neg")).as("canonical_id"))
       m.join(canonical, "cluster_id")
         .select(col("doc_id"), col("cluster_id"), col("canonical_id"))
-        .orderBy("doc_id")
+
     }),
   )
 

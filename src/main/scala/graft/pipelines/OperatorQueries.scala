@@ -37,7 +37,7 @@ object OperatorQueries {
           .filter(col("l_discount") > 0.02 && col("l_discount") <= 0.05 &&
             !(col("l_returnflag") === "A"))
           .select("l_orderkey", "l_linenumber", "l_discount", "l_returnflag")
-          .orderBy("l_orderkey", "l_linenumber", "l_discount")),
+          ),
       """SELECT l_orderkey, l_linenumber, l_discount, l_returnflag
         |FROM lineitem
         |WHERE l_discount > 0.02 AND l_discount <= 0.05 AND NOT (l_returnflag = 'A')
@@ -49,7 +49,7 @@ object OperatorQueries {
         orders(s, dir)
           .selectExpr("o_orderkey as ID_ORDER", "upper(o_orderpriority) as PRIORITY",
             "o_orderstatus as STATUS")
-          .orderBy("ID_ORDER")),
+          ),
       """SELECT o_orderkey AS ID_ORDER, upper(o_orderpriority) AS PRIORITY,
         |       o_orderstatus AS STATUS
         |FROM orders ORDER BY o_orderkey""".stripMargin),
@@ -59,7 +59,7 @@ object OperatorQueries {
       ((s: SparkSession, dir: String) => {
         import s.implicits._
         Seq((1, "alpha", 1.5), (2, "beta", 2.5), (3, "gamma", 3.5))
-          .toDF("id", "name", "score").orderBy("id")
+          .toDF("id", "name", "score")
       }),
       """SELECT id, name, CAST(score AS DOUBLE) AS score
         |FROM (VALUES (1, 'alpha', 1.5), (2, 'beta', 2.5), (3, 'gamma', 3.5))
@@ -80,7 +80,7 @@ object OperatorQueries {
           .agg(count(lit(1)).as("line_cnt")).hint("shuffle_hash")
         l.join(agg, Seq("l_orderkey", "l_linenumber"), "inner")
           .select("l_orderkey", "l_linenumber", "l_partkey", "line_cnt")
-          .orderBy("l_orderkey", "l_linenumber", "l_partkey")
+
       }),
       """SELECT l.l_orderkey, l.l_linenumber, l.l_partkey, a.line_cnt
         |FROM lineitem l
@@ -100,7 +100,7 @@ object OperatorQueries {
         val l = li(s, dir)
           .filter(col("l_returnflag") === "R" && col("l_quantity") > 40)
         p.join(l, p("p_partkey") === l("l_partkey"), "left_anti")
-          .select("p_partkey", "p_name").orderBy("p_partkey")
+          .select("p_partkey", "p_name")
       }),
       """SELECT p_partkey, p_name FROM part
         |WHERE NOT EXISTS (SELECT 1 FROM lineitem
@@ -114,7 +114,7 @@ object OperatorQueries {
         val c = customer(s, dir)
         val o = orders(s, dir)
         c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
-          .select("c_custkey", "c_name").orderBy("c_custkey")
+          .select("c_custkey", "c_name")
       }),
       """SELECT c_custkey, c_name FROM customer
         |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
@@ -139,7 +139,7 @@ object OperatorQueries {
             max("l_quantity").as("max_qty"),
             count(lit(1)).as("cnt"),
             countDistinct("l_partkey").as("n_parts"))
-          .orderBy("l_returnflag")),
+          ),
       """SELECT l_returnflag, AVG(l_quantity) AS avg_qty, MIN(l_quantity) AS min_qty,
         |       MAX(l_quantity) AS max_qty, COUNT(*) AS cnt,
         |       COUNT(DISTINCT l_partkey) AS n_parts
@@ -150,7 +150,7 @@ object OperatorQueries {
       ((s: SparkSession, dir: String) =>
         li(s, dir).cube("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity").as("sum_qty"), count(lit(1)).as("cnt"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+          ),
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty, COUNT(*) AS cnt
         |FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
@@ -159,7 +159,7 @@ object OperatorQueries {
       ((s: SparkSession, dir: String) =>
         li(s, dir).rollup("l_returnflag", "l_linestatus")
           .agg(sum("l_quantity").as("sum_qty"))
-          .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)),
+          ),
       """SELECT l_returnflag, l_linestatus, SUM(l_quantity) AS sum_qty
         |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
         |ORDER BY 1 NULLS FIRST, 2 NULLS FIRST""".stripMargin),
@@ -193,7 +193,7 @@ object OperatorQueries {
                 col("l_discount").cast(DecimalType(8, 4))))
               .cast("double").as("revenue"),
             count(lit(1)).as("n_lines"))
-          .orderBy("r_name", "n_name")
+
       }),
       """SELECT r_name, n_name,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,4)) *
@@ -213,7 +213,7 @@ object OperatorQueries {
         li(s, dir).groupBy("l_returnflag")
           .pivot("l_linestatus", Seq("F", "O"))
           .agg(sum("l_quantity"))
-          .orderBy("l_returnflag")),
+          ),
       """SELECT l_returnflag,
         |       SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END) AS "F",
         |       SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END) AS "O"
@@ -227,7 +227,7 @@ object OperatorQueries {
           .withColumn("prev_price", lag("o_totalprice", 1).over(w))
           .withColumn("next_price", lead("o_totalprice", 1).over(w))
           .select("o_custkey", "o_orderkey", "o_totalprice", "prev_price", "next_price")
-          .orderBy("o_custkey", "o_orderkey")
+
       }),
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       LAG(o_totalprice, 1) OVER w AS prev_price,
@@ -248,7 +248,7 @@ object OperatorQueries {
           .withColumn("cd", cume_dist().over(tieAware))
           .withColumn("quartile", ntile(4).over(total))
           .select("c_nationkey", "c_custkey", "c_acctbal", "rnk", "drnk", "cd", "quartile")
-          .orderBy("c_nationkey", "c_custkey")
+
       }),
       """SELECT c_nationkey, c_custkey, c_acctbal,
         |       RANK() OVER wa AS rnk, DENSE_RANK() OVER wa AS drnk,
@@ -268,7 +268,7 @@ object OperatorQueries {
         li(s, dir)
           .withColumn("running_qty", sum("l_quantity").over(w))
           .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity", "running_qty")
-          .orderBy("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+
       }),
       """SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
         |       SUM(l_quantity) OVER (PARTITION BY l_suppkey
@@ -297,7 +297,7 @@ object OperatorQueries {
           Seq(graft.ops.TopK.ordDescDouble(col("c_acctbal")),
             graft.ops.TopK.ordAsc(col("c_custkey"))),
           Seq("c_custkey", "c_name", "c_acctbal"), 3)
-          .orderBy("c_nationkey", "rk")),
+          ),
       """SELECT c_nationkey, rk, c_custkey, c_name, c_acctbal FROM (
         |  SELECT c_nationkey, c_custkey, c_name, c_acctbal,
         |         CAST(ROW_NUMBER() OVER (PARTITION BY c_nationkey
@@ -317,7 +317,7 @@ object OperatorQueries {
           .unionByName(customer(s, dir).filter(col("c_custkey") < 50)
             .select((col("c_custkey") + 1000000).as("c_custkey"),
               col("c_name"), col("c_acctbal")))
-        graft.ops.Merge.upsert(t, u, Seq("c_custkey")).orderBy("c_custkey")
+        graft.ops.Merge.upsert(t, u, Seq("c_custkey"))
       }),
       """WITH t AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
         |u AS (SELECT c_custkey, c_name, c_acctbal + 1000 AS c_acctbal
@@ -348,7 +348,7 @@ object OperatorQueries {
         }
         IncrementalAgg.publish(state, keys)
           .withColumn("sum_v", col("sum_v").cast("double"))
-          .orderBy("o_orderpriority")
+
       }),
       """SELECT o_orderpriority, COUNT(*) AS n_rows,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS sum_v,
@@ -366,7 +366,7 @@ object OperatorQueries {
         Entities.read(s, dir, "events")
           .select(col("event_id"), col("user_id"),
             graft.ops.Layout.zkey(col("event_id"), col("user_id")).as("zkey"))
-          .orderBy("event_id")),
+          ),
       s"""SELECT event_id, user_id,
          |  ${graft.functions.InterleaveBits.oracleSql("event_id", "user_id")} AS zkey
          |FROM events ORDER BY event_id""".stripMargin),
@@ -377,7 +377,7 @@ object OperatorQueries {
         val c = customer(s, dir)
         c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
           .union(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
-          .distinct().orderBy("c_custkey")
+          .distinct()
       }),
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |UNION SELECT c_custkey FROM customer WHERE c_acctbal > 5000
@@ -388,7 +388,7 @@ object OperatorQueries {
         val c = customer(s, dir)
         c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
           .intersect(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
-          .orderBy("c_custkey")
+
       }),
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
@@ -399,7 +399,7 @@ object OperatorQueries {
         val c = customer(s, dir)
         c.filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
           .except(c.filter(col("c_acctbal") > 5000).select("c_custkey"))
-          .orderBy("c_custkey")
+
       }),
       """SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
         |EXCEPT SELECT c_custkey FROM customer WHERE c_acctbal > 5000
@@ -417,7 +417,7 @@ object OperatorQueries {
           length(col("p_name")).as("name_len"),
           trim(col("p_name")).as("name_trim"),
           regexp_replace(col("p_name"), "[aeiou]", "").as("name_novowel"))
-          .orderBy("p_partkey")),
+          ),
       """SELECT p_partkey, concat_ws('-', p_brand, p_type) AS brand_type,
         |       upper(p_name) AS name_upper, lower(p_brand) AS brand_lower,
         |       substring(p_name, 1, 5) AS name_head, length(p_name) AS name_len,
@@ -439,7 +439,7 @@ object OperatorQueries {
           datediff(lit("1998-01-01").cast("date"), col("l_shipdate").cast("date")).as("days_to_98"),
           date_trunc("month", col("l_shipdate")).as("ship_month_start"),
           last_day(col("l_shipdate").cast("date")).as("ship_month_end"))
-          .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+          ),
       """SELECT l_orderkey, l_linenumber, l_partkey,
         |       CAST(l_shipdate AS DATE) AS ship_date,
         |       YEAR(l_shipdate) AS ship_year, MONTH(l_shipdate) AS ship_month,
@@ -462,7 +462,7 @@ object OperatorQueries {
           floor(col("l_extendedprice")).as("price_floor"),
           sqrt(col("l_quantity")).as("qty_sqrt"),
           (col("l_quantity") % 7).as("qty_mod7"))
-          .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+          ),
       """SELECT l_orderkey, l_linenumber, l_partkey,
         |       ABS(l_discount - 0.05) AS disc_dev,
         |       ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS price_r1,
@@ -480,7 +480,7 @@ object OperatorQueries {
             .when(col("o_totalprice") > 150000, "medium")
             .otherwise("small").as("size_band"),
           when(col("o_orderstatus") === "F", lit(1)).otherwise(lit(0)).as("is_final"))
-          .orderBy("o_orderkey")),
+          ),
       """SELECT o_orderkey,
         |       CASE WHEN o_totalprice > 300000 THEN 'large'
         |            WHEN o_totalprice > 150000 THEN 'medium'
@@ -499,7 +499,7 @@ object OperatorQueries {
             coalesce(col("qty_sold"), lit(0.0)).as("qty_or_zero"),
             col("tag"))
           .na.fill(Map("tag" -> "never_sold"))
-          .orderBy("p_partkey")
+
       }),
       """SELECT p_partkey, COALESCE(a.qty_sold, 0.0) AS qty_or_zero,
         |       COALESCE(a.tag, 'never_sold') AS tag
@@ -525,7 +525,7 @@ object OperatorQueries {
           col("l_shipdate").cast("date").cast("string").as("ship_str"),
           col("l_extendedprice").cast(DecimalType(12, 2)).cast("string").as("price_str"),
           col("l_linenumber").cast("double").as("line_dbl"))
-          .orderBy("l_orderkey", "l_linenumber", "l_partkey")),
+          ),
       """SELECT l_orderkey, l_linenumber, l_partkey,
         |       CAST(l_quantity AS INT) AS qty_int,
         |       CAST(l_quantity AS VARCHAR) AS qty_str,
@@ -552,7 +552,7 @@ object OperatorQueries {
           // pandas rendering hash-diverges from Spark INT even on equal values.
           aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (acc, x) => acc + x)
             .as("total_chars"))
-          .orderBy("doc_id")
+
       }),
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
@@ -582,7 +582,7 @@ object OperatorQueries {
           Array(col("l_orderkey"), col("l_linenumber")),
           Array(col("l_quantity"), col("l_discount"), col("l_tax")),
           "measure", "value")
-          .orderBy("l_orderkey", "l_linenumber", "measure")),
+          ),
       """SELECT l_orderkey, l_linenumber, 'l_quantity' AS measure, l_quantity AS value FROM lineitem
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
@@ -604,7 +604,7 @@ object OperatorQueries {
           .withColumn("second_price", nth_value(col("o_totalprice"), 2).over(w))
           .select("o_custkey", "o_orderkey", "o_totalprice",
             "first_price", "last_price", "second_price")
-          .orderBy("o_custkey", "o_orderkey")
+
       }),
       """SELECT o_custkey, o_orderkey, o_totalprice,
         |       FIRST_VALUE(o_totalprice) OVER w AS first_price,
@@ -630,7 +630,7 @@ object OperatorQueries {
           .withColumn("sum_hour",
             sum(col("value").cast(DecimalType(12, 2))).over(w).cast("double"))
           .select("event_id", "user_id", "sec", "n_hour", "sum_hour")
-          .orderBy("event_id")
+
       }),
       """SELECT event_id, user_id, epoch_ns(ts) // 1000000000 AS sec,
         |       COUNT(*) OVER w AS n_hour,
@@ -665,10 +665,8 @@ object OperatorQueries {
         // the volume — on this tiny-vocab fixture the cap wins at every
         // scale (measured: the probe's cache pre-materialization makes
         // engaged-adaptive faster than even the direct capped call)
-        ResultSort.sortedSmall(
-          graft.ops.Linkage.qgramBestMatchAdaptive(dirty, corpus, "doc_id",
-            "name", maxDist = 2, q = 3, maxDfRatio = 0.1, countPrune = false),
-          col("dirty_id"))
+        (graft.ops.Linkage.qgramBestMatchAdaptive(dirty, corpus, "doc_id",
+            "name", maxDist = 2, q = 3, maxDfRatio = 0.1, countPrune = false))
       }),
       """WITH corpus AS (
         |  SELECT doc_id, substr(text, 1, 40) AS nm FROM documents),
@@ -714,10 +712,8 @@ object OperatorQueries {
         // both index caches pre-materialized (tiny-vocab fixture: the
         // cap leaves ~6 grams/record, so the count-prune bound is ~0 and
         // its joins are pure overhead — countPrune stays off)
-        ResultSort.sortedSmall(
-          graft.ops.Linkage.qgramPairsAdaptive(dirty, corpus, "doc_id", "name",
-            maxDist = 2, q = 3, maxDfRatio = 0.1, countPrune = false),
-          col("left_id"), col("right_id"))
+        (graft.ops.Linkage.qgramPairsAdaptive(dirty, corpus, "doc_id", "name",
+            maxDist = 2, q = 3, maxDfRatio = 0.1, countPrune = false))
       }),
       """WITH corpus AS (
         |  SELECT doc_id, substr(text, 1, 40) AS nm FROM documents),
@@ -767,7 +763,7 @@ object OperatorQueries {
           .select(
             coalesce(col("c_custkey"), col("o_custkey")).as("custkey"),
             col("c_name"), col("n_orders"))
-          .orderBy("custkey")
+
       }),
       """WITH cust AS (SELECT c_custkey, c_name FROM customer WHERE c_custkey % 3 <> 0),
         |counts AS (SELECT o_custkey, COUNT(*) AS n_orders FROM orders GROUP BY 1)
@@ -793,7 +789,7 @@ object OperatorQueries {
               .otherwise(col("s_nationkey")).as("s_nk"))
         cust.join(supp, col("c_nk") <=> col("s_nk"))
           .select("c_custkey", "s_suppkey", "c_nk")
-          .orderBy("c_custkey", "s_suppkey")
+
       }),
       """WITH cust AS (
         |  SELECT c_custkey,
@@ -819,7 +815,7 @@ object OperatorQueries {
             when(pmod(col("doc_id"), lit(7)) === 0, array())
               .otherwise(slice(toks, 1, 3)).as("arr"))
           .select(col("doc_id"), explode_outer(col("arr")).as("tok"))
-          .orderBy("doc_id", "tok")
+
       }),
       """WITH arrs AS (
         |  SELECT doc_id,
@@ -860,7 +856,7 @@ object OperatorQueries {
               col("s_name"), col("s_acctbal")))
         graft.ops.Scd.scd2Merge(dim, upd, Seq("s_suppkey"),
             Seq("s_name", "s_acctbal"), "2024-06-15")
-          .orderBy("s_suppkey", "valid_from", "is_current")
+
       }),
       """WITH dim AS (
         |  SELECT s_suppkey, s_name, s_acctbal,
@@ -912,7 +908,7 @@ object OperatorQueries {
         val b = part(s, dir).filter(col("p_partkey") > 1000)
           .select(col("p_size"), col("p_partkey")) // reordered + missing p_type
         a.unionByName(b, allowMissingColumns = true)
-          .orderBy("p_partkey")
+
       }),
       """SELECT p_partkey, p_type, p_size FROM part WHERE p_partkey <= 1000
         |UNION ALL BY NAME
@@ -932,7 +928,7 @@ object OperatorQueries {
           Matches("status_format", "l_linestatus", "[FO]"),
           Unique("pk_unique", Seq("l_orderkey", "l_linenumber")),
           RefIntegrity("partkey_ref", "l_partkey", part(s, dir), "p_partkey")))
-          .orderBy("rule")
+
       }),
       """WITH t AS (
         |  SELECT COUNT(*) AS total,

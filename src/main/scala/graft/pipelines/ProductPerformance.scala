@@ -80,7 +80,6 @@ object ProductPerformance {
       .select("DAY_DT", "PRODUCT_ID", "PRODUCT_NAME", "TOTAL_SALES_AMOUNT",
         "TOTAL_QUANTITY_SOLD", "AVG_SALE_PRICE", "STOCK_QUANTITY",
         "REORDER_LEVEL", "STOCK_LEVEL_STATUS", "PROFIT", "CATEGORY")
-      .orderBy("PRODUCT_ID")
   }
 
   val oracle: String = Entities.sqlCtes + """

@@ -54,23 +54,18 @@ object ReconcileQueries {
 
   def rowDiff(spark: SparkSession, dir: String): DataFrame =
     Reconcile.rowDiff(source(spark, dir), target(spark, dir), Keys)
-      .orderBy("o_orderkey")
 
   def colMismatch(spark: SparkSession, dir: String): DataFrame =
     Reconcile.colMismatch(source(spark, dir), target(spark, dir), Keys)
-      .orderBy(col("o_orderkey"), col("mismatch_column_name"))
 
   def srcExtra(spark: SparkSession, dir: String): DataFrame =
     Reconcile.srcExtra(source(spark, dir), target(spark, dir), Keys)
-      .orderBy("o_orderkey")
 
   def tgtExtra(spark: SparkSession, dir: String): DataFrame =
     Reconcile.tgtExtra(source(spark, dir), target(spark, dir), Keys)
-      .orderBy("o_orderkey")
 
   def summary(spark: SparkSession, dir: String): DataFrame =
     Reconcile.summary(source(spark, dir), target(spark, dir), Keys)
-      .orderBy("Description")
 
   def colSummary(spark: SparkSession, dir: String): DataFrame =
     Reconcile.colSummary(source(spark, dir), target(spark, dir), Keys)

@@ -104,7 +104,6 @@ object SupplierPerformance {
         col("agg_TOTAL_PRODUCTS_SOLD").as("TOTAL_PRODUCTS_SOLD"),
         coalesce(col("agg_TOTAL_STOCK_SOLD"), lit(0)).cast("double").as("TOTAL_STOCK_SOLD"),
         coalesce(col("TOP_SELLING_PRODUCT"), lit("No sales")).as("TOP_SELLING_PRODUCT"))
-      .orderBy("SUPPLIER_ID")
   }
 
   /** DuckDB oracle — same math, same decimal discipline, same tiebreaks. */
