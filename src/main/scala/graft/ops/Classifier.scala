@@ -71,6 +71,10 @@ object Classifier {
     * both vocabulary-bounded; the global constants (V, d_train) ride
     * 1-row broadcast cross joins — no collect, no driver round-trip. */
   def nbTrain(docs: DataFrame, textCol: String, labelCol: String): NbModel = {
+    // NO Par.widen here (probed r18): the NB cells are job-floor-bound
+    // (25-27 protocol jobs), and widening the tokenize map side tripled
+    // task counts (908-1173/cell) for zero wall win — the exchange cost
+    // what the parallelism saved
     val trainTok = docs.select(col(labelCol).as("__label"),
       explode(TextAnalysis.tokens(lower(col(textCol)))).as("tok"))
 

@@ -27,14 +27,17 @@ import org.apache.spark.sql.functions._
   */
 object Contamination {
 
+  // both sides pay a per-character shingle-hash pass — widen a
+  // single-split scan to session parallelism first (Par.widen: no-op on
+  // a well-split corpus; the passageWins parallelism fix)
   private def index(docs: DataFrame, side: String, idCol: String,
-                    textCol: String, n: Int) = docs.select(
+                    textCol: String, n: Int) = Par.widen(docs, col(idCol)).select(
     col(idCol).as(s"${side}_id"),
     explode(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
       .as("shash"))
 
   private def sizes(eval: DataFrame, idCol: String, textCol: String, n: Int) =
-    eval.select(col(idCol).as("eval_id"),
+    Par.widen(eval, col(idCol)).select(col(idCol).as("eval_id"),
       size(graft.functions.ShingleHashes.shingleHashes(col(textCol), n))
         .as("n_eval"))
 

@@ -458,8 +458,13 @@ object Dedup {
     // evictable/spillable under pressure and recomputed on miss — the
     // same posture as [[Reconcile.diff]]'s source/target cache.
     // Residency across calls is bounded by [[registerShingleCache]].
-    val withSh = registerShingleCache(docs.select(col(idCol).as("id"),
-      graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("sh")))
+    // shingle hashing is a per-character CPU pass (the passageWins
+    // pathology): widen a single-split scan so the hash — and every
+    // downstream explode map side reading this cache — runs at session
+    // parallelism instead of one task (Par.widen: no-op at real scale)
+    val withSh = registerShingleCache(Par.widen(docs, col(idCol))
+      .select(col(idCol).as("id"),
+        graft.functions.ShingleHashes.shingleHashes(col(textCol), n).as("sh")))
     val sizes = withSh.select(col("id"), size(col("sh")).as("n_sh"))
     val index = withSh.select(col("id"), explode(col("sh")).as("shash"))
     (index, sizes)

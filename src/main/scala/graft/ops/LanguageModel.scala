@@ -51,8 +51,11 @@ object LanguageModel {
   def bigramBitScores(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
     // persisted + eagerly materialized (the bm25/tfidf contract): one
     // tokenize scan feeds all three consumers below
-    val toks = tokCacheWindow.add(
-      docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk")))
+    // widen a single-split scan before tokenizing: the cache (and every
+    // exploding consumer below reading it) otherwise inherits one task
+    // (Par.widen: no-op on a well-split corpus)
+    val toks = tokCacheWindow.add(Par.widen(docs, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk")))
     toks.count()
 
     // (doc, first token, bigram string) — one row per consecutive pair
@@ -102,7 +105,8 @@ object LanguageModel {
     * shuffles more than its own bigrams. */
   def bigramBitScoresAgainst(ref: DataFrame, docs: DataFrame, idCol: String,
                              textCol: String): DataFrame = {
-    val toks = docs.select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val toks = Par.widen(docs, col(idCol))
+      .select(col(idCol), TextAnalysis.tokens(col(textCol)).as("__tk"))
     val bi = toks
       .select(col(idCol), explode(
         when(size(col("__tk")) >= 2,
@@ -114,7 +118,8 @@ object LanguageModel {
           .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("__e"))
       .select(col(idCol), col("__e.w1").as("w1"), col("__e.bg").as("bg"))
 
-    val refToks = ref.select(TextAnalysis.tokens(col(textCol)).as("__tk"))
+    val refToks = Par.widen(ref, col(idCol))
+      .select(TextAnalysis.tokens(col(textCol)).as("__tk"))
     val uni = refToks.select(explode(col("__tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cu"))
     val big = refToks

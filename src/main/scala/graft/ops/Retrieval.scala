@@ -62,7 +62,9 @@ object Retrieval {
   def lexicalTopK(corpus: DataFrame, queries: DataFrame, idCol: String,
                   textCol: String, k: Int = 5, maxDf: Long = Long.MaxValue,
                   maxQueries: Long = 10000L): DataFrame = {
-    val cTok = corpus.select(col(idCol).as("nn_id"),
+    // Par.widen: the corpus-side tokenize+explode otherwise inherits a
+    // single-split scan's one task (no-op on a well-split corpus)
+    val cTok = Par.widen(corpus, col(idCol)).select(col(idCol).as("nn_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
     val nDocs = corpus.agg(count(lit(1)).as("n_docs"))
     lexicalTopKFromPostings(cTok, nDocs, queries, idCol, textCol, k,
@@ -76,7 +78,7 @@ object Retrieval {
     * token-explode scan over raw text that [[lexicalTopK]] otherwise pays
     * per call; [[lexicalTopKFromPostings]] is the read side. */
   def postingsIndex(corpus: DataFrame, idCol: String, textCol: String): DataFrame =
-    corpus.select(col(idCol).as("nn_id"),
+    Par.widen(corpus, col(idCol)).select(col(idCol).as("nn_id"),
       explode(array_distinct(TextAnalysis.tokens(col(textCol)))).as("tok"))
 
   /** [[lexicalTopK]] against a PRECOMPUTED postings frame (the output of

@@ -59,12 +59,16 @@ object Selection {
     * with one trailing null → `when(y isNotNull …)` + `filter` drop it. */
   private def gramFeatures(docs: DataFrame, idCol: String, textCol: String,
                            buckets: Int, carry: Seq[String] = Nil): DataFrame = {
+    // the explode + per-gram md5 below amplifies each doc row ~2×tokens —
+    // recover scan parallelism first (Par.widen: no-op on a well-split
+    // corpus; one compact (id, text) exchange on a single-split local one)
+    val wide = Par.widen(docs, col(idCol))
     val tk = TextAnalysis.tokens(col(textCol))
     val bigrams = filter(
       zip_with(tk, slice(tk, lit(2), greatest(size(tk) - 1, lit(0))),
         (x, y) => when(y.isNotNull, concat_ws(" ", x, y))),
       g => g.isNotNull)
-    val grams = docs.select(col(idCol) +: carry.map(col) :+
+    val grams = wide.select(col(idCol) +: carry.map(col) :+
       explode(concat(tk, bigrams)).as("g"): _*)
     grams.select(col(idCol) +: carry.map(col) :+
       (conv(substring(md5(col("g")), 1, 8), 16, 10).cast("long") % buckets).as("f"): _*)

@@ -218,8 +218,14 @@ object Stats {
       val d = col(c).cast("double")
       col(c).isNotNull && !isnan(d) && abs(d) <= Double.MaxValue
     }
-    val base = df.filter(finite(valueCol))
-      .select(col(idCol).as("__id"), fixedLong(valueCol, scale).as("__v"))
+    // the ×b replication below amplifies every input row b-fold, and the
+    // per-replicate draw hash is the dominant CPU — widen a single-split
+    // scan first so the explode+hash stage runs at session parallelism
+    // (Par.widen: no-op on a well-split corpus; 16-byte rows here)
+    val base = Par.widen(
+      df.filter(finite(valueCol))
+        .select(col(idCol).as("__id"), fixedLong(valueCol, scale).as("__v")),
+      col("__id"))
 
     val rep = base.select(col("__id"), col("__v"),
       explode(sequence(lit(1), lit(b))).as("r"))

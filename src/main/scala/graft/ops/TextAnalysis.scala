@@ -225,7 +225,7 @@ object TextAnalysis {
     * a per-doc window — both shuffles are keyed by doc id. */
   def docTopTerms(docs: DataFrame, idCol: String, textCol: String,
                   k: Int = 3, ordLongs: Int = 32): DataFrame = {
-    val counts = docs
+    val counts = Par.widen(docs, col(idCol))
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     // bounded-heap top-k (the bm25/tfidf shape) instead of a per-doc
@@ -333,7 +333,9 @@ object TextAnalysis {
     // cache write beats re-tokenizing the corpus twice at every scale.
     // The eager count keeps the broadcast branches from racing the cold
     // cache (NOTES_r5 convoy).
-    val counts = tfCacheWindow.add(docs
+    // Par.widen: the tokenize+explode map side otherwise inherits a
+    // single-split scan's one task (no-op on a well-split corpus)
+    val counts = tfCacheWindow.add(Par.widen(docs, col(idCol))
       .select(col(idCol).as(idCol), tokens(col(textCol)).as("__toks"))
       .select(col(idCol), size(col("__toks")).as("__dl0"),
         explode(col("__toks")).as("token"))
@@ -499,7 +501,7 @@ object TextAnalysis {
     // bm25TopTerms (3 corpus-scale consumers) persists unconditionally.
     val crossover = sys.props.get("graft.text.tfidfCacheBytes")
       .map(_.toLong).getOrElse(2L << 20)
-    val raw = docs
+    val raw = Par.widen(docs, col(idCol))
       .select(col(idCol).as(idCol), explode(tokens(col(textCol))).as("token"))
       .groupBy(idCol, "token").agg(count(lit(1)).as("tf"))
     val counts =
