@@ -118,7 +118,9 @@ object LanguageModel {
           .otherwise(array().cast("array<struct<w1:string,bg:string>>"))).as("__e"))
       .select(col(idCol), col("__e.w1").as("w1"), col("__e.bg").as("bg"))
 
-    val refToks = Par.widen(ref, col(idCol))
+    // widen on textCol — the ONLY column this function reads from ref
+    // (keying on idCol silently required ref to carry it; ADVICE r18)
+    val refToks = Par.widen(ref, col(textCol))
       .select(TextAnalysis.tokens(col(textCol)).as("__tk"))
     val uni = refToks.select(explode(col("__tk")).as("tok"))
       .groupBy("tok").agg(count(lit(1)).as("cu"))

@@ -44,15 +44,26 @@ private[graft] object Par {
     * the intermediate exchanges as jobs) — probed r18: widening an
     * anti-join input ran the whole upstream pipeline eagerly and the
     * consuming query re-ran it. On a narrow plan `.rdd` is plan-only
-    * (file listing, no job) — the passageWins precedent. */
+    * (file listing, no job) — the passageWins precedent.
+    *
+    * Scans are allowlisted in BOTH planner surfaces (the V1
+    * `LogicalRelation` today's parquet reads resolve to, and
+    * `DataSourceV2Relation`/`Range` so a source migrating to DSv2 keeps
+    * its widen instead of silently degrading to identity — ADVICE r18).
+    * The bit-identity claim holds only for DETERMINISTIC plans: a narrow
+    * Project computing e.g. `monotonically_increasing_id()` or `rand()`
+    * would change values under the inserted exchange, so any
+    * non-deterministic expression anywhere in the plan forces identity
+    * rather than relying on a caller precondition (ADVICE r18). */
   def widen(df: DataFrame, keys: Column*): DataFrame = {
     import org.apache.spark.sql.catalyst.plans.logical._
     var narrow = true
     df.queryExecution.analyzed.foreach {
-      case _: Filter | _: Project | _: SubqueryAlias
+      case p @ (_: Filter | _: Project | _: SubqueryAlias
          | _: org.apache.spark.sql.execution.datasources.LogicalRelation
-         | _: org.apache.spark.sql.catalyst.analysis.UnresolvedRelation
-         | _: View | _: LocalRelation => ()
+         | _: org.apache.spark.sql.execution.datasources.v2.DataSourceV2Relation
+         | _: Range | _: View | _: LocalRelation) =>
+        if (p.expressions.exists(!_.deterministic)) narrow = false
       case _ => narrow = false
     }
     if (!narrow) df

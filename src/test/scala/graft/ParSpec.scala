@@ -48,6 +48,16 @@ class ParSpec extends SparkSpec {
     assert(Par.widen(preWide, col("doc_id")) eq preWide)
   }
 
+  test("widen is identity when the plan carries non-deterministic expressions") {
+    // the bit-identity contract cannot hold for these: an inserted
+    // exchange would re-assign monotonically_increasing_id/rand values
+    // relative to the unwidened plan — widen must refuse (ADVICE r18)
+    val nonDet = docs.select(col("doc_id"), monotonically_increasing_id().as("mid"))
+    assert(Par.widen(nonDet, col("doc_id")) eq nonDet)
+    val randy = docs.select(col("doc_id"), rand(42).as("r"))
+    assert(Par.widen(randy, col("doc_id")) eq randy)
+  }
+
   test("widen preserves row multisets bit-exactly (keyed and keyless)") {
     val narrow = docs.select(col("doc_id"), col("lang"))
     val base = narrow.collect().map(_.toString).sorted.toSeq
