@@ -212,16 +212,26 @@ object Linkage {
     * [[Dedup.jaccardPairsAdaptive]]'s probe). Doubles: the volumes are a
     * branch decision, and Σdf_l·df_r can overflow a long exactly on the
     * corpora where the decision matters. */
-  private def qgramVolumes(li: DataFrame, ri0: DataFrame,
-                           cap: Int): (Double, Double) = {
+  private def qgramVolumes(li: DataFrame, ri0: DataFrame, right: DataFrame,
+                           maxDfRatio: Double): (Double, Double, Int) = {
     val dfl = li.groupBy("gh").agg(count(lit(1)).cast("double").as("df_l"))
     val dfr = ri0.groupBy("gh").agg(count(lit(1)).cast("double").as("df_r"))
+    // the ratio cap's |right| count rides the SAME job as the volumes
+    // (broadcast 1-row cross join) instead of its own driver action —
+    // the cap expression is the identical IEEE `ceil(ratio · n)` the
+    // old separate `right.count()` computed (r19, guide §1.2: one fused
+    // probe job). max(__cap) just carries the scalar back out.
+    val nr = right.agg(count(lit(1)).as("__nr"))
+    val capCol = greatest(lit(1L), ceil(lit(maxDfRatio) * col("__nr")))
     val row = dfl.join(dfr, "gh")
+      .crossJoin(broadcast(nr))
       .agg(sum(col("df_l") * col("df_r")).as("vol"),
-        sum(when(col("df_r") <= cap, col("df_l") * col("df_r"))
-          .otherwise(0.0)).as("vol_capped"))
+        sum(when(col("df_r") <= capCol, col("df_l") * col("df_r"))
+          .otherwise(0.0)).as("vol_capped"),
+        max(capCol).as("cap"))
       .head()
-    if (row.isNullAt(0)) (0.0, 0.0) else (row.getDouble(0), row.getDouble(1))
+    if (row.isNullAt(0)) (0.0, 0.0, 1)
+    else (row.getDouble(0), row.getDouble(1), row.getLong(2).toInt)
   }
 
   /** [[qgramPairs]] with the df cap engaged ADAPTIVELY, by the same
@@ -235,10 +245,12 @@ object Linkage {
     * capped 0.9 s vs uncapped 1.9 s; sf0.1: 3.6 s vs 4.7 s, cap deletes
     * ~90% of the volume), while on a diverse-vocabulary corpus the cap
     * deletes ~nothing at ANY volume and its stages are pure tax. Savings,
-    * not size, is the signal. The probe needs `right.count()` for the
-    * ratio cap either way, and its side effect of materializing both
-    * index caches before the candidate join is itself the measured
-    * engaged-path win (0.88 s vs 1.14 s direct-capped at sf0.01).
+    * not size, is the signal. The ratio cap's `|right|` count rides the
+    * probe job itself (broadcast 1-row cross join — r19; it was a
+    * separate driver action before), and the probe's side effect of
+    * materializing both index caches before the candidate join is
+    * itself the measured engaged-path win (0.88 s vs 1.14 s
+    * direct-capped at sf0.01).
     *
     * Recall: the uncapped branch is the FULL pigeonhole contract — a
     * superset of the capped branch's recall, so flipping branches can
@@ -255,8 +267,7 @@ object Linkage {
     // ONE index build per side, shared by the probe and the chosen branch
     val li = cached(sideIndex(left, "left", idCol, nameCol, q))
     val ri0 = cached(sideIndex(right, "right", idCol, nameCol, q))
-    val cap = math.max(1L, math.ceil(maxDfRatio * right.count()).toLong).toInt
-    val (vol, volCapped) = qgramVolumes(li, ri0, cap)
+    val (vol, volCapped, cap) = qgramVolumes(li, ri0, right, maxDfRatio)
     if (vol <= engageFactor * math.max(volCapped, 1.0))
       pairsFromIndexes(li, ri0, left, right, idCol, nameCol,
         maxDist, q, countPrune)

@@ -58,6 +58,40 @@ class IndexStoreSpec extends SparkSpec {
     } finally IndexStore.invalidate(key)
   }
 
+  test("a stored index is compacted to size-targeted files, rows intact " +
+    "(guide §6: never one tiny file per shuffle partition)") {
+    val key = s"spec-compact-${System.nanoTime()}"
+    try {
+      val built = IndexStore.getOrBuild(spark, key) {
+        // 16-partition build frame — the pre-r19 write would land 16 files
+        spark.range(0, 1000).repartition(16)
+          .select(col("id"), (col("id") % 7).as("v"))
+      }
+      val root = sys.env.getOrElse("GRAFT_INDEX_STORE", "/tmp/graft_index_store")
+      val parts = Option(new java.io.File(s"$root/$key").listFiles())
+        .getOrElse(Array.empty)
+        .filter(f => f.isFile && f.getName.startsWith("part-"))
+      assert(parts.length == 1,
+        s"a KB-scale index must compact to ONE file, got ${parts.length}")
+      assert(built.agg(count(lit(1)), sum("id")).collect()(0).toSeq ==
+        Seq(1000L, 499500L), "compaction must preserve every row")
+    } finally IndexStore.invalidate(key)
+  }
+
+  test("getOrBuild read-back is plan-memoized per (session, path, mtime)") {
+    val key = s"spec-memo-${System.nanoTime()}"
+    try {
+      def call() = IndexStore.getOrBuild(spark, key) {
+        Seq((1L, "a")).toDF("id", "v")
+      }
+      val a = call(); val b = call()
+      assert(a eq b, "second read of an unchanged index must reuse the plan")
+      IndexStore.invalidate(key)
+      val c = call() // rebuild bumps the dir mtime → fresh frame, same rows
+      assert(c.collect().map(_.getLong(0)).toSeq == Seq(1L))
+    } finally IndexStore.invalidate(key)
+  }
+
   test("dirFingerprint tracks file size/mtime changes and is stat-only") {
     val d = java.nio.file.Files.createTempDirectory("idxfp").toFile
     try {
