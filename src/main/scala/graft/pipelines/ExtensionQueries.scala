@@ -1241,7 +1241,25 @@ object ExtensionQueries {
       val qualGate = TextAnalysis.qualityScore(col("text")) >= 0.12
       val d2 = d0.filter(lenGate && qualGate)
       val pairs = Dedup.jaccardPairs(d2, "doc_id", "text", 3, 0.8)
-      val d3 = Dedup.removeNearDups(d2, pairs, "doc_id")
+      // The near-dedup survivor set feeds THREE consumers below — the
+      // stage-3 count, the contamination index build, and the stage-4
+      // anti join — and AQE's stage cache reuses none of them, so the
+      // anti-join + verify lineage executed 3× per call (39 driver jobs
+      // / 979 tasks at sf0.1). Persist the survivors PRUNED to the two
+      // columns those consumers read (id + text) + eager count (the
+      // NOTES_r5 anti-convoy contract): one materialization — 10 jobs /
+      // 269 tasks, wall 2.8-3.0 → 1.9 s steady. An ids-only cache with a
+      // text re-attach join was probed and is WORSE (26 jobs / 643
+      // tasks, 3.2-3.9 s: the corpus-side equi-join costs more than the
+      // cache it saves). This is the checkpoint-between-stages shape a
+      // real curation pipeline runs at 100 TB — one survivor
+      // materialization instead of three anti-join + verify sweeps.
+      // Rides the ResultSort window so each bench pass starts cold (a
+      // raw persist would be plan-keyed in the CacheManager and serve
+      // pass 1's answer to pass 2).
+      val d3 = ResultSort.window.add(
+        Dedup.removeNearDups(d2.select("doc_id", "text"), pairs, "doc_id"))
+      d3.count()
       val ev = d0.filter(col("doc_id") % 7 === 0)
       val tr = d3.filter(col("doc_id") % 7 =!= 0)
       val contaminated = Contamination
